@@ -1,13 +1,52 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-module query/oracle registries. Each module documents
+  * which SURVEY §2 operators it covers.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The reference's canonical extract is `SELECT Id, AccountId, ContactId,
+    * Description FROM Case` over an FK model (client.rs:376, main.rs:89) —
+    * transposed to testdata: orders⋈customer on the FK, filter, project,
+    * order, limit.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val o = etl.Tables.load(spark, d, "orders")
+    val c = etl.Tables.load(spark, d, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .filter(col("o_totalprice") > 1000.0)
+      .select("o_orderkey", "o_custkey", "c_name", "o_orderstatus")
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  private def modules: Seq[(Map[String, ops.Q], Map[String, String])] = Seq(
+    (ops.Relational.queries, ops.Relational.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
+
+  /** Headline subset used by Bench (kept representative but bounded). */
+  def benchQueries: Seq[String] = {
+    val preferred = Seq(
+      "a2_group", "j6_star", "j1_inner", "j3_children", "w3_running",
+      "o3_topk", "a3_distinct", "t_quality", "d_minhash_pairs",
+      "d_embed_pairs", "v_knn_brute", "e_session", "f_json", "s3_csv_roundtrip")
+    val have = queries.keySet
+    preferred.filter(have)
+  }
 }

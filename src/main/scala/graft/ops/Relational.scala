@@ -1,0 +1,382 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY §2.2 P*, §2.3 J*, §2.4 A*, §2.6 O*).
+  *
+  * These evaluate, natively on Spark, the SOQL query surface the reference
+  * pushes down verbatim to Salesforce (oxidized-force/src/client.rs:199-205)
+  * plus the relationship-query joins implied by its FK model
+  * (sql-builder/src/main.rs:89). Every query is a declarative DataFrame plan:
+  * Catalyst handles predicate pushdown / column pruning / join selection, and
+  * AQE re-plans shuffles at runtime — nothing here hand-schedules execution.
+  *
+  * Determinism contract (for the DuckDB hash oracle): every query ends in a
+  * total ORDER BY over a unique key set, double measures go through the
+  * decimal-cast helpers in the package object, and column names match the
+  * oracle SQL exactly.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+
+    // P1: explicit field-list projection (client.rs:217 SELECT {fields}).
+    "p1_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P3: WHERE surface — comparison, IN, LIKE, AND/OR/NOT, range.
+    "p3_filter" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      li.filter(
+          col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_returnflag").isin("A", "R") &&
+          !(col("l_linestatus") === "O") &&
+          (col("l_quantity") < 10 || col("l_discount") > 0.07) &&
+          col("l_returnflag").like("%A%"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P4: scalar expression evaluation in the projection.
+    "p4_expr" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          roundf(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("disc_price"),
+          roundf(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")), 4).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J1: FK = PK equi inner join (Case.AccountId = Account.Id shape).
+    "j1_inner" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J2: left outer join over a nillable FK — parent columns null-padded.
+    "j2_left" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    // J3: parent→child relationship subquery, flattened as per-parent child
+    // aggregates (SOQL `SELECT Id, (SELECT ... FROM Contacts)` shape).
+    "j3_children" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val agg = o.groupBy("o_custkey").agg(
+        count("*").as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_total"),
+        min("o_orderkey").as("first_orderkey"))
+      c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_total"), lit(0.0)).as("sum_total"),
+          col("first_orderkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // J4: semi join (WHERE Id IN (SELECT ...)).
+    "j4_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J5: anti join (NOT IN (SELECT ...)).
+    "j5_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J6: star-schema join with explicit broadcast of the small dimensions —
+    // at 100 TB the fact side never shuffles for dim joins.
+    "j6_star" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      val na = t(s, d, "nation")
+      val re = t(s, d, "region")
+      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count("*").as("n_items"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // A1: result cardinality as a first-class value (total_size,
+    // response.rs:7) + distinct cardinality.
+    "a1_count" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count("*").as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // A2: TPC-H Q1 shape — grouped SUM/AVG/COUNT with exact decimal sums.
+    "a2_group" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count("*").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A3: COUNT(DISTINCT) per group (SOQL COUNT_DISTINCT).
+    "a3_distinct" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count("*").as("n_orders"))
+        .orderBy("month")
+    }),
+
+    // A4: ROLLUP with grouping flags.
+    "a4_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count("*").as("n"), dsum(col("o_totalprice")).as("sum_total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("sum_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // A4b: CUBE.
+    "a4_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count("*").as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
+    // A5: HAVING — post-aggregation filter.
+    "a5_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count("*").as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    }),
+
+    // O1: multi-key ORDER BY with mixed direction.
+    "o1_sort" -> ((s, d) => {
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_totalprice",
+          col("o_totalprice").cast("decimal(18,2)").cast("double"))
+        .orderBy(asc("o_orderstatus"), desc("o_totalprice"), asc("o_orderkey"))
+    }),
+
+    // O2: LIMIT + OFFSET over a total order.
+    "o2_limit_offset" -> ((s, d) => {
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .offset(37)
+        .limit(100)
+    }),
+
+    // O3: top-k — Catalyst plans TakeOrderedAndProject (no full sort at scale).
+    "o3_topk" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("double")
+            .as("l_extendedprice"))
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+          asc("l_linenumber"))
+        .limit(50)
+    }),
+
+    // O4: UNION ALL of partitioned extracts (page-concat, response.rs:9).
+    "o4_union" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val hi = o.filter(col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey"), lit("hi").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 5000.0)
+        .select(col("o_orderkey"), lit("lo").as("bucket"))
+      hi.union(lo).orderBy("o_orderkey", "bucket")
+    }),
+
+    // O5: INTERSECT — load reconciliation (source vs target key sets).
+    "o5_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val p = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+      f.intersect(p).orderBy("o_custkey")
+    }),
+
+    // O5b: EXCEPT.
+    "o5_except" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val p = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+      f.except(p).orderBy("o_custkey")
+    }),
+
+    // O6: DISTINCT (exact dedup of extracted rows).
+    "o6_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "p1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p3_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+           AND l_returnflag IN ('A','R')
+           AND NOT (l_linestatus = 'O')
+           AND (l_quantity < 10 OR l_discount > 0.07)
+           AND l_returnflag LIKE '%A%'
+         ORDER BY l_orderkey, l_linenumber""",
+    "p4_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS disc_price,
+           floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0 + 0.5) / 10000.0 AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "j1_inner" ->
+      """SELECT o_orderkey, c_name,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j2_left" ->
+      """SELECT c_custkey, o_orderkey
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           ON c_custkey = o.o_custkey
+         ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "j3_children" ->
+      """SELECT c_custkey,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.sum_total, 0.0) AS sum_total,
+           a.first_orderkey
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+             MIN(o_orderkey) AS first_orderkey
+           FROM orders GROUP BY o_custkey) a
+           ON c_custkey = a.o_custkey
+         ORDER BY c_custkey""",
+    "j4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN
+           (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "j5_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+         ORDER BY c_custkey""",
+    "j6_star" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "a1_count" ->
+      """SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem""",
+    "a2_group" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           COUNT(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "a3_distinct" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "a4_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "a4_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a5_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+         ORDER BY o_custkey""",
+    "o1_sort" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+         FROM orders
+         ORDER BY o_orderstatus ASC,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) DESC,
+           o_orderkey ASC""",
+    "o2_limit_offset" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         ORDER BY o_orderkey LIMIT 100 OFFSET 37""",
+    "o3_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS l_extendedprice
+         FROM lineitem
+         ORDER BY 3 DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 50""",
+    "o4_union" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 250000.0
+           UNION ALL
+           SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 5000.0)
+         ORDER BY o_orderkey, bucket""",
+    "o5_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+    "o5_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_custkey""",
+    "o6_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""")
+}

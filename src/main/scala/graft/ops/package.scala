@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object ops {
+
+  /** A registered query: (session, testdata dir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.etl.Tables.load(spark, dir, name)
+
+  /** Order-independent exact SUM of a double measure.
+    *
+    * Double addition is not associative, so a shuffled partial-agg sum is not
+    * bit-reproducible across engines (or even across runs at different
+    * parallelism). Casting each value to DECIMAL(18,2) first makes the sum
+    * exact and associative — the same trick works at 100 TB where partial
+    * aggregation order is fully nondeterministic. Cast back to double at the
+    * end so both engines emit the identical IEEE value.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Round a double to n fractional digits with pure IEEE arithmetic
+    * (floor(x*10^n + 0.5) / 10^n). Unlike a double→decimal cast — where Spark
+    * rounds the double's shortest decimal rendering (BigDecimal HALF_UP) but
+    * DuckDB rounds the binary product, so near-tie values diverge — every
+    * step here (multiply, add, floor, divide) is IEEE-exact-identical in any
+    * engine, making the result bit-reproducible for the hash oracle. */
+  def roundf(c: Column, n: Int): Column = {
+    val p = math.pow(10.0, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Exact sum at 4 fractional digits for derived measures like
+    * price*(1-discount): IEEE-round to the 4-decimal grid first (no ties
+    * left), then exact decimal summation. */
+  def dsum4(c: Column): Column =
+    sum(roundf(c, 4).cast("decimal(22,4)")).cast("double")
+
+  /** Order-independent mean: exact decimal sum / count, evaluated in IEEE
+    * double at the end (deterministic regardless of aggregation order). */
+  def davg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+}

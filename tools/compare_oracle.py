@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query result
+parquet under OUTDIR, run the matching oracle SQL in DuckDB over the testdata
+parquet tables and compare values exactly (row multiset, column names sorted).
+
+Usage: compare_oracle.py SFDIR OUTDIR [query ...]
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — exact-match stand-in for a hash
+    return repr(v)
+
+def norm_rows(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out), [names[i] for i in order]
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        res_dir = os.path.join(outdir, name)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            g_names = [d[0] for d in got.description]
+            g_rows, g_cols = norm_rows(g_names, got.fetchall())
+            want = con.execute(oracle[name])
+            w_names = [d[0] for d in want.description]
+            w_rows, w_cols = norm_rows(w_names, want.fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if g_cols != w_cols:
+            print(f"FAIL {name}: columns {g_cols} != {w_cols}")
+            n_fail += 1
+        elif g_rows != w_rows:
+            diff = [i for i, (a, b) in enumerate(zip(g_rows, w_rows)) if a != b]
+            msg = f"{len(g_rows)} vs {len(w_rows)} rows"
+            if diff:
+                i = diff[0]
+                msg += f"; first diff at sorted-row {i}:\n  spark={g_rows[i]}\n  duck ={w_rows[i]}"
+            elif len(g_rows) != len(w_rows):
+                k = min(len(g_rows), len(w_rows))
+                extra = g_rows[k] if len(g_rows) > k else w_rows[k]
+                msg += f"; first extra row: {extra}"
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
