@@ -29,7 +29,8 @@ object SparkEntry {
   }
 
   private def modules: Seq[(Map[String, ops.Q], Map[String, String])] = Seq(
-    (ops.Relational.queries, ops.Relational.oracles))
+    (ops.Relational.queries, ops.Relational.oracles),
+    (ops.Etl.queries, ops.Etl.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

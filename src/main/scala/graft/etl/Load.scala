@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Load-side transforms: the reference delegates loading to the target
+  * database via generated DDL (sql-builder/src/main.rs:77-79); the dynamic
+  * parts of that contract — defaults, multipicklist decoding, JSON columns,
+  * latest-record dedup — become DataFrame transforms here.
+  */
+object Load {
+
+  /** Apply column defaults at load time (the `DEFAULT` clause the reference
+    * renders into DDL, sql/generators/pg.rs:44-47 / WrappedDefault
+    * sql/types.rs:47-60): `coalesce(col, default)` per configured column.
+    */
+  def applyDefaults(df: DataFrame, defaults: Map[String, Any]): DataFrame =
+    defaults.foldLeft(df) { case (d, (name, v)) =>
+      d.withColumn(name, coalesce(col(name), lit(v)))
+    }
+
+  /** Decode a MultiPicklist column: the wire carries `"a;b;c"`, the schema
+    * says array(varchar) (main.rs:88) — load-time `split` on `;`.
+    * Null-safe: null stays null, empty string → empty array.
+    */
+  def splitMultiPicklist(c: Column): Column =
+    when(c.isNull, lit(null).cast("array<string>"))
+      .when(length(c) === 0, array().cast("array<string>"))
+      .otherwise(split(c, ";"))
+
+  /** Keep the newest record per key — the classic SF ETL upsert-compaction
+    * (SystemModstamp high-water dedup; SURVEY §2.5 W4). At scale this is a
+    * single hash-partition shuffle on the key; no driver-side state.
+    */
+  def latestByKey(df: DataFrame, key: String, modstamp: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val ord = (desc(modstamp) +: tiebreak.map(desc)) :+ desc(key)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Emit CREATE TABLE DDL for a DataFrame's schema in a dialect — the
+    * load-side artifact the reference's CLI produces (main.rs:77-79).
+    */
+  def ddlFor(table: String, df: DataFrame)(
+      implicit g: graft.schema.SqlGenerator): String =
+    g.createTable(table, df.schema)
+}

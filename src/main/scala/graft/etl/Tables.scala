@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 
 /** Explicit-schema readers for the driver-generated testdata tables.
@@ -64,6 +65,20 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's timestamp type
+    * (micros) can't scan directly: we read the raw INT64 nanos (via
+    * `nanosAsLong`) and convert with integer DIV — float division would
+    * lose precision above 2^53 ns (~mid-1970) — truncating toward -∞ for
+    * positive epochs exactly like DuckDB's ns→µs narrowing.
+    */
+  val eventsRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -95,5 +110,10 @@ object Tables {
     * reference's `total_size`/`done` page protocol, response.rs:6-10).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else
+      spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Bulk, Load}
+
+/** ETL-surface queries (SURVEY §2.1 S3/S6/S7, load-side semantics):
+  * bulk CSV extract round-trip, AnyType/JSON column evaluation,
+  * multipicklist decode, load defaults, latest-record compaction.
+  * Each is oracle-checked end-to-end against DuckDB.
+  */
+object Etl {
+
+  val queries: Map[String, Q] = Map(
+
+    // S3+S6: bulk CSV extract job round-trip — write orders as a COMMA/LF
+    // CSV extract (the job format of response.rs:40-43), read it back with
+    // the frozen schema, and prove losslessness against the parquet oracle.
+    "s3_csv_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_csv_extract/${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Bulk.writeExtract(t(s, d, "orders"), path)
+      Bulk.readExtract(s, path, graft.etl.Tables.orders)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // S7: AnyType→jsonb columns (main.rs:91) — extract a JSON property and
+    // aggregate over it (get_json_object keeps the scan codegen'd).
+    "f_json" -> ((s, d) => {
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count("*").as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k")
+    }),
+
+    // MultiPicklist decode (main.rs:88): wire "a;b" → array(varchar) at
+    // load, then relational use via explode.
+    "e_multipick" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(Load.splitMultiPicklist(
+          concat_ws(";", col("l_returnflag"), col("l_linestatus")))
+          .as("picks"))
+        .select(explode(col("picks")).as("pick"))
+        .groupBy("pick").agg(count("*").as("n"))
+        .orderBy("pick")
+    }),
+
+    // Load defaults (pg.rs:44-47 DEFAULT clause → load-time coalesce):
+    // nulls injected where status='P' stand in for missing wire values.
+    "l_defaults" -> ((s, d) => {
+      val withNulls = t(s, d, "orders").withColumn("o_orderpriority",
+        when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(col("o_orderpriority")))
+      Load.applyDefaults(withNulls, Map("o_orderpriority" -> "UNSPECIFIED"))
+        .groupBy("o_orderpriority").agg(count("*").as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Latest-record compaction (W4): newest event per user by (ts, id) —
+    // the SystemModstamp upsert-dedup every SF pipeline runs.
+    "l_latest" -> ((s, d) => {
+      Load.latestByKey(t(s, d, "events"), "user_id", "ts",
+          tiebreak = Seq("event_id"))
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "s3_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    "f_json" ->
+      """SELECT json_extract_string(props, '$.k')::INT AS k, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY k""",
+    "e_multipick" ->
+      """SELECT pick, COUNT(*) AS n
+         FROM (SELECT unnest(string_split(
+                 concat(l_returnflag, ';', l_linestatus), ';')) AS pick
+               FROM lineitem)
+         GROUP BY pick ORDER BY pick""",
+    "l_defaults" ->
+      """SELECT COALESCE(CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_orderpriority END, 'UNSPECIFIED') AS o_orderpriority,
+           COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "l_latest" ->
+      """SELECT user_id, event_id, event_type
+         FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, user_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""")
+}

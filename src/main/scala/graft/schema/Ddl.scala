@@ -1,0 +1,76 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Dialect-pluggable DDL generation: the reference's `SqlGenerator` trait
+  * (sql-builder/src/sql/mod.rs:9-12 — `create_table`/`create_column`) with
+  * its one shipped instance (`Pg`, sql/generators/pg.rs:6), re-expressed as
+  * a plain Scala typeclass over `StructType`. No Catalyst involvement — DDL
+  * emission is pure string work, exactly as in the reference.
+  *
+  * Determinism fix: the reference iterates a `HashMap` (sql/table.rs:11,
+  * 39-49) so its column order is nondeterministic run-to-run; we emit in
+  * schema (describe) order, which makes golden-file testing possible.
+  */
+trait SqlGenerator {
+  def createTable(table: String, schema: StructType): String
+  def createColumn(field: StructField): String
+}
+
+object Ddl {
+
+  /** Render `schema` as CREATE TABLE DDL in dialect `G`. */
+  def generate[G <: SqlGenerator](table: String, schema: StructType)(
+      implicit g: G): String =
+    g.createTable(table, schema)
+
+  /** Postgres dialect (pg.rs:8-86): quoted identifiers, `{inner}[]` array
+    * recursion (pg.rs:67), NOT NULL / UNIQUE / PRIMARY KEY clauses
+    * (pg.rs:48-57), DEFAULT rendering (pg.rs:44-47).
+    */
+  implicit object Pg extends SqlGenerator {
+
+    def typeName(dt: DataType, md: Metadata): String = dt match {
+      case StringType if md.contains(Mapping.K.Json) => "jsonb"
+      case StringType if md.contains(Mapping.K.Length) =>
+        s"varchar(${md.getLong(Mapping.K.Length)})"
+      case StringType => "text"
+      case BooleanType => "boolean"
+      case ByteType => "smallint"
+      case IntegerType => "int"
+      case LongType => "bigint"
+      case FloatType => "real"
+      case DoubleType => "double precision"
+      case DateType => "date"
+      case TimestampType => "timestamp"
+      case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+      // nested arrays recurse to arbitrary depth, `{}[]` style (pg.rs:67)
+      case ArrayType(inner, _) => s"${typeName(inner, Metadata.empty)}[]"
+      case other =>
+        throw new IllegalArgumentException(s"no pg mapping for $other")
+    }
+
+    def createColumn(f: StructField): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s""""${f.name}""""
+      parts += typeName(f.dataType, f.metadata)
+      if (f.metadata.contains(Mapping.K.Primary)) parts += "PRIMARY KEY"
+      else {
+        if (!f.nullable) parts += "NOT NULL"
+        if (f.metadata.contains(Mapping.K.Unique)) parts += "UNIQUE"
+      }
+      if (f.metadata.contains(Mapping.K.FkTable)) {
+        val t = f.metadata.getString(Mapping.K.FkTable)
+        val ks = f.metadata.getStringArray(Mapping.K.FkKeys)
+          .map(k => s""""$k"""").mkString(", ")
+        parts += s"""REFERENCES "$t" ($ks)"""
+      }
+      parts.result().mkString(" ")
+    }
+
+    def createTable(table: String, schema: StructType): String = {
+      val cols = schema.fields.map(f => s"  ${createColumn(f)}")
+      s"""CREATE TABLE IF NOT EXISTS "$table" (\n${cols.mkString(",\n")}\n);"""
+    }
+  }
+}

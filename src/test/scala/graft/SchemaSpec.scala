@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.schema._
+
+/** Schema-layer tests, mirroring the reference's canned-fixture style
+  * (mock_describe_response, oxidized-force/src/client.rs:485-495) plus the
+  * golden-DDL and totality tests the reference lacks (sql-builder has zero
+  * tests; its HashMap column order made goldens impossible — ours is
+  * describe-ordered and deterministic).
+  */
+class SchemaSpec extends AnyFunSuite {
+
+  // The reference's describe fixture shape (client.rs:485-495), widened to
+  // cover every interesting mapping branch.
+  val describeJson: String =
+    """{
+      "name": "Case",
+      "fields": [
+        {"name": "Id", "type": "id", "length": 18, "nillable": false,
+         "unique": false, "updateable": false},
+        {"name": "AccountId", "type": "reference", "length": 18,
+         "nillable": true, "relationshipName": "Account"},
+        {"name": "Description", "type": "textarea", "length": 32000,
+         "nillable": true},
+        {"name": "Tags__c", "type": "multipicklist", "length": 4099,
+         "custom": true},
+        {"name": "Payload__c", "type": "anyType", "custom": true},
+        {"name": "IsEscalated", "type": "boolean", "nillable": false},
+        {"name": "CreatedDate", "type": "datetime", "nillable": false},
+        {"name": "DueDate", "type": "date"},
+        {"name": "SlaTime", "type": "time"},
+        {"name": "Amount", "type": "double", "precision": 18, "scale": 2},
+        {"name": "CaseNumber", "type": "string", "length": 30,
+         "nillable": false, "unique": true},
+        {"name": "Votes", "type": "int"}
+      ]
+    }"""
+
+  test("describe JSON parses with field order preserved") {
+    val d = DescribeResponse.parse(describeJson)
+    assert(d.name == "Case")
+    assert(d.fieldNames == Seq("Id", "AccountId", "Description", "Tags__c",
+      "Payload__c", "IsEscalated", "CreatedDate", "DueDate", "SlaTime",
+      "Amount", "CaseNumber", "Votes"))
+    assert(d.fields(1).relationshipName.contains("Account"))
+    assert(d.fields(3).custom)
+    assert(!d.fields(0).nillable)
+  }
+
+  test("column_from_field mapping (main.rs:84-101) → Spark types") {
+    val st = Mapping.describeToStructType(describeJson)
+    val byName = st.fields.map(f => f.name -> f).toMap
+    assert(byName("Id").dataType == StringType)
+    assert(!byName("Id").nullable)
+    assert(byName("Id").metadata.getBoolean(Mapping.K.Primary))
+    assert(byName("AccountId").metadata.getString(Mapping.K.FkTable) ==
+      "Account")
+    assert(byName("AccountId").metadata.getStringArray(Mapping.K.FkKeys)
+      .toSeq == Seq("Id"))
+    assert(byName("Tags__c").dataType ==
+      ArrayType(StringType, containsNull = false))
+    assert(byName("Payload__c").metadata.getBoolean(Mapping.K.Json))
+    assert(byName("IsEscalated").dataType == BooleanType)
+    assert(byName("CreatedDate").dataType == TimestampType)
+    assert(byName("DueDate").dataType == DateType)
+    assert(byName("SlaTime").dataType == StringType) // no time-of-day type
+    assert(byName("Amount").dataType == DoubleType)
+    assert(byName("Votes").dataType == IntegerType)
+    assert(byName("CaseNumber").metadata.getBoolean(Mapping.K.Unique))
+    assert(byName("CaseNumber").metadata.getLong(Mapping.K.Length) == 30L)
+  }
+
+  test("mapping is total over all 28 FieldTypes and nillable is honored") {
+    assert(FieldType.all.size == 28)
+    // exhaustive over the full 28×2 domain (stronger than sampling)
+    for (ft <- FieldType.all; nillable <- Seq(true, false)) {
+      val sf = Mapping.fieldToStructField(
+        SfField("f", ft, length = 10, nillable = nillable))
+      assert(sf.dataType != null)
+      // Id is a PK and never nullable; everything else follows nillable
+      if (ft == FieldType.Id) assert(!sf.nullable)
+      else assert(sf.nullable == nillable, s"$ft nillable=$nillable")
+    }
+  }
+
+  test("wire-name round trip for all FieldTypes, case-insensitively") {
+    FieldType.all.foreach { ft =>
+      assert(FieldType.fromWire(ft.wireName) == ft)
+      assert(FieldType.fromWire(ft.wireName.toUpperCase) == ft)
+    }
+    assertThrows[IllegalArgumentException](FieldType.fromWire("nope"))
+  }
+
+  // Note Tags__c: MultiPicklist maps to array(varchar(None)) — the element
+  // type is UNSIZED in the reference (main.rs:88); the field's wire length
+  // applies to the undecoded "a;b;c" string, not the elements. Unsized
+  // varchar renders as text.
+  test("golden Pg DDL (pg.rs:8-57 semantics, deterministic column order)") {
+    val ddl = Ddl.generate("Case", Mapping.describeToStructType(describeJson))(
+      Ddl.Pg)
+    val expected =
+      """CREATE TABLE IF NOT EXISTS "Case" (
+        |  "Id" varchar(18) PRIMARY KEY,
+        |  "AccountId" varchar(18) REFERENCES "Account" ("Id"),
+        |  "Description" varchar(32000),
+        |  "Tags__c" text[],
+        |  "Payload__c" jsonb,
+        |  "IsEscalated" boolean NOT NULL,
+        |  "CreatedDate" timestamp NOT NULL,
+        |  "DueDate" date,
+        |  "SlaTime" text,
+        |  "Amount" double precision,
+        |  "CaseNumber" varchar(30) NOT NULL UNIQUE,
+        |  "Votes" int
+        |);""".stripMargin
+    assert(ddl == expected)
+  }
+
+  test("nested array DDL recurses {}[] style (pg.rs:67)") {
+    val st = StructType(Seq(StructField("deep",
+      ArrayType(ArrayType(IntegerType)), nullable = true)))
+    val ddl = Ddl.Pg.createColumn(st.fields(0))
+    assert(ddl == "\"deep\" int[][]")
+  }
+}
