@@ -30,7 +30,9 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, ops.Q], Map[String, String])] = Seq(
     (ops.Relational.queries, ops.Relational.oracles),
-    (ops.Etl.queries, ops.Etl.oracles))
+    (ops.Etl.queries, ops.Etl.oracles),
+    (ops.Windows.queries, ops.Windows.oracles),
+    (ops.Events.queries, ops.Events.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types._
 
 /** Explicit-schema readers for the driver-generated testdata tables.
@@ -109,6 +109,27 @@ object Tables {
     * S2 in SURVEY §2.1 — Spark's partitioned parquet read subsumes the
     * reference's `total_size`/`done` page protocol, response.rs:6-10).
     */
+  /** Incremental events scan: applies the high-water-mark predicate on the
+    * RAW nanos column, before the ns→µs conversion. Filtering the converted
+    * timestamp cannot push down (parquet sees `timestamp_micros(ts DIV
+    * 1000) > X`, an opaque expression); filtering raw nanos pushes
+    * `GreaterThan(ts, X·1000)` into the scan — at 100 TB that's row-group
+    * pruning on the watermark instead of a full-table read.
+    */
+  def eventsSince(spark: SparkSession, dir: String,
+      watermark: java.time.Instant): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // "strictly after wm at µs resolution": trunc_µs(ts) > wm_µs
+    // ⟺ raw_ns ≥ (wm_µs + 1)·1000 — raw ns in (wm, wm+999] truncate to
+    // exactly wm_µs and must be EXCLUDED, so a plain `raw > wm_ns` would
+    // over-include at the boundary.
+    val wmMicros = watermark.getEpochSecond * 1000000L +
+      watermark.getNano / 1000L
+    spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
+      .filter(col("ts") >= lit((wmMicros + 1L) * 1000L))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

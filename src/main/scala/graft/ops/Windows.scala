@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.5 W1-W4). Absent from the reference (SOQL
+  * has none) — [EXT] analytics the engine adds over the same FK data model.
+  *
+  * Every window spec orders by a unique key suffix so frames are total
+  * orders: at 100 TB a window with ties is nondeterministic across runs,
+  * which breaks both the oracle hash and real-world idempotent re-runs.
+  * Frame aggregates over doubles go through decimal casts — DuckDB
+  * evaluates sliding frames with a segment tree (different association
+  * order than Spark's incremental buffer), so raw double sums diverge.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+
+    // W1: ranking trio over a per-customer order history.
+    "w1_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 5)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // W2: lag/lead/first/last analytics along each user's event timeline.
+    "w2_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          first(col("event_type")).over(w).as("first_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W3: frame aggregates — running sum (unbounded→current) and a 3-row
+    // moving average, decimal-cast for cross-engine reproducibility.
+    "w3_running" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      val running = ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val moving = ord.rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(running)
+            .cast("double").as("run_sum"),
+          (sum(col("value").cast("decimal(18,2)")).over(moving)
+            .cast("double") /
+            count(col("value")).over(moving)).as("mov_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W4: top-k per group — the keep-newest-k dedup shape (classic SF ETL
+    // compaction, same mechanics as Load.latestByKey but k>1).
+    "w4_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_orderstatus", "rn")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "w1_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rnk, drnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC))
+         WHERE rn <= 5 ORDER BY o_custkey, rn""",
+    "w2_lag" ->
+      """SELECT user_id, event_id,
+           lag(event_type, 1) OVER w AS prev_type,
+           lead(event_type, 1) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         ORDER BY user_id, event_id""",
+    "w3_running" ->
+      """SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS run_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(value)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+         FROM events ORDER BY user_id, event_id""",
+    "w4_topk_group" ->
+      """SELECT o_orderstatus, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice, rn
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn""")
+}
