@@ -32,7 +32,10 @@ object SparkEntry {
     (ops.Relational.queries, ops.Relational.oracles),
     (ops.Etl.queries, ops.Etl.oracles),
     (ops.Windows.queries, ops.Windows.oracles),
-    (ops.Events.queries, ops.Events.oracles))
+    (ops.Events.queries, ops.Events.oracles),
+    (ops.Text.queries, ops.Text.oracles),
+    (ops.Dedup.queries, ops.Dedup.oracles),
+    (ops.Vectors.queries, ops.Vectors.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -48,7 +51,8 @@ object SparkEntry {
     val preferred = Seq(
       "a2_group", "j6_star", "j1_inner", "j3_children", "w3_running",
       "o3_topk", "a3_distinct", "t_quality", "d_minhash_pairs",
-      "d_embed_pairs", "v_knn_brute", "e_session", "f_json", "s3_csv_roundtrip")
+      "d_embed_pairs", "v_knn_brute", "v_ann_lsh", "e_session", "f_json",
+      "s3_csv_roundtrip")
     val have = queries.keySet
     preferred.filter(have)
   }

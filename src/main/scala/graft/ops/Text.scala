@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents` (SURVEY §2.4 A6 + north-star text ops):
+  * token counting (whitespace + regex tokenizer), quality scoring,
+  * marker-based language ID, rolling-hash fingerprinting, corpus term
+  * frequency. All built from codegen'd builtins (split/transform/filter/
+  * aggregate higher-order functions) — no UDFs, so whole-stage codegen and
+  * column pruning survive, and each op stays a one-pass scan at 100 TB.
+  *
+  * Determinism: no transcendental functions (libm results differ across
+  * engines); quality scores are rational arithmetic + roundf only.
+  */
+object Text {
+
+  /** Portable 60-bit hash: identical bits in Spark and DuckDB.
+    * Spark: conv(substr(md5(s),1,15),16,10)::long;
+    * DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT. 15 hex digits < 2^60
+    * keeps it positive and exactly representable.
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Single-space word split (the documents corpus is single-spaced). */
+  private def words(c: Column): Column = split(c, " ")
+
+  private val stopwords = Seq("the", "a", "of", "to", "in")
+
+  val queries: Map[String, Q] = Map(
+
+    // Token counting: whitespace tokens + a BPE-ish regex token stream
+    // (letter runs / digit runs / single punctuation, the GPT-2 pre-token
+    // shape) — regexp_extract_all keeps it inside codegen.
+    "t_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).as("n_ws_tokens"),
+          size(expr(
+            """regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"""))
+            .as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/stopword/word-shape signals combined with
+    // rational weights (filterable score for corpus curation).
+    "t_quality" -> ((s, d) => {
+      val w = words(col("text"))
+      val nTok = size(w).cast("double")
+      val nStop = size(filter(w, x => x.isin(stopwords.map(lit): _*)))
+        .cast("double")
+      val avgLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
+      val stopRatio = nStop / nTok
+      val score =
+        least(nTok, lit(500.0)) / lit(500.0) * lit(0.5) +
+        (lit(1.0) - stopRatio) * lit(0.3) +
+        least(avgLen, lit(8.0)) / lit(8.0) * lit(0.2)
+      t(s, d, "documents")
+        .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+          roundf(avgLen, 4).as("avg_token_len"),
+          roundf(stopRatio, 4).as("stopword_ratio"),
+          roundf(score, 4).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: marker-word scores per language, deterministic argmax
+    // (ties break toward the earlier language in the case chain). Confusion
+    // matrix against the labeled lang column.
+    "t_langid" -> ((s, d) => {
+      val w = words(col("text"))
+      def score(markers: Seq[String]): Column =
+        size(filter(w, x => x.isin(markers.map(lit): _*)))
+      val sEn = score(Seq("the", "a", "of"))
+      val sEs = score(Seq("el", "la", "es", "de"))
+      val sZh = score(Seq("的", "是", "了"))
+      val pred = when(sEn >= sEs && sEn >= sZh, "en")
+        .when(sEs >= sZh, "es").otherwise("zh")
+      t(s, d, "documents")
+        .select(col("lang"), pred.as("predicted"))
+        .groupBy("lang", "predicted").agg(count("*").as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Fingerprinting: 8-word shingles → portable rolling hash → min-hash
+    // fingerprint per doc (the primitive under MinHash dedup; whole-doc
+    // hash fallback for docs under 8 words). The <8 guard matters: Spark's
+    // sequence(1, n) DESCENDS when n < 1, so an unguarded size-7 bound
+    // would emit slice(w, 0, …) and crash on short docs.
+    "t_fingerprint" -> ((s, d) => {
+      val w = words(col("text"))
+      val shingleHashes = transform(
+        sequence(lit(1), size(w) - 7),
+        i => portableHash(concat_ws(" ", slice(w, i, lit(8)))))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(size(w) >= 8, array_min(shingleHashes))
+            .otherwise(portableHash(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // A6: corpus term frequency — explode + two-phase hash agg (partial
+    // map-side combine keeps the shuffle at |vocab| not |tokens| at scale).
+    "t_termfreq" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .groupBy("word").agg(count("*").as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(50)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "t_tokens" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars_calc
+         FROM documents ORDER BY doc_id""",
+    "t_quality" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','to','in'))) AS DOUBLE) AS n_stop,
+             (CAST(length(text) AS DOUBLE) -
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_len
+           FROM documents)
+         SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           floor(avg_len * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+           floor(n_stop / n_tok * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           floor((least(n_tok, 500.0) / 500.0 * 0.5 +
+             (1.0 - n_stop / n_tok) * 0.3 +
+             least(avg_len, 8.0) / 8.0 * 0.2) * 10000.0 + 0.5) / 10000.0
+             AS quality_score
+         FROM q ORDER BY doc_id""",
+    "t_langid" ->
+      """WITH s AS (
+           SELECT lang,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of'))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('el','la','es','de'))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('的','是','了'))) AS s_zh
+           FROM documents)
+         SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
+           COUNT(*) AS n
+         FROM s GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "t_fingerprint" ->
+      """WITH w AS (
+           SELECT doc_id, text, string_split(text, ' ') AS words
+           FROM documents)
+         SELECT doc_id,
+           COALESCE(
+             list_aggregate(
+               [('0x' || substr(md5(array_to_string(words[i:i+7], ' ')),
+                 1, 15))::BIGINT
+                for i in range(1, greatest(len(words) - 6, 1))],
+               'min'),
+             ('0x' || substr(md5(text), 1, 15))::BIGINT) AS fingerprint
+         FROM w ORDER BY doc_id""",
+    "t_termfreq" ->
+      """SELECT word, COUNT(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""")
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Text.portableHash
+
+/** Similarity search over the embedding column (north-star + SURVEY §2.4
+  * A7): brute-force cosine top-k (the exactness baseline), hyperplane-LSH
+  * bucketed near-neighbor pairs (the 100 TB path — candidates come from
+  * band-bucket equi-joins, never an unblocked cross join), and per-label
+  * centroids (long format: one hash-agg pass after a 64-way posexplode).
+  *
+  * Cross-engine determinism: dot products are ordered left-folds of
+  * doubles (bit-identical to DuckDB's list fold — proven by the oracle on
+  * d_embed_pairs); centroid sums go through DECIMAL(38,20) because group
+  * aggregation order is nondeterministic; sqrt/divide are IEEE
+  * correctly-rounded so they never diverge.
+  */
+object Vectors {
+
+  /** Ordered left-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(aggregate(
+    transform(a, x => x.cast("double") * x.cast("double")),
+    lit(0.0), (acc, v) => acc + v))
+
+  private val Planes = 16 // 4 bands × 4 bits
+  private val BandsV = 4
+  private val RowsV = 4
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * integer in [-1000, 1000] derived from the portable hash family, so
+    * both engines (and every cluster re-run) build identical planes with
+    * no stored model artifact.
+    */
+  private def planeWeight(p: Int, j: Column): Column =
+    (portableHash(concat(lit(s"$p,"), j.cast("string"))) % 2001) - 1000
+
+  /** Sign bit of v·plane_p (1 if non-negative). */
+  private def planeBit(v: Column, p: Int): Column = {
+    val s = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, j) => x.cast("double") * planeWeight(p, j).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    when(s >= 0, 1L).otherwise(0L)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Brute-force cosine top-k: every 50th vector probes the full set.
+    // Exact but quadratic in candidates — the baseline ANN variants are
+    // measured against. TakeOrdered per probe via row_number window.
+    "v_knn_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q"), col("v").as("vq"),
+          col("nrm").as("nq"))
+      val w = Window.partitionBy(col("q"))
+        .orderBy(desc("cos"), asc("vec_id"))
+      probes.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          roundf(dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q"), col("vec_id"), col("cos"), col("rn"))
+        .orderBy("q", "rn")
+    }),
+
+    // Hyperplane-LSH ANN pairs: 16 sign bits → 4 bands of 4 → band-bucket
+    // self-join → exact cosine verify ≥ 0.4. The scale path: bucket sizes
+    // bound the quadratic verify, planes are derived (no model to ship).
+    "v_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+      val sig = e.select(col("vec_id"), col("v"), col("nrm"),
+        array((0 until Planes).map(p => planeBit(col("v"), p)): _*)
+          .as("bits"))
+      val bandKey = (b: Int) => array_join(
+        transform(slice(col("bits"), b * RowsV + 1, RowsV),
+          x => x.cast("string")), "")
+      val banded = sig.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until BandsV).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("e"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("e.band"), col("e.bk"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        .distinct()
+      val ea = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(ea, "a").join(eb, "b")
+        .select(col("a"), col("b"),
+          roundf(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a", "b")
+    }),
+
+    // Per-label centroid, long format (label, dim, exact fixed-point sum +
+    // count; mean ≈ sum_x_e6/1e6/n). Components are grid-snapped with pure
+    // IEEE ops (floor(x·1e6+0.5) — identical in every engine) BEFORE the
+    // sum, and the sum itself is integer, hence order-independent.
+    // Double→decimal casts are NOT usable here: Spark rounds the exact
+    // binary expansion, DuckDB rounds the binary product x·10^s — they
+    // disagree by 1 ULP on real data (observed on this table).
+    "v_centroid" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(
+          sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("sum_x_e6"),
+          count("*").as("n"))
+        .orderBy("label", "dim")
+    }))
+
+  private def planesSql: String =
+    // same derived hyperplane family, DuckDB-side
+    "((('0x' || substr(md5(p || ',' || j), 1, 15))::BIGINT % 2001) - 1000)"
+
+  val oracles: Map[String, String] = Map(
+    "v_knn_brute" ->
+      """WITH e AS (
+           SELECT vec_id, embedding AS v,
+             sqrt(list_sum([(x::DOUBLE)*(x::DOUBLE) for x in embedding]))
+               AS nrm
+           FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS q, e.vec_id,
+             floor(list_sum([(p.v[i]::DOUBLE) * (e.v[i]::DOUBLE)
+                 for i in range(1, len(p.v) + 1)])
+               / (p.nrm * e.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+           FROM e p JOIN e ON e.vec_id <> p.vec_id
+           WHERE p.vec_id % 50 = 0)
+         SELECT q, vec_id, cos, rn FROM (
+           SELECT q, vec_id, cos, row_number() OVER (PARTITION BY q
+             ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored)
+         WHERE rn <= 10 ORDER BY q, rn""",
+    "v_ann_lsh" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding AS v,
+             sqrt(list_sum([(x::DOUBLE)*(x::DOUBLE) for x in embedding]))
+               AS nrm
+           FROM embeddings),
+         sig AS (
+           SELECT vec_id, v, nrm,
+             [CASE WHEN list_sum([v[j+1]::DOUBLE * ${planesSql}::DOUBLE
+                 for j in range(0, len(v))]) >= 0
+               THEN 1 ELSE 0 END for p in range(0, 16)] AS bits
+           FROM e),
+         banded AS (
+           SELECT vec_id, t.b AS band,
+             array_to_string(bits[t.b*4+1:t.b*4+4], '') AS bk
+           FROM sig, range(0, 4) t(b)),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.bk = y.bk AND x.vec_id < y.vec_id),
+         scored AS (
+           SELECT a, b,
+             floor(list_sum([(ea.v[i]::DOUBLE) * (eb.v[i]::DOUBLE)
+                 for i in range(1, len(ea.v) + 1)])
+               / (ea.nrm * eb.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+           FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
+         SELECT a, b, cos FROM scored WHERE cos >= 0.4 ORDER BY a, b""",
+    "v_centroid" ->
+      """SELECT label, i - 1 AS dim,
+           SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+             AS sum_x_e6,
+           COUNT(*) AS n
+         FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+         GROUP BY label, dim ORDER BY label, dim""")
+}
