@@ -35,7 +35,8 @@ object SparkEntry {
     (ops.Events.queries, ops.Events.oracles),
     (ops.Text.queries, ops.Text.oracles),
     (ops.Dedup.queries, ops.Dedup.oracles),
-    (ops.Vectors.queries, ops.Vectors.oracles))
+    (ops.Vectors.queries, ops.Vectors.oracles),
+    (ops.Multimodal.queries, ops.Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Streaming behavior: file-source stream drained with AvailableNow must
+  * agree with the oracle-checked batch formulations; stateful operators
+  * (watermark dedup, flatMapGroupsWithState) exercised via MemoryStream.
+  */
+class StreamsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowedCounts over a drained stream equals the batch aggregation") {
+    val stream = Streams.eventsStream(spark, dir)
+    val q = Streams.runAvailableNow(Streams.windowedCounts(stream),
+      "wc_test", outputMode = "complete")
+    assert(q.lastProgress != null) // JobComplete
+    assert(!q.isActive)
+    val streamed = spark.table("wc_test")
+    val batch = graft.ops.Events.queries("e_tumble")(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = Streams.dedupWithinWatermark(df).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((1L, t0, "a"), (1L, t0, "a"), (2L, t0, "b"))
+    q.processAllAvailable()
+    mem.addData((1L, t0, "a")) // re-delivery within watermark → dropped
+    q.processAllAvailable()
+    val got = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("runningPerUser carries state across micro-batches") {
+    // file source (2 copies of events => 2 micro-batches at
+    // maxFilesPerTrigger=1); MemoryStream + flatMapGroupsWithState hits a
+    // Spark internal NPE (SparkPlan.session null) — file source does not.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev2")
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve(s"events_$n.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val plan = Streams.runningPerUser(spark, stream)
+    val q = plan.writeStream
+      .format("memory").queryName("run_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // poll-with-deadline instead of processAllAvailable: stateful FMGWS
+    // queries under AvailableNow process all data but may not terminate
+    // (processing-time timeout keeps the query alive), and
+    // processAllAvailable has been observed to wedge on them.
+    val deadline = System.currentTimeMillis() + 180000
+    while (spark.table("run_test").count() < 2000 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    val out = spark.table("run_test")
+    val total = out.count()
+    // one emitted row per input event across both batches
+    assert(total == 2000, s"got $total")
+    // cumulative counter reaches 2x the per-user event count
+    val batchCounts = etl.Tables.load(spark, dir, "events")
+      .groupBy("user_id").count()
+    val maxN = out.groupBy("user_id").agg(max("n").as("maxn"))
+    val mismatches = maxN.join(batchCounts, "user_id")
+      .filter(col("maxn") =!= col("count") * 2).count()
+    q.stop()
+    assert(mismatches == 0)
+  }
+
+  test("bulk-job lifecycle: stop() maps to Aborted semantics") {
+    val stream = Streams.eventsStream(spark, dir)
+    val q = stream.writeStream.format("memory").queryName("abort_test")
+      .outputMode("append").start()
+    assert(q.isActive) // InProgress
+    q.stop() // Aborted
+    assert(!q.isActive)
+  }
+}
