@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: absorbs JVM/codegen/parquet-reader startup so the
+    // first timed query isn't charged ~4s of one-time cost
+    try SparkEntry.queries("a1_count")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // headline subset (SparkEntry.benchQueries) — representative, bounded
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)

@@ -49,11 +49,8 @@ object Multimodal {
     * container ships no media libs; see class doc.
     */
   object StubCodec extends MediaCodec {
-    def hash60(bytes: Array[Byte]): Long = {
-      val hex = MessageDigest.getInstance("MD5").digest(bytes)
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
+    def hash60(bytes: Array[Byte]): Long =
+      graft.functions.Hashing.portableHash60(bytes)
     def decode(m: MediaRow): MediaFeatures =
       MediaFeatures(m.media_id, m.kind, hash60(m.content) % 1000L,
         m.width.toLong * m.height.toLong)

@@ -19,36 +19,37 @@ import Text.portableHash
   */
 object Vectors {
 
-  /** Ordered left-fold dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  /** Ordered left-fold dot product — the codegen'd FloatVecDot expression
+    * (bit-identical to the zip_with/aggregate fold it replaced; the HOF
+    * version was interpreted and 5-10× slower on pair joins). */
+  def dot(a: Column, b: Column): Column = fdot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(aggregate(
-    transform(a, x => x.cast("double") * x.cast("double")),
-    lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(fdot(a, a))
 
   private val Planes = 16 // 4 bands × 4 bits
   private val BandsV = 4
   private val RowsV = 4
+  private val Dims = 64
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * integer in [-1000, 1000] derived from the portable hash family, so
+  /** Deterministic pseudo-random hyperplane weights for (plane, dim):
+    * integers in [-1000, 1000] derived from the portable hash family, so
     * both engines (and every cluster re-run) build identical planes with
-    * no stored model artifact.
+    * no stored model artifact. Precomputed ONCE driver-side (the previous
+    * per-row md5 formulation re-hashed plane×dim for every vector — 1024
+    * interpreted md5 calls per row); integers are exact in float, so the
+    * codegen'd float dot against them reproduces the oracle's
+    * v[j]::DOUBLE * weight::DOUBLE fold bit-for-bit.
     */
-  private def planeWeight(p: Int, j: Column): Column =
-    (portableHash(concat(lit(s"$p,"), j.cast("string"))) % 2001) - 1000
+  private lazy val planeWeights: Array[Array[Float]] =
+    Array.tabulate(Planes, Dims) { (p, j) =>
+      ((graft.functions.Hashing.portableHash60(s"$p,$j") % 2001) - 1000)
+        .toFloat
+    }
 
   /** Sign bit of v·plane_p (1 if non-negative). */
-  private def planeBit(v: Column, p: Int): Column = {
-    val s = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, j) => x.cast("double") * planeWeight(p, j).cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    when(s >= 0, 1L).otherwise(0L)
-  }
+  private def planeBit(v: Column, p: Int): Column =
+    when(fdot(v, lit(planeWeights(p))) >= 0, 1L).otherwise(0L)
 
   val queries: Map[String, Q] = Map(
 

@@ -43,4 +43,10 @@ package object ops {
     * double at the end (deterministic regardless of aggregation order). */
   def davg(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+
+  /** Codegen'd float-vector dot product (double left-fold — see
+    * org.apache.spark.sql.graftshim.FloatVecDot for the bit-compatibility
+    * contract). */
+  def fdot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.FloatVecDot.fdot(a, b)
 }
