@@ -36,7 +36,8 @@ object SparkEntry {
     (ops.Text.queries, ops.Text.oracles),
     (ops.Dedup.queries, ops.Dedup.oracles),
     (ops.Vectors.queries, ops.Vectors.oracles),
-    (ops.Multimodal.queries, ops.Multimodal.oracles))
+    (ops.Multimodal.queries, ops.Multimodal.oracles),
+    (ops.Temporal.queries, ops.Temporal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,6 +27,12 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // P2: full-width projection (describe→all fields→select all,
+    // main.rs:69-74).
+    "p2_star" -> ((s, d) => {
+      t(s, d, "nation").select(col("*")).orderBy("n_nationkey")
+    }),
+
     // P3: WHERE surface — comparison, IN, LIKE, AND/OR/NOT, range.
     "p3_filter" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -255,6 +261,8 @@ object Relational {
     "p1_project" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p2_star" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "p3_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants from SURVEY §5.3, exhaustively/structurally checked. */
+class PropertySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup idempotence: dropDuplicates ∘ dropDuplicates = dropDuplicates") {
+    val docs = etl.Tables.load(spark, dir, "documents")
+    val doubled = docs.union(docs.filter(col("doc_id") % 3 === 0))
+    val once = doubled.dropDuplicates("doc_id")
+    val twice = once.dropDuplicates("doc_id")
+    assert(once.count() == twice.count())
+    // key-set equality (full-row exceptAll over chained dropDuplicates
+    // trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1.2)
+    assert(once.select("doc_id").exceptAll(twice.select("doc_id"))
+      .count() == 0)
+    assert(once.count() == docs.count())
+  }
+
+  test("decimal-cast sums are partitioning-invariant") {
+    val li = etl.Tables.load(spark, dir, "lineitem")
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(ops.dsum(col("l_extendedprice"))).collect()(0).getDouble(0)
+    val base = total(li)
+    assert(total(li.repartition(1)) == base)
+    assert(total(li.repartition(17, col("l_suppkey"))) == base)
+    assert(total(li.orderBy(desc("l_extendedprice"))) == base)
+  }
+
+  test("JVM portableHash60 equals the Spark SQL formulation") {
+    import spark.implicits._
+    val samples = Seq("", "a", "hello world", "0,63", "the fast key",
+      "ünïcode ✓", "1:shingle text here")
+    val viaSql = samples.toDF("s")
+      .select(ops.Text.portableHash(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val viaJvm = samples.map(functions.Hashing.portableHash60)
+    assert(viaSql.toSeq == viaJvm)
+  }
+
+  test("latestByKey is idempotent and keeps one row per key") {
+    val ev = etl.Tables.load(spark, dir, "events")
+    val once = etl.Load.latestByKey(ev, "user_id", "ts",
+      tiebreak = Seq("event_id"))
+    val twice = etl.Load.latestByKey(once, "user_id", "ts",
+      tiebreak = Seq("event_id"))
+    assert(once.count() ==
+      ev.select("user_id").distinct().count())
+    assert(once.exceptAll(twice).count() == 0)
+  }
+}
