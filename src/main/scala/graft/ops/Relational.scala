@@ -95,6 +95,22 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // J3b: the literal SOQL nested-subquery shape — child rows
+    // materialized per parent as an ordered list (`SELECT Id, (SELECT ...
+    // FROM Contacts) FROM Account`). Emitted as a joined string so the
+    // hash oracle can compare the nesting exactly.
+    "j3_nested" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 200000.0)
+      val nested = o.groupBy("o_custkey")
+        .agg(array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+          x => x.cast("string")), ",").as("child_ids"))
+      c.join(nested, c("c_custkey") === nested("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("child_ids"), lit("")).as("child_ids"))
+        .orderBy("c_custkey")
+    }),
+
     // J4: semi join (WHERE Id IN (SELECT ...)).
     "j4_semi" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -152,6 +168,33 @@ object Relational {
           davg(col("l_extendedprice")).as("avg_price"),
           count("*").as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A2b: skew-safe two-phase aggregation — salt the hot key, partial-agg
+    // per (key, salt), then re-aggregate per key. events has only 5
+    // event_type values, the classic hot-key shape: at 100 TB a direct
+    // groupBy lands each type on ONE reducer; the salt spreads it across
+    // 16, and the second phase combines 16×5 tiny rows. Result provably
+    // equals the direct groupBy (the oracle IS the direct groupBy).
+    "a2_salted" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"), (col("event_id") % 16).as("salt"))
+        .agg(count("*").as("pn"), dsum(col("value")).as("psum"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // A3approx: HLL approximate distinct — the 100 TB form of A3 (no
+    // exact-distinct shuffle). No oracleSql on purpose: HLL sketches are
+    // engine-specific, so the driver records the weaker rows-only check;
+    // the unit-level sanity (±5% of exact) lives in the spec suite.
+    "a3_approx" -> ((s, d) => {
+      t(s, d, "orders")
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
+          .as("approx_custs"), count("*").as("n"))
     }),
 
     // A3: COUNT(DISTINCT) per group (SOQL COUNT_DISTINCT).
@@ -299,6 +342,17 @@ object Relational {
            FROM orders GROUP BY o_custkey) a
            ON c_custkey = a.o_custkey
          ORDER BY c_custkey""",
+    "j3_nested" ->
+      """SELECT c_custkey,
+           COALESCE(n.child_ids, '') AS child_ids
+         FROM customer LEFT JOIN (
+           SELECT o_custkey,
+             array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+               AS child_ids
+           FROM orders WHERE o_totalprice > 200000.0
+           GROUP BY o_custkey) n
+           ON c_custkey = n.o_custkey
+         ORDER BY c_custkey""",
     "j4_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN
@@ -333,6 +387,10 @@ object Relational {
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "a2_salted" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "a3_distinct" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
            COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders

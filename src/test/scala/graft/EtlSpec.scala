@@ -32,6 +32,24 @@ class EtlSpec extends SparkTestBase {
     assert(orders.exceptAll(back).count() == 0)
   }
 
+  test("in-flight abort lands in Aborted and interrupts the write") {
+    import spark.implicits._
+    // a slow source: per-row sleep keeps the job InProgress long enough
+    // to abort it mid-write
+    val slow = spark.range(0, 2000, 1, 4)
+      .map { i => Thread.sleep(5); i }
+      .toDF("v")
+    val jobs = new Bulk.Jobs(spark)
+    val out = tmp() + "/slow"
+    val job = jobs.createQueryJob(slow, Seq("v"), out)
+    Thread.sleep(300) // let tasks start
+    val aborted = jobs.abortQueryJob(job.id).get
+    assert(aborted.state == Bulk.Aborted)
+    val terminal = jobs.awaitJob(job.id, timeoutMs = 60000)
+    // abort must stick: the failed write callback may not overwrite it
+    assert(terminal.state == Bulk.Aborted, terminal.toString)
+  }
+
   test("abort before completion is legal only from InProgress/Upload") {
     val jobs = new Bulk.Jobs(spark)
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")

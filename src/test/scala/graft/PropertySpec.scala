@@ -41,6 +41,24 @@ class PropertySpec extends SparkTestBase {
     assert(viaSql.toSeq == viaJvm)
   }
 
+  test("approx_count_distinct lands within 5% of exact") {
+    val o = etl.Tables.load(spark, dir, "orders")
+    val row = ops.Relational.queries("a3_approx")(spark, dir).collect()(0)
+    val approx = row.getAs[Long]("approx_custs").toDouble
+    val exact = o.select("o_custkey").distinct().count().toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val direct = etl.Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count("*").as("n"), ops.dsum(col("value")).as("sum_value"))
+    val salted = ops.Relational.queries("a2_salted")(spark, dir)
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
   test("latestByKey is idempotent and keeps one row per key") {
     val ev = etl.Tables.load(spark, dir, "events")
     val once = etl.Load.latestByKey(ev, "user_id", "ts",
