@@ -37,7 +37,8 @@ object SparkEntry {
     (ops.Dedup.queries, ops.Dedup.oracles),
     (ops.Vectors.queries, ops.Vectors.oracles),
     (ops.Multimodal.queries, ops.Multimodal.oracles),
-    (ops.Temporal.queries, ops.Temporal.oracles))
+    (ops.Temporal.queries, ops.Temporal.oracles),
+    (ops.Extras.queries, ops.Extras.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

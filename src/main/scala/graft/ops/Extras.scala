@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Text.portableHash
+
+/** Analytics extras rounding out the DataFrame surface: pivot/unpivot
+  * reshaping, exact percentiles, and deterministic hash sampling — the
+  * remaining operations a reference user migrating real workbooks reaches
+  * for. All shapes scale: pivot with an EXPLICIT value list (no extra
+  * distinct-scan job, stable schema), unpivot as a generator (rows ×
+  * measures, no shuffle), sampling as a pushed filter on a hash (exactly
+  * reproducible on re-run — `df.sample()` is seed-dependent on partition
+  * layout, useless for auditable pipelines).
+  */
+object Extras {
+
+  val queries: Map[String, Q] = Map(
+
+    // Pivot with explicit status values: one wide row per priority.
+    "x_pivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Unpivot: wide measures → long (metric, value) — the melt shape
+    // feeding generic feature pipelines.
+    "x_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_discount")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
+    // Exact interpolated percentiles per group (both engines implement
+    // the same (1-d)·a + d·b continuous quantile).
+    "x_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          roundf(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          roundf(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          count("*").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic 7% hash sample: reproducible across runs, engines,
+    // and partitionings; the filter pushes to the scan output (no
+    // shuffle, no seed state).
+    "x_sample" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(portableHash(concat(col("l_orderkey").cast("string"),
+          lit(":"), col("l_linenumber").cast("string"))) % 100 < 7)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "x_pivot" ->
+      """SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "x_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
+             l_discount AS value FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "x_percentile" ->
+      """SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0
+             AS p50_qty,
+           floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0
+             AS p90_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem
+         WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber),
+           1, 15))::BIGINT % 100 < 7
+         ORDER BY l_orderkey, l_linenumber""")
+}
