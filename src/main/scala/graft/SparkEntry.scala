@@ -55,7 +55,8 @@ object SparkEntry {
       "a2_group", "j6_star", "j1_inner", "j3_children", "w3_running",
       "o3_topk", "a3_distinct", "t_quality", "d_minhash_pairs",
       "d_embed_pairs", "v_knn_brute", "v_ann_lsh", "e_session", "f_json",
-      "s3_csv_roundtrip")
+      "s3_csv_roundtrip", "w1_rank", "e_tumble", "t_fingerprint",
+      "j7_range", "x_percentile", "m_decode_features", "d_simhash")
     val have = queries.keySet
     preferred.filter(have)
   }
