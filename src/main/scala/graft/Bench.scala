@@ -14,9 +14,16 @@ object Bench {
     // first timed query isn't charged ~4s of one-time cost
     try SparkEntry.queries("a1_count")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // SPARK_GRAFT_BENCH_STEADY=1: run each query twice, report the second
+    // — separates per-query codegen/plan-compile overhead (~2-4s on the
+    // many-stage dedup plans) from actual data throughput. Default off:
+    // one-shot matches the driver's baseline protocol.
+    val steady = sys.env.get("SPARK_GRAFT_BENCH_STEADY").contains("1")
     // headline subset (SparkEntry.benchQueries) — representative, bounded
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
+      if (steady) { try fn(spark, sfDir).count()
+        catch { case _: Throwable => } }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -48,4 +48,19 @@ object Load {
   def ddlFor(table: String, df: DataFrame)(
       implicit g: graft.schema.SqlGenerator): String =
     g.createTable(table, df.schema)
+
+  /** Write a table bucketed (and sorted) by its join key. Two tables
+    * bucketed the same way join with ZERO shuffle — at 100 TB this is THE
+    * lever for repeated fact⋈fact joins that broadcast can't cover
+    * (dims broadcast; facts bucket). Requires a catalog table
+    * (`saveAsTable`) because bucketing metadata lives in the metastore.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -53,6 +53,21 @@ object Mapping {
     case _ => StringType // Id, Reference, AnyType, Time, String, Email, ...
   }
 
+  /** Fidelity-improving variant: the reference flattens Currency/Percent
+    * to sized varchar and DISCARDS their describe precision/scale
+    * (main.rs:99) — with `decimalMode = true`, numeric money-like fields
+    * with declared precision map to DecimalType(precision, scale)
+    * instead, making downstream aggregation exact. Default stays
+    * reference-faithful.
+    */
+  def dataTypeOf(f: SfField, decimalMode: Boolean): DataType =
+    f.fieldType match {
+      case Currency | Percent if decimalMode && f.precision > 0 =>
+        DecimalType(f.precision min DecimalType.MAX_PRECISION,
+          f.scale max 0)
+      case t => dataTypeOf(t)
+    }
+
   /** Map one describe field to a StructField, applying nullability and
     * uniqueness from describe metadata exactly as main.rs:70-72 does.
     */
