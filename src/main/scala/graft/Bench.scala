@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val skew = new SkewListener
+    spark.sparkContext.addSparkListener(skew)
     // untimed warmup: absorbs JVM/codegen/parquet-reader startup so the
     // first timed query isn't charged ~4s of one-time cost
     try SparkEntry.queries("a1_count")(spark, sfDir).count()
@@ -31,6 +33,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // skew report → stderr; stdout stays one machine-readable JSON line
+    skew.skewedStages().foreach(l => System.err.println(s"[skew] $l"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

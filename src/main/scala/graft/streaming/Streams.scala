@@ -70,6 +70,25 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-duplicate suppression: keep the first document per
+    * MinHash signature within the watermark, drop near-identical
+    * re-arrivals (identical 12-component signature ⇔ Jaccard ≈ 1 — the
+    * streaming twin of exact dedup, widened to near-identity). State is
+    * one row per distinct signature and GC'd past the watermark, so it's
+    * bounded at any scale. `tsCol` must be an event-time column.
+    */
+  def nearDupSuppress(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__mh_key",
+        org.apache.spark.sql.graftshim.ShingleMinHashes
+          .shingleMinhashes(split(col(textCol), " "), 5, 12)
+          .cast("array<string>"))
+      .withColumn("__mh_key", concat_ws(",", col("__mh_key")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__mh_key")
+      .drop("__mh_key")
+
   /** Per-user running aggregate via flatMapGroupsWithState: emits one
     * update row per input event with the user's cumulative count/value —
     * the custom-state shape (KeyValueGroupedDataset) that windowed aggs

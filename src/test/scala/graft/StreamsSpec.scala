@@ -83,6 +83,27 @@ class StreamsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("nearDupSuppress drops near-identical re-arrivals within watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.nearDupSuppress(df, "text", "ts").writeStream
+      .format("memory").queryName("neardup_test").outputMode("append")
+      .start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val doc = "the fast key order sort table scan merge part window"
+    mem.addData((1L, t0, doc), (2L, t0, "completely different words here"))
+    q.processAllAvailable()
+    // identical text, new doc_id: same signature → suppressed
+    mem.addData((3L, t0, doc))
+    q.processAllAvailable()
+    val ids = spark.table("neardup_test").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L), ids.toSeq.toString)
+  }
+
   test("bulk-job lifecycle: stop() maps to Aborted semantics") {
     val stream = Streams.eventsStream(spark, dir)
     val q = stream.writeStream.format("memory").queryName("abort_test")
