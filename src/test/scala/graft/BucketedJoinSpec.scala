@@ -10,6 +10,18 @@ class BucketedJoinSpec extends SparkTestBase {
 
   test("same-key bucketed tables join without a shuffle") {
     val dir = "/root/testdata/sf0.001"
+    // a fresh test JVM has an empty in-memory catalog, but the warehouse
+    // DIRECTORY survives from prior runs and saveAsTable refuses to
+    // reuse the location — clear both
+    for (t <- Seq("orders_b", "customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     val o = Tables.load(spark, dir, "orders")
     val c = Tables.load(spark, dir, "customer")
     Load.writeBucketed(o, "orders_b", "o_custkey", 8)
