@@ -228,6 +228,18 @@ object Relational {
           asc_nulls_first("l_linestatus"))
     }),
 
+    // A4c: arbitrary GROUPING SETS (beyond rollup/cube) — per-status and
+    // per-priority marginals in one pass over the fact table.
+    "a4_gsets" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count("*").as("n"), dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
     // A5: HAVING — post-aggregation filter.
     "a5_having" -> ((s, d) => {
       t(s, d, "orders")
@@ -405,6 +417,14 @@ object Relational {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a4_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
     "a5_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
