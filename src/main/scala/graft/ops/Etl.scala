@@ -58,6 +58,24 @@ object Etl {
         .orderBy("o_orderpriority")
     }),
 
+    // Schema-evolution union: two extracts with different column order
+    // and a column added mid-stream merge by NAME with null-fill — the
+    // real shape of multi-day Salesforce extracts after a field is added
+    // (positional union would silently mis-align columns).
+    "e_union_evolve" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val day1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderstatus", "o_orderkey") // old extract: 2 cols
+      val day2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")) // new extract: +o_custkey, reordered
+      day1.unionByName(day2, allowMissingColumns = true)
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("n"),
+          count(col("o_custkey")).as("n_with_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Latest-record compaction (W4): newest event per user by (ts, id) —
     // the SystemModstamp upsert-dedup every SF pipeline runs.
     "l_latest" -> ((s, d) => {
@@ -72,6 +90,16 @@ object Etl {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+    "e_union_evolve" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(o_custkey) AS n_with_cust
+         FROM (
+           SELECT o_orderstatus, o_orderkey FROM orders
+           WHERE o_orderkey % 2 = 0
+           UNION ALL BY NAME
+           SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+           WHERE o_orderkey % 2 = 1)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "f_json" ->
       """SELECT json_extract_string(props, '$.k')::INT AS k, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

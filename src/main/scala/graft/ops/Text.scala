@@ -83,6 +83,32 @@ object Text {
         .orderBy("lang", "predicted")
     }),
 
+    // Language ID, char-trigram variant: score = |doc trigram set ∩
+    // language profile|, argmax with deterministic tiebreak. Profiles are
+    // literal sets (in production: top-k trigrams from a labeled corpus);
+    // unlike marker words this scores sub-word orthography, the standard
+    // n-gram LID design.
+    "t_langid3" -> ((s, d) => {
+      // substring with a per-element dynamic position needs the SQL form
+      val trigrams = array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))"))
+      def profile(grams: Seq[String]): Column =
+        array(grams.map(lit): _*)
+      val pEn = profile(Seq("the", "he ", " th", "ing", "nd ", " a "))
+      val pEs = profile(Seq("el ", " de", "os ", "la ", "ión", " es"))
+      val pZh = profile(Seq("的", "是", "了", "在", "我"))
+      val sEn = size(array_intersect(trigrams, pEn))
+      val sEs = size(array_intersect(trigrams, pEs))
+      val sZh = size(array_intersect(trigrams, pZh))
+      val pred = when(sEn >= sEs && sEn >= sZh, "en")
+        .when(sEs >= sZh, "es").otherwise("zh")
+      t(s, d, "documents")
+        .select(col("lang"), pred.as("predicted"))
+        .groupBy("lang", "predicted").agg(count("*").as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
     // Fingerprinting: 8-word shingles → portable rolling hash → min-hash
     // fingerprint per doc (the primitive under MinHash dedup; whole-doc
     // hash fallback for docs under 8 words). The <8 guard matters: Spark's
@@ -151,6 +177,26 @@ object Text {
                 WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
            COUNT(*) AS n
          FROM s GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "t_langid3" ->
+      """WITH s AS (
+           SELECT lang,
+             list_distinct([substr(text, i, 3)
+               for i in range(1, greatest(length(text) - 2, 1) + 1)])
+               AS tri
+           FROM documents),
+         sc AS (
+           SELECT lang,
+             len(list_intersect(tri,
+               ['the','he ',' th','ing','nd ',' a '])) AS s_en,
+             len(list_intersect(tri,
+               ['el ',' de','os ','la ','ión',' es'])) AS s_es,
+             len(list_intersect(tri, ['的','是','了','在','我'])) AS s_zh
+           FROM s)
+         SELECT lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
+           COUNT(*) AS n
+         FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""",
     "t_fingerprint" ->
       """WITH w AS (
            SELECT doc_id, text, string_split(text, ' ') AS words
