@@ -117,6 +117,53 @@ object Streams {
       }
   }
 
+  /** transformWithState variant of the per-user running aggregate —
+    * Spark 4's successor to flatMapGroupsWithState: explicit named state
+    * variables on a StatefulProcessorHandle, TTL support, and (unlike
+    * FMGWS) no MemoryStream NPE. Same output contract as runningPerUser.
+    * REQUIRES the RocksDB state store
+    * (spark.sql.streaming.stateStore.providerClass=
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider)
+    * — the default HDFS-backed store can't host its column families.
+    */
+  private class RunningProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserRunning] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunning] = {
+      var cur = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val out = rows.map { e =>
+        cur = UserRunning(key, cur.n + 1, cur.total + e.value)
+        cur
+      }.toList
+      state.update(cur)
+      out.iterator
+    }
+  }
+
+  def runningPerUserTws(spark: SparkSession, events: DataFrame)
+      : Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** Run a streaming query to completion over the files currently present
     * (Trigger.AvailableNow — the batch-parity mode), writing to an
     * in-memory table. Returns the drained query. This is the "bulk job"

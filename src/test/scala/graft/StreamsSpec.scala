@@ -104,6 +104,42 @@ class StreamsSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(1L, 2L), ids.toSeq.toString)
   }
 
+  test("transformWithState running aggregate matches the FMGWS contract") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ev3")
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve(s"events_$n.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val q = Streams.runningPerUserTws(spark, stream).writeStream
+        .format("memory").queryName("tws_test").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val deadline = System.currentTimeMillis() + 180000
+      while (spark.table("tws_test").count() < 2000 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      val out = spark.table("tws_test")
+      assert(out.count() == 2000)
+      val batchCounts = etl.Tables.load(spark, dir, "events")
+        .groupBy("user_id").count()
+      val mismatches = out.groupBy("user_id").agg(max("n").as("maxn"))
+        .join(batchCounts, "user_id")
+        .filter(col("maxn") =!= col("count") * 2).count()
+      q.stop()
+      assert(mismatches == 0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("bulk-job lifecycle: stop() maps to Aborted semantics") {
     val stream = Streams.eventsStream(spark, dir)
     val q = stream.writeStream.format("memory").queryName("abort_test")
