@@ -126,6 +126,29 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Repetition signals (the Gopher-rule family): fraction of duplicated
+    // word n-grams per doc — high values mark boilerplate/spam for
+    // training-data filtering. dup_frac_k = 1 - |distinct k-grams|/|k-grams|.
+    "t_repetition" -> ((s, d) => {
+      val w = words(col("text"))
+      def grams(k: Int): Column = transform(
+        sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(k))))
+      def dupFrac(k: Int): Column = {
+        val g = grams(k)
+        roundf(lit(1.0) -
+          size(array_distinct(g)).cast("double") /
+          size(g).cast("double"), 4)
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          dupFrac(2).as("dup2_frac"),
+          dupFrac(3).as("dup3_frac"))
+        .withColumn("flagged",
+          (col("dup2_frac") > 0.08 || col("dup3_frac") > 0.04).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // A6: corpus term frequency — explode + two-phase hash agg (partial
     // map-side combine keeps the shuffle at |vocab| not |tokens| at scale).
     "t_termfreq" -> ((s, d) => {
@@ -210,6 +233,26 @@ object Text {
                'min'),
              ('0x' || substr(md5(text), 1, 15))::BIGINT) AS fingerprint
          FROM w ORDER BY doc_id""",
+    "t_repetition" ->
+      """WITH g AS (
+           SELECT doc_id,
+             [array_to_string(w[i:i+1], ' ')
+               for i in range(1, greatest(len(w) - 1, 1) + 1)] AS g2,
+             [array_to_string(w[i:i+2], ' ')
+               for i in range(1, greatest(len(w) - 2, 1) + 1)] AS g3
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         f AS (
+           SELECT doc_id,
+             floor((1.0 - len(list_distinct(g2))::DOUBLE / len(g2))
+               * 10000.0 + 0.5) / 10000.0 AS dup2_frac,
+             floor((1.0 - len(list_distinct(g3))::DOUBLE / len(g3))
+               * 10000.0 + 0.5) / 10000.0 AS dup3_frac
+           FROM g)
+         SELECT doc_id, dup2_frac, dup3_frac,
+           CASE WHEN dup2_frac > 0.08 OR dup3_frac > 0.04
+             THEN 1 ELSE 0 END AS flagged
+         FROM f ORDER BY doc_id""",
     "t_termfreq" ->
       """SELECT word, COUNT(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word
