@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
