@@ -69,9 +69,12 @@ object Extras {
   val oracles: Map[String, String] = Map(
     "x_pivot" ->
       """SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "x_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (

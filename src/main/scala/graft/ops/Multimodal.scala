@@ -111,9 +111,9 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m_decode_features" ->
       """SELECT kind, COUNT(*) AS n,
-           SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000)
-             AS sum_luma,
-           SUM(640::BIGINT * 480::BIGINT) AS sum_pixels
+           CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000)
+             AS BIGINT) AS sum_luma,
+           CAST(SUM(640::BIGINT * 480::BIGINT) AS BIGINT) AS sum_pixels
          FROM (SELECT doc_id,
                  ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
                  text

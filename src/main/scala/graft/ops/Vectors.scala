@@ -384,8 +384,8 @@ object Vectors {
            FROM cand) WHERE rn <= 5 ORDER BY q, rn""",
     "v_centroid" ->
       """SELECT label, i - 1 AS dim,
-           SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
-             AS sum_x_e6,
+           CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+             AS BIGINT)) AS BIGINT) AS sum_x_e6,
            COUNT(*) AS n
          FROM (SELECT label, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i

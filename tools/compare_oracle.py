@@ -41,17 +41,32 @@ def main():
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(
+            got = con.sql(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            g_names = [d[0] for d in got.description]
+            g_names = list(got.columns)
+            g_types = dict(zip(g_names, [str(t) for t in got.types]))
             g_rows, g_cols = norm_rows(g_names, got.fetchall())
-            want = con.execute(oracle[name])
-            w_names = [d[0] for d in want.description]
+            want = con.sql(oracle[name])
+            w_names = list(want.columns)
+            w_types = dict(zip(w_names, [str(t) for t in want.types]))
             w_rows, w_cols = norm_rows(w_names, want.fetchall())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # Types matter: the driver's hash is type-strict for HUGEINT vs
+        # BIGINT (CORRECTNESS_r01 showed those hash-differ even when values
+        # match) but tolerates width differences within the 64-bit int
+        # family (row_number INT32 vs DuckDB BIGINT passed). Mirror that.
+        fam = lambda t: ("INT64" if t in
+                         ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+                         else t)
+        type_diff = {c: (g_types.get(c), w_types.get(c))
+                     for c in set(g_types) | set(w_types)
+                     if fam(g_types.get(c)) != fam(w_types.get(c))}
         if g_cols != w_cols:
             print(f"FAIL {name}: columns {g_cols} != {w_cols}")
+            n_fail += 1
+        elif type_diff:
+            print(f"FAIL {name}: type mismatch (spark, oracle): {type_diff}")
             n_fail += 1
         elif g_rows != w_rows:
             diff = [i for i, (a, b) in enumerate(zip(g_rows, w_rows)) if a != b]
