@@ -39,16 +39,60 @@ object Dedup {
   // int64 overflow rather than wrapping, so that's a correctness
   // constraint, not hygiene.
 
-  /** doc_id, sh (shingle set, for the exact-Jaccard verify), mh (MinHash
-    * signature of length K — computed by the fused ShingleMinHashes
-    * expression; bit-identical to the composable transform/md5/array_min
-    * pipeline it replaced, which paid interpreted-HOF dispatch per
-    * shingle).
+  /** Connected components over an undirected pair list `(a, b)` →
+    * `(node, lbl)` where lbl = min node id of the component.
+    *
+    * Min-label propagation with POINTER DOUBLING (each round a node takes
+    * the min of its own label, its neighbors' labels, and its label's
+    * label), iterated to a driver-checked fixpoint — the per-round driver
+    * action is one scalar count of changed labels, never row data. Plain
+    * one-hop propagation needs diameter-many rounds, so a bounded unrolling
+    * silently splits any component whose diameter exceeds the bound
+    * (chained near-dups A~B~C~… are common in real corpora); doubling
+    * reaches 2^r hops in r rounds, so even a 100 TB-corpus path component
+    * converges in O(log n) rounds, and the fixpoint check makes
+    * under-convergence impossible rather than merely unlikely. Each round
+    * eagerly localCheckpoints its result — the self-join on `hop` would
+    * otherwise DOUBLE the logical plan per round (exponential analysis /
+    * stack cost); checkpointing truncates lineage to a materialized RDD so
+    * both plan size and recompute stay O(1) per round. On a real cluster,
+    * swap localCheckpoint for reliable `checkpoint` (HDFS-backed) if
+    * executor loss during the loop must be survivable.
     */
-  private def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), 5).as("sh"),
-      org.apache.spark.sql.graftshim.ShingleMinHashes
-        .shingleMinhashes(split(col("text"), " "), 5, MinhashK).as("mh"))
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nb = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(edges("a").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val hop = labels.as("l")
+        .join(nb.as("n"), col("l.node") === col("n.node"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl")))
+            .as("lbl"))
+        .localCheckpoint() // read twice below; checkpoint, don't recompute
+      // pointer doubling: follow lbl → lbl-of-lbl (labels are node ids,
+      // so every lbl has a row in `hop`)
+      val dbl = hop.as("x")
+        .join(hop.select(col("node").as("pn"), col("lbl").as("plbl"))
+          .as("p"), col("x.lbl") === col("p.pn"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl")))
+            .as("lbl"))
+        .localCheckpoint()
+      changed = dbl.as("n")
+        .join(labels.select(col("node"), col("lbl").as("old")).as("o"),
+          "node")
+        .filter(col("n.lbl") =!= col("old")).count()
+      labels = dbl
+    }
+    edges.unpersist()
+    labels
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -113,30 +157,18 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
-    // Near-dup clustering: connected components over the verified pair
-    // graph via BOUNDED min-label propagation (4 rounds — near-dup
-    // clusters are small cliques, diameter ≪ 4; the bound keeps the
-    // computation a fixed declarative plan both engines replay exactly,
-    // no driver-side convergence loop). cluster_id = min doc_id of the
-    // component; is_canonical marks the survivor — "drop all non-canonical
-    // rows" IS the dedup policy at the end of every real pipeline.
+    // Near-dup clustering: TRUE connected components over the verified
+    // pair graph (pointer-doubling label propagation to a checked
+    // fixpoint — see connectedComponents; a bounded unrolling would
+    // silently split long near-dup chains). cluster_id = min doc_id of
+    // the component; is_canonical marks the survivor — "drop all
+    // non-canonical rows" IS the dedup policy at the end of every real
+    // pipeline.
     "d_clusters" -> ((s, d) => {
       val pairs = queries("d_minhash_pairs")(s, d).select(col("a"),
         col("b"))
-      val edges = pairs.union(pairs.select(col("b").as("a"),
-        col("a").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      for (_ <- 1 to 4) {
-        val nb = edges.join(labels, edges("b") === labels("node"))
-          .groupBy(edges("a").as("n2")).agg(min(col("lbl")).as("nlbl"))
-        labels = labels.join(nb, labels("node") === nb("n2"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-              .as("lbl"))
-      }
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
           (col("node") === col("lbl")).cast("int").as("is_canonical"))
         .orderBy("doc_id")
     }),
@@ -210,11 +242,6 @@ object Dedup {
   // Canonical shingle enumeration, matching the Spark side for ALL doc
   // lengths: i ∈ [1, max(len-k+1, 1)] — DuckDB range() is upper-exclusive,
   // hence the +1; short docs yield one truncated shingle, not zero.
-  /** Near-dup pair graph (the d_minhash_pairs candidate+verify pipeline,
-    * reused for clustering). */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = queries("d_minhash_pairs")(s, d)
-
   private val shingleSql =
     """list_distinct([array_to_string(w[i:i+4], ' ')
          for i in range(1, greatest(len(w) - 4, 1) + 1)])"""
@@ -229,34 +256,20 @@ object Dedup {
            COUNT(*) AS n_copies
          FROM u GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""",
     "d_minhash_pairs" -> minhashPairsSql,
+    // TRUE components, as a recursive reachability closure (UNION
+    // deduplicates, so the iteration terminates): min reachable node id
+    // == the Spark fixpoint's min component label.
     "d_clusters" ->
-      s"""WITH pairs AS (SELECT a, b FROM ($minhashPairsSql)),
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
          edges AS (SELECT a, b FROM pairs
                    UNION ALL SELECT b AS a, a AS b FROM pairs),
-         l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
-         l1 AS (SELECT l.node, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
-                FROM l0 l LEFT JOIN (
-                  SELECT e.a AS node, min(x.lbl) AS nlbl FROM edges e
-                  JOIN l0 x ON e.b = x.node GROUP BY e.a) m
-                  ON l.node = m.node),
-         l2 AS (SELECT l.node, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
-                FROM l1 l LEFT JOIN (
-                  SELECT e.a AS node, min(x.lbl) AS nlbl FROM edges e
-                  JOIN l1 x ON e.b = x.node GROUP BY e.a) m
-                  ON l.node = m.node),
-         l3 AS (SELECT l.node, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
-                FROM l2 l LEFT JOIN (
-                  SELECT e.a AS node, min(x.lbl) AS nlbl FROM edges e
-                  JOIN l2 x ON e.b = x.node GROUP BY e.a) m
-                  ON l.node = m.node),
-         l4 AS (SELECT l.node, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl
-                FROM l3 l LEFT JOIN (
-                  SELECT e.a AS node, min(x.lbl) AS nlbl FROM edges e
-                  JOIN l3 x ON e.b = x.node GROUP BY e.a) m
-                  ON l.node = m.node)
-         SELECT node AS doc_id, lbl AS cluster_id,
-           CASE WHEN node = lbl THEN 1 ELSE 0 END AS is_canonical
-         FROM l4 ORDER BY doc_id""") ++ moreOracles
+         r(node, m) AS (
+           SELECT a AS node, a AS m FROM edges
+           UNION
+           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m)
+         SELECT node AS doc_id, min(m) AS cluster_id,
+           CASE WHEN node = min(m) THEN 1 ELSE 0 END AS is_canonical
+         FROM r GROUP BY node ORDER BY doc_id""") ++ moreOracles
 
   private lazy val minhashPairsSql: String =
       s"""WITH sh AS (
