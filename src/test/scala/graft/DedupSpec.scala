@@ -34,6 +34,34 @@ class DedupSpec extends SparkTestBase {
     assert(labels(100L) == 100L && labels(101L) == 100L)
   }
 
+  test("d_embed_pairs multiprobe LSH equals the exact quadratic baseline") {
+    // The LSH path (24 planes, 6 bands of 4, Ham ≤ 1) must have 100%
+    // recall vs brute force at the 0.45 threshold on this corpus —
+    // otherwise the de-quadratified query silently changed its answer.
+    import graft.ops.{fdot, roundf}
+    val d = "/root/testdata/sf0.001"
+    val lsh = Dedup.queries("d_embed_pairs")(spark, d)
+      .select("a", "b", "cos").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = graft.etl.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    val x = e.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val brute = x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        roundf(fdot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "baseline found no pairs — threshold too high")
+    assert(lsh == brute,
+      s"missed=${brute -- lsh} spurious=${lsh -- brute}")
+  }
+
   test("random graph matches driver-side union-find") {
     // deterministic pseudo-random edges over 60 nodes
     val edges = (0 until 80).map { i =>
