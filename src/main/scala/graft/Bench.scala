@@ -37,7 +37,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // skew report → stderr; stdout stays one machine-readable JSON line
     skew.skewedStages().foreach(l => System.err.println(s"[skew] $l"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line drowns in sbt/log4j decoration when run under sbt
+    // (BENCH_r01 parsed: null) — also write it to a plain file the driver
+    // can always read
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] $out: $e") }
     spark.stop()
   }
 }

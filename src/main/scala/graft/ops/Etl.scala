@@ -16,9 +16,16 @@ object Etl {
     // CSV extract (the job format of response.rs:40-43), read it back with
     // the frozen schema, and prove losslessness against the parquet oracle.
     "s3_csv_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_csv_extract/${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      // the sanitized name must NOT begin with "_" — Spark's file listing
+      // treats _-prefixed paths as hidden metadata and silently ignores
+      // them ("All paths were ignored"), turning the read-back into an
+      // empty scan
+      val path =
+        s"/tmp/graft_csv_extract/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
       Bulk.writeExtract(t(s, d, "orders"), path)
-      Bulk.readExtract(s, path, graft.etl.Tables.orders)
+      val back = Bulk.readExtract(s, path, graft.etl.Tables.orders)
+      require(!back.isEmpty, s"CSV extract read-back empty at $path")
+      back
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
         .orderBy("o_orderkey")

@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType,
   * Bit-compatibility contract: the sum is the LEFT FOLD of
   * (double)a[i] * (double)b[i] in index order — identical to both the
   * zip_with/aggregate formulation and DuckDB's ordered list fold, so
-  * hash-oracle results are unchanged. Nulls: null array → null. Unequal
+  * hash-oracle results are unchanged. Nulls: null array → null, and a
+  * null ELEMENT → null too (ArrayType(FloatType) defaults to
+  * containsNull=true, so this is reachable by schema; zip_with's x*y
+  * would propagate the null through the fold the same way). Unequal
   * lengths: the min length is used (embeddings are fixed-width;
   * defensive rather than erroring).
   */
@@ -49,6 +52,7 @@ case class FloatVecDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,10 +65,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // the isNullAt bit-check costs one predictable branch per element;
+      // on all-non-null data (the embeddings hot path) it never mispredicts
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            ${ev.isNull} = true;
+            break;
+          }
           $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         }
         ${ev.value} = $s;
