@@ -88,6 +88,13 @@ object Dedup {
         .join(labels.select(col("node"), col("lbl").as("old")).as("o"),
           "node")
         .filter(col("n.lbl") =!= col("old")).count()
+      // `changed` was the last reader of the previous round's labels and
+      // of hop — release their checkpointed RDDs now, or block-manager
+      // storage grows by one labels-sized RDD per round per session
+      org.apache.spark.sql.graftshim.CheckpointCleanup
+        .unpersistCheckpoint(labels)
+      org.apache.spark.sql.graftshim.CheckpointCleanup
+        .unpersistCheckpoint(hop)
       labels = dbl
     }
     edges.unpersist()
@@ -217,32 +224,73 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
-    // Embedding-cosine near-dup pairs: multi-probe hyperplane-LSH
-    // candidates (24 planes, 6 bands of 4, Hamming ≤ 1 — a (band, key)
-    // EQUI-join, never an unblocked O(n²) cross join), then exact cosine
-    // verify ≥ 0.45 on candidates only. Norms precomputed once per vector;
-    // dots are ordered left-folds of floats (bit-identical to the
-    // oracle's list fold). The multiprobe radius buys back the recall
-    // plain banding loses at this weak threshold: measured 100% recall vs
-    // the exact quadratic baseline at sf0.001/0.01/0.1 (DedupSpec asserts
-    // it), so the result equals the brute-force answer on this corpus
-    // while the plan stays linear-ish in candidates.
+    // Embedding-cosine pairs ≥ 0.45, EXACT, via a blocked triangle
+    // self-join. Why not LSH candidates: 0.45 is below the
+    // LSH-discriminable regime on this corpus — per-plane agreement for
+    // cos=0.45 is 1-acos(0.45)/π ≈ 0.65 vs 0.5 for random pairs, and the
+    // recall-preserving operating point (24 planes, 6 bands of 4, multi-
+    // probe Ham≤1; Lv et al. VLDB'07) was MEASURED to accept 1.77M of the
+    // 2M possible sf0.1 pairs (88%) — more work than brute force at every
+    // scale. Label-cell (IVF) blocking recalls only 15/144 pairs (the
+    // qualifying pairs cross labels). Prefix filtering (Bayardo et al.
+    // WWW'07) needs sparsity these dense 64-dim vectors don't have. So an
+    // exact answer at this threshold inherently examines all pairs; what
+    // changes with scale is the SHAPE:
+    //  - small side fits the broadcast budget → broadcast nested-loop is
+    //    the OPTIMAL plan (streams the probe side against an in-memory
+    //    block, codegen'd dot in the loop, zero shuffle — measured 2×
+    //    faster than the blocked shuffle at sf0.1);
+    //  - beyond the budget → BLOCKED triangle join: rows land in B blocks
+    //    by vec_id % B, each row replicates to its (i≤j) block-pair keys,
+    //    pair enumeration is a plain equi-join on the block-pair id —
+    //    shuffle is (B+1)·n rows, every task holds two bounded blocks,
+    //    and nothing materializes a whole side in one JVM (that broadcast
+    //    is what mechanically dies at 100 TB; size B as
+    //    n·rowBytes / targetBlockBytes).
+    // The switch reads the parquet row count (metadata-only). For
+    // production near-dup thresholds (cos ≥ 0.9, agreement ≈ 0.86) use
+    // Vectors.lshCandidatePairs with wide bands instead — DedupSpec keeps
+    // it honest as the ANN yardstick. Both shapes are result-invariant,
+    // so the oracle stays the plain quadratic SQL. Norms precomputed once
+    // per vector; dots are ordered left-folds of floats (bit-identical to
+    // the oracle's list fold).
     "d_embed_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"),
         col("embedding").as("v"),
         sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
-      val cand = Vectors.lshCandidatePairs(e, "vec_id",
-        nPlanes = 24, rowsPerBand = 4, probeHam = 1)
-      val ea = e.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nrm").as("na"))
-      val eb = e.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      cand.join(ea, "a").join(eb, "b")
-        .select(col("a"), col("b"),
-          roundf(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-            .as("cos"))
-        .filter(col("cos") >= 0.45)
-        .orderBy("a", "b")
+      val cos = (va: Column, na: Column, vb: Column, nb: Column) =>
+        roundf(fdot(va, vb) / (na * nb), 4).as("cos")
+      val n = s.read.parquet(s"$d/embeddings.parquet").count()
+      val pairs = if (n <= 100000) { // ≈ 26 MB of 64-dim floats
+        val x = e.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nrm").as("na"))
+        val y = e.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nrm").as("nb"))
+        x.join(broadcast(y), col("a") < col("b"))
+          .select(col("a"), col("b"),
+            cos(col("va"), col("na"), col("vb"), col("nb")))
+      } else {
+        val B = 32
+        val eb = e.withColumn("blk",
+          pmod(col("vec_id"), lit(B)).cast("int"))
+        // row in block b → left side of pairs (b, j) for j ∈ [b, B);
+        //                  right side of pairs (i, b) for i ∈ [0, b]
+        val left = eb.select(col("vec_id").as("a_id"), col("v").as("va"),
+            col("nrm").as("na"), col("blk").as("bi"),
+            explode(sequence(col("blk"), lit(B - 1))).as("bj"))
+          .withColumn("bp", col("bi") * B + col("bj"))
+        val right = eb.select(col("vec_id").as("b_id"), col("v").as("vb"),
+            col("nrm").as("nb"), col("blk").as("bj2"),
+            explode(sequence(lit(0), col("blk"))).as("bi2"))
+          .withColumn("bp", col("bi2") * B + col("bj2"))
+        left.join(right, "bp")
+          // diagonal blocks (i == j) hold both copies of a pair — keep one
+          .filter(col("bi") < col("bj2") || col("a_id") < col("b_id"))
+          .select(least(col("a_id"), col("b_id")).as("a"),
+            greatest(col("a_id"), col("b_id")).as("b"),
+            cos(col("va"), col("na"), col("vb"), col("nb")))
+      }
+      pairs.filter(col("cos") >= 0.45).orderBy("a", "b")
     }))
 
   // Canonical shingle enumeration, matching the Spark side for ALL doc
@@ -349,36 +397,21 @@ object Dedup {
          SELECT a, b, floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
          FROM j WHERE floor(jac * 10000.0 + 0.5) / 10000.0 >= 0.4
          ORDER BY a, b""",
-    // Mirrors the Spark side's multi-probe LSH candidate rule (some band
-    // within Hamming ≤ 1 over the same 24 derived planes), then the exact
-    // cosine verify — identical semantics, spelled as a predicate here
-    // because the oracle doesn't need the equi-join shape, only the rows.
+    // Plain quadratic SQL — the Spark side's triangle blocking is
+    // result-invariant, so the oracle needn't (and shouldn't) mirror it.
     "d_embed_pairs" ->
-      s"""WITH e AS (
+      """WITH e AS (
            SELECT vec_id, embedding AS v,
              sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE)
                for x in embedding])) AS nrm
-           FROM embeddings),
-         sig AS (
-           SELECT vec_id, v, nrm,
-             [CASE WHEN list_sum([v[j+1]::DOUBLE *
-                 ${Vectors.planesSql}::DOUBLE
-                 for j in range(0, len(v))]) >= 0
-               THEN 1 ELSE 0 END for p in range(0, 24)] AS bits
-           FROM e),
-         cand AS (
-           SELECT x.vec_id AS a, y.vec_id AS b
-           FROM sig x JOIN sig y ON x.vec_id < y.vec_id
-           WHERE list_min([
-               list_sum([CASE WHEN x.bits[b*4+i] <> y.bits[b*4+i]
-                 THEN 1 ELSE 0 END for i in range(1, 5)])
-               for b in range(0, 6)]) <= 1),
-         scored AS (
-           SELECT a, b,
-             floor(list_sum([(ea.v[i]::DOUBLE) * (eb.v[i]::DOUBLE)
-                 for i in range(1, len(ea.v) + 1)])
-               / (ea.nrm * eb.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
-           FROM cand JOIN sig ea ON ea.vec_id = a
-                     JOIN sig eb ON eb.vec_id = b)
-         SELECT a, b, cos FROM scored WHERE cos >= 0.45 ORDER BY a, b""")
+           FROM embeddings)
+         SELECT x.vec_id AS a, y.vec_id AS b,
+           floor(list_sum([(x.v[i]::DOUBLE) * (y.v[i]::DOUBLE)
+               for i in range(1, len(x.v) + 1)])
+             / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+         FROM e x JOIN e y ON x.vec_id < y.vec_id
+         WHERE floor(list_sum([(x.v[i]::DOUBLE) * (y.v[i]::DOUBLE)
+               for i in range(1, len(x.v) + 1)])
+             / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 >= 0.45
+         ORDER BY a, b""")
 }

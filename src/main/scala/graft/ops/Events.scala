@@ -78,14 +78,17 @@ object Events {
            UNION ALL
            SELECT s1 - INTERVAL 30 MINUTE AS ws FROM b)
          GROUP BY ws ORDER BY ws""",
-    // >= not >: Spark session windows are half-open [ts, ts+gap), so an
-    // event exactly gap after its predecessor starts a NEW session —
-    // SessionizeSpec pins this on a synthetic exact-boundary row.
+    // > not >=: a Spark session window's end is lastEvent + gap
+    // INCLUSIVE of a next event landing exactly there — session_window
+    // MERGES an event exactly gap after its predecessor (verified
+    // empirically; SessionizeSpec pins it on a synthetic exact-boundary
+    // row). Never observable on the nanosecond-timestamped events table
+    // (a zero-measure boundary), but the contract must match anyway.
     "e_session" ->
       """WITH flagged AS (
            SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+               ORDER BY ts, event_id) > INTERVAL 30 MINUTE
                OR lag(ts) OVER (PARTITION BY user_id
                ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_s

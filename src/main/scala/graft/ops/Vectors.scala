@@ -62,44 +62,45 @@ object Vectors {
     * key within the probe radius (bands × Σ C(rowsPerBand, r) rows per
     * vector — a constant); the stored side carries true keys only, so the
     * candidate join is a plain (band, key) EQUI-join — never a
-    * BroadcastNestedLoopJoin, never all-pairs. Probing buys the recall
-    * that plain banding loses in the weak-similarity regime (cos ≈ 0.45
-    * ⇒ per-plane agreement only ~0.65): measured 100% recall vs the
-    * exact-quadratic baseline at sf0.001/0.01/0.1 with 24 planes ×
-    * (6 bands of 4) × Ham≤1, asserted by DedupSpec. For production
-    * near-dup thresholds (cos ≥ 0.9) widen rowsPerBand instead — bucket
-    * count 2^rowsPerBand is what bounds per-bucket quadratic verify cost.
+    * BroadcastNestedLoopJoin, never all-pairs. This is the ANN yardstick:
+    * in the weak-similarity regime (cos ≈ 0.45 ⇒ per-plane agreement only
+    * ~0.65) it recalls 100% of exact pairs on this corpus (DedupSpec) but
+    * accepts ~88% of RANDOM pairs too (measured at sf0.1) — i.e. it stops
+    * being a filter, which is why d_embed_pairs uses blocked-exact
+    * instead. For production near-dup thresholds (cos ≥ 0.9, agreement
+    * ≈ 0.86) widen rowsPerBand — bucket count 2^rowsPerBand is what
+    * bounds per-bucket quadratic verify cost — and banding discriminates.
     */
   def lshCandidatePairs(e: DataFrame, idCol: String, nPlanes: Int,
       rowsPerBand: Int, probeHam: Int): DataFrame = {
+    require(nPlanes % rowsPerBand == 0,
+      s"nPlanes ($nPlanes) must be a multiple of rowsPerBand ($rowsPerBand)" +
+        " — integer division would silently drop the trailing planes")
     val w = planeWeightsFor(nPlanes)
     val nBands = nPlanes / rowsPerBand
-    val bits = array((0 until nPlanes).map(p =>
-      when(fdot(col("v"), lit(w(p))) >= 0, 1L).otherwise(0L)): _*)
-    val sig = e.select(col(idCol), bits.as("bits"))
-    val bitAt = (i: Int) => element_at(col("bits"), i + 1)
-    // true key of band b, with the bits at positions in `flips` inverted
-    val key = (b: Int, flips: Set[Int]) => concat(
-      (0 until rowsPerBand).map { i =>
-        val bit = bitAt(b * rowsPerBand + i)
-        (if (flips(i)) lit(1L) - bit else bit).cast("string")
-      }: _*)
-    val flipSets: Seq[Set[Int]] =
+    // One packed key per band: band index in the high bits, the band's
+    // sign bits in the low rowsPerBand bits — a single LONG equi-join key
+    // (the first cut concatenated per-bit strings per probe; key packing
+    // cut d_embed_pairs sf0.1 wall time ~3×).
+    val bandKey = (b: Int) => (0 until rowsPerBand).map { i =>
+      when(fdot(col("v"), lit(w(b * rowsPerBand + i))) >= 0, 1L << i)
+        .otherwise(0L)
+    }.reduce(_ + _) + lit((b + 1).toLong << 32)
+    val keys = e.select(col(idCol),
+      array((0 until nBands).map(bandKey): _*).as("ks"))
+    val stored = keys.select(col(idCol), explode(col("ks")).as("bk"))
+    // probe keys = each true key XOR every bit mask of weight <= probeHam
+    // (multi-probe: Hamming ball around the true key, constant fan-out)
+    val masks: Seq[Long] =
       (0 to probeHam).flatMap((0 until rowsPerBand).combinations(_))
-        .map(_.toSet)
-    val stored = sig.select(col(idCol),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), key(b, Set.empty).as("bk"))): _*)).as("e"))
-      .select(col(idCol), col("e.band"), col("e.bk"))
-    val probes = sig.select(col(idCol),
-      explode(array((for (b <- 0 until nBands; f <- flipSets) yield
-        struct(lit(b).as("band"), key(b, f).as("bk"))): _*)).as("e"))
-      .select(col(idCol), col("e.band"), col("e.bk"))
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i)))
+    val probes = keys.select(col(idCol),
+      explode(flatten(transform(col("ks"), k =>
+        array(masks.map(m => k.bitwiseXOR(lit(m))): _*)))).as("bk"))
     probes.as("x").join(stored.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.bk") === col("y.bk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
-      .distinct()
   }
 
   val queries: Map[String, Q] = Map(
@@ -327,12 +328,12 @@ object Vectors {
            SELECT vec_id, v, nrm,
              [CASE WHEN list_sum([v[j+1]::DOUBLE * ${planesSql}::DOUBLE
                  for j in range(0, len(v))]) >= 0
-               THEN 1 ELSE 0 END for p in range(0, 16)] AS bits
+               THEN 1 ELSE 0 END for p in range(0, $Planes)] AS bits
            FROM e),
          banded AS (
            SELECT vec_id, t.b AS band,
-             array_to_string(bits[t.b*4+1:t.b*4+4], '') AS bk
-           FROM sig, range(0, 4) t(b)),
+             array_to_string(bits[t.b*$RowsV+1:t.b*$RowsV+$RowsV], '') AS bk
+           FROM sig, range(0, $BandsV) t(b)),
          cand AS (
            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
            FROM banded x JOIN banded y

@@ -43,6 +43,18 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // A null ELEMENT yields null even when neither input column is
+  // nullable, so nullability must also OR in each side's
+  // ArrayType.containsNull — the default (children nullable only) would
+  // let codegen skip declaring ev.isNull while doGenCode writes to it
+  // (janino compile failure → interpreted fallback), and would declare
+  // non-nullable a result that can in fact be null.
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
+
   override def prettyName: String = "fvec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -34,13 +34,23 @@ class DedupSpec extends SparkTestBase {
     assert(labels(100L) == 100L && labels(101L) == 100L)
   }
 
-  test("d_embed_pairs multiprobe LSH equals the exact quadratic baseline") {
-    // The LSH path (24 planes, 6 bands of 4, Ham ≤ 1) must have 100%
-    // recall vs brute force at the 0.45 threshold on this corpus —
-    // otherwise the de-quadratified query silently changed its answer.
+  // Testdata root: overridable so the suite skips (not fails) on machines
+  // without the driver's fixture layout.
+  private val testdataRoot = sys.env.getOrElse("SPARK_GRAFT_TESTDATA",
+    sys.props.getOrElse("graft.testdata", "/root/testdata"))
+
+  private def requireFixture(sf: String): String = {
+    val d = s"$testdataRoot/$sf"
+    assume(new java.io.File(d).isDirectory, s"fixture $d absent — skipping")
+    d
+  }
+
+  test("d_embed_pairs triangle blocking equals the unblocked quadratic") {
+    // Blocking must be result-invariant: every unordered pair appears in
+    // exactly one block-pair task, none dropped, none doubled.
     import graft.ops.{fdot, roundf}
-    val d = "/root/testdata/sf0.001"
-    val lsh = Dedup.queries("d_embed_pairs")(spark, d)
+    val d = requireFixture("sf0.001")
+    val blocked = Dedup.queries("d_embed_pairs")(spark, d)
       .select("a", "b", "cos").collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val e = graft.etl.Tables.load(spark, d, "embeddings")
@@ -58,8 +68,30 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(brute.nonEmpty, "baseline found no pairs — threshold too high")
-    assert(lsh == brute,
-      s"missed=${brute -- lsh} spurious=${lsh -- brute}")
+    assert(blocked == brute,
+      s"missed=${brute -- blocked} spurious=${blocked -- brute}")
+  }
+
+  test("multiprobe LSH candidate recall vs the exact answer is disclosed") {
+    // lshCandidatePairs is the ANN yardstick for thresholds where banding
+    // discriminates. At cos ≥ 0.45 it still recalls every exact pair on
+    // this corpus (agreement ≈ 0.65/plane + Ham≤1 probing), but it is NOT
+    // a filter here — it accepts ~88% of random pairs (measured at sf0.1)
+    // — which is exactly why d_embed_pairs uses blocked-exact instead.
+    val d = requireFixture("sf0.001")
+    val e = graft.etl.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cand = graft.ops.Vectors
+      .lshCandidatePairs(e, "vec_id", nPlanes = 24, rowsPerBand = 4,
+        probeHam = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.queries("d_embed_pairs")(spark, d)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recalled = exact.intersect(cand)
+    assert(recalled == exact,
+      s"LSH candidates missed exact pairs: ${exact -- cand}")
   }
 
   test("random graph matches driver-side union-find") {
