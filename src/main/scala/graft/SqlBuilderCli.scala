@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.schema.{Ddl, Mapping}
+
+/** Flagship CLI: describe JSON → frozen schema → CREATE TABLE DDL → file —
+  * the reference's headline executable pipeline (sql-builder/src/main.rs:
+  * 50-82: describe → Table → `table.generate::<Pg>()` → output file),
+  * minus the live HTTP login/describe step: the describe document arrives
+  * as a file (the REST-scan layer in `etl.Tables` covers the live-source
+  * side separately), which also makes the pipeline reproducible and
+  * testable offline.
+  *
+  * Usage:
+  *   SqlBuilderCli --in describe.json --out table.sql
+  *     [--table NAME]      override the table name (default: describe name,
+  *                         like main.rs:63 `Table::new(args.name)`)
+  *     [--decimal-mode]    map Currency/Percent to DECIMAL(p,s) instead of
+  *                         the reference-faithful sized varchar
+  *
+  * Pure driver-side string work — no SparkSession is started (DDL
+  * generation never touches data, exactly as in the reference).
+  */
+object SqlBuilderCli {
+
+  final case class Opts(in: String, out: String, table: Option[String],
+      decimalMode: Boolean)
+
+  def parseArgs(args: Array[String]): Opts = {
+    def loop(rest: List[String], o: Opts): Opts = rest match {
+      case "--in" :: v :: t => loop(t, o.copy(in = v))
+      case "--out" :: v :: t => loop(t, o.copy(out = v))
+      case "--table" :: v :: t => loop(t, o.copy(table = Some(v)))
+      case "--decimal-mode" :: t => loop(t, o.copy(decimalMode = true))
+      case Nil => o
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val o = loop(args.toList, Opts("", "", None, decimalMode = false))
+    require(o.in.nonEmpty && o.out.nonEmpty,
+      "usage: SqlBuilderCli --in describe.json --out table.sql" +
+        " [--table NAME] [--decimal-mode]")
+    o
+  }
+
+  /** The pipeline as a pure function (main.rs:50-82), for tests. */
+  def run(describeJson: String, tableOverride: Option[String],
+      decimalMode: Boolean): String = {
+    val d = graft.schema.DescribeResponse.parse(describeJson)
+    val schema =
+      if (!decimalMode) Mapping.describeToStructType(d)
+      else org.apache.spark.sql.types.StructType(d.fields.map { f =>
+        val base = Mapping.fieldToStructField(f)
+        base.copy(dataType = Mapping.dataTypeOf(f, decimalMode = true))
+      })
+    Ddl.generate(tableOverride.getOrElse(d.name), schema)(Ddl.Pg)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val o = parseArgs(args)
+    val json = Files.readString(Paths.get(o.in))
+    val ddl = run(json, o.table, o.decimalMode)
+    Files.writeString(Paths.get(o.out), ddl + "\n")
+    System.err.println(s"[sql-builder] wrote ${o.out}")
+  }
+}

@@ -20,6 +20,35 @@ object Load {
       d.withColumn(name, coalesce(col(name), lit(v)))
     }
 
+  /** Typed variant over the `SqlDefault` domain (the reference's
+    * `WrappedDefault`, sql/types.rs:47-60): each default is type-checked
+    * against its column before any plan is built, and the literal is cast
+    * to the column's exact type so `coalesce` never silently widens the
+    * schema (an untyped bigint literal over an int column would).
+    */
+  def applyTypedDefaults(df: DataFrame,
+      defaults: Map[String, graft.schema.SqlDefault]): DataFrame = {
+    import graft.schema.SqlDefault._
+    defaults.foldLeft(df) { case (d, (name, sd)) =>
+      val field = df.schema.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name'"))
+      require(sd.admits(field.dataType),
+        s"default $sd does not admit column '$name' of ${field.dataType}")
+      val v: Column = sd match {
+        case Text(s) => lit(s)
+        case Num(n) => lit(n)
+        case Big(n) => lit(new java.math.BigDecimal(n.bigInteger))
+        case Fl(f) => lit(f)
+        case Dbl(x) => lit(x)
+        case Bool(b) => lit(b)
+        case DateV(x) => lit(java.sql.Date.valueOf(x))
+        case DateTimeV(x) => lit(java.sql.Timestamp.from(x))
+        case Custom(sql) => expr(sql)
+      }
+      d.withColumn(name, coalesce(col(name), v.cast(field.dataType)))
+    }
+  }
+
   /** Decode a MultiPicklist column: the wire carries `"a;b;c"`, the schema
     * says array(varchar) (main.rs:88) — load-time `split` on `;`.
     * Null-safe: null stays null, empty string → empty array.

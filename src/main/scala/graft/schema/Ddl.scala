@@ -32,6 +32,11 @@ object Ddl {
 
     def typeName(dt: DataType, md: Metadata): String = dt match {
       case StringType if md.contains(Mapping.K.Json) => "jsonb"
+      // SF Time rides as StringType in Spark (no time-of-day type) but the
+      // DDL must still say TIME (pg.rs stringify: Time → "TIME") — the
+      // wire type carried in metadata disambiguates it from plain strings
+      case StringType if md.contains(Mapping.K.SfType) &&
+          md.getString(Mapping.K.SfType) == FieldType.Time.wireName => "time"
       case StringType if md.contains(Mapping.K.Length) =>
         s"varchar(${md.getLong(Mapping.K.Length)})"
       case StringType => "text"
@@ -55,7 +60,11 @@ object Ddl {
       parts += s""""${f.name}""""
       parts += typeName(f.dataType, f.metadata)
       if (f.metadata.contains(Mapping.K.Primary)) parts += "PRIMARY KEY"
-      else {
+      // DEFAULT sits between PRIMARY KEY and NOT NULL, always
+      // single-quoted, matching pg.rs:44-47's clause order and quoting
+      if (f.metadata.contains(Mapping.K.Default))
+        parts += s"DEFAULT '${f.metadata.getString(Mapping.K.Default)}'"
+      if (!f.metadata.contains(Mapping.K.Primary)) {
         if (!f.nullable) parts += "NOT NULL"
         if (f.metadata.contains(Mapping.K.Unique)) parts += "UNIQUE"
       }

@@ -27,6 +27,7 @@ object Mapping {
     val FkKeys = "graft.fk.keys"
     val Json = "graft.json"           // AnyType → jsonb (main.rs:91)
     val SfType = "graft.sf.type"      // original wire type, for round-trip
+    val Default = "graft.default"     // rendered DEFAULT value (pg.rs:44-47)
   }
 
   import FieldType._

@@ -85,6 +85,26 @@ class EtlSpec extends SparkTestBase {
     assert(out(1) == Row(2, "x", null))
   }
 
+  test("applyTypedDefaults type-checks and never widens the schema") {
+    import spark.implicits._
+    import graft.schema.SqlDefault
+    val df = Seq((1, null.asInstanceOf[java.lang.Integer], null: String),
+      (2, Int.box(7), "x")).toDF("id", "n", "s")
+    val out = Load.applyTypedDefaults(df,
+      Map("n" -> SqlDefault.Num(0), "s" -> SqlDefault.Text("d")))
+    // the int column stays int — the long literal is cast, not widened
+    assert(out.schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val rows = out.orderBy("id").collect()
+    assert(rows(0) == Row(1, 0, "d"))
+    assert(rows(1) == Row(2, 7, "x"))
+    // a text default on an int column is rejected before any plan runs
+    assertThrows[IllegalArgumentException](
+      Load.applyTypedDefaults(df, Map("n" -> SqlDefault.Text("zero"))))
+    assertThrows[IllegalArgumentException](
+      Load.applyTypedDefaults(df, Map("missing" -> SqlDefault.Num(1))))
+  }
+
   test("latestByKey keeps exactly one newest row per key") {
     import spark.implicits._
     val df = Seq(

@@ -110,7 +110,7 @@ class SchemaSpec extends AnyFunSuite {
         |  "IsEscalated" boolean NOT NULL,
         |  "CreatedDate" timestamp NOT NULL,
         |  "DueDate" date,
-        |  "SlaTime" text,
+        |  "SlaTime" time,
         |  "Amount" double precision,
         |  "CaseNumber" varchar(30) NOT NULL UNIQUE,
         |  "Votes" int
@@ -123,5 +123,73 @@ class SchemaSpec extends AnyFunSuite {
       ArrayType(ArrayType(IntegerType)), nullable = true)))
     val ddl = Ddl.Pg.createColumn(st.fields(0))
     assert(ddl == "\"deep\" int[][]")
+  }
+
+  test("DEFAULT renders single-quoted between PK and NOT NULL (pg.rs:44-47)") {
+    val base = Mapping.describeToStructType(describeJson)
+    val withDefaults = SqlDefault.attachAll(base, Map(
+      "Votes" -> SqlDefault.Num(0),
+      "IsEscalated" -> SqlDefault.Bool(false),
+      "Description" -> SqlDefault.Text("n/a")))
+    val byName = withDefaults.fields.map(f => f.name -> f).toMap
+    assert(Ddl.Pg.createColumn(byName("Votes")) ==
+      """"Votes" int DEFAULT '0'""")
+    // DEFAULT precedes NOT NULL, reference clause order
+    assert(Ddl.Pg.createColumn(byName("IsEscalated")) ==
+      """"IsEscalated" boolean DEFAULT 'false' NOT NULL""")
+    assert(Ddl.Pg.createColumn(byName("Description")) ==
+      """"Description" varchar(32000) DEFAULT 'n/a'""")
+  }
+
+  test("SqlDefault type-checks against the column (unlike WrappedDefault)") {
+    val votes = StructField("Votes", IntegerType)
+    assertThrows[IllegalArgumentException](
+      SqlDefault.attach(votes, SqlDefault.Text("zero")))
+    assertThrows[IllegalArgumentException](
+      SqlDefault.attach(StructField("b", BooleanType), SqlDefault.Num(1)))
+    // Custom is the deliberate escape hatch — admits anything
+    val c = SqlDefault.attach(votes, SqlDefault.Custom("nextval('seq')"))
+    assert(c.metadata.getString(Mapping.K.Default) == "nextval('seq')")
+    // unknown column names are an error, not a silent no-op
+    assertThrows[IllegalArgumentException](
+      SqlDefault.attachAll(StructType(Seq(votes)),
+        Map("Nope" -> SqlDefault.Num(1))))
+  }
+
+  test("flagship CLI: describe file → DDL file end-to-end (main.rs:50-82)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli")
+    val in = dir.resolve("case.json")
+    val out = dir.resolve("case.sql")
+    java.nio.file.Files.writeString(in, describeJson)
+    SqlBuilderCli.main(Array("--in", in.toString, "--out", out.toString))
+    val ddl = java.nio.file.Files.readString(out)
+    assert(ddl.startsWith("""CREATE TABLE IF NOT EXISTS "Case" ("""))
+    assert(ddl.contains(""""Id" varchar(18) PRIMARY KEY"""))
+    assert(ddl.contains(""""SlaTime" time"""))
+    // --table override mirrors Table::new(args.name)
+    SqlBuilderCli.main(Array("--in", in.toString, "--out", out.toString,
+      "--table", "case_v2"))
+    assert(java.nio.file.Files.readString(out)
+      .startsWith("""CREATE TABLE IF NOT EXISTS "case_v2" ("""))
+    // malformed usage yields the usage string, not a stack dive
+    assertThrows[IllegalArgumentException](
+      SqlBuilderCli.parseArgs(Array("--in", in.toString)))
+    assertThrows[IllegalArgumentException](
+      SqlBuilderCli.parseArgs(Array("--frobnicate")))
+  }
+
+  test("decimal-mode CLI maps Currency/Percent to DECIMAL(p,s)") {
+    val json =
+      """{"name": "Opp", "fields": [
+        {"name": "Id", "type": "id", "length": 18, "nillable": false},
+        {"name": "Amount", "type": "currency", "precision": 18, "scale": 2},
+        {"name": "Margin", "type": "percent", "precision": 5, "scale": 2}
+      ]}"""
+    val faithful = SqlBuilderCli.run(json, None, decimalMode = false)
+    assert(faithful.contains(""""Amount" text""") ||
+      faithful.contains(""""Amount" varchar"""))
+    val decimal = SqlBuilderCli.run(json, None, decimalMode = true)
+    assert(decimal.contains(""""Amount" numeric(18,2)"""))
+    assert(decimal.contains(""""Margin" numeric(5,2)"""))
   }
 }
