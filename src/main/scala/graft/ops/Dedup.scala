@@ -32,6 +32,10 @@ object Dedup {
   private val MinhashK = 12 // 4 bands × 3 rows
   private val Bands = 4
   private val Rows = 3
+  // d_ngram_jaccard secondary-block fan-out (min-bigram-hash mod this);
+  // single definition interpolated into BOTH the Scala plan and the DuckDB
+  // oracle so the engines cannot desynchronize
+  private val NgramSalt = 16
   // The affine rehash family h_i = ((i+1)·1299709·h0 + i·15485863) mod
   // (2^31-1) lives in graftshim.ShingleMinHashes (one md5 per shingle,
   // K integer rehashes); the DuckDB oracle below spells out the same
@@ -203,11 +207,29 @@ object Dedup {
     // differ by ≥20 tokens), then exact Jaccard ≥ 0.4. The block key bounds
     // bucket sizes, keeping the self-join linear-ish in practice.
     "d_ngram_jaccard" -> ((s, d) => {
+      // Secondary block key: the BOTTOM-2 bigram hashes mod NgramSalt.
+      // Doc lengths concentrate (sf0.1: 5000 docs over only 6 length
+      // blocks), so the primary len/20 block alone leaves O((n/6)²)
+      // buckets — the bottom-sketch keys split each length block
+      // ~NgramSalt ways while near-dups keep colliding: a pair with
+      // Jaccard j shares its min-hashed bigram with probability j (the
+      // minhash identity) and either of its bottom-2 with ≈ 1-(1-j)², and
+      // an edit anywhere BUT those bigrams never moves the keys (unlike a
+      // first-token key, which any prefix edit breaks). Worst bucket is
+      // bounded by the hottest bigram's document frequency (6.8% here),
+      // not by the hottest length block. Mirrored in the oracle.
       val base = t(s, d, "documents")
         .select(col("doc_id"), shingles(col("text"), 2).as("bg"),
           expr("size(split(text, ' ')) DIV 20").as("blk"))
+        .withColumn("ms",
+          transform(slice(array_sort(
+            transform(col("bg"), b => portableHash(b))), 1, 2),
+            h => pmod(h, lit(NgramSalt))))
       val blocked = base.select(col("doc_id"),
-        explode(array(col("blk"), col("blk") + 1)).as("bk"))
+        explode(flatten(transform(col("ms"), m => array(
+          concat_ws(":", col("blk"), m),
+          concat_ws(":", col("blk") + 1, m))))).as("bk"))
+        .distinct()
       val cand = blocked.as("x").join(blocked.as("y"),
           col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -375,17 +397,25 @@ object Dedup {
                FROM documents)
          ORDER BY doc_id""",
     "d_ngram_jaccard" ->
-      """WITH base AS (
+      s"""WITH base AS (
            SELECT doc_id,
              list_distinct([array_to_string(w[i:i+1], ' ')
                for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS bg,
              len(w) // 20 AS blk
            FROM (SELECT doc_id, string_split(text, ' ') AS w
                  FROM documents)),
+         keyed AS (
+           SELECT doc_id, bg, blk,
+             [h % $NgramSalt for h in
+               list_sort([('0x' || substr(md5(b), 1, 15))::BIGINT
+                 for b in bg])[1:2]] AS ms
+           FROM base),
          cand AS (
            SELECT x.doc_id AS a, y.doc_id AS b
-           FROM base x JOIN base y
-             ON abs(x.blk - y.blk) <= 1 AND x.doc_id < y.doc_id),
+           FROM keyed x JOIN keyed y
+             ON abs(x.blk - y.blk) <= 1
+               AND len(list_intersect(x.ms, y.ms)) > 0
+               AND x.doc_id < y.doc_id),
          j AS (
            SELECT a, b,
              len(list_intersect(xa.bg, xb.bg))::DOUBLE /
