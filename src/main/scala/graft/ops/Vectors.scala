@@ -103,6 +103,88 @@ object Vectors {
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
   }
 
+  // ---- IVF machinery (shared by v_ann_ivf*; parameterized for specs) --
+
+  /** Exact fixed-point per-cell centroids over (`k`, `embedding`) rows —
+    * the same grid-snap as v_centroid: components floor(x·1e6+0.5)
+    * BEFORE an integer (order-independent) sum, so every engine and
+    * every cluster re-run produces bit-identical centroids.
+    */
+  private def fxCentroids(df: DataFrame): DataFrame =
+    df.select(col("k"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("k", "dim")
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+        .cast("long")).as("s6"), count("*").as("n"))
+      .select(col("k"), col("dim"),
+        (col("s6").cast("double") / (lit(1000000.0) * col("n"))).as("c"))
+      .groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("c")))), s => s.getField("c")).as("cv"))
+      .select(col("k").as("cl"), col("cv"))
+
+  /** Every vector ranked against every centroid → (vec_id, v, cl, cc,
+    * rn): rn = 1 is the assignment, rn <= nprobe are a probe's search
+    * cells. Pure-double arithmetic over the broadcast centroid list —
+    * |cells| rows per vector, never a shuffle of the vector table.
+    */
+  private def ivfRanked(e: DataFrame, cent: DataFrame): DataFrame = {
+    val dotdc = (v: Column, c: Column) => aggregate(
+      zip_with(v, c, (x, y) => x.cast("double") * y),
+      lit(0.0), (a, b) => a + b)
+    val vnrm = (v: Column) => sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, b) => a + b))
+    val cnrm = (c: Column) => sqrt(aggregate(
+      transform(c, x => x * x), lit(0.0), (a, b) => a + b))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cc"), asc("cl"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding").as("v"), col("cl"),
+        (dotdc(col("embedding"), col("cv")) /
+          (vnrm(col("embedding")) * cnrm(col("cv")))).as("cc"))
+      .withColumn("rn", row_number().over(wA))
+  }
+
+  /** Coarse quantizer: label-seeded centroids refined by `lloydRounds`
+    * Lloyd iterations (assign every vector to its nearest centroid by
+    * cosine, recompute fixed-point means). Deterministic end-to-end:
+    * ties break on cell id, means are integer-summed fixed point.
+    */
+  def ivfCentroids(e: DataFrame,
+      lloydRounds: Int): DataFrame = {
+    var cent = fxCentroids(
+      e.select(col("label").as("k"), col("embedding")))
+    for (_ <- 1 to lloydRounds)
+      cent = fxCentroids(ivfRanked(e, cent).filter(col("rn") === 1)
+        .select(col("cl").as("k"), col("v").as("embedding")))
+    cent
+  }
+
+  /** IVF top-5 for every 50th vector, searching `nprobe` cells. */
+  def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int, lloydRounds: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+    val probes = ranked.filter(col("rn") <= nprobe &&
+        col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"), col("v").as("vq"),
+        col("cl").as("qc"))
+    val wP = Window.partitionBy(col("q"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    probes.join(assigned,
+        col("cluster") === col("qc") && col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"),
+        roundf(fdot(col("vq"), col("v")) /
+          (sqrt(fdot(col("vq"), col("vq"))) *
+           sqrt(fdot(col("v"), col("v")))), 4).as("cos"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 5)
+      .select(col("q"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy("q", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-k: every 50th vector probes the full set.
@@ -160,121 +242,21 @@ object Vectors {
         .orderBy("a", "b")
     }),
 
-    // IVF-style ANN: coarse quantizer = the 10 deterministic label
-    // centroids (fixed-point means — no kmeans iterations, no stored
-    // model); each vector is assigned to its nearest centroid by cosine;
-    // probes search ONLY their own cell (nprobe=1; recall rises with
-    // nprobe at linear cost). The inverted-file shape is what scales: the
-    // expensive exact-cosine stage touches |cell| candidates, not n, and
-    // the assignment is a broadcast of 10 centroids — no shuffle of the
-    // vector table at all.
-    "v_ann_ivf" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      // exact fixed-point centroids (same grid-snap as v_centroid)
-      val cent = e
-        .select(col("label"), posexplode(col("embedding"))
-          .as(Seq("dim", "x")))
-        .groupBy("label", "dim")
-        .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
-          .cast("long")).as("s6"), count("*").as("n"))
-        .select(col("label"), col("dim"),
-          (col("s6").cast("double") / (lit(1000000.0) * col("n")))
-            .as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("dim"),
-          col("c")))), s => s.getField("c")).as("cv"))
-        .select(col("label").as("cl"), col("cv"))
-      // assignment arithmetic in pure double (centroids are double); only
-      // 10 centroids per vector, so the interpreted fold is negligible
-      val dotdc = (v: Column, c: Column) => aggregate(
-        zip_with(v, c, (x, y) => x.cast("double") * y),
-        lit(0.0), (a, b) => a + b)
-      val vnrm = (v: Column) => sqrt(aggregate(
-        transform(v, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (a, b) => a + b))
-      val cnrm = (c: Column) => sqrt(aggregate(
-        transform(c, x => x * x), lit(0.0), (a, b) => a + b))
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("cc"), asc("cl"))
-      val assigned = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding").as("v"), col("cl"),
-          (dotdc(col("embedding"), col("cv")) /
-            (vnrm(col("embedding")) * cnrm(col("cv")))).as("cc"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cl").as("cluster"))
-      val probes = assigned.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q"), col("v").as("vq"),
-          col("cluster").as("qc"))
-      val wP = Window.partitionBy(col("q")).orderBy(desc("cos"),
-        asc("vec_id"))
-      probes.join(assigned,
-          col("cluster") === col("qc") && col("vec_id") =!= col("q"))
-        .select(col("q"), col("vec_id"),
-          roundf(fdot(col("vq"), col("v")) /
-            (sqrt(fdot(col("vq"), col("vq"))) *
-             sqrt(fdot(col("v"), col("v")))), 4).as("cos"))
-        .withColumn("rn", row_number().over(wP))
-        .filter(col("rn") <= 5)
-        .select(col("q"), col("vec_id"), col("cos"), col("rn"))
-        .orderBy("q", "rn")
-    }),
+    // IVF ANN: coarse quantizer = 10 label-seeded centroids refined by
+    // ONE deterministic Lloyd iteration (an honest TRAINED quantizer —
+    // cosine assignment, fixed-point means, ties on cell id — still no
+    // stored model artifact, still bit-identical across engines and
+    // re-runs); probes search only their nprobe nearest cells. The
+    // inverted-file shape is what scales: the exact-cosine stage touches
+    // |cell| candidates, not n, and assignment is a broadcast of 10
+    // centroids — the vector table never shuffles. Recall@5 vs the exact
+    // baseline is measured and asserted for nprobe ∈ {1, 2, 4} in
+    // IvfSpec.
+    "v_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = 1, lloydRounds = 1)),
 
-    // IVF with nprobe=2: probes search the UNION of their two nearest
-    // cells — the standard recall/cost knob (nprobe=1 measured 32%
-    // recall@5 on these weakly-clustered vectors; widening the probe set
-    // raises recall linearly in cells touched without growing the index).
-    // Same deterministic quantizer as v_ann_ivf.
-    "v_ann_ivf2" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val cent = e
-        .select(col("label"), posexplode(col("embedding"))
-          .as(Seq("dim", "x")))
-        .groupBy("label", "dim")
-        .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
-          .cast("long")).as("s6"), count("*").as("n"))
-        .select(col("label"), col("dim"),
-          (col("s6").cast("double") / (lit(1000000.0) * col("n")))
-            .as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("dim"),
-          col("c")))), s => s.getField("c")).as("cv"))
-        .select(col("label").as("cl"), col("cv"))
-      val dotdc = (v: Column, c: Column) => aggregate(
-        zip_with(v, c, (x, y) => x.cast("double") * y),
-        lit(0.0), (a, b) => a + b)
-      val vnrm = (v: Column) => sqrt(aggregate(
-        transform(v, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (a, b) => a + b))
-      val cnrm = (c: Column) => sqrt(aggregate(
-        transform(c, x => x * x), lit(0.0), (a, b) => a + b))
-      val wA = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("cc"), asc("cl"))
-      val ranked = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding").as("v"), col("cl"),
-          (dotdc(col("embedding"), col("cv")) /
-            (vnrm(col("embedding")) * cnrm(col("cv")))).as("cc"))
-        .withColumn("rn", row_number().over(wA))
-      val assigned = ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cl").as("cluster"))
-      // probes carry their TWO nearest cells
-      val probes = ranked.filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q"), col("v").as("vq"),
-          col("cl").as("qc"))
-      val wP = Window.partitionBy(col("q")).orderBy(desc("cos"),
-        asc("vec_id"))
-      probes.join(assigned,
-          col("cluster") === col("qc") && col("vec_id") =!= col("q"))
-        .select(col("q"), col("vec_id"),
-          roundf(fdot(col("vq"), col("v")) /
-            (sqrt(fdot(col("vq"), col("vq"))) *
-             sqrt(fdot(col("v"), col("v")))), 4).as("cos"))
-        .distinct() // a candidate may surface via both probed cells
-        .withColumn("rn", row_number().over(wP))
-        .filter(col("rn") <= 5)
-        .select(col("q"), col("vec_id"), col("cos"), col("rn"))
-        .orderBy("q", "rn")
-    }),
+    // nprobe=2: the standard recall/cost knob — each probe unions two
+    // cells' candidates; same index, no extra state.
+    "v_ann_ivf2" -> ((s, d) => ivfTopK(s, d, nprobe = 2, lloydRounds = 1)),
 
     // Per-label centroid, long format (label, dim, exact fixed-point sum +
     // count; mean ≈ sum_x_e6/1e6/n). Components are grid-snapped with pure
@@ -298,6 +280,67 @@ object Vectors {
   private[ops] def planesSql: String =
     // same derived hyperplane family, DuckDB-side
     "((('0x' || substr(md5(p || ',' || j), 1, 15))::BIGINT % 2001) - 1000)"
+
+  /** DuckDB mirror of ivfTopK — the SAME CTE chain per Lloyd round,
+    * parameterized so both engines share one definition of the quantizer
+    * and probe rule (single source of truth, like NgramSalt). cosVC folds
+    * float·double (vector vs centroid, matching the Spark side's
+    * zip_with cast); cosVV folds float·float cast to double (candidate
+    * scoring, matching fdot).
+    */
+  private[ops] def ivfSql(nprobe: Int, lloydRounds: Int): String = {
+    def cosVC(v: String, c: String): String =
+      s"""list_sum([$v[i]::DOUBLE * $c[i] for i in range(1, len($c) + 1)]) /
+         (sqrt(list_sum([$v[i]::DOUBLE * $v[i]::DOUBLE
+            for i in range(1, len($v) + 1)])) *
+          sqrt(list_sum([$c[i] * $c[i] for i in range(1, len($c) + 1)])))"""
+    def cosVV(a: String, b: String): String =
+      s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+            for i in range(1, len($a) + 1)]) /
+         (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+            for i in range(1, len($a) + 1)])) *
+          sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+            for i in range(1, len($b) + 1)])))"""
+    // per-round centroid CTEs: vR (k, v) -> exR -> ceR -> clR -> rkR
+    val rounds = (0 to lloydRounds).map { r =>
+      val src = if (r == 0)
+        s"v$r AS (SELECT label AS k, embedding AS v FROM embeddings)"
+      else
+        s"v$r AS (SELECT k, v FROM rk${r - 1} WHERE rn = 1)"
+      s"""$src,
+         ex$r AS (SELECT k, unnest(v) AS x,
+             generate_subscripts(v, 1) AS dim FROM v$r),
+         ce$r AS (SELECT k, dim,
+             CAST(SUM(CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
+           FROM ex$r GROUP BY k, dim),
+         cl$r AS (SELECT k, list(c ORDER BY dim) AS cv
+           FROM ce$r GROUP BY k),
+         rk$r AS (
+           SELECT vec_id, v, k, cc,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cc DESC, k ASC) AS rn
+           FROM (
+             SELECT e.vec_id, e.embedding AS v, cl$r.k,
+               ${cosVC("e.embedding", "cv")} AS cc
+             FROM embeddings e CROSS JOIN cl$r))"""
+    }.mkString(",\n         ")
+    val last = lloydRounds
+    s"""WITH $rounds,
+         asg AS (SELECT vec_id, v, k AS cluster FROM rk$last WHERE rn = 1),
+         pr AS (SELECT vec_id AS q, v AS vq, k AS qc FROM rk$last
+                WHERE rn <= $nprobe AND vec_id % 50 = 0),
+         cand AS (
+           SELECT pr.q, a.vec_id,
+             floor(${cosVV("pr.vq", "a.v")} * 10000.0 + 0.5) / 10000.0
+               AS cos
+           FROM pr JOIN asg a
+             ON a.cluster = pr.qc AND a.vec_id <> pr.q)
+         SELECT q, vec_id, cos, rn FROM (
+           SELECT q, vec_id, cos, row_number() OVER (PARTITION BY q
+             ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM cand) WHERE rn <= 5 ORDER BY q, rn"""
+  }
 
   val oracles: Map[String, String] = Map(
     "v_knn_brute" ->
@@ -345,95 +388,8 @@ object Vectors {
                / (ea.nrm * eb.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
            FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
          SELECT a, b, cos FROM scored WHERE cos >= 0.4 ORDER BY a, b""",
-    "v_ann_ivf" ->
-      """WITH ex AS (
-           SELECT label, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS dim
-           FROM embeddings),
-         ce AS (
-           SELECT label, dim,
-             CAST(SUM(CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT))
-               AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
-           FROM ex GROUP BY label, dim),
-         cl AS (SELECT label, list(c ORDER BY dim) AS cv
-                FROM ce GROUP BY label),
-         sc AS (
-           SELECT e.vec_id, e.embedding AS v, cl.label AS cllab,
-             list_sum([e.embedding[i]::DOUBLE * cv[i]
-                 for i in range(1, len(cv) + 1)]) /
-             (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
-                 for i in range(1, len(e.embedding) + 1)])) *
-              sqrt(list_sum([cv[i] * cv[i]
-                 for i in range(1, len(cv) + 1)]))) AS cc
-           FROM embeddings e CROSS JOIN cl),
-         asg AS (
-           SELECT vec_id, v, cllab AS cluster FROM (
-             SELECT vec_id, v, cllab, cc,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY cc DESC, cllab ASC) AS rn
-             FROM sc) WHERE rn = 1),
-         pr AS (SELECT vec_id AS q, v AS vq, cluster AS qc
-                FROM asg WHERE vec_id % 50 = 0),
-         cand AS (
-           SELECT pr.q, a.vec_id,
-             floor(list_sum([pr.vq[i]::DOUBLE * a.v[i]::DOUBLE
-                 for i in range(1, len(pr.vq) + 1)]) /
-               (sqrt(list_sum([pr.vq[i]::DOUBLE * pr.vq[i]::DOUBLE
-                 for i in range(1, len(pr.vq) + 1)])) *
-                sqrt(list_sum([a.v[i]::DOUBLE * a.v[i]::DOUBLE
-                 for i in range(1, len(a.v) + 1)])))
-               * 10000.0 + 0.5) / 10000.0 AS cos
-           FROM pr JOIN asg a
-             ON a.cluster = pr.qc AND a.vec_id <> pr.q)
-         SELECT q, vec_id, cos, rn FROM (
-           SELECT q, vec_id, cos, row_number() OVER (PARTITION BY q
-             ORDER BY cos DESC, vec_id ASC) AS rn
-           FROM cand) WHERE rn <= 5 ORDER BY q, rn""",
-    "v_ann_ivf2" ->
-      """WITH ex AS (
-           SELECT label, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS dim
-           FROM embeddings),
-         ce AS (
-           SELECT label, dim,
-             CAST(SUM(CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT))
-               AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
-           FROM ex GROUP BY label, dim),
-         cl AS (SELECT label, list(c ORDER BY dim) AS cv
-                FROM ce GROUP BY label),
-         ranked AS (
-           SELECT vec_id, v, cllab, cc,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY cc DESC, cllab ASC) AS rn
-           FROM (
-             SELECT e.vec_id, e.embedding AS v, cl.label AS cllab,
-               list_sum([e.embedding[i]::DOUBLE * cv[i]
-                   for i in range(1, len(cv) + 1)]) /
-               (sqrt(list_sum([e.embedding[i]::DOUBLE
-                   * e.embedding[i]::DOUBLE
-                   for i in range(1, len(e.embedding) + 1)])) *
-                sqrt(list_sum([cv[i] * cv[i]
-                   for i in range(1, len(cv) + 1)]))) AS cc
-             FROM embeddings e CROSS JOIN cl)),
-         asg AS (SELECT vec_id, v, cllab AS cluster FROM ranked
-                 WHERE rn = 1),
-         pr AS (SELECT vec_id AS q, v AS vq, cllab AS qc FROM ranked
-                WHERE rn <= 2 AND vec_id % 50 = 0),
-         cand AS (
-           SELECT DISTINCT pr.q, a.vec_id,
-             floor(list_sum([pr.vq[i]::DOUBLE * a.v[i]::DOUBLE
-                 for i in range(1, len(pr.vq) + 1)]) /
-               (sqrt(list_sum([pr.vq[i]::DOUBLE * pr.vq[i]::DOUBLE
-                 for i in range(1, len(pr.vq) + 1)])) *
-                sqrt(list_sum([a.v[i]::DOUBLE * a.v[i]::DOUBLE
-                 for i in range(1, len(a.v) + 1)])))
-               * 10000.0 + 0.5) / 10000.0 AS cos
-           FROM pr JOIN asg a
-             ON a.cluster = pr.qc AND a.vec_id <> pr.q)
-         SELECT q, vec_id, cos, rn FROM (
-           SELECT q, vec_id, cos, row_number() OVER (PARTITION BY q
-             ORDER BY cos DESC, vec_id ASC) AS rn
-           FROM cand) WHERE rn <= 5 ORDER BY q, rn""",
+    "v_ann_ivf" -> ivfSql(nprobe = 1, lloydRounds = 1),
+    "v_ann_ivf2" -> ivfSql(nprobe = 2, lloydRounds = 1),
     "v_centroid" ->
       """SELECT label, i - 1 AS dim,
            CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)

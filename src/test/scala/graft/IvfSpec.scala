@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Vectors, fdot, roundf}
+
+/** IVF ANN quality: recall@5 against the exact answer, as a function of
+  * nprobe — the honest disclosure the VERDICT asked for. The quantizer is
+  * the label-seeded, one-Lloyd-round deterministic one the registered
+  * v_ann_ivf* queries use.
+  */
+class IvfSpec extends SparkTestBase {
+
+  private val testdataRoot = sys.env.getOrElse("SPARK_GRAFT_TESTDATA",
+    sys.props.getOrElse("graft.testdata", "/root/testdata"))
+
+  private def requireFixture(sf: String): String = {
+    val d = s"$testdataRoot/$sf"
+    assume(new java.io.File(d).isDirectory, s"fixture $d absent — skipping")
+    d
+  }
+
+  /** Exact top-5 per probe (same probe rule as ivfTopK). */
+  private def bruteTop5(d: String): Map[Long, Set[Long]] = {
+    val e = graft.etl.Tables.load(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"), col("v").as("vq"),
+        col("nrm").as("nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(desc("cos"), asc("vec_id"))
+    probes.join(e, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"),
+        roundf(fdot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  test("recall@5 rises with nprobe and is disclosed") {
+    val d = requireFixture("sf0.01")
+    val exact = bruteTop5(d)
+    assert(exact.nonEmpty)
+    val recalls = Seq(1, 2, 4).map { np =>
+      val got = Vectors.ivfTopK(spark, d, nprobe = np, lloydRounds = 1)
+        .select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val r = exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / exact.size
+      info(f"nprobe=$np recall@5 = $r%.2f")
+      np -> r
+    }.toMap
+    // the knob must actually buy recall, and the floor must be honest
+    assert(recalls(1) >= 0.2, s"nprobe=1 recall collapsed: ${recalls(1)}")
+    assert(recalls(2) >= recalls(1))
+    assert(recalls(4) >= recalls(2))
+    assert(recalls(4) >= 0.5, s"nprobe=4 recall too low: ${recalls(4)}")
+  }
+
+  test("one Lloyd round does not degrade recall vs the raw label seeds") {
+    val d = requireFixture("sf0.01")
+    val exact = bruteTop5(d)
+    def recallOf(rounds: Int): Double = {
+      val got = Vectors.ivfTopK(spark, d, nprobe = 2, lloydRounds = rounds)
+        .select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / exact.size
+    }
+    val seeded = recallOf(0)
+    val lloyd = recallOf(1)
+    info(f"nprobe=2: seeds-only recall $seeded%.2f, one-Lloyd $lloyd%.2f")
+    assert(lloyd >= seeded - 0.1,
+      f"Lloyd round lost recall: $seeded%.2f -> $lloyd%.2f")
+  }
+}
