@@ -164,6 +164,193 @@ object Streams {
         OutputMode.Append)
   }
 
+  /** TTL-based per-user session state via transformWithState: sessions
+    * close on an inactivity gap (emitted with the event that opens the
+    * successor) and IDLE state self-expires through the state store's
+    * TTL — the state-size bound that a pure gap rule can't give you when
+    * a user goes away forever (at 100 TB of users, state that only grows
+    * is an outage; TTL makes abandonment reclaim automatic). Requires the
+    * RocksDB state store provider, like every transformWithState op.
+    */
+  final case class SessionEvent(user_id: Long, ts_ms: Long)
+  final case class SessionAgg(user_id: Long, start_ms: Long, last_ms: Long,
+      n: Long)
+
+  private class SessionTtlProcessor(gapMs: Long, ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionAgg] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      state = getHandle.getValueState[SessionAgg]("session",
+        Encoders.product[SessionAgg],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionAgg] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionAgg]
+      rows.toSeq.sortBy(_.ts_ms).foreach { e =>
+        Option(state.get()) match {
+          // merge also when the event is LATE (ts <= last): bounds stay
+          // monotone via min/max, so replays and stragglers never
+          // corrupt an open session or time-travel its start
+          case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
+            state.update(SessionAgg(key, math.min(s.start_ms, e.ts_ms),
+              math.max(s.last_ms, e.ts_ms), s.n + 1))
+          case prior =>
+            prior.foreach(out += _) // close the elapsed session
+            state.update(SessionAgg(key, e.ts_ms, e.ts_ms, 1L))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def sessionsTtl(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[SessionAgg] = {
+    import spark.implicits._
+    events.select(col("user_id"),
+        (col("ts").cast("double") * 1000).cast("long").as("ts_ms"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTtlProcessor(gapMs, ttl),
+        // TTL state REQUIRES ProcessingTime time mode (NoTime throws
+        // STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+  }
+
+  /** Per-user running aggregate BOOTSTRAPPED from a batch snapshot —
+    * transformWithState's initial-state overload. This is the standard
+    * migration/backfill move: the stream picks up exactly where a batch
+    * job (or a previous pipeline) left off, instead of re-counting
+    * history or starting from zero. The snapshot is any batch Dataset of
+    * the state rows, grouped by the same key.
+    */
+  private class RunningWithInitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, UserEvent, UserRunning, UserRunning] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInitialState(key: Long, initial: UserRunning,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunning] = {
+      var cur = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val out = rows.map { e =>
+        cur = UserRunning(key, cur.n + 1, cur.total + e.value)
+        cur
+      }.toList
+      state.update(cur)
+      out.iterator
+    }
+  }
+
+  def runningPerUserBootstrapped(spark: SparkSession, events: DataFrame,
+      snapshot: Dataset[UserRunning]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningWithInitProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append,
+        snapshot.groupByKey(_.user_id))
+  }
+
+  /** Band-level (sub-identity) near-dup evidence: each arriving document
+    * is split into its LSH band keys (the same 4×3 banding as
+    * d_minhash_pairs — one shared constant family); per band key, state
+    * remembers the FIRST document that claimed it (TTL-bounded). Every
+    * input row yields one evidence row per band: which prior doc (if any)
+    * already held that band. A doc whose bands are ALL claimed by prior
+    * docs is a near-dup candidate even when its full 12-component
+    * signature differs — the sub-identity widening nearDupSuppress can't
+    * see. The per-doc verdict is a stateless aggregation the consumer
+    * applies downstream (`bandSuppressVerdict`) — Spark disallows an
+    * aggregation stacked on a TimeMode.None stateful operator in the same
+    * append-mode query, and the evidence rows are the more reusable
+    * surface anyway (audit trails, threshold tuning).
+    */
+  final case class BandKeyed(doc_id: Long, band_key: String)
+  final case class BandHit(doc_id: Long, band_key: String, dup_of: Long)
+
+  private class BandClaimProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BandKeyed, BandHit] {
+    @transient private var first:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import org.apache.spark.sql.Encoders
+      first = getHandle.getValueState[Long]("first", Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[BandKeyed],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[BandHit] = {
+      rows.toSeq.sortBy(_.doc_id).map { r =>
+        val owner = Option(first.get()).getOrElse {
+          first.update(r.doc_id); r.doc_id
+        }
+        BandHit(r.doc_id, key, owner)
+      }.iterator
+    }
+  }
+
+  def bandDupEvidence(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String,
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : Dataset[BandHit] = {
+    import spark.implicits._
+    val sigs = docs.withColumn("__mh",
+      org.apache.spark.sql.graftshim.ShingleMinHashes
+        .shingleMinhashes(split(col(textCol), " "), 5, 12))
+    // 4 bands of 3 signature components, matching Dedup's banding
+    val banded = sigs.select(col(idCol).as("doc_id"),
+      explode(array((0 until 4).map(b =>
+        concat_ws(",", lit(b.toString),
+          slice(col("__mh"), b * 3 + 1, 3).cast("array<string>"))): _*))
+        .as("band_key"))
+    banded.as[BandKeyed]
+      .groupByKey(_.band_key)
+      .transformWithState(new BandClaimProcessor(ttl),
+        // ProcessingTime: required for the TTL'd band state (see above)
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+  }
+
+  /** Per-doc verdict over drained band evidence: suppressed iff at least
+    * `minBands` of its bands were first claimed by ANOTHER document. */
+  def bandSuppressVerdict(evidence: DataFrame, minBands: Int): DataFrame =
+    evidence
+      .groupBy("doc_id")
+      .agg(sum(when(col("dup_of") =!= col("doc_id"), 1)
+        .otherwise(0)).as("dup_bands"))
+      .select(col("doc_id"),
+        (col("dup_bands") >= minBands).as("suppressed"))
+
   /** Run a streaming query to completion over the files currently present
     * (Trigger.AvailableNow — the batch-parity mode), writing to an
     * in-memory table. Returns the drained query. This is the "bulk job"

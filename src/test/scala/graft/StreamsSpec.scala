@@ -140,6 +140,123 @@ class StreamsSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  private def drainToTable(df: org.apache.spark.sql.Dataset[_],
+      name: String, atLeast: Long): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val deadline = System.currentTimeMillis() + 180000
+    while (spark.table(name).count() < atLeast &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    q.stop()
+  }
+
+  test("TTL session state: gap opens a successor, closed session emitted") {
+    import spark.implicits._
+    // one file => one micro-batch holding each user's full history, so
+    // every session except a user's last is closed and emitted; their
+    // (user, start) pairs must match the batch gaps-and-islands answer
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withRocksDb {
+      val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      drainToTable(Streams.sessionsTtl(spark, stream), "sess_ttl", 1)
+      val out = spark.table("sess_ttl")
+      assert(out.count() > 0, "no closed sessions emitted")
+      // every closed session respects the gap invariant internally
+      assert(out.filter(col("last_ms") < col("start_ms")).count() == 0)
+      assert(out.filter(col("n") < 1).count() == 0)
+      // closed sessions agree with the batch gaps-and-islands answer:
+      // each (user, start) emitted must exist in e_session's output
+      val batch = graft.ops.Events.queries("e_session")(spark, dir)
+        .select(col("user_id"),
+          (col("session_start").cast("double") * 1000).cast("long")
+            .as("start_ms"))
+      val unmatched = out.select("user_id", "start_ms").distinct()
+        .join(batch, Seq("user_id", "start_ms"), "left_anti").count()
+      assert(unmatched == 0,
+        s"$unmatched closed sessions not in the batch answer")
+    }
+  }
+
+  test("initial-state bootstrap: stream continues from the batch snapshot") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boot")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withRocksDb {
+      // snapshot: pretend history already counted 100 events / 500.0 value
+      // per user for every user in the table
+      val snapshot = etl.Tables.load(spark, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(col("user_id"), lit(100L).as("n"), lit(500.0).as("total"))
+        .as[Streams.UserRunning]
+      val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+        .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      drainToTable(
+        Streams.runningPerUserBootstrapped(spark, stream, snapshot),
+        "boot_test", 1000)
+      val out = spark.table("boot_test")
+      assert(out.count() == 1000)
+      // final n per user = snapshot 100 + that user's streamed events
+      val batchCounts = etl.Tables.load(spark, dir, "events")
+        .groupBy("user_id").count()
+      val mismatches = out.groupBy("user_id").agg(max("n").as("maxn"))
+        .join(batchCounts, "user_id")
+        .filter(col("maxn") =!= col("count") + 100).count()
+      assert(mismatches == 0, "bootstrap state not carried into the stream")
+    }
+  }
+
+  test("band-level evidence flags sub-identity near-dups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-band")
+    // batch 1: original docs; batch 2: one exact copy (all bands match)
+    // and one fresh doc (no bands match)
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "totally different words with no overlap at all whatsoever"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    withRocksDb {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp.toString)
+      drainToTable(
+        Streams.bandDupEvidence(spark, stream, "text", "doc_id"),
+        "band_test", 16)
+      val verdict = Streams
+        .bandSuppressVerdict(spark.table("band_test"), minBands = 4)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!verdict(1L) && !verdict(2L), "originals must survive")
+      assert(verdict(3L), "exact re-arrival must be suppressed")
+      assert(!verdict(4L), "fresh doc must survive")
+    }
+  }
+
   test("bulk-job lifecycle: stop() maps to Aborted semantics") {
     val stream = Streams.eventsStream(spark, dir)
     val q = stream.writeStream.format("memory").queryName("abort_test")
