@@ -8,7 +8,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes,
   Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType,
@@ -30,12 +31,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType,
   * equals min over its set, so repeated h0 values can't change any
   * signature component.
   *
-  * CodegenFallback by design: the irreducible cost is md5 itself; the
-  * win is fusing away the per-shingle expression-tree interpretation and
-  * allocation (≈2× on the dedup bench), not codegening the digest.
+  * Codegen: the generated code is one virtual call into `compute` on the
+  * referenced instance — the irreducible cost is md5 itself, so there is
+  * nothing to gain from inlining the loop, but the call-shaped codegen
+  * (vs the earlier CodegenFallback) keeps the enclosing operator inside
+  * WholeStageCodegen instead of demoting the whole projection to the
+  * interpreted path.
   */
 case class ShingleMinHashes(child: Expression, k: Int, numHashes: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
   require(numHashes >= 1 && numHashes <= 64,
@@ -54,10 +58,19 @@ case class ShingleMinHashes(child: Expression, k: Int, numHashes: Int)
   private val affB: Array[Long] =
     Array.tabulate(numHashes)(i => i * 15485863L)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  // one digest per thread, not per row — the expression instance is
+  // shared across a partition's rows (and, under WSCG, across tasks via
+  // the references array), so a plain field would race
+  @transient private lazy val localMd: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public so generated code can call it (doGenCode). */
+  def compute(words: ArrayData): ArrayData = {
     val n = words.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     val nShingles = math.max(n - k + 1, 1)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val sb = new java.lang.StringBuilder(64)
@@ -87,6 +100,14 @@ case class ShingleMinHashes(child: Expression, k: Int, numHashes: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleMinhashes", this,
+      classOf[ShingleMinHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
