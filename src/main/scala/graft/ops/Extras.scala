@@ -64,6 +64,21 @@ object Extras {
           lit(":"), col("l_linenumber").cast("string"))) % 100 < 7)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Stratified sampling: a DIFFERENT deterministic fraction per stratum
+    // (label ℓ keeps (ℓ+1)/20) — the reproducible-on-re-run equivalent of
+    // df.stat.sampleBy, whose seed depends on partition layout and is
+    // useless for auditable pipelines. Same pushed-filter shape as
+    // x_sample: no shuffle, no extra pass; the per-stratum fraction is a
+    // pure function of the row, so executors need no shared state.
+    "x_stratified" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .filter(pmod(portableHash(concat(col("vec_id").cast("string"),
+          lit("|"), col("label").cast("string"))), lit(1000)) <
+          (col("label") + 1) * 50)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -97,5 +112,11 @@ object Extras {
          FROM lineitem
          WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber),
            1, 15))::BIGINT % 100 < 7
-         ORDER BY l_orderkey, l_linenumber""")
+         ORDER BY l_orderkey, l_linenumber""",
+    "x_stratified" ->
+      """SELECT vec_id, label
+         FROM embeddings
+         WHERE ('0x' || substr(md5(vec_id || '|' || label),
+           1, 15))::BIGINT % 1000 < (label + 1) * 50
+         ORDER BY vec_id""")
 }

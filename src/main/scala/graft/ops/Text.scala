@@ -157,6 +157,36 @@ object Text {
         .groupBy("word").agg(count("*").as("n"))
         .orderBy(desc("n"), asc("word"))
         .limit(50)
+    }),
+
+    // Benchmark decontamination: flag training documents sharing any
+    // 4-gram with a held-out benchmark set — the standard pre-training
+    // hygiene pass (an n-gram hit against an eval set means the model
+    // would train on its own test; production pipelines use 8-13-grams,
+    // 4 here because the synthetic corpus's ~900-word vocabulary makes
+    // longer grams never collide). The benchmark is the deterministic 1%
+    // slice doc_id % 97 == 0 (stand-in for the real eval files). Scale
+    // shape: benchmark n-grams are SMALL (eval sets are thousands of
+    // docs, not billions) → broadcast + semi-style
+    // equi-join against the corpus's exploded 8-grams; the corpus is
+    // touched once, never shuffled on n-gram. Output: contaminated doc →
+    // how many distinct 8-grams it shares.
+    "t_contam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val grams4 = (c: org.apache.spark.sql.Column) => {
+        val w = words(c)
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(w) - 3, lit(1))),
+          i => concat_ws(" ", slice(w, i, lit(4)))))
+      }
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(grams4(col("text"))).as("ng")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(grams4(col("text"))).as("ng"))
+        .join(broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(count("*").as("n_contam"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -257,5 +287,19 @@ object Text {
       """SELECT word, COUNT(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents)
-         GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""")
+         GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
+    // 4-gram enumeration mirrors the Spark grams4 helper: i ∈
+    // [1, max(len-3, 1)], short docs yield one truncated gram.
+    "t_contam" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+               for i in range(1, greatest(len(w) - 3, 1) + 1)])) AS ng
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         bench AS (SELECT DISTINCT ng FROM sh WHERE doc_id % 97 = 0)
+         SELECT s.doc_id, COUNT(*) AS n_contam
+         FROM sh s JOIN bench b USING (ng)
+         WHERE s.doc_id % 97 <> 0
+         GROUP BY s.doc_id ORDER BY s.doc_id""")
 }

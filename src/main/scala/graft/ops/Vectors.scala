@@ -275,6 +275,37 @@ object Vectors {
             .cast("long")).as("sum_x_e6"),
           count("*").as("n"))
         .orderBy("label", "dim")
+    }),
+
+    // Symmetric int8 quantization — the storage lever that makes a
+    // 100 TB embedding corpus a 25 TB one: q_i = ⌊x_i·(127/max|x|)+½⌋
+    // per vector, plus the cosine between the dequantized and original
+    // vector (qcos ≈ 1 quantifies the fidelity loss the downstream ANN
+    // inherits). Everything is closed-form IEEE arithmetic (divide,
+    // multiply, floor) on per-row values — bit-identical across engines,
+    // one codegen'd pass, no shuffle at all. Rows with max|x| = 0 are
+    // excluded in both engines (no scale exists).
+    "v_quant" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .withColumn("maxabs", array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))))
+        .filter(col("maxabs") > 0)
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") * (lit(127.0) / col("maxabs")) +
+            lit(0.5)).cast("long")))
+      val deq = transform(col("q"),
+        qi => qi.cast("double") * (col("maxabs") / lit(127.0)))
+      val dotQV = aggregate(
+        zip_with(deq, col("embedding"), (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val nrmQ = sqrt(aggregate(transform(deq, a => a * a),
+        lit(0.0), (acc, v) => acc + v))
+      val nrmV = sqrt(aggregate(transform(col("embedding"),
+        b => b.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      e.select(col("vec_id"), col("q"),
+          roundf(dotQV / (nrmQ * nrmV), 4).as("qcos"))
+        .orderBy("vec_id")
     }))
 
   private[ops] def planesSql: String =
@@ -398,5 +429,26 @@ object Vectors {
          FROM (SELECT label, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS i
                FROM embeddings)
-         GROUP BY label, dim ORDER BY label, dim""")
+         GROUP BY label, dim ORDER BY label, dim""",
+    "v_quant" ->
+      """WITH m AS (
+           SELECT vec_id, embedding AS v,
+             list_max([abs(x::DOUBLE) for x in v]) AS maxabs
+           FROM embeddings),
+         qz AS (
+           SELECT vec_id, v, maxabs,
+             [CAST(floor(x::DOUBLE * (127.0 / maxabs) + 0.5) AS BIGINT)
+               for x in v] AS q
+           FROM m WHERE maxabs > 0)
+         SELECT vec_id, q,
+           floor(
+             list_sum([(q[i]::DOUBLE * (maxabs / 127.0)) * (v[i]::DOUBLE)
+               for i in range(1, len(v) + 1)]) /
+             (sqrt(list_sum([(q[i]::DOUBLE * (maxabs / 127.0))
+                 * (q[i]::DOUBLE * (maxabs / 127.0))
+               for i in range(1, len(v) + 1)])) *
+              sqrt(list_sum([(v[i]::DOUBLE) * (v[i]::DOUBLE)
+               for i in range(1, len(v) + 1)])))
+             * 10000.0 + 0.5) / 10000.0 AS qcos
+         FROM qz ORDER BY vec_id""")
 }
