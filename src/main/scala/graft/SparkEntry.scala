@@ -56,7 +56,8 @@ object SparkEntry {
       "o3_topk", "a3_distinct", "t_quality", "d_minhash_pairs",
       "d_embed_pairs", "v_knn_brute", "v_ann_lsh", "e_session", "f_json",
       "s3_csv_roundtrip", "w1_rank", "e_tumble", "t_fingerprint",
-      "j7_range", "x_percentile", "m_decode_features", "d_simhash")
+      "j7_range", "x_percentile", "m_decode_features", "d_simhash",
+      "d_ngram_jaccard", "d_clusters", "t_contam", "v_quant")
     val have = queries.keySet
     preferred.filter(have)
   }

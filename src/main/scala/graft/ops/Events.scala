@@ -36,6 +36,29 @@ object Events {
         .orderBy("ws")
     }),
 
+    // Gap-filled hourly series: the date-spine pattern — generate every
+    // hour in the data's range (sequence + explode: a GENERATOR, no
+    // table scan), cross the handful of event types, left-join the real
+    // hourly counts, fill absences with 0. Dashboards and training-curve
+    // downstream consumers need dense series; the spine stays tiny at any
+    // data scale (hours-in-range × |types|), so the crossJoin is a
+    // broadcast of a few thousand rows even at 100 TB.
+    "e_gapfill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val hourly = ev.groupBy("h", "event_type")
+        .agg(count("*").as("n"))
+      val spine = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      spine.crossJoin(broadcast(types))
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("h", "event_type")
+    }),
+
     // Session windows: 30-minute inactivity gap per user. Spark's
     // session_window end = last event + gap; the oracle reproduces that via
     // gaps-and-islands (lag + cumulative flag sum).
@@ -65,6 +88,20 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "e_gapfill" ->
+      """WITH ev AS (
+           SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+         hourly AS (
+           SELECT h, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         spine AS (
+           SELECT unnest(generate_series(
+             (SELECT min(h) FROM ev), (SELECT max(h) FROM ev),
+             INTERVAL 1 HOUR)) AS h),
+         types AS (SELECT DISTINCT event_type FROM ev)
+         SELECT s.h, t.event_type, COALESCE(hh.n, 0) AS n
+         FROM spine s CROSS JOIN types t
+         LEFT JOIN hourly hh ON hh.h = s.h AND hh.event_type = t.event_type
+         ORDER BY s.h, t.event_type""",
     "e_tumble" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -159,6 +159,36 @@ object Text {
         .limit(50)
     }),
 
+    // TF-IDF top terms per document (characteristic-term extraction, the
+    // classic corpus-analysis op). Score = tf · N/df — the RATIONAL idf
+    // surrogate, not ln(N/df): log is a libm transcendental whose last
+    // bit differs across engines, while tf·N/df is one exact integer
+    // product and one correctly-rounded IEEE divide, so both engines and
+    // every re-run agree bit-for-bit (same monotone ranking per doc
+    // since tf·x preserves order in x). Two-phase aggs keep shuffles at
+    // |doc×term| and |vocab|; the df side is vocabulary-sized →
+    // auto-broadcast at any corpus scale.
+    "t_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("word"))
+      val tf = toks.groupBy("doc_id", "word").agg(count("*").as("tf"))
+      val dfreq = toks.distinct()
+        .groupBy("word").agg(count("*").as("df"))
+      val nDocs = docs.count()
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("word"))
+      tf.join(dfreq, "word")
+        .select(col("doc_id"), col("word"),
+          roundf(col("tf").cast("double") * lit(nDocs.toDouble) /
+            col("df").cast("double"), 4).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "word", "score", "rn")
+        .orderBy("doc_id", "rn")
+    }),
+
     // Benchmark decontamination: flag training documents sharing any
     // 4-gram with a held-out benchmark set — the standard pre-training
     // hygiene pass (an n-gram hit against an eval set means the model
@@ -288,6 +318,26 @@ object Text {
          FROM (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
+    "t_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT word, COUNT(*) AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM toks)
+                   GROUP BY 1),
+         n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.word,
+             floor(tf.tf::DOUBLE * n.nd / dfreq.df::DOUBLE
+               * 10000.0 + 0.5) / 10000.0 AS score
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         SELECT doc_id, word, score, rn FROM (
+           SELECT doc_id, word, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+           FROM scored)
+         WHERE rn <= 3 ORDER BY doc_id, rn""",
     // 4-gram enumeration mirrors the Spark grams4 helper: i ∈
     // [1, max(len-3, 1)], short docs yield one truncated gram.
     "t_contam" ->
