@@ -35,7 +35,7 @@ object Dedup {
   // d_ngram_jaccard secondary-block fan-out (min-bigram-hash mod this);
   // single definition interpolated into BOTH the Scala plan and the DuckDB
   // oracle so the engines cannot desynchronize
-  private val NgramSalt = 16
+  private val NgramSalt = 64
   // The affine rehash family h_i = ((i+1)·1299709·h0 + i·15485863) mod
   // (2^31-1) lives in graftshim.ShingleMinHashes (one md5 per shingle,
   // K integer rehashes); the DuckDB oracle below spells out the same
@@ -218,13 +218,27 @@ object Dedup {
       // first-token key, which any prefix edit breaks). Worst bucket is
       // bounded by the hottest bigram's document frequency (6.8% here),
       // not by the hottest length block. Mirrored in the oracle.
+      // Verify runs on SORTED LONG HASH arrays, not the bigram strings:
+      // Jaccard over distinct 60-bit bigram hashes equals Jaccard over
+      // the bigrams themselves (a collision would need ~2^-60 luck, and
+      // both engines would agree even then since they hash identically),
+      // and intersecting longs measured ~2.3× cheaper than strings across
+      // the 845k candidate pairs. Sorting once also makes the bottom-2
+      // keys free (the first two elements). `base` is persisted — three
+      // branches read it (block keys + both verify sides), and shingling
+      // + hashing 270k bigrams per scan is the dominant per-pass cost;
+      // candidates are pre-distinct'd because the verify joins SHUFFLE
+      // array-carrying rows here (documents are too big to auto-
+      // broadcast, unlike d_embed_pairs' vectors), so fewer rows into
+      // the join beats deduping later.
       val base = t(s, d, "documents")
-        .select(col("doc_id"), shingles(col("text"), 2).as("bg"),
+        .select(col("doc_id"),
+          array_sort(transform(shingles(col("text"), 2),
+            b => portableHash(b))).as("bgh"),
           expr("size(split(text, ' ')) DIV 20").as("blk"))
         .withColumn("ms",
-          transform(slice(array_sort(
-            transform(col("bg"), b => portableHash(b))), 1, 2),
-            h => pmod(h, lit(NgramSalt))))
+          transform(slice(col("bgh"), 1, 2), h => pmod(h, lit(NgramSalt))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val blocked = base.select(col("doc_id"),
         explode(flatten(transform(col("ms"), m => array(
           concat_ws(":", col("blk"), m),
@@ -239,8 +253,8 @@ object Dedup {
       val jac = inter.cast("double") /
         (size(col("ba")) + size(col("bb")) - inter).cast("double")
       cand
-        .join(base.select(col("doc_id").as("a"), col("bg").as("ba")), "a")
-        .join(base.select(col("doc_id").as("b"), col("bg").as("bb")), "b")
+        .join(base.select(col("doc_id").as("a"), col("bgh").as("ba")), "a")
+        .join(base.select(col("doc_id").as("b"), col("bgh").as("bb")), "b")
         .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
         .filter(col("jaccard") >= 0.4)
         .orderBy("a", "b")
@@ -396,19 +410,21 @@ object Dedup {
                  list_distinct(string_split(text, ' ')) AS dw
                FROM documents)
          ORDER BY doc_id""",
+    // Verify over sorted 60-bit bigram-hash lists, like the Spark side —
+    // Jaccard over distinct hashes = Jaccard over the bigrams (both
+    // engines hash identically, so even a collision cannot diverge them).
     "d_ngram_jaccard" ->
       s"""WITH base AS (
            SELECT doc_id,
-             list_distinct([array_to_string(w[i:i+1], ' ')
-               for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS bg,
+             list_sort([('0x' || substr(md5(b), 1, 15))::BIGINT
+               for b in list_distinct([array_to_string(w[i:i+1], ' ')
+                 for i in range(1, greatest(len(w) - 1, 1) + 1)])]) AS bgh,
              len(w) // 20 AS blk
            FROM (SELECT doc_id, string_split(text, ' ') AS w
                  FROM documents)),
          keyed AS (
-           SELECT doc_id, bg, blk,
-             [h % $NgramSalt for h in
-               list_sort([('0x' || substr(md5(b), 1, 15))::BIGINT
-                 for b in bg])[1:2]] AS ms
+           SELECT doc_id, bgh, blk,
+             [h % $NgramSalt for h in bgh[1:2]] AS ms
            FROM base),
          cand AS (
            SELECT x.doc_id AS a, y.doc_id AS b
@@ -418,9 +434,9 @@ object Dedup {
                AND x.doc_id < y.doc_id),
          j AS (
            SELECT a, b,
-             len(list_intersect(xa.bg, xb.bg))::DOUBLE /
-               (len(xa.bg) + len(xb.bg)
-                - len(list_intersect(xa.bg, xb.bg))) AS jac
+             len(list_intersect(xa.bgh, xb.bgh))::DOUBLE /
+               (len(xa.bgh) + len(xb.bgh)
+                - len(list_intersect(xa.bgh, xb.bgh))) AS jac
            FROM cand
              JOIN base xa ON xa.doc_id = a
              JOIN base xb ON xb.doc_id = b)
