@@ -59,6 +59,49 @@ object Events {
         .orderBy("h", "event_type")
     }),
 
+    // Cohort retention matrix: users keyed by first-active day, counted
+    // on each later active day — the standard product-analytics view.
+    // Shape: one distinct on (user, day), one per-user min, one
+    // re-join + count; the cohort table is |users| rows (broadcast at
+    // this SF, plain hash join at 100 TB — both sides already partition
+    // on user_id, so Catalyst reuses the exchange).
+    "e_retention" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val coh = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+      act.join(coh, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count("*").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Ordered funnel: view → first click AFTER the first view → first
+    // purchase AFTER that click, per user; one row of stage populations.
+    // The sequential dependency makes this three conditional min-aggs,
+    // each joined back on user_id — every stage shuffles on the SAME key,
+    // so the exchanges after stage 1 are reused, and each stage's input
+    // shrinks (funnels only narrow).
+    "e_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count("*").as("n_view_users"))
+        .crossJoin(c.agg(count("*").as("n_click_users")))
+        .crossJoin(p.agg(count("*").as("n_purchase_users")))
+    }),
+
     // Session windows: 30-minute inactivity gap per user. Spark's
     // session_window end = last event + gap; the oracle reproduces that via
     // gaps-and-islands (lag + cumulative flag sum).
@@ -88,6 +131,35 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "e_retention" ->
+      """WITH act AS (
+           -- CAST: DuckDB date_trunc('day') yields DATE; Spark's yields
+           -- TIMESTAMP — align the oracle's type with the Spark side
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events),
+         coh AS (SELECT user_id, min(day) AS cohort_day
+                 FROM act GROUP BY 1)
+         SELECT coh.cohort_day,
+           date_diff('day', coh.cohort_day, act.day) AS day_offset,
+           COUNT(*) AS n_users
+         FROM act JOIN coh USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+         v AS (SELECT user_id, min(ts) AS t_view FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT ev.user_id, min(ev.ts) AS t_click
+               FROM ev JOIN v USING (user_id)
+               WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+               GROUP BY 1),
+         p AS (SELECT ev.user_id, min(ev.ts) AS t_purchase
+               FROM ev JOIN c USING (user_id)
+               WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+               GROUP BY 1)
+         SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+                (SELECT COUNT(*) FROM c) AS n_click_users,
+                (SELECT COUNT(*) FROM p) AS n_purchase_users""",
     "e_gapfill" ->
       """WITH ev AS (
            SELECT date_trunc('hour', ts) AS h, event_type FROM events),
