@@ -69,4 +69,36 @@ class PropertySpec extends SparkTestBase {
       ev.select("user_id").distinct().count())
     assert(once.exceptAll(twice).count() == 0)
   }
+
+  test("int8 quantization: |q| <= 127, extremum saturates, fidelity high") {
+    val out = ops.Vectors.queries("v_quant")(spark, dir)
+      .select(col("vec_id"), col("q"), col("qcos"))
+    val bad = out.filter(exists(col("q"),
+      qi => abs(qi) > 127)).count()
+    assert(bad == 0, s"$bad vectors quantized outside [-127, 127]")
+    // the max-|x| component maps to exactly ±127 by construction
+    val noSat = out.filter(!exists(col("q"),
+      qi => abs(qi) === 127)).count()
+    assert(noSat == 0, s"$noSat vectors lost their saturated extremum")
+    // dequantized cosine stays near 1 (64-dim, 8-bit: tight)
+    val minQcos = out.agg(min("qcos")).collect()(0).getDouble(0)
+    assert(minQcos > 0.99, s"quantization fidelity collapsed: $minQcos")
+  }
+
+  test("funnel stages only narrow") {
+    val r = ops.Events.queries("e_funnel")(spark, dir).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel widened: $v -> $c -> $p")
+    assert(v > 0)
+  }
+
+  test("gap-filled series is dense: every hour x type present exactly once") {
+    val out = ops.Events.queries("e_gapfill")(spark, dir)
+    val hours = out.select("h").distinct().count()
+    val types = out.select("event_type").distinct().count()
+    assert(out.count() == hours * types,
+      "spine x types grid has holes or duplicates")
+    assert(out.groupBy("h", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
