@@ -78,6 +78,18 @@ object Load {
       implicit g: graft.schema.SqlGenerator): String =
     g.createTable(table, df.schema)
 
+  /** Write a table hive-partitioned by a column (one directory per
+    * value). The OTHER 100 TB lever next to bucketing: a time/tenant
+    * filter then prunes whole partitions at PLANNING time — the scan
+    * never lists, let alone reads, the excluded directories
+    * (PartitionPruneSpec proves file-level pruning). Keep partition
+    * cardinality bounded (days, not user ids): each value is a
+    * directory, and millions of tiny partitions thrash the listing path.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with ZERO shuffle — at 100 TB this is THE
     * lever for repeated fact⋈fact joins that broadcast can't cover
