@@ -36,9 +36,14 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, kind: String, luma: Long, n_pixels: Long)
 
+  /** A resized visual object (aspect-preserving fit into a square). */
+  final case class MediaResized(
+      media_id: Long, kind: String, out_w: Int, out_h: Int, checksum: Long)
+
   /** Decode interface. Production: JNI/FFmpeg/javax.imageio. */
   trait MediaCodec extends Serializable {
     def decode(m: MediaRow): MediaFeatures
+    def resize(m: MediaRow, target: Int): MediaResized
   }
 
   /** ===== STUB ===== Deterministic fake decode: "luminance" is derived
@@ -52,6 +57,16 @@ object Multimodal {
     def decode(m: MediaRow): MediaFeatures =
       MediaFeatures(m.media_id, m.kind, hash60(m.content) % 1000L,
         m.width.toLong * m.height.toLong)
+    // Aspect-preserving fit: INTEGER arithmetic only ((w·T) div max-side)
+    // so every engine and re-run lands on identical output dims; the
+    // checksum stands in for a resampled-pixels digest.
+    def resize(m: MediaRow, target: Int): MediaResized = {
+      val mx = math.max(m.width, m.height)
+      val ow = m.width * target / mx
+      val oh = m.height * target / mx
+      MediaResized(m.media_id, m.kind, ow, oh,
+        (hash60(m.content) + ow.toLong * 31L + oh.toLong) % 1000L)
+    }
   }
 
   /** Synthesize the media table from documents (see class doc). */
@@ -61,9 +76,26 @@ object Multimodal {
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3).cast("int") + 1).as("kind"),
       encode(col("text"), "UTF-8").as("content"),
-      lit(640).as("width"), lit(480).as("height"),
+      // per-row dims (not a constant): resize/decode outputs must vary
+      (lit(320) + (col("doc_id") % 5).cast("int") * 160).as("width"),
+      (lit(240) + (col("doc_id") % 7).cast("int") * 120).as("height"),
       lit(16000).as("sample_rate"),
       (lit(1000L) + (col("doc_id") % 60) * 250L).as("duration_ms"))
+
+  /** Resize through the same typed mapPartitions micro-batch path as
+    * decodeFeatures — the per-partition batch shape a real resampler
+    * (libvips/ffmpeg) wants.
+    */
+  def resizeAll(s: SparkSession, media: DataFrame, codec: MediaCodec,
+      target: Int, partitions: Int): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow]
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.map(codec.resize(_, target)))
+      }
+      .toDF()
+  }
 
   /** Decode features over partition-local micro-batches of 64 (the batch
     * shape a columnar/Arrow codec wants); `repartition` first so decode CPU
@@ -93,6 +125,16 @@ object Multimodal {
         .orderBy("kind")
     }),
 
+    // Resize (visual kinds only) into a 224-box through the typed codec
+    // path: the standard vision-model preprocessing stage; audio rows are
+    // filtered before the shuffle, not after the decode.
+    "m_resize" -> ((s, d) => {
+      resizeAll(s, mediaTable(s, d).filter(col("kind") =!= "audio"),
+        StubCodec, target = 224,
+        s.sparkContext.defaultParallelism)
+        .orderBy("media_id")
+    }),
+
     // Frame sampling: 4 evenly-spaced frames per video, each with a
     // deterministic per-frame feature (hash of payload ++ frame index) —
     // declarative explode, no UDF, so it scales as a plain generator.
@@ -113,12 +155,31 @@ object Multimodal {
       """SELECT kind, COUNT(*) AS n,
            CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000)
              AS BIGINT) AS sum_luma,
-           CAST(SUM(640::BIGINT * 480::BIGINT) AS BIGINT) AS sum_pixels
+           CAST(SUM((320 + (doc_id % 5) * 160)::BIGINT
+             * (240 + (doc_id % 7) * 120)::BIGINT) AS BIGINT) AS sum_pixels
          FROM (SELECT doc_id,
                  ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
                  text
                FROM documents)
          GROUP BY kind ORDER BY kind""",
+    "m_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+             text,
+             320 + (doc_id % 5) * 160 AS w,
+             240 + (doc_id % 7) * 120 AS h
+           FROM documents),
+         r AS (
+           SELECT media_id, kind, text, w, h, greatest(w, h) AS mx
+           FROM m WHERE kind <> 'audio')
+         SELECT media_id, kind,
+           CAST((w * 224) // mx AS INT) AS out_w,
+           CAST((h * 224) // mx AS INT) AS out_h,
+           (('0x' || substr(md5(text), 1, 15))::BIGINT
+             + ((w * 224) // mx) * 31 + ((h * 224) // mx)) % 1000
+             AS checksum
+         FROM r ORDER BY media_id""",
     "m_frames" ->
       """SELECT doc_id AS media_id, f AS frame_idx,
            (f * (1000 + (doc_id % 60) * 250)) // 4 AS frame_ts_ms,
