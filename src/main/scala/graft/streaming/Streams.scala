@@ -164,6 +164,31 @@ object Streams {
         OutputMode.Append)
   }
 
+  /** Stream–stream interval join: each click joins the same user's
+    * purchases landing within the hour AFTER it. Both sides carry
+    * watermarks and the join condition bounds the event-time range in
+    * BOTH directions, which is what lets Spark GC join state — without
+    * the interval bound, both sides' state grows forever. This is the
+    * attribution-join shape (ad click → conversion) that batch e_funnel
+    * answers retrospectively and this answers continuously.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** TTL-based per-user session state via transformWithState: sessions
     * close on an inactivity gap (emitted with the event that opens the
     * successor) and IDLE state self-expires through the state store's

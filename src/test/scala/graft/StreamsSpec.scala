@@ -257,6 +257,33 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream interval join equals the batch formulation") {
+    val stream = Streams.eventsStream(spark, dir)
+    val q = Streams.clickToPurchase(stream).writeStream
+      .format("memory").queryName("ssj_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("ssj_test")
+    // batch twin: same join over the batch read
+    val ev = etl.Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+    assert(batch.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("bulk-job lifecycle: stop() maps to Aborted semantics") {
     val stream = Streams.eventsStream(spark, dir)
     val q = stream.writeStream.format("memory").queryName("abort_test")
