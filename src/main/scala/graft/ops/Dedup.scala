@@ -64,8 +64,13 @@ object Dedup {
     * executor loss during the loop must be survivable.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // both orientations from ONE pass over `pairs` (explode, not
+    // union-of-two-branches — the union form evaluated the whole
+    // upstream candidate+verify pipeline twice on first materialization)
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint()
