@@ -90,6 +90,28 @@ object Load {
       partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Rewrite a parquet directory into ~`targetMB`-sized files — the
+    * small-file compaction every long-lived ingest needs: a 100 TB table
+    * accreted from per-trigger streaming writes or many tiny loads
+    * degrades listing, scheduling, and scan throughput (one task per
+    * tiny file). Sizing uses the ACTUAL on-disk bytes, not a row-count
+    * guess, and writes to a fresh directory (atomic swap is the caller's
+    * rename — never compact in place, a failed job would destroy data).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetMB: Int = 128): Unit = {
+    val bytes = {
+      val fs = new java.io.File(inPath)
+      require(fs.isDirectory, s"$inPath is not a directory")
+      fs.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val nFiles = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("errorifexists").parquet(outPath)
+  }
+
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with ZERO shuffle — at 100 TB this is THE
     * lever for repeated fact⋈fact joins that broadcast can't cover
