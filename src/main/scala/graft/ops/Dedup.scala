@@ -238,8 +238,13 @@ object Dedup {
       // the join beats deduping later.
       val base = t(s, d, "documents")
         .select(col("doc_id"),
-          array_sort(transform(shingles(col("text"), 2),
-            b => portableHash(b))).as("bgh"),
+          // fused expression: sorted hashes of distinct bigrams in one
+          // JVM pass (bit-identical to the array_sort∘transform∘
+          // array_distinct pipeline it replaced — GraftFunctionsSpec
+          // asserts it; that pipeline materialized a string array per
+          // row and re-walked it through three HOF boundaries)
+          org.apache.spark.sql.graftshim.ShingleHashes
+            .shingleHashes(split(col("text"), " "), 2).as("bgh"),
           expr("size(split(text, ' ')) DIV 20").as("blk"))
         .withColumn("ms",
           transform(slice(col("bgh"), 1, 2), h => pmod(h, lit(NgramSalt))))

@@ -43,11 +43,21 @@ object GraftFunctions {
       s"shingle_minhashes expects (words, k, numHashes), got ${other.size}")
   }
 
+  private val shingleHashesInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName, "shingle_hashes")
+  private val shingleHashesBuilder: Seq[Expression] => Expression = {
+    case Seq(words, k) => ShingleHashes(words, intLit(k, "shingle size k"))
+    case other => throw new IllegalArgumentException(
+      s"shingle_hashes expects (words, k), got ${other.size}")
+  }
+
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("fvec_dot", fvecDotBuilder, "built-in")
     reg.createOrReplaceTempFunction("shingle_minhashes", shingleBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesBuilder,
       "built-in")
   }
 
@@ -58,5 +68,8 @@ object GraftFunctions {
     extensions.injectFunction(
       (FunctionIdentifier("shingle_minhashes"), shingleInfo,
         shingleBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("shingle_hashes"), shingleHashesInfo,
+        shingleHashesBuilder))
   }
 }

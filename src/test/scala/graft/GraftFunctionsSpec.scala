@@ -42,6 +42,36 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(viaSql == expected)
   }
 
+  test("ShingleHashes equals the composable sort-transform-distinct form") {
+    import org.apache.spark.sql.functions._
+    val docs = etl.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    def words(c: org.apache.spark.sql.Column) = split(c, " ")
+    def shingles(c: org.apache.spark.sql.Column, k: Int) = {
+      val w = words(c)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+    }
+    for (k <- Seq(1, 2, 5)) {
+      val mismatch = docs.select(
+        org.apache.spark.sql.graftshim.ShingleHashes
+          .shingleHashes(words(col("text")), k).as("fused"),
+        array_sort(transform(shingles(col("text"), k),
+          b => ops.Text.portableHash(b))).as("composed"))
+        .filter(col("fused") =!= col("composed")).count()
+      assert(mismatch == 0, s"k=$k fused != composed on $mismatch docs")
+    }
+    // short-doc truncation convention: 3 words, k=5 → ONE truncated gram
+    import spark.implicits._
+    val one = Seq("a b c").toDF("text")
+      .select(org.apache.spark.sql.graftshim.ShingleHashes
+        .shingleHashes(split(col("text"), " "), 5).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(one.length == 1)
+    assert(one.head == functions.Hashing.portableHash60("a b c"))
+  }
+
   test("malformed usage yields a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception](
