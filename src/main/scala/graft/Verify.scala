@@ -15,14 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query formatted-plan snapshots: plan regressions (lost
+    // pushdown, a broadcast silently becoming a shuffle) then show up as
+    // a text DIFF of outDir/plans between rounds instead of needing a
+    // fresh hand audit. Disable with SPARK_GRAFT_PLANS=0.
+    val dumpPlans = !sys.env.get("SPARK_GRAFT_PLANS").contains("0")
+    if (dumpPlans) new java.io.File(s"$outDir/plans").mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        if (dumpPlans)
+          try Files.writeString(Paths.get(s"$outDir/plans/$name.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] plan dump $name: ${e.getMessage}")
+          }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist intermediates (LSH candidates, CC labels); the
-      // run loop owns the cache lifetime so 69 queries don't accumulate
+      // run loop owns the cache lifetime so 76 queries don't accumulate
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
