@@ -162,23 +162,48 @@ object Vectors {
 
   /** IVF top-5 for every 50th vector, searching `nprobe` cells. */
   def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      nprobe: Int, lloydRounds: Int): DataFrame = {
+      nprobe: Int, lloydRounds: Int, quantized: Boolean = false)
+      : DataFrame = {
     val e = t(s, d, "embeddings")
     val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds))
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+    // quantized mode: the inverted file stores int8 vectors (the v_quant
+    // transform) — 4× less memory bandwidth on the scan that dominates
+    // IVF search at 100 TB. The symmetric scale CANCELS in cosine
+    // (cos(vq, q·s) = cos(vq, q)), so candidates are scored directly
+    // against the integer vector: only the quantization ROUNDING moves
+    // any score. Probes stay float (queries are not storage).
+    val stored =
+      if (!quantized) ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+      else ranked.filter(col("rn") === 1)
+        .withColumn("maxabs", array_max(transform(col("v"),
+          x => abs(x.cast("double")))))
+        .filter(col("maxabs") > 0)
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x.cast("double") *
+            (lit(127.0) / col("maxabs")) + lit(0.5)).cast("double"))
+            .as("v"),
+          col("cl").as("cluster"))
     val probes = ranked.filter(col("rn") <= nprobe &&
         col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q"), col("v").as("vq"),
         col("cl").as("qc"))
+    val dotP = (a: Column, b: Column) =>
+      if (!quantized) fdot(a, b)
+      else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    val nrmQ = (b: Column) =>
+      if (!quantized) sqrt(fdot(b, b))
+      else sqrt(aggregate(transform(b, y => y * y), lit(0.0),
+        (acc, v) => acc + v))
     val wP = Window.partitionBy(col("q"))
       .orderBy(desc("cos"), asc("vec_id"))
-    probes.join(assigned,
+    probes.join(stored,
         col("cluster") === col("qc") && col("vec_id") =!= col("q"))
       .select(col("q"), col("vec_id"),
-        roundf(fdot(col("vq"), col("v")) /
-          (sqrt(fdot(col("vq"), col("vq"))) *
-           sqrt(fdot(col("v"), col("v")))), 4).as("cos"))
+        roundf(dotP(col("vq"), col("v")) /
+          (sqrt(fdot(col("vq"), col("vq"))) * nrmQ(col("v"))), 4)
+          .as("cos"))
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= 5)
       .select(col("q"), col("vec_id"), col("cos"), col("rn"))
@@ -258,6 +283,13 @@ object Vectors {
     // cells' candidates; same index, no extra state.
     "v_ann_ivf2" -> ((s, d) => ivfTopK(s, d, nprobe = 2, lloydRounds = 1)),
 
+    // Quantized inverted file: stored vectors are int8 (v_quant), scored
+    // directly (scale cancels in cosine) — 4× less memory bandwidth on
+    // the candidate scan, which is what dominates IVF search at 100 TB.
+    // Recall delta vs the float index is disclosed in IvfSpec.
+    "v_ann_ivfq" -> ((s, d) =>
+      ivfTopK(s, d, nprobe = 2, lloydRounds = 1, quantized = true)),
+
     // Per-label centroid, long format (label, dim, exact fixed-point sum +
     // count; mean ≈ sum_x_e6/1e6/n). Components are grid-snapped with pure
     // IEEE ops (floor(x·1e6+0.5) — identical in every engine) BEFORE the
@@ -319,7 +351,8 @@ object Vectors {
     * zip_with cast); cosVV folds float·float cast to double (candidate
     * scoring, matching fdot).
     */
-  private[ops] def ivfSql(nprobe: Int, lloydRounds: Int): String = {
+  private[ops] def ivfSql(nprobe: Int, lloydRounds: Int,
+      quantized: Boolean = false): String = {
     def cosVC(v: String, c: String): String =
       s"""list_sum([$v[i]::DOUBLE * $c[i] for i in range(1, len($c) + 1)]) /
          (sqrt(list_sum([$v[i]::DOUBLE * $v[i]::DOUBLE
@@ -357,13 +390,37 @@ object Vectors {
              FROM embeddings e CROSS JOIN cl$r))"""
     }.mkString(",\n         ")
     val last = lloydRounds
+    // quantized: the stored side is the v_quant int8 transform of each
+    // assigned vector (as DOUBLE lists, matching the Spark cast) — the
+    // symmetric scale cancels in cosine, so scoring uses q directly
+    val asg =
+      if (!quantized)
+        s"asg AS (SELECT vec_id, v, k AS cluster FROM rk$last WHERE rn = 1)"
+      else
+        s"""asg0 AS (SELECT vec_id, v, k AS cluster,
+               list_max([abs(x::DOUBLE) for x in v]) AS maxabs
+             FROM rk$last WHERE rn = 1),
+         asg AS (SELECT vec_id,
+               [floor(x::DOUBLE * (127.0 / maxabs) + 0.5)
+                 for x in v] AS v,
+               cluster
+             FROM asg0 WHERE maxabs > 0)"""
+    val candCos =
+      if (!quantized) cosVV("pr.vq", "a.v")
+      else
+        s"""list_sum([pr.vq[i]::DOUBLE * a.v[i]
+              for i in range(1, len(pr.vq) + 1)]) /
+           (sqrt(list_sum([pr.vq[i]::DOUBLE * pr.vq[i]::DOUBLE
+              for i in range(1, len(pr.vq) + 1)])) *
+            sqrt(list_sum([a.v[i] * a.v[i]
+              for i in range(1, len(a.v) + 1)])))"""
     s"""WITH $rounds,
-         asg AS (SELECT vec_id, v, k AS cluster FROM rk$last WHERE rn = 1),
+         $asg,
          pr AS (SELECT vec_id AS q, v AS vq, k AS qc FROM rk$last
                 WHERE rn <= $nprobe AND vec_id % 50 = 0),
          cand AS (
            SELECT pr.q, a.vec_id,
-             floor(${cosVV("pr.vq", "a.v")} * 10000.0 + 0.5) / 10000.0
+             floor($candCos * 10000.0 + 0.5) / 10000.0
                AS cos
            FROM pr JOIN asg a
              ON a.cluster = pr.qc AND a.vec_id <> pr.q)
@@ -421,6 +478,7 @@ object Vectors {
          SELECT a, b, cos FROM scored WHERE cos >= 0.4 ORDER BY a, b""",
     "v_ann_ivf" -> ivfSql(nprobe = 1, lloydRounds = 1),
     "v_ann_ivf2" -> ivfSql(nprobe = 2, lloydRounds = 1),
+    "v_ann_ivfq" -> ivfSql(nprobe = 2, lloydRounds = 1, quantized = true),
     "v_centroid" ->
       """SELECT label, i - 1 AS dim,
            CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)

@@ -62,6 +62,26 @@ class IvfSpec extends SparkTestBase {
     assert(recalls(4) >= 0.5, s"nprobe=4 recall too low: ${recalls(4)}")
   }
 
+  test("int8-quantized index loses almost nothing vs the float index") {
+    val d = requireFixture("sf0.01")
+    def top5(quantized: Boolean): Map[Long, Set[Long]] =
+      Vectors.ivfTopK(spark, d, nprobe = 2, lloydRounds = 1,
+          quantized = quantized)
+        .select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fl = top5(quantized = false)
+    val qz = top5(quantized = true)
+    assert(fl.nonEmpty && fl.keySet == qz.keySet)
+    // agreement of the two indexes' top-5 sets (only quantization
+    // rounding can move a score — scale cancels in cosine)
+    val agree = fl.map { case (q, want) =>
+      qz(q).intersect(want).size.toDouble / want.size
+    }.sum / fl.size
+    info(f"int8 vs float top-5 agreement = $agree%.2f")
+    assert(agree >= 0.9, f"quantization moved too many results: $agree%.2f")
+  }
+
   test("one Lloyd round does not degrade recall vs the raw label seeds") {
     val d = requireFixture("sf0.01")
     val exact = bruteTop5(d)
