@@ -63,7 +63,15 @@ object Dedup {
     * swap localCheckpoint for reliable `checkpoint` (HDFS-backed) if
     * executor loss during the loop must be survivable.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    // reliable=true swaps localCheckpoint (executor-memory lineage
+    // truncation — fast, but an executor loss mid-loop kills the job)
+    // for reliable checkpoint to spark.checkpoint.dir (HDFS/object
+    // store) — the right setting for long CC loops on preemptible
+    // clusters. Caller must have set sc.setCheckpointDir.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // both orientations from ONE pass over `pairs` (explode, not
     // union-of-two-branches — the union form evaluated the whole
     // upstream candidate+verify pipeline twice on first materialization)
@@ -72,8 +80,8 @@ object Dedup {
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+    var labels = ckpt(edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var changed = 1L
     while (changed > 0) {
       val nb = edges.join(labels, edges("b") === labels("node"))
@@ -83,16 +91,15 @@ object Dedup {
         .select(col("l.node").as("node"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl")))
             .as("lbl"))
-        .localCheckpoint() // read twice below; checkpoint, don't recompute
+      val hopC = ckpt(hop) // read twice below; checkpoint, don't recompute
       // pointer doubling: follow lbl → lbl-of-lbl (labels are node ids,
       // so every lbl has a row in `hop`)
-      val dbl = hop.as("x")
-        .join(hop.select(col("node").as("pn"), col("lbl").as("plbl"))
+      val dbl = ckpt(hopC.as("x")
+        .join(hopC.select(col("node").as("pn"), col("lbl").as("plbl"))
           .as("p"), col("x.lbl") === col("p.pn"), "left")
         .select(col("x.node").as("node"),
           least(col("x.lbl"), coalesce(col("plbl"), col("x.lbl")))
-            .as("lbl"))
-        .localCheckpoint()
+            .as("lbl")))
       changed = dbl.as("n")
         .join(labels.select(col("node"), col("lbl").as("old")).as("o"),
           "node")
@@ -103,7 +110,7 @@ object Dedup {
       org.apache.spark.sql.graftshim.CheckpointCleanup
         .unpersistCheckpoint(labels)
       org.apache.spark.sql.graftshim.CheckpointCleanup
-        .unpersistCheckpoint(hop)
+        .unpersistCheckpoint(hopC)
       labels = dbl
     }
     edges.unpersist()

@@ -94,6 +94,22 @@ class DedupSpec extends SparkTestBase {
       s"LSH candidates missed exact pairs: ${exact -- cand}")
   }
 
+  test("reliable-checkpoint mode produces identical components") {
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val pairs = ((1L until 10L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L))).toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Dedup.connectedComponents(pairs, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == rel)
+    // the reliable mode actually wrote checkpoint data
+    assert(new java.io.File(ckptDir).listFiles().nonEmpty)
+  }
+
   test("random graph matches driver-side union-find") {
     // deterministic pseudo-random edges over 60 nodes
     val edges = (0 until 80).map { i =>
