@@ -366,6 +366,28 @@ object Streams {
         OutputMode.Append)
   }
 
+  /** The ONE-QUERY form of band-level suppression: evidence flows through
+    * the stateful band-claim operator and each micro-batch's per-doc
+    * verdicts are folded INSIDE the same streaming query via foreachBatch
+    * (legal where a stacked aggregation is not: foreachBatch hands the
+    * batch to ordinary batch execution). Verdict-per-batch is sound
+    * because a document's band rows are emitted together — they explode
+    * from one input row in one micro-batch — while the STATE deciding
+    * dup_of still spans batches. `sink` receives each batch's verdict
+    * frame (write it to parquet/a table/wherever).
+    */
+  def bandSuppressionQuery(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, minBands: Int,
+      sink: DataFrame => Unit,
+      ttl: java.time.Duration = java.time.Duration.ofHours(24))
+      : StreamingQuery =
+    bandDupEvidence(spark, docs, textCol, idCol, ttl).writeStream
+      .foreachBatch { (batch: Dataset[BandHit], _: Long) =>
+        sink(bandSuppressVerdict(batch.toDF(), minBands))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-doc verdict over drained band evidence: suppressed iff at least
     * `minBands` of its bands were first claimed by ANOTHER document. */
   def bandSuppressVerdict(evidence: DataFrame, minBands: Int): DataFrame =

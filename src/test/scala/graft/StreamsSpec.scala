@@ -257,6 +257,36 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("one-query band suppression: verdicts inside foreachBatch") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-band2")
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Seq((3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "totally different words with no overlap at all whatsoever"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    val out = tmp.resolve("verdicts").toString
+    withRocksDb {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp.toString)
+      val q = Streams.bandSuppressionQuery(spark, stream, "text",
+        "doc_id", minBands = 4,
+        sink = df => df.write.mode("append").parquet(out))
+      q.awaitTermination(180000)
+      val verdict = spark.read.parquet(out)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdict.size == 4)
+      assert(!verdict(1L) && !verdict(2L) && !verdict(4L))
+      assert(verdict(3L), "cross-batch re-arrival must be suppressed")
+    }
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val stream = Streams.eventsStream(spark, dir)
     val q = Streams.clickToPurchase(stream).writeStream
