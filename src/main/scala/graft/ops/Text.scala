@@ -159,6 +159,40 @@ object Text {
         .limit(50)
     }),
 
+    // Corpus curation verdict — the query this library exists to answer:
+    // one row per document with every filter signal (quality score,
+    // repetition flag, benchmark contamination, near-dup canonicality)
+    // and the composed keep/drop decision. Each signal is the
+    // already-oracle-checked query it names, composed by doc_id joins
+    // (contamination and near-dup tables are sparse → left joins with
+    // survivor defaults); the oracle composes the same four oracle SQLs.
+    // At 100 TB this is the shape of the real pipeline: signals
+    // materialize independently (often on different cadences), and the
+    // verdict is a cheap id-keyed join over them.
+    "t_curate" -> ((s, d) => {
+      val q = queries("t_quality")(s, d)
+        .select("doc_id", "quality_score")
+      val r = queries("t_repetition")(s, d)
+        .select(col("doc_id"), col("flagged").as("rep_flagged"))
+      val c = queries("t_contam")(s, d)
+        .select(col("doc_id"), lit(1).as("contam0"))
+      val cl = Dedup.queries("d_clusters")(s, d)
+        .select(col("doc_id"), col("is_canonical"))
+      val contaminated = coalesce(col("contam0"), lit(0))
+      val canonical = coalesce(col("is_canonical"), lit(1))
+      q.join(r, "doc_id")
+        .join(c, Seq("doc_id"), "left")
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality_score"), col("rep_flagged"),
+          contaminated.as("contaminated"),
+          canonical.as("near_dup_canonical"),
+          // 0.41 ≈ this corpus's p10 — curation thresholds are always
+          // corpus-tuned; the pipeline shape is the point
+          (col("quality_score") >= 0.41 && col("rep_flagged") === 0 &&
+            contaminated === 0 && canonical === 1).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document (characteristic-term extraction, the
     // classic corpus-analysis op). Score = tf · N/df — the RATIONAL idf
     // surrogate, not ln(N/df): log is a libm transcendental whose last
@@ -219,7 +253,10 @@ object Text {
         .orderBy("doc_id")
     }))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = baseOracles +
+    curateOracle
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "t_tokens" ->
       """SELECT doc_id,
            len(string_split(text, ' ')) AS n_ws_tokens,
@@ -352,4 +389,24 @@ object Text {
          FROM sh s JOIN bench b USING (ng)
          WHERE s.doc_id % 97 <> 0
          GROUP BY s.doc_id ORDER BY s.doc_id""")
+
+  /** t_curate = the other four oracle SQLs composed as subqueries — one
+    * definition per signal, reused verbatim, so the verdict cannot drift
+    * from its inputs.
+    */
+  private lazy val curateOracle: (String, String) = "t_curate" ->
+    s"""WITH q AS (${baseOracles("t_quality")}),
+       r AS (${baseOracles("t_repetition")}),
+       c AS (${baseOracles("t_contam")}),
+       cl AS (${graft.ops.Dedup.oracles("d_clusters")})
+       SELECT q.doc_id, q.quality_score, r.flagged AS rep_flagged,
+         CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+         COALESCE(cl.is_canonical, 1) AS near_dup_canonical,
+         CASE WHEN q.quality_score >= 0.41 AND r.flagged = 0
+             AND c.doc_id IS NULL AND COALESCE(cl.is_canonical, 1) = 1
+           THEN 1 ELSE 0 END AS keep
+       FROM q JOIN r ON r.doc_id = q.doc_id
+       LEFT JOIN c ON c.doc_id = q.doc_id
+       LEFT JOIN cl ON cl.doc_id = q.doc_id
+       ORDER BY q.doc_id"""
 }
