@@ -57,7 +57,8 @@ object SparkEntry {
       "d_embed_pairs", "v_knn_brute", "v_ann_lsh", "e_session", "f_json",
       "s3_csv_roundtrip", "w1_rank", "e_tumble", "t_fingerprint",
       "j7_range", "x_percentile", "m_decode_features", "d_simhash",
-      "d_ngram_jaccard", "d_clusters", "t_contam", "v_quant")
+      "d_ngram_jaccard", "d_clusters", "t_contam", "v_quant",
+      "e_retention", "e_funnel", "v_ann_ivfq", "t_tfidf")
     val have = queries.keySet
     preferred.filter(have)
   }
