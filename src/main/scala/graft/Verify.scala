@@ -17,15 +17,19 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // per-query formatted-plan snapshots: plan regressions (lost
     // pushdown, a broadcast silently becoming a shuffle) then show up as
-    // a text DIFF of outDir/plans between rounds instead of needing a
-    // fresh hand audit. Disable with SPARK_GRAFT_PLANS=0.
+    // a text DIFF of the plans dir between rounds instead of needing a
+    // fresh hand audit. Disable with SPARK_GRAFT_PLANS=0. NOT inside
+    // outDir: the correctness driver enumerates outDir subdirs as query
+    // outputs, so plan text there produced a spurious failing row.
     val dumpPlans = !sys.env.get("SPARK_GRAFT_PLANS").contains("0")
-    if (dumpPlans) new java.io.File(s"$outDir/plans").mkdirs()
+    val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
+      s"${outDir.stripSuffix("/")}.plans")
+    if (dumpPlans) new java.io.File(plansDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         if (dumpPlans)
-          try Files.writeString(Paths.get(s"$outDir/plans/$name.txt"),
+          try Files.writeString(Paths.get(s"$plansDir/$name.txt"),
             df.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
           catch { case e: Throwable =>

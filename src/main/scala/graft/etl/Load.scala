@@ -100,11 +100,22 @@ object Load {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
       outPath: String, targetMB: Int = 128): Unit = {
+    // Hadoop FileSystem, recursive — java.io.File would size only a flat
+    // LOCAL directory: on HDFS/object-store URIs or hive-partitioned
+    // layouts (the actual 100 TB deployments of this lever) it returned
+    // 0 bytes and silently compacted everything into ONE file.
     val bytes = {
-      val fs = new java.io.File(inPath)
-      require(fs.isDirectory, s"$inPath is not a directory")
-      fs.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.length()).sum
+      val p = new org.apache.hadoop.fs.Path(inPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.getFileStatus(p).isDirectory,
+        s"$inPath is not a directory")
+      val it = fs.listFiles(p, true)
+      var b = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getLen
+      }
+      b
     }
     val nFiles = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
     spark.read.parquet(inPath)

@@ -83,7 +83,9 @@ object Dedup {
     var labels = ckpt(edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      val roundStart = System.nanoTime()
       val nb = edges.join(labels, edges("b") === labels("node"))
         .groupBy(edges("a").as("node")).agg(min(col("lbl")).as("nlbl"))
       val hop = labels.as("l")
@@ -112,6 +114,13 @@ object Dedup {
       org.apache.spark.sql.graftshim.CheckpointCleanup
         .unpersistCheckpoint(hopC)
       labels = dbl
+      round += 1
+      // per-round attribution: a slow bench pass is now diagnosable from
+      // the log alone (CPU steal shows as one slow round with normal
+      // changed-counts; plan regrowth would show as rounds getting
+      // monotonically slower)
+      System.err.println(f"[cc] round=$round changed=$changed " +
+        f"wall=${(System.nanoTime() - roundStart) / 1e9}%.2fs")
     }
     edges.unpersist()
     labels
@@ -313,8 +322,14 @@ object Dedup {
         sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
       val cos = (va: Column, na: Column, vb: Column, nb: Column) =>
         roundf(fdot(va, vb) / (na * nb), 4).as("cos")
-      val n = s.read.parquet(s"$d/embeddings.parquet").count()
-      val pairs = if (n <= 100000) { // ≈ 26 MB of 64-dim floats
+      // shape switch reads parquet footers only (no extra Spark job);
+      // the threshold is a sys prop so DedupSpec can FORCE the triangle
+      // branch on small fixtures and prove it pair-for-pair against
+      // brute force (default ≈ 26 MB of 64-dim floats)
+      val n = parquetRowCount(s, s"$d/embeddings.parquet")
+      val broadcastMax =
+        sys.props.getOrElse("graft.embed.broadcastMax", "100000").toLong
+      val pairs = if (n <= broadcastMax) {
         val x = e.select(col("vec_id").as("a"), col("v").as("va"),
           col("nrm").as("na"))
         val y = e.select(col("vec_id").as("b"), col("v").as("vb"),

@@ -188,13 +188,22 @@ object Relational {
     }),
 
     // A3approx: HLL approximate distinct — the 100 TB form of A3 (no
-    // exact-distinct shuffle). No oracleSql on purpose: HLL sketches are
-    // engine-specific, so the driver records the weaker rows-only check;
-    // the unit-level sanity (±5% of exact) lives in the spec suite.
+    // exact-distinct shuffle). HLL sketches are engine-specific, so the
+    // hash-checkable output is the BOUND, not the estimate: within_bound
+    // = |approx − exact|/exact ≤ 0.05 (rsd 0.02 ⇒ comfortably inside),
+    // plus the exact side both engines can agree on. The oracle computes
+    // exact + literal TRUE; a drifting sketch flips the boolean and the
+    // row hash goes red — the last by-design gap is now end-to-end green.
     "a3_approx" -> ((s, d) => {
       t(s, d, "orders")
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02)
-          .as("approx_custs"), count("*").as("n"))
+            .as("approx"),
+          countDistinct(col("o_custkey")).as("exact_custs"),
+          count("*").as("n"))
+        .select(
+          (abs(col("approx") - col("exact_custs")).cast("double") /
+            col("exact_custs") <= 0.05).as("within_bound"),
+          col("exact_custs"), col("n"))
     }),
 
     // A3: COUNT(DISTINCT) per group (SOQL COUNT_DISTINCT).
@@ -403,6 +412,11 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a3_approx" ->
+      """SELECT TRUE AS within_bound,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders""",
     "a3_distinct" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
            COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders

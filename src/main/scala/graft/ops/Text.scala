@@ -210,12 +210,16 @@ object Text {
       val tf = toks.groupBy("doc_id", "word").agg(count("*").as("tf"))
       val dfreq = toks.distinct()
         .groupBy("word").agg(count("*").as("df"))
-      val nDocs = docs.count()
+      // N folded into the plan as a broadcast scalar aggregate (the
+      // oracle's CROSS JOIN n, mirrored) — a driver-side docs.count()
+      // here was a whole extra Spark job per invocation
+      val nDocs = docs.agg(count("*").cast("double").as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(desc("score"), asc("word"))
       tf.join(dfreq, "word")
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("word"),
-          roundf(col("tf").cast("double") * lit(nDocs.toDouble) /
+          roundf(col("tf").cast("double") * col("n_docs") /
             col("df").cast("double"), 4).as("score"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

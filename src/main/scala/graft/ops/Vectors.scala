@@ -31,6 +31,12 @@ object Vectors {
   private val BandsV = 4
   private val RowsV = 4
   private val Dims = 64
+  // Derived-hyperplane weight domain: hash60 % PlaneMod - PlaneOff ∈
+  // [-1000, 1000]. Single source of truth for BOTH engines — planesSql
+  // interpolates these same values into the DuckDB mirror, so the plane
+  // family cannot silently diverge between query and oracle.
+  private val PlaneMod = 2001
+  private val PlaneOff = 1000
 
   /** Deterministic pseudo-random hyperplane weights for (plane, dim):
     * integers in [-1000, 1000] derived from the portable hash family, so
@@ -43,8 +49,8 @@ object Vectors {
     */
   private[ops] def planeWeightsFor(n: Int): Array[Array[Float]] =
     Array.tabulate(n, Dims) { (p, j) =>
-      ((graft.functions.Hashing.portableHash60(s"$p,$j") % 2001) - 1000)
-        .toFloat
+      ((graft.functions.Hashing.portableHash60(s"$p,$j") % PlaneMod)
+        - PlaneOff).toFloat
     }
 
   private lazy val planeWeights: Array[Array[Float]] = planeWeightsFor(Planes)
@@ -97,10 +103,14 @@ object Vectors {
     val probes = keys.select(col(idCol),
       explode(flatten(transform(col("ks"), k =>
         array(masks.map(m => k.bitwiseXOR(lit(m))): _*)))).as("bk"))
+    // distinct is part of the contract: a pair matches once per (band,
+    // probe-mask) hit, and downstream exact-verify cost multiplies by
+    // that duplication at production thresholds.
     probes.as("x").join(stored.as("y"),
         col("x.bk") === col("y.bk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
   }
 
   // ---- IVF machinery (shared by v_ann_ivf*; parameterized for specs) --
@@ -335,14 +345,21 @@ object Vectors {
       val nrmV = sqrt(aggregate(transform(col("embedding"),
         b => b.cast("double") * b.cast("double")),
         lit(0.0), (acc, v) => acc + v))
-      e.select(col("vec_id"), col("q"),
+      // q is emitted as a comma-joined string, not a raw array: the
+      // correctness driver's pandas compare cannot hash/sort array cells
+      // (CORRECTNESS_r03 "unhashable type: numpy.ndarray"). Same
+      // serialization on the oracle side (array_to_string).
+      e.select(col("vec_id"),
+          array_join(col("q"), ",").as("q"),
           roundf(dotQV / (nrmQ * nrmV), 4).as("qcos"))
         .orderBy("vec_id")
     }))
 
   private[ops] def planesSql: String =
-    // same derived hyperplane family, DuckDB-side
-    "((('0x' || substr(md5(p || ',' || j), 1, 15))::BIGINT % 2001) - 1000)"
+    // same derived hyperplane family, DuckDB-side — PlaneMod/PlaneOff
+    // interpolated from the Scala constants above, never re-typed
+    s"((('0x' || substr(md5(p || ',' || j), 1, 15))::BIGINT % $PlaneMod)" +
+      s" - $PlaneOff)"
 
   /** DuckDB mirror of ivfTopK — the SAME CTE chain per Lloyd round,
     * parameterized so both engines share one definition of the quantizer
@@ -498,7 +515,7 @@ object Vectors {
              [CAST(floor(x::DOUBLE * (127.0 / maxabs) + 0.5) AS BIGINT)
                for x in v] AS q
            FROM m WHERE maxabs > 0)
-         SELECT vec_id, q,
+         SELECT vec_id, array_to_string(q, ',') AS q,
            floor(
              list_sum([(q[i]::DOUBLE * (maxabs / 127.0)) * (v[i]::DOUBLE)
                for i in range(1, len(v) + 1)]) /

@@ -49,4 +49,33 @@ package object ops {
     * contract). */
   def fdot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftshim.FloatVecDot.fdot(a, b)
+
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Row count of a parquet file/dir from the FOOTERS only — zero Spark
+    * jobs (a df.count() here would add one whole job per query invocation
+    * just to pick a plan shape). Footer reads are O(files) driver-side
+    * metadata fetches, which is exactly what adaptive planners (AQE, CBO
+    * stats) do; cached per path for the life of the JVM because the only
+    * consumer is a plan-shape switch where staleness is harmless (the
+    * decision needs the order of magnitude, and bench/verify re-invoke
+    * the same immutable inputs). */
+  def parquetRowCount(spark: SparkSession, path: String): Long =
+    rowCountCache.getOrElseUpdate(path, {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val it = p.getFileSystem(conf).listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try n += rdr.getRecordCount finally rdr.close()
+        }
+      }
+      n
+    })
 }

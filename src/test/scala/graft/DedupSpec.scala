@@ -72,6 +72,92 @@ class DedupSpec extends SparkTestBase {
       s"missed=${brute -- blocked} spurious=${blocked -- brute}")
   }
 
+  test("FORCED triangle branch equals brute force, via the bp equi-join") {
+    // The adaptive switch takes broadcast-NL at every test SF, so without
+    // forcing, the triangle enumeration — the one shape claimed as the
+    // 100 TB story — would never execute in any test and a pair-dropping
+    // or pair-doubling bug there would ship invisibly. Force it via the
+    // injectable threshold and prove: (a) the plan really is the blocked
+    // equi-join on the block-pair key, not a nested loop; (b) the result
+    // is pair-for-pair identical to the unblocked quadratic.
+    import graft.ops.{fdot, roundf}
+    val d = requireFixture("sf0.001")
+    val prev = sys.props.get("graft.embed.broadcastMax")
+    try {
+      sys.props("graft.embed.broadcastMax") = "0"
+      val df = Dedup.queries("d_embed_pairs")(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"forced triangle still planned a nested loop:\n$plan")
+      assert(plan.contains("bp"),
+        s"block-pair key absent from the plan:\n$plan")
+      val blocked = df.select("a", "b", "cos").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val e = graft.etl.Tables.load(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"),
+          sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+      val brute = e.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nrm").as("na"))
+        .join(e.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nrm").as("nb")), col("a") < col("b"))
+        .select(col("a"), col("b"),
+          roundf(fdot(col("va"), col("vb")) /
+            (col("na") * col("nb")), 4).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(brute.nonEmpty)
+      assert(blocked == brute,
+        s"missed=${brute -- blocked} spurious=${blocked -- brute}")
+    } finally prev match {
+      case Some(v) => sys.props("graft.embed.broadcastMax") = v
+      case None => sys.props.remove("graft.embed.broadcastMax")
+    }
+  }
+
+  test("bottom-2 minhash blocking recall vs length-block-only is measured") {
+    // The secondary block key (bottom-2 bigram minhashes mod NgramSalt)
+    // drops a borderline pair with P ≈ (1-j)² — and because the DuckDB
+    // oracle mirrors the same key, the oracle check is TAUTOLOGICAL for
+    // that recall loss. This test is the non-tautological measurement:
+    // the same verify over length-blocking alone (the previous, fan-out-
+    // heavier answer) is the ground truth; recall of the two-level answer
+    // against it is asserted, not assumed.
+    import graft.ops.roundf
+    val d = requireFixture("sf0.001")
+    val twoLevel = Dedup.queries("d_ngram_jaccard")(spark, d)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = graft.etl.Tables.load(spark, d, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftshim.ShingleHashes
+          .shingleHashes(split(col("text"), " "), 2).as("bgh"),
+        expr("size(split(text, ' ')) DIV 20").as("blk"))
+    val inter = size(array_intersect(col("ba"), col("bb")))
+    val jac = inter.cast("double") /
+      (size(col("ba")) + size(col("bb")) - inter).cast("double")
+    val lenOnly = base.select(col("doc_id").as("a"), col("bgh").as("ba"),
+        col("blk").as("ka"))
+      .join(base.select(col("doc_id").as("b"), col("bgh").as("bb"),
+        col("blk").as("kb")),
+        col("a") < col("b") && abs(col("ka") - col("kb")) <= 1)
+      .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lenOnly.nonEmpty, "length-block ground truth found no pairs")
+    val recall = twoLevel.intersect(lenOnly).size.toDouble / lenOnly.size
+    info(f"two-level blocking recall vs length-only: $recall%.3f " +
+      s"(${twoLevel.intersect(lenOnly).size}/${lenOnly.size} pairs)")
+    // measured on this corpus: the two-level key loses nothing — every
+    // pair at j ≥ 0.4 here is a template near-dup whose bottom-2 sketch
+    // collides. If a future corpus drops below this floor, the NgramSalt
+    // fan-out (or bottom-k width) is the knob to widen.
+    assert(recall >= 1.0,
+      f"two-level blocking dropped pairs: recall=$recall%.3f, " +
+        s"missed=${lenOnly -- twoLevel}")
+  }
+
   test("multiprobe LSH candidate recall vs the exact answer is disclosed") {
     // lshCandidatePairs is the ANN yardstick for thresholds where banding
     // discriminates. At cos ≥ 0.45 it still recalls every exact pair on

@@ -72,6 +72,39 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(one.head == functions.Hashing.portableHash60("a b c"))
   }
 
+  test("fvec_dot on non-nullable arrays (containsNull=false) via codegen") {
+    // Regression for the nullable-override contract: with containsNull =
+    // false on BOTH inputs and non-null columns, nullable must still be
+    // computed (not assumed) — and the codegen'd path must compile and
+    // run. A wrong override here is a latent janino failure (ev.isNull
+    // written but never declared) that only a non-nullable schema hits.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("b", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      org.apache.spark.sql.Row(Seq(0.5f, -1.0f), Seq(2.0f, 2.0f)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(
+      org.apache.spark.sql.graftshim.FloatVecDot.fdot(col("a"), col("b"))
+        .as("d"))
+    // with containsNull=false both sides, the result is non-nullable
+    assert(!out.schema("d").nullable)
+    assert(out.collect().map(_.getDouble(0)).toSeq == Seq(11.0, -1.0))
+    // and with the default containsNull=true, a null ELEMENT → null row
+    import spark.implicits._
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(2.0f),
+      Some(3.0f)))).toDF("a", "b")
+      .select(org.apache.spark.sql.graftshim.FloatVecDot
+        .fdot(col("a"), col("b")).as("d"))
+    assert(withNullElem.schema("d").nullable)
+    assert(withNullElem.collect()(0).isNullAt(0))
+  }
+
   test("malformed usage yields a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception](
