@@ -33,14 +33,21 @@ object Bench {
     // first timed query isn't charged ~4s of one-time cost
     try SparkEntry.queries("a1_count")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val oneshot = sys.env.get("SPARK_GRAFT_BENCH_ONESHOT").contains("1")
+    val oneshot = sys.env.get("SPARK_GRAFT_BENCH_ONESHOT").contains("1") ||
+      sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     val passes = if (oneshot) 1 else 2
     // SPARK_GRAFT_BENCH_ONLY=q1,q2: restrict to a comma-separated subset
-    // (local iteration / regression isolation); unset = full headline set
+    // (local iteration / regression isolation); unset = full headline set.
+    // SPARK_GRAFT_BENCH_FULL=1: time EVERY registered query (the ~50
+    // cheap ones outside the headline set otherwise never get a
+    // wall-time), single-pass to keep the full sweep bounded.
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.benchQueries
-      .filter(n => only.forall(_.contains(n)))
+    val base =
+      if (full) SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.benchQueries
+    val selected = base.filter(n => only.forall(_.contains(n)))
     // headline subset (SparkEntry.benchQueries) — representative, bounded
     val timed = selected.map { name =>
       val fn = SparkEntry.queries(name)
@@ -64,7 +71,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // skew report → stderr; stdout stays one machine-readable JSON line
     skew.skewedStages().foreach(l => System.err.println(s"[skew] $l"))
-    val mode = if (oneshot) "one-shot" else "best-of-2"
+    val mode = if (full) "full-surface-one-shot"
+      else if (oneshot) "one-shot" else "best-of-2"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode","passes":$allPasses,"sf":"$sfDir"}"""

@@ -69,6 +69,95 @@ object Multimodal {
     }
   }
 
+  /** ===== REAL ===== JDK-only image codec: `content` is an ENCODED
+    * image (PNG et al.), decoded to actual pixels via `javax.imageio`
+    * (ships in every JDK — no new dependency). This is the honest decode
+    * path the StubCodec stands in for on the synthesized-from-text oracle
+    * queries (those payloads are utf-8 text, not images); MultimodalSpec
+    * drives THIS codec through the same typed mapPartitions plumbing over
+    * deterministically synthesized PNGs and asserts known pixel values.
+    *
+    * Determinism contract (it must hold on any JVM/executor):
+    *  - luma is the integer Rec.601 mean: floor((299r+587g+114b)/1000)
+    *    summed over pixels, then divided by pixel count — all integer ops;
+    *  - resize is hand-rolled nearest-neighbor (source index =
+    *    x·srcW div outW) rather than Java2D rendering, whose
+    *    interpolation could vary across implementations;
+    *  - n_pixels/dims come from the DECODED raster, never the row's
+    *    metadata (a real pipeline treats metadata as advisory).
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def read(m: MediaRow): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.content))
+      require(img != null,
+        s"media_id=${m.media_id}: payload is not a decodable image")
+      img
+    }
+    private def lumaOf(rgb: Int): Long = {
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      (299L * r + 587L * g + 114L * b) / 1000L
+    }
+    def decode(m: MediaRow): MediaFeatures = {
+      val img = read(m)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += lumaOf(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      val n = w.toLong * h
+      MediaFeatures(m.media_id, m.kind, sum / n, n)
+    }
+    def resize(m: MediaRow, target: Int): MediaResized = {
+      val img = read(m)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val mx = math.max(w, h)
+      val ow = math.max(w * target / mx, 1)
+      val oh = math.max(h * target / mx, 1)
+      // checksum = Σ luma(resampled pixel) mod p — a digest of the ACTUAL
+      // resampled raster, so a resampling change is visible in the value
+      var sum = 0L
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          sum = (sum + lumaOf(img.getRGB(x * w / ow, y * h / oh))) %
+            1000000007L
+          x += 1
+        }
+        y += 1
+      }
+      MediaResized(m.media_id, m.kind, ow, oh, sum)
+    }
+  }
+
+  /** Deterministic PNG synthesis for specs/demos: pixel (x, y) takes
+    * `colors(((x*7 + y*13 + seed) mod colors.length))` — pure integer
+    * indexing, byte-identical PNG output for a given (seed, w, h, colors).
+    */
+  def synthPng(seed: Int, w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, colors(((x * 7 + y * 13 + seed) % colors.length +
+          colors.length) % colors.length))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesize the media table from documents (see class doc). */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

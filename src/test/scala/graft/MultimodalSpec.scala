@@ -27,6 +27,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("ImageIoCodec decodes REAL pixels with known values") {
+    import Multimodal.ImageIoCodec
+    // solid (100, 150, 200): per-pixel Rec.601 luma =
+    // floor((299·100 + 587·150 + 114·200)/1000) = floor(140.75) = 140
+    val solid = Multimodal.synthPng(0, 64, 48, Seq(0x6496C8))
+    // metadata dims are deliberately WRONG (9999×9999): a real decode
+    // must take dims from the decoded raster, not the row metadata
+    val row = MediaRow(1L, "image", solid, 9999, 9999, 0, 0L)
+    val feat = ImageIoCodec.decode(row)
+    assert(feat.n_pixels == 64L * 48L, "n_pixels must come from the raster")
+    assert(feat.luma == 140L)
+    // half black / half white columns: luma = floor((0 + 255)/2) = 127
+    // (white = floor(255·(299+587+114)/1000) = 255, black = 0; the
+    // synth pattern (x·7 + y·13) mod 2 alternates them evenly)
+    val duo = Multimodal.synthPng(0, 64, 48, Seq(0x000000, 0xFFFFFF))
+    assert(ImageIoCodec.decode(MediaRow(2L, "image", duo, 1, 1, 0, 0L))
+      .luma == 127L)
+  }
+
+  test("ImageIoCodec resize is deterministic nearest-neighbor") {
+    import Multimodal.ImageIoCodec
+    val solid = Multimodal.synthPng(0, 64, 48, Seq(0x6496C8))
+    val r = ImageIoCodec.resize(MediaRow(3L, "image", solid, 0, 0, 0, 0L),
+      target = 32)
+    // aspect-preserving fit: 64×48 → 32×24; solid color survives any
+    // resampling, so the raster digest is exactly out_w·out_h·140
+    assert(r.out_w == 32 && r.out_h == 24)
+    assert(r.checksum == 32L * 24L * 140L % 1000000007L)
+    // non-solid: checksum changes when the target (hence resampled
+    // raster) changes — proves the digest reads the output, not the input
+    val duo = Multimodal.synthPng(0, 64, 48, Seq(0x000000, 0xFFFFFF))
+    val d32 = ImageIoCodec.resize(MediaRow(4L, "image", duo, 0, 0, 0, 0L), 32)
+    val d16 = ImageIoCodec.resize(MediaRow(4L, "image", duo, 0, 0, 0, 0L), 16)
+    assert(d32.checksum != d16.checksum || d32.out_w != d16.out_w)
+  }
+
+  test("ImageIoCodec runs through the SAME Spark plumbing as the stub") {
+    import Multimodal.ImageIoCodec
+    import spark.implicits._
+    // 30 synthesized PNGs with varying dims, driven through the typed
+    // mapPartitions micro-batch path — the codec swap is ONLY the codec
+    val rows = (0 until 30).map { i =>
+      val w = 16 + (i % 5) * 8
+      val h = 12 + (i % 3) * 12
+      MediaRow(i.toLong, "image",
+        Multimodal.synthPng(i, w, h, Seq(0x6496C8)), w, h, 0, 0L)
+    }
+    val df = spark.createDataset(rows).toDF()
+    val feats = Multimodal.decodeFeatures(spark, df, ImageIoCodec, 4)
+      .orderBy("media_id").collect()
+    assert(feats.length == 30)
+    rows.zip(feats).foreach { case (r, f) =>
+      assert(f.getLong(3) == r.width.toLong * r.height, s"id ${r.media_id}")
+      assert(f.getLong(2) == 140L)
+    }
+    val rs = Multimodal.resizeAll(spark, df, ImageIoCodec, 224, 4)
+      .orderBy("media_id").collect()
+    rs.zip(rows).foreach { case (r, in) =>
+      val mx = math.max(in.width, in.height)
+      assert(r.getInt(2) == in.width * 224 / mx)
+      assert(r.getInt(3) == in.height * 224 / mx)
+    }
+  }
+
   test("stub codec arithmetic is the portable hash family") {
     val bytes = "hello world".getBytes("UTF-8")
     val h = StubCodec.hash60(bytes)
