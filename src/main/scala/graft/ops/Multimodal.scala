@@ -224,6 +224,55 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // REAL decode, oracle-checked: payloads are deterministic
+    // solid-color PNGs (color/dims pure integer functions of doc_id),
+    // synthesized ON THE EXECUTORS and decoded back to actual pixels by
+    // ImageIoCodec through the same typed mapPartitions path. The oracle
+    // needs no image library: a solid color's mean Rec.601 luma is
+    // closed-form integer arithmetic — floor((299r+587g+114b)/1000) —
+    // so the DuckDB side computes what the decoded raster MUST yield,
+    // and any pixel-path bug (codec, color channels, raster dims) goes
+    // hash-red. This is the end-to-end proof the stub queries can't give.
+    "m_decode_real" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val r = ((id * 37) % 256).toInt
+          val g = ((id * 59) % 256).toInt
+          val b = ((id * 83) % 256).toInt
+          val w = (32 + (id % 4) * 16).toInt
+          val h = (24 + (id % 3) * 12).toInt
+          MediaRow(id, "image",
+            synthPng(0, w, h, Seq((r << 16) | (g << 8) | b)), w, h, 0, 0L)
+        }
+      decodeFeatures(s, rows.toDF(), ImageIoCodec,
+        s.sparkContext.defaultParallelism)
+        .select(col("media_id"), col("luma"), col("n_pixels"))
+        .orderBy("media_id")
+    }),
+
+    // REAL resize, oracle-checked the same way: nearest-neighbor
+    // resampling of a solid color is still that color, so the raster
+    // digest is exactly out_w·out_h·luma_px mod p — analytic in DuckDB.
+    "m_resize_real" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val r = ((id * 37) % 256).toInt
+          val g = ((id * 59) % 256).toInt
+          val b = ((id * 83) % 256).toInt
+          val w = (32 + (id % 4) * 16).toInt
+          val h = (24 + (id % 3) * 12).toInt
+          MediaRow(id, "image",
+            synthPng(0, w, h, Seq((r << 16) | (g << 8) | b)), w, h, 0, 0L)
+        }
+      resizeAll(s, rows.toDF(), ImageIoCodec, target = 16,
+        s.sparkContext.defaultParallelism)
+        .select(col("media_id"), col("out_w"), col("out_h"),
+          col("checksum"))
+        .orderBy("media_id")
+    }),
+
     // Frame sampling: 4 evenly-spaced frames per video, each with a
     // deterministic per-frame feature (hash of payload ++ frame index) —
     // declarative explode, no UDF, so it scales as a plain generator.
@@ -267,6 +316,34 @@ object Multimodal {
            CAST((h * 224) // mx AS INT) AS out_h,
            (('0x' || substr(md5(text), 1, 15))::BIGINT
              + ((w * 224) // mx) * 31 + ((h * 224) // mx)) % 1000
+             AS checksum
+         FROM r ORDER BY media_id""",
+    // analytic mirror of the REAL pixel path: solid-color mean luma is
+    // floor((299r+587g+114b)/1000), n_pixels is the synthesized raster
+    "m_decode_real" ->
+      """SELECT doc_id AS media_id,
+           CAST((299 * ((doc_id * 37) % 256)
+               + 587 * ((doc_id * 59) % 256)
+               + 114 * ((doc_id * 83) % 256)) // 1000 AS BIGINT) AS luma,
+           CAST((32 + (doc_id % 4) * 16) * (24 + (doc_id % 3) * 12)
+             AS BIGINT) AS n_pixels
+         FROM documents ORDER BY media_id""",
+    "m_resize_real" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             (299 * ((doc_id * 37) % 256) + 587 * ((doc_id * 59) % 256)
+               + 114 * ((doc_id * 83) % 256)) // 1000 AS luma_px,
+             32 + (doc_id % 4) * 16 AS w,
+             24 + (doc_id % 3) * 12 AS h
+           FROM documents),
+         r AS (
+           SELECT media_id, luma_px, w, h,
+             (w * 16) // greatest(w, h) AS out_w,
+             (h * 16) // greatest(w, h) AS out_h
+           FROM m)
+         SELECT media_id, CAST(out_w AS INT) AS out_w,
+           CAST(out_h AS INT) AS out_h,
+           CAST((out_w * out_h * luma_px) % 1000000007 AS BIGINT)
              AS checksum
          FROM r ORDER BY media_id""",
     "m_frames" ->
