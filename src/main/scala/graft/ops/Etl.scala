@@ -90,6 +90,28 @@ object Etl {
           tiebreak = Seq("event_id"))
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
+    }),
+
+    // SCD Type-2 history build: collapse each user's event stream into
+    // validity intervals of its changing attribute (event_type) — change
+    // detection via lag, interval close via lead, open interval =
+    // current row. THE load-side transform for dimension history
+    // (warehouse upserts keep only l_latest; auditing/replay needs the
+    // full interval table). One shuffle on user_id serves both window
+    // passes (same partitioning, Exchange reused); ties on ts break on
+    // event_id in BOTH engines, so intervals are deterministic.
+    "l_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -128,5 +150,20 @@ object Etl {
                  row_number() OVER (PARTITION BY user_id
                    ORDER BY ts DESC, event_id DESC, user_id DESC) AS rn
                FROM events)
-         WHERE rn = 1 ORDER BY user_id""")
+         WHERE rn = 1 ORDER BY user_id""",
+    "l_scd2" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, event_type, ts, event_id FROM c
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM ch ORDER BY user_id, valid_from""")
 }

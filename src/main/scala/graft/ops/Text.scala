@@ -227,6 +227,73 @@ object Text {
         .orderBy("doc_id", "rn")
     }),
 
+    // Cross-document span dedup (the C4/RefinedWeb "remove spans that
+    // appear verbatim elsewhere" pass): per doc, how many of its distinct
+    // 5-word spans occur in ≥2 documents, plus the keep/drop verdict at
+    // dup_frac < 0.5. Scale shape: the corpus shuffles (span_hash:long,
+    // doc_id) pairs — 8 bytes of key per span, never the span text (the
+    // fused ShingleHashes expression hashes in one JVM pass); the
+    // duplicated-span vocabulary (count ≥ 2) is a small fraction of the
+    // span space, and the join back to spans is a plain hash join on the
+    // 60-bit key. k=5 measured on this corpus: 1096/24k spans duplicated
+    // across 71/500 docs — discriminative; k=3 saturates (every doc
+    // flagged), k≥6 plateaus at the template near-dups.
+    "t_spandedup" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftshim.ShingleHashes
+            .shingleHashes(words(col("text")), 5).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spans = base.select(col("doc_id"), explode(col("sh")).as("h"))
+      // per-doc spans are already distinct (ShingleHashes dedups), so
+      // count(*) per hash == distinct-doc frequency
+      val dupSpans = spans.groupBy("h").agg(count("*").as("nd"))
+        .filter(col("nd") >= 2)
+      val dupPerDoc = spans.join(dupSpans, "h")
+        .groupBy("doc_id").agg(count("*").as("n_dup"))
+      val frac = coalesce(col("n_dup"), lit(0L)).cast("double") /
+        col("n_spans").cast("double")
+      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+          roundf(frac, 4).as("dup_frac"),
+          (roundf(frac, 4) < 0.5).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // PII detection + redaction: count and scrub email/phone patterns —
+    // the compliance pass every corpus build runs before training. The
+    // corpus is synthetic word soup, so PII is INJECTED deterministically
+    // (every 5th doc gets an email + phone suffix) identically in both
+    // engines; detection/redaction then runs on the composite text. The
+    // output carries md5(redacted) so an engine-side redaction drift
+    // (greedy-match or replace-all semantics) flips the hash. Patterns
+    // stay in the RE2 ∩ java.util.regex common subset — no backrefs, no
+    // lookaround — so both engines match identical spans; Spark
+    // regexp_replace replaces ALL matches, DuckDB needs the explicit 'g'
+    // flag (mirrored in the oracle).
+    "t_pii" -> ((s, d) => {
+      val emailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phonePat = "555-[0-9]+"
+      t(s, d, "documents")
+        .withColumn("text2",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact u"),
+              col("doc_id").cast("string"), lit("@mail.net or 555-0"),
+              (col("doc_id") % 100).cast("string")))
+          .otherwise(col("text")))
+        .select(col("doc_id"),
+          regexp_count(col("text2"), lit(emailPat)).cast("long")
+            .as("n_emails"),
+          regexp_count(col("text2"), lit(phonePat)).cast("long")
+            .as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text2"),
+            emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: flag training documents sharing any
     // 4-gram with a held-out benchmark set — the standard pre-training
     // hygiene pass (an n-gram hit against an eval set means the model
@@ -261,6 +328,45 @@ object Text {
     curateOracle
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "t_spandedup" ->
+      """WITH base AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(g), 1, 15))::BIGINT
+               for g in list_distinct([array_to_string(w[i:i+4], ' ')
+                 for i in range(1, greatest(len(w) - 4, 1) + 1)])] AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents)),
+         spans AS (SELECT doc_id, unnest(sh) AS h FROM base),
+         dfreq AS (SELECT h, COUNT(*) AS nd FROM spans GROUP BY h),
+         dup AS (
+           SELECT doc_id, COUNT(*) AS n_dup
+           FROM spans JOIN dfreq USING (h) WHERE nd >= 2
+           GROUP BY doc_id)
+         SELECT b.doc_id, CAST(len(b.sh) AS BIGINT) AS n_spans,
+           CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           floor(COALESCE(dup.n_dup, 0)::DOUBLE / len(b.sh)
+             * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+           CASE WHEN floor(COALESCE(dup.n_dup, 0)::DOUBLE / len(b.sh)
+             * 10000.0 + 0.5) / 10000.0 < 0.5 THEN 1 ELSE 0 END AS keep
+         FROM base b LEFT JOIN dup ON dup.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+    "t_pii" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN text || ' contact u' || doc_id || '@mail.net or 555-0'
+                 || (doc_id % 100)
+               ELSE text END AS text2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+             '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '555-[0-9]+')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text2,
+             '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             '555-[0-9]+', '<PHONE>', 'g')) AS redacted_md5
+         FROM inj ORDER BY doc_id""",
     "t_tokens" ->
       """SELECT doc_id,
            len(string_split(text, ' ')) AS n_ws_tokens,
