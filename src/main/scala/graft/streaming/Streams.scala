@@ -398,6 +398,49 @@ object Streams {
       .select(col("doc_id"),
         (col("dup_bands") >= minBands).as("suppressed"))
 
+  /** File-source stream over the documents table — same frozen schema as
+    * the batch reader; the ingest side of the online corpus gates below.
+    */
+  def documentsStream(spark: SparkSession, sfDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(graft.etl.Tables.documents)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sfDir)
+
+  /** Stream–STATIC contamination gate: every arriving document's distinct
+    * 4-grams join against a static (broadcast) benchmark n-gram set — the
+    * online form of the batch t_contam hygiene pass, filtering eval-set
+    * leakage AT INGEST instead of in a nightly sweep. The join is
+    * stateless (static side never changes ⇒ no join state, no watermark
+    * needed), so it scales as a broadcast hash join per micro-batch; the
+    * per-doc contamination count folds INSIDE the query via foreachBatch
+    * (sound: all grams of a doc explode from one input row in one
+    * micro-batch — the same argument as bandSuppressionQuery). `sink`
+    * receives each batch's (doc_id, n_contam) verdict frame.
+    */
+  def contamGateQuery(spark: SparkSession, docs: DataFrame,
+      benchGrams: DataFrame, textCol: String, idCol: String,
+      sink: DataFrame => Unit): StreamingQuery = {
+    val grams4 = {
+      val w = split(col(textCol), " ")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(w) - 3, lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(4)))))
+    }
+    val hits = docs
+      .select(col(idCol).as("doc_id"), explode(grams4).as("ng"))
+      .join(broadcast(benchGrams), "ng")
+    hits.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink(batch.groupBy("doc_id")
+          .agg(count("*").as("n_contam")))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run a streaming query to completion over the files currently present
     * (Trigger.AvailableNow — the batch-parity mode), writing to an
     * in-memory table. Returns the drained query. This is the "bulk job"

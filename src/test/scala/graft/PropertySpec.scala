@@ -92,6 +92,47 @@ class PropertySpec extends SparkTestBase {
     assert(minQcos > 0.99, s"quantization fidelity collapsed: $minQcos")
   }
 
+  test("SCD2 intervals: contiguous per user, one current row, real changes") {
+    val out = ops.Etl.queries("l_scd2")(spark, dir)
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "is_current")
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(out.nonEmpty)
+    out.foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(2).getTime)
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_.getInt(4) == 1) == 1, s"user $user currents")
+      assert(sorted.last.getInt(4) == 1, s"user $user current not last")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // interval close of row i == open of row i+1 (no gaps/overlaps)
+          assert(a.getTimestamp(3) == b.getTimestamp(2),
+            s"user $user interval gap: ${a.getTimestamp(3)} vs " +
+              s"${b.getTimestamp(2)}")
+          // consecutive intervals carry DIFFERENT attribute values —
+          // otherwise change detection failed to collapse
+          assert(a.getString(1) != b.getString(1),
+            s"user $user adjacent intervals share type ${a.getString(1)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("span dedup: counts bounded, verdict consistent, symmetric") {
+    val out = ops.Text.queries("t_spandedup")(spark, dir)
+    // n_dup_spans never exceeds n_spans; keep verdict matches dup_frac
+    assert(out.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    assert(out.filter(
+      (col("keep") === 1) =!= (col("dup_frac") < 0.5)).count() == 0)
+    // duplication is symmetric: a span in ≥2 docs flags EVERY holder, so
+    // the total dup count can never be 1 (a lone flagged doc would mean
+    // its partner was missed)
+    val total = out.agg(sum("n_dup_spans")).collect()(0).getLong(0)
+    assert(total != 1)
+    assert(total > 0, "corpus has template near-dups; expected shared spans")
+  }
+
   test("funnel stages only narrow") {
     val r = ops.Events.queries("e_funnel")(spark, dir).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

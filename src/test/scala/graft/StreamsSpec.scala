@@ -287,6 +287,37 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("stream-static contamination gate equals the batch t_contam") {
+    // Online form of the eval-leakage pass: documents stream, benchmark
+    // n-grams static+broadcast, per-doc verdicts folded in foreachBatch.
+    // Parity contract: the drained gate must produce EXACTLY the batch
+    // t_contam answer on the same corpus.
+    val docsB = etl.Tables.load(spark, dir, "documents")
+    val grams4 = {
+      val w = split(col("text"), " ")
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(w) - 3, lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(4)))))
+    }
+    val benchGrams = docsB.filter(col("doc_id") % 97 === 0)
+      .select(explode(grams4).as("ng")).distinct()
+    val out = java.nio.file.Files.createTempDirectory("graft-contam")
+      .resolve("v").toString
+    val stream = Streams.documentsStream(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+    val q = Streams.contamGateQuery(spark, stream, benchGrams,
+      "text", "doc_id",
+      sink = df => df.write.mode("append").parquet(out))
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Text.queries("t_contam")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty, "expected contaminated docs in the fixture")
+    assert(streamed == batch,
+      s"gate=${streamed.toSeq.sorted} batch=${batch.toSeq.sorted}")
+  }
+
   test("stream-stream interval join equals the batch formulation") {
     val stream = Streams.eventsStream(spark, dir)
     val q = Streams.clickToPurchase(stream).writeStream
