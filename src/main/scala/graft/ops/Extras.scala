@@ -55,6 +55,30 @@ object Extras {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate percentile — the 100 TB form of x_percentile (KLL/GK
+    // sketch, bounded memory, single pass; exact percentile must
+    // materialize sorted groups). Like a3_approx, the sketch value is
+    // engine-specific, so the hash-checked output is the GUARANTEE:
+    // approx_percentile(q, acc=100) promises rank error ≤ 1%, so the
+    // estimate must land between the exact 49th and 51st percentiles —
+    // within_bound emits exactly that, alongside the exact median both
+    // engines agree on. A sketch regression flips the boolean → hash-red.
+    "x_approx_pctile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 100)").as("ap"),
+          expr("percentile(l_quantity, 0.49)").as("lo"),
+          expr("percentile(l_quantity, 0.51)").as("hi"),
+          roundf(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
+          count("*").as("n"))
+        .select(col("l_returnflag"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi"))
+            .as("within_bound"),
+          col("p50_exact"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Deterministic 7% hash sample: reproducible across runs, engines,
     // and partitionings; the filter pushes to the scan output (no
     // shuffle, no seed state).
@@ -105,6 +129,12 @@ object Extras {
              AS p50_qty,
            floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0
              AS p90_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x_approx_pctile" ->
+      """SELECT l_returnflag, TRUE AS within_bound,
+           floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0
+             AS p50_exact,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x_sample" ->
