@@ -17,6 +17,8 @@ import graft.schema.{Ddl, Mapping}
   *                         like main.rs:63 `Table::new(args.name)`)
   *     [--decimal-mode]    map Currency/Percent to DECIMAL(p,s) instead of
   *                         the reference-faithful sized varchar
+  *     [--dialect pg|mysql] target dialect (default pg) — selects the
+  *                         SqlGenerator instance, like `generate::<Pg>()`
   *
   * Pure driver-side string work — no SparkSession is started (DDL
   * generation never touches data, exactly as in the reference).
@@ -24,7 +26,7 @@ import graft.schema.{Ddl, Mapping}
 object SqlBuilderCli {
 
   final case class Opts(in: String, out: String, table: Option[String],
-      decimalMode: Boolean)
+      decimalMode: Boolean, dialect: String = "pg")
 
   def parseArgs(args: Array[String]): Opts = {
     def loop(rest: List[String], o: Opts): Opts = rest match {
@@ -32,6 +34,7 @@ object SqlBuilderCli {
       case "--out" :: v :: t => loop(t, o.copy(out = v))
       case "--table" :: v :: t => loop(t, o.copy(table = Some(v)))
       case "--decimal-mode" :: t => loop(t, o.copy(decimalMode = true))
+      case "--dialect" :: v :: t => loop(t, o.copy(dialect = v))
       case Nil => o
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
@@ -39,13 +42,15 @@ object SqlBuilderCli {
     val o = loop(args.toList, Opts("", "", None, decimalMode = false))
     require(o.in.nonEmpty && o.out.nonEmpty,
       "usage: SqlBuilderCli --in describe.json --out table.sql" +
-        " [--table NAME] [--decimal-mode]")
+        " [--table NAME] [--decimal-mode] [--dialect pg|mysql]")
+    require(Set("pg", "mysql")(o.dialect),
+      s"unknown dialect ${o.dialect}: expected pg or mysql")
     o
   }
 
   /** The pipeline as a pure function (main.rs:50-82), for tests. */
   def run(describeJson: String, tableOverride: Option[String],
-      decimalMode: Boolean): String = {
+      decimalMode: Boolean, dialect: String = "pg"): String = {
     val d = graft.schema.DescribeResponse.parse(describeJson)
     val schema =
       if (!decimalMode) Mapping.describeToStructType(d)
@@ -53,13 +58,15 @@ object SqlBuilderCli {
         val base = Mapping.fieldToStructField(f)
         base.copy(dataType = Mapping.dataTypeOf(f, decimalMode = true))
       })
-    Ddl.generate(tableOverride.getOrElse(d.name), schema)(Ddl.Pg)
+    val g: graft.schema.SqlGenerator =
+      if (dialect == "mysql") Ddl.MySql else Ddl.Pg
+    g.createTable(tableOverride.getOrElse(d.name), schema)
   }
 
   def main(args: Array[String]): Unit = {
     val o = parseArgs(args)
     val json = Files.readString(Paths.get(o.in))
-    val ddl = run(json, o.table, o.decimalMode)
+    val ddl = run(json, o.table, o.decimalMode, o.dialect)
     Files.writeString(Paths.get(o.out), ddl + "\n")
     System.err.println(s"[sql-builder] wrote ${o.out}")
   }

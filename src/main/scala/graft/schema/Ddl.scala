@@ -82,4 +82,64 @@ object Ddl {
       s"""CREATE TABLE IF NOT EXISTS "$table" (\n${cols.mkString(",\n")}\n);"""
     }
   }
+
+  /** MySQL dialect — the SECOND instance, proving the typeclass is
+    * genuinely dialect-pluggable (the reference ships the trait with one
+    * impl and the promise of more, sql/mod.rs:9-12). Divergences the
+    * typeclass absorbs: backtick quoting; no native arrays (arbitrary-
+    * depth `{}[]` recursion collapses to a JSON column — the standard
+    * MySQL answer); `json` not `jsonb`; DATETIME(6) for µs timestamps;
+    * keyed string columns must be length-bounded (TEXT can't be a
+    * PRIMARY KEY/UNIQUE key), so bare keyed strings become varchar(255).
+    */
+  implicit object MySql extends SqlGenerator {
+
+    def typeName(dt: DataType, md: Metadata): String = dt match {
+      case StringType if md.contains(Mapping.K.Json) => "json"
+      case StringType if md.contains(Mapping.K.SfType) &&
+          md.getString(Mapping.K.SfType) == FieldType.Time.wireName => "time"
+      case StringType if md.contains(Mapping.K.Length) =>
+        s"varchar(${md.getLong(Mapping.K.Length)})"
+      case StringType if md.contains(Mapping.K.Primary) ||
+          md.contains(Mapping.K.Unique) => "varchar(255)"
+      case StringType => "text"
+      case BooleanType => "tinyint(1)"
+      case ByteType => "tinyint"
+      case IntegerType => "int"
+      case LongType => "bigint"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampType => "datetime(6)"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(_, _) => "json"
+      case other =>
+        throw new IllegalArgumentException(s"no mysql mapping for $other")
+    }
+
+    def createColumn(f: StructField): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s"`${f.name}`"
+      parts += typeName(f.dataType, f.metadata)
+      if (f.metadata.contains(Mapping.K.Primary)) parts += "PRIMARY KEY"
+      if (f.metadata.contains(Mapping.K.Default))
+        parts += s"DEFAULT '${f.metadata.getString(Mapping.K.Default)}'"
+      if (!f.metadata.contains(Mapping.K.Primary)) {
+        if (!f.nullable) parts += "NOT NULL"
+        if (f.metadata.contains(Mapping.K.Unique)) parts += "UNIQUE"
+      }
+      if (f.metadata.contains(Mapping.K.FkTable)) {
+        val t = f.metadata.getString(Mapping.K.FkTable)
+        val ks = f.metadata.getStringArray(Mapping.K.FkKeys)
+          .map(k => s"`$k`").mkString(", ")
+        parts += s"REFERENCES `$t` ($ks)"
+      }
+      parts.result().mkString(" ")
+    }
+
+    def createTable(table: String, schema: StructType): String = {
+      val cols = schema.fields.map(f => s"  ${createColumn(f)}")
+      s"CREATE TABLE IF NOT EXISTS `$table` (\n${cols.mkString(",\n")}\n);"
+    }
+  }
 }

@@ -118,6 +118,31 @@ class SchemaSpec extends AnyFunSuite {
     assert(ddl == expected)
   }
 
+  test("golden MySQL DDL: second dialect through the same typeclass") {
+    // same describe fixture, different SqlGenerator instance — the
+    // divergences (backticks, arrays→json, jsonb→json, datetime(6),
+    // tinyint(1)) live entirely in the instance, as the reference's
+    // pluggable-generator design intends (sql/mod.rs:9-12)
+    val ddl = Ddl.generate("Case",
+      Mapping.describeToStructType(describeJson))(Ddl.MySql)
+    val expected =
+      """CREATE TABLE IF NOT EXISTS `Case` (
+        |  `Id` varchar(18) PRIMARY KEY,
+        |  `AccountId` varchar(18) REFERENCES `Account` (`Id`),
+        |  `Description` varchar(32000),
+        |  `Tags__c` json,
+        |  `Payload__c` json,
+        |  `IsEscalated` tinyint(1) NOT NULL,
+        |  `CreatedDate` datetime(6) NOT NULL,
+        |  `DueDate` date,
+        |  `SlaTime` time,
+        |  `Amount` double,
+        |  `CaseNumber` varchar(30) NOT NULL UNIQUE,
+        |  `Votes` int
+        |);""".stripMargin
+    assert(ddl == expected)
+  }
+
   test("nested array DDL recurses {}[] style (pg.rs:67)") {
     val st = StructType(Seq(StructField("deep",
       ArrayType(ArrayType(IntegerType)), nullable = true)))
@@ -176,6 +201,16 @@ class SchemaSpec extends AnyFunSuite {
       SqlBuilderCli.parseArgs(Array("--in", in.toString)))
     assertThrows[IllegalArgumentException](
       SqlBuilderCli.parseArgs(Array("--frobnicate")))
+    // --dialect mysql routes through the second SqlGenerator instance
+    SqlBuilderCli.main(Array("--in", in.toString, "--out", out.toString,
+      "--dialect", "mysql"))
+    val my = java.nio.file.Files.readString(out)
+    assert(my.startsWith("CREATE TABLE IF NOT EXISTS `Case` ("))
+    assert(my.contains("`Tags__c` json"))
+    assert(my.contains("`CreatedDate` datetime(6) NOT NULL"))
+    assertThrows[IllegalArgumentException](
+      SqlBuilderCli.parseArgs(Array("--in", in.toString, "--out",
+        out.toString, "--dialect", "oracle")))
   }
 
   test("decimal-mode CLI maps Currency/Percent to DECIMAL(p,s)") {
