@@ -90,6 +90,50 @@ object Extras {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Column profiling (the ANALYZE TABLE shape): one aggregation pass
+    // emits per-column null counts, distinct counts, and min/max — the
+    // stats every load pipeline collects before planning/quality gates.
+    // ONE agg job for all four columns (Catalyst's expand handles the
+    // multiple DISTINCTs); long-format output via a literal struct-array
+    // explode, so adding a column is one more struct, not another scan.
+    // At 100 TB swap countDistinct for approx_count_distinct and verify
+    // with the a3_approx bound-check pattern; exact here keeps the
+    // cross-engine hash simple.
+    "x_profile" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val numCols = Seq("o_custkey", "o_totalprice")
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        (numCols ++ strCols).flatMap { c =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__nd"))
+        } ++
+        numCols.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+        } ++
+        strCols.flatMap { c =>
+          Seq(min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax"))
+        }
+      val profiled = o.agg(aggs.head, aggs.tail: _*)
+      val rows = numCols.map { c =>
+        struct(lit(c).as("col_name"), col("n"),
+          col(s"${c}__nulls").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+      } ++ strCols.map { c =>
+        struct(lit(c).as("col_name"), col("n"),
+          col(s"${c}__nulls").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col(s"${c}__smin").as("min_str"), col(s"${c}__smax").as("max_str"))
+      }
+      profiled.select(explode(array(rows: _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    }),
+
     // Stratified sampling: a DIFFERENT deterministic fraction per stratum
     // (label ℓ keeps (ℓ+1)/20) — the reproducible-on-re-run equivalent of
     // df.stat.sampleBy, whose seed depends on partition layout and is
@@ -137,6 +181,38 @@ object Extras {
              AS p50_exact,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x_profile" ->
+      """WITH p AS (
+           SELECT 'o_custkey' AS col_name, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             MIN(o_custkey)::DOUBLE AS min_num,
+             MAX(o_custkey)::DOUBLE AS max_num,
+             NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', COUNT(*),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             COUNT(DISTINCT o_totalprice),
+             MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             COUNT(DISTINCT o_orderstatus), NULL, NULL,
+             MIN(o_orderstatus), MAX(o_orderstatus)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             COUNT(DISTINCT o_orderpriority), NULL, NULL,
+             MIN(o_orderpriority), MAX(o_orderpriority)
+           FROM orders)
+         SELECT * FROM p ORDER BY col_name""",
     "x_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
          FROM lineitem
