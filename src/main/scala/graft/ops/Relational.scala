@@ -147,6 +147,30 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
+    // Salted skew join — THE manual lever for a hot fact key joining a
+    // dim too big to broadcast (AQE's skew-join splits sort-merge
+    // partitions, but only AFTER a shuffle materializes the skew; and a
+    // 5-row salt domain can defeat its splitting like a2_salted's agg
+    // case). Fact side: salt = f(row) mod S; dim side: replicate ×S via
+    // explode. Every (key, salt) bucket caps at 1/S of the hot key —
+    // result provably identical to the plain join (the oracle IS the
+    // plain join). S=8 here; size S to hottest-key-rows / target-task-
+    // rows at 100 TB. Salting composes with any join impl (BHJ here at
+    // test SF; the pattern targets shuffle joins).
+    "j_salted" -> ((s, d) => {
+      val S = 8
+      val li = t(s, d, "lineitem").withColumn("salt",
+        pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(S))
+          .cast("int"))
+      val p = t(s, d, "part").withColumn("salt",
+        explode(sequence(lit(0), lit(S - 1))))
+      li.join(p, li("l_partkey") === p("p_partkey") &&
+          li("salt") === p("salt"))
+        .groupBy("p_brand")
+        .agg(count("*").as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // A1: result cardinality as a first-class value (total_size,
     // response.rs:7) + distinct cardinality.
     "a1_count" -> ((s, d) => {
@@ -384,6 +408,12 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
          ORDER BY c_custkey""",
+    "j_salted" ->
+      """SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
     "j6_star" ->
       """SELECT r_name, n_name, COUNT(*) AS n_items,
            CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(22,4))) AS DOUBLE) AS revenue

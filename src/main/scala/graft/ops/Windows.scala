@@ -72,6 +72,27 @@ object Windows {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_orderstatus", "rn")
+    }),
+
+    // W5: ntile quantile bucketing — equal-frequency binning for score
+    // calibration / cohort splits. Total order (acctbal, custkey) makes
+    // tile assignment deterministic in both engines. Scale note: an
+    // unpartitioned window is a single-task global sort — exact and fine
+    // for dimension-sized inputs like customer; for a 100 TB fact table
+    // compute approx_percentile cut points (one agg) and assign buckets
+    // with a broadcast CASE instead.
+    "w5_ntile" -> ((s, d) => {
+      val w = Window.orderBy(asc("c_acctbal"), asc("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .groupBy("quartile")
+        .agg(count("*").as("n"),
+          min(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("min_bal"),
+          max(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("max_bal"))
+        .orderBy("quartile")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -114,5 +135,16 @@ object Windows {
              row_number() OVER (PARTITION BY o_orderstatus
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders)
-         WHERE rn <= 3 ORDER BY o_orderstatus, rn""")
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+    "w5_ntile" ->
+      """SELECT quartile, COUNT(*) AS n,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS min_bal,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS max_bal
+         FROM (SELECT c_custkey, c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+               AS quartile
+           FROM customer)
+         GROUP BY quartile ORDER BY quartile""")
 }
