@@ -171,6 +171,33 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Fuzzy record linkage — the dirty-data join every CRM ETL runs
+    // (matching hand-keyed names against the master table). A probe set
+    // of deterministically CORRUPTED names (5th char dropped from every
+    // 100th customer) links back to the master via levenshtein ≤ 2,
+    // blocked on name length ±2 so the quadratic edit-distance verify
+    // touches only length-compatible candidates — same
+    // block-then-verify shape as the dedup suite, and the small probe
+    // side broadcasts at any master-table scale.
+    "j_fuzzy" -> ((s, d) => {
+      val master = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          length(col("c_name")).as("ml"))
+      val probes = t(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          concat(substring(col("c_name"), 1, 4),
+            substring(col("c_name"), 6, 1000)).as("dirty_name"))
+        .withColumn("pl", length(col("dirty_name")))
+      probes.join(master,
+          abs(col("ml") - col("pl")) <= 2 &&
+          levenshtein(col("dirty_name"), col("c_name")) <= 2)
+        .select(col("probe_key"), col("dirty_name"), col("c_custkey")
+          .as("matched_key"),
+          levenshtein(col("dirty_name"), col("c_name")).as("dist"))
+        .orderBy("probe_key", "matched_key")
+    }),
+
     // A1: result cardinality as a first-class value (total_size,
     // response.rs:7) + distinct cardinality.
     "a1_count" -> ((s, d) => {
@@ -408,6 +435,17 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
          ORDER BY c_custkey""",
+    "j_fuzzy" ->
+      """WITH probes AS (
+           SELECT c_custkey AS probe_key,
+             substr(c_name, 1, 4) || substr(c_name, 6) AS dirty_name
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT probe_key, dirty_name, c_custkey AS matched_key,
+           CAST(levenshtein(dirty_name, c_name) AS INT) AS dist
+         FROM probes JOIN customer
+           ON abs(length(c_name) - length(dirty_name)) <= 2
+             AND levenshtein(dirty_name, c_name) <= 2
+         ORDER BY probe_key, matched_key""",
     "j_salted" ->
       """SELECT p_brand, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
