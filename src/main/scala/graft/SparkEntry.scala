@@ -58,7 +58,8 @@ object SparkEntry {
       "s3_csv_roundtrip", "w1_rank", "e_tumble", "t_fingerprint",
       "j7_range", "x_percentile", "m_decode_features", "d_simhash",
       "d_ngram_jaccard", "d_clusters", "t_contam", "v_quant",
-      "e_retention", "e_funnel", "v_ann_ivfq", "t_tfidf", "m_decode_real")
+      "e_retention", "e_funnel", "v_ann_ivfq", "t_tfidf", "m_decode_real",
+      "t_spandedup", "j_salted", "l_scd2")
     val have = queries.keySet
     preferred.filter(have)
   }
