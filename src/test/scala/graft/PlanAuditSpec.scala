@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** PLANS.md made executable: the physical-plan properties claimed as the
+  * 100 TB design evidence are asserted here, so a refactor that silently
+  * loses a pushdown, turns a broadcast into a shuffle, or adds an exchange
+  * fails CI instead of waiting for a hand audit. Plans are captured at
+  * sf0.001 — plan SHAPE is scale-invariant (AQE only further coalesces).
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def nodeCount(p: String, node: String): Int =
+    s"\\(\\d+\\) $node".r.findAllIn(p).size
+
+  test("p1_project: column pruning reaches the parquet scan (4 of 11)") {
+    val p = plan("p1_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_returnflag:string,l_linestatus:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("p3_filter: predicates push into the scan") {
+    assert(plan("p3_filter").contains("PushedFilters: [IsNotNull"))
+  }
+
+  test("e_incremental: watermark pushes on RAW nanos (row-group pruning)") {
+    val p = plan("e_incremental")
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      "raw-nanos watermark filter must reach PushedFilters")
+  }
+
+  test("j6_star: all three dims broadcast — fact never shuffles") {
+    val p = plan("j6_star")
+    assert(nodeCount(p, "BroadcastHashJoin") == 3, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("o3_topk: TakeOrderedAndProject, never a global sort") {
+    val p = plan("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a2_group: map-side partial aggregation before the exchange") {
+    assert(plan("a2_group").contains("partial_"),
+      "shuffle must carry |groups| (partial agg), not |rows|")
+  }
+
+  test("l_scd2: ONE user_id exchange serves both window passes") {
+    val p = plan("l_scd2")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      p.linesIterator.filter(_.contains("hashpartitioning"))
+        .mkString("\n"))
+  }
+
+  test("t_spandedup: dup vocabulary broadcasts to both joins") {
+    val p = plan("t_spandedup")
+    assert(nodeCount(p, "BroadcastHashJoin") == 2, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("d_embed_pairs (small n): broadcast nested-loop, zero shuffle") {
+    assert(plan("d_embed_pairs").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t_contam: benchmark side broadcasts; corpus joins without sort") {
+    // The ONE ng-shuffle in this plan is the BENCHMARK branch's distinct
+    // (eval sets are thousands of docs — that shuffle is tiny at any
+    // corpus scale) feeding the BroadcastExchange; the corpus branch
+    // reaches the join through a BroadcastHashJoin, which by
+    // construction does not shuffle its streamed side. A SortMergeJoin
+    // appearing here would mean the billions-row corpus started
+    // shuffling+sorting on n-gram — the regression this guards.
+    val p = plan("t_contam")
+    assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+    assert(p.linesIterator.count(_.contains("hashpartitioning(ng")) == 1,
+      "only the benchmark distinct may shuffle on ng")
+  }
+}
