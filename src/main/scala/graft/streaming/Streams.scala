@@ -49,6 +49,17 @@ object Streams {
       .select(col("w.start").as("ws"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes — twin of "e_slide"
+    * (each event lands in 2 overlapping windows; state is 2× the
+    * tumbling case, still watermark-bounded).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count("*").as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+
   /** Session windows (30-minute gap) per user under watermark — twin of
     * "e_session".
     */

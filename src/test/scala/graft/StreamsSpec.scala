@@ -24,6 +24,17 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("slidingCounts over a drained stream equals the batch e_slide") {
+    val stream = Streams.eventsStream(spark, dir)
+    val q = Streams.runAvailableNow(Streams.slidingCounts(stream),
+      "slide_test", outputMode = "complete")
+    assert(!q.isActive)
+    val streamed = spark.table("slide_test")
+    val batch = graft.ops.Events.queries("e_slide")(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
