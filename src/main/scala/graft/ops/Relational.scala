@@ -18,6 +18,96 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Pass-Join τ=2 segment-blocked fuzzy link (see j_fuzzy_blocked's
+    * query comment). `probes` carries (probe_key, dirty_name); `master`
+    * carries (c_custkey, c_name). Output: (probe_key, dirty_name,
+    * matched_key, dist ≤ 2) — provably identical to the unblocked
+    * levenshtein join (FuzzySpec asserts it on varied-length synthetic
+    * strings including the L < 3 fallback branch).
+    */
+  def fuzzyLinkBlocked(probes: org.apache.spark.sql.DataFrame,
+      master: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val τ = 2
+    val m = master.withColumn("ml", length(col("c_name")))
+    val p = probes.withColumn("pl", length(col("dirty_name")))
+    // segment layout of a length-L string: b = L div 3, r = L mod 3,
+    // lens = [b+(r>0), b+(r>1), b], starts cumulative (1-based)
+    def b(l: org.apache.spark.sql.Column) =
+      ((l - pmod(l, lit(3))) / lit(3)).cast("int")
+    def len_(l: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) = {
+      val r = pmod(l, lit(3))
+      when(i === 0, b(l) + when(r > 0, 1).otherwise(0))
+        .when(i === 1, b(l) + when(r > 1, 1).otherwise(0))
+        .otherwise(b(l))
+    }
+    def start_(l: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) =
+      when(i === 0, lit(1))
+        .when(i === 1, lit(1) + len_(l, lit(0)))
+        .otherwise(lit(1) + len_(l, lit(0)) + len_(l, lit(1)))
+    // master: 3 keyed segment rows (requires L ≥ 3 for the pigeonhole
+    // to hold — shorter masters take the length-band fallback below)
+    val mSeg = m.filter(col("ml") >= 3)
+      .select(col("c_custkey"), col("c_name"), col("ml"),
+        explode(array((0 to 2).map(i => struct(lit(i).as("si"),
+          col("c_name").substr(start_(col("ml"), lit(i)),
+            len_(col("ml"), lit(i))).as("seg"))): _*)).as("e"))
+      .select(col("c_custkey"), col("c_name"), col("ml"),
+        col("e.si"), col("e.seg"))
+    // probe: decode a flat 0..74 index into (candidate master length,
+    // segment idx, shift), keep in-bounds substrings
+    val combos = transform(sequence(lit(0), lit(5 * 3 * 5 - 1)), idx => {
+      val lm = col("pl") - τ + (idx / lit(15)).cast("int")
+      val si = (pmod(idx, lit(15)) / lit(5)).cast("int")
+      val sh = pmod(idx, lit(5)) - τ
+      val ln = len_(lm, si)
+      val st = start_(lm, si) + sh
+      struct(lm.as("lm"), si.as("si"),
+        col("dirty_name").substr(st, ln).as("seg"),
+        (lm >= 3 && ln >= 1 && st >= 1 &&
+          st + ln - lit(1) <= col("pl")).as("ok"))
+    })
+    val pSeg = p
+      .select(col("probe_key"), col("dirty_name"), col("pl"),
+        explode(filter(combos, c => c.getField("ok"))).as("e"))
+      .select(col("probe_key"), col("dirty_name"),
+        col("e.lm"), col("e.si"), col("e.seg"))
+      .distinct()
+    val candSeg = pSeg.join(mSeg,
+        pSeg("lm") === mSeg("ml") && pSeg("si") === mSeg("si") &&
+        pSeg("seg") === mSeg("seg"))
+      .select(col("probe_key"), col("dirty_name"),
+        col("c_custkey"), col("c_name"))
+    // fallback: masters shorter than τ+1 chars have no 3-segment
+    // pigeonhole — every probe in the ±τ length band is a candidate
+    // (via the probe's already-enumerated lm values, still equi)
+    val candShort = p
+      .select(col("probe_key"), col("dirty_name"),
+        explode(sequence(col("pl") - τ, col("pl") + τ)).as("lm"))
+      .join(m.filter(col("ml") < 3), col("lm") === col("ml"))
+      .select(col("probe_key"), col("dirty_name"),
+        col("c_custkey"), col("c_name"))
+    candSeg.union(candShort).distinct()
+      .select(col("probe_key"), col("dirty_name"),
+        col("c_custkey").as("matched_key"),
+        levenshtein(col("dirty_name"), col("c_name")).as("dist"))
+      .filter(col("dist") <= τ)
+  }
+
+  private val fuzzySql: String =
+    """WITH probes AS (
+         SELECT c_custkey AS probe_key,
+           substr(c_name, 1, 4) || substr(c_name, 6) AS dirty_name
+         FROM customer WHERE c_custkey % 100 = 0)
+       SELECT probe_key, dirty_name, c_custkey AS matched_key,
+         CAST(levenshtein(dirty_name, c_name) AS INT) AS dist
+       FROM probes JOIN customer
+         ON abs(length(c_name) - length(dirty_name)) <= 2
+           AND levenshtein(dirty_name, c_name) <= 2
+       ORDER BY probe_key, matched_key"""
+
   val queries: Map[String, Q] = Map(
 
     // P1: explicit field-list projection (client.rs:217 SELECT {fields}).
@@ -203,6 +293,31 @@ object Relational {
           col("c_custkey").as("matched_key"),
           levenshtein(col("dirty_name"), col("c_name")).as("dist"))
         .filter(col("dist") <= 2)
+        .orderBy("probe_key", "matched_key")
+    }),
+
+    // The SCALE shape for fuzzy linkage: Pass-Join segment blocking
+    // (Li, Deng, Feng: "PASS-JOIN: A Partition-based Method for
+    // Similarity Joins", VLDB 2011). Pigeonhole: τ=2 edits touch ≤2 of
+    // 3 segments, so a true match preserves ≥1 master segment VERBATIM,
+    // shifted ≤τ — candidates come from a plain EQUI-join on
+    // (master_len, segment_idx, segment_text) against the probe's
+    // enumerated substrings (5 lengths × 3 segments × 5 shifts = 75
+    // constant fan-out per probe), then the exact levenshtein verify
+    // touches bucket-mates only. Same oracle as j_fuzzy: the blocking
+    // is result-invariant (FuzzySpec proves set-equality and that the
+    // plan is the segment equi-join, not a nested loop). On THIS corpus
+    // every name shares one length so buckets stay fat; on real name
+    // data this is the all-pairs killer.
+    "j_fuzzy_blocked" -> ((s, d) => {
+      val master = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val probes = t(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          concat(substring(col("c_name"), 1, 4),
+            substring(col("c_name"), 6, 1000)).as("dirty_name"))
+      fuzzyLinkBlocked(probes, master)
         .orderBy("probe_key", "matched_key")
     }),
 
@@ -443,17 +558,10 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
          ORDER BY c_custkey""",
-    "j_fuzzy" ->
-      """WITH probes AS (
-           SELECT c_custkey AS probe_key,
-             substr(c_name, 1, 4) || substr(c_name, 6) AS dirty_name
-           FROM customer WHERE c_custkey % 100 = 0)
-         SELECT probe_key, dirty_name, c_custkey AS matched_key,
-           CAST(levenshtein(dirty_name, c_name) AS INT) AS dist
-         FROM probes JOIN customer
-           ON abs(length(c_name) - length(dirty_name)) <= 2
-             AND levenshtein(dirty_name, c_name) <= 2
-         ORDER BY probe_key, matched_key""",
+    "j_fuzzy" -> fuzzySql,
+    // the blocked variant is result-invariant, so its oracle IS the
+    // plain unblocked join (same as d_embed_pairs' triangle shape)
+    "j_fuzzy_blocked" -> fuzzySql,
     "j_salted" ->
       """SELECT p_brand, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
