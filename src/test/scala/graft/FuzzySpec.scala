@@ -49,6 +49,53 @@ class FuzzySpec extends SparkTestBase {
       s"missed=${exact -- blocked} spurious=${blocked -- exact}")
   }
 
+  test("randomized soundness: no pair within distance 2 is ever missed") {
+    import spark.implicits._
+    // 120 random masters (lengths 1..20) + probes derived by 0-2 random
+    // edits (insert/delete/substitute at random positions) — the blocked
+    // candidate set must contain EVERY (probe, its source master) pair,
+    // since each is within distance ≤ 2 by construction. Seeded RNG:
+    // deterministic, but exercises edit/position/length combinations no
+    // hand-written vector list covers.
+    val rnd = new scala.util.Random(0x60af7L)
+    val alpha = "abcdefg" // small alphabet → frequent accidental matches
+    def randStr(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val masters = (0 until 120).map(i => (i.toLong, randStr(1 + rnd.nextInt(20))))
+    def edit(s: String): String = {
+      if (s.isEmpty) return s + alpha(rnd.nextInt(alpha.length))
+      rnd.nextInt(3) match {
+        case 0 => // substitute
+          val p = rnd.nextInt(s.length)
+          s.updated(p, alpha(rnd.nextInt(alpha.length)))
+        case 1 => // delete
+          val p = rnd.nextInt(s.length)
+          s.substring(0, p) + s.substring(p + 1)
+        case _ => // insert
+          val p = rnd.nextInt(s.length + 1)
+          s.substring(0, p) + alpha(rnd.nextInt(alpha.length)) +
+            s.substring(p)
+      }
+    }
+    val probes = masters.map { case (i, m) =>
+      var p = m
+      (0 until rnd.nextInt(3)).foreach(_ => p = edit(p))
+      (1000L + i, p, i) // remember the source master
+    }
+    val mDf = masters.toDF("c_custkey", "c_name")
+    val pDf = probes.map { case (k, s, _) => (k, s) }
+      .toDF("probe_key", "dirty_name")
+    val blocked = asSet(Relational.fuzzyLinkBlocked(pDf, mDf))
+    val exact = asSet(brute(pDf, mDf))
+    assert(blocked == exact,
+      s"missed=${exact -- blocked} spurious=${blocked -- exact}")
+    // and every engineered (probe → source master) pair is present
+    probes.foreach { case (pk, _, src) =>
+      assert(blocked.exists(t => t._1 == pk && t._2 == src),
+        s"probe $pk lost its source master $src")
+    }
+  }
+
   test("j_fuzzy_blocked equals j_fuzzy on the customer corpus, via equi-join") {
     val d = "/root/testdata/sf0.001"
     assume(new java.io.File(d).isDirectory, s"fixture $d absent")
