@@ -69,6 +69,32 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("d_embed_pairs").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("similarity candidate generators never plan an all-pairs join") {
+    // the core dedup-suite claim: candidates come from bucketed
+    // EQUI-joins (bands, blocks, cells) — a CartesianProduct or
+    // BroadcastNestedLoopJoin appearing in any of these means a
+    // candidate generator degenerated to all-pairs
+    for (q <- Seq("d_minhash_pairs", "d_ngram_jaccard", "v_ann_lsh",
+        "j_fuzzy_blocked")) {
+      val p = plan(q)
+      assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
+      assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
+        s"$q plans a nested loop")
+    }
+  }
+
+  test("x_sample: hash filter runs pre-shuffle; only the output sort exchanges") {
+    val p = plan("x_sample")
+    assert(nodeCount(p, "Exchange") == 1,
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("rangepartitioning"),
+      "the single exchange must be the output ordering")
+  }
+
+  test("o1_sort: global sort is a distributed range partition") {
+    assert(plan("o1_sort").contains("rangepartitioning(o_orderstatus"))
+  }
+
   test("t_contam: benchmark side broadcasts; corpus joins without sort") {
     // The ONE ng-shuffle in this plan is the BENCHMARK branch's distinct
     // (eval sets are thousands of docs — that shuffle is tiny at any
