@@ -59,6 +59,30 @@ object Events {
         .orderBy("h", "event_type")
     }),
 
+    // Burst detection: flag hours where a type's count exceeds 2× its
+    // trailing-24-observation average — the monitoring/anomaly pass on
+    // event streams. The flag is evaluated as an INTEGER cross-multiply
+    // (n·cnt24 > 2·sum24), never a float average: exact in both engines,
+    // no stddev (whose Welford-vs-sum-of-squares evaluation differs
+    // across engines). One exchange on event_type serves the window.
+    "e_burst" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .groupBy("h", "event_type").agg(count("*").as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("sum24", sum("n").over(w))
+        .withColumn("cnt24", count("n").over(w))
+        .filter(col("cnt24") >= 12) // demand half a day of history
+        .select(col("event_type"), col("h"), col("n"),
+          col("sum24"), col("cnt24"),
+          (col("n") * col("cnt24") > col("sum24") * 2).cast("int")
+            .as("burst"))
+        .orderBy("event_type", "h")
+    }),
+
     // Cohort retention matrix: users keyed by first-active day, counted
     // on each later active day — the standard product-analytics view.
     // Shape: one distinct on (user, day), one per-user min, one
@@ -174,6 +198,24 @@ object Events {
          FROM spine s CROSS JOIN types t
          LEFT JOIN hourly hh ON hh.h = s.h AND hh.event_type = t.event_type
          ORDER BY s.h, t.event_type""",
+    "e_burst" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         trailed AS (
+           SELECT event_type, h, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sum24,
+             COUNT(n) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS cnt24
+           FROM hourly)
+         SELECT event_type, h, n,
+           CAST(sum24 AS BIGINT) AS sum24,
+           CAST(cnt24 AS BIGINT) AS cnt24,
+           CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
+         FROM trailed WHERE cnt24 >= 12
+         ORDER BY event_type, h""",
     "e_tumble" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

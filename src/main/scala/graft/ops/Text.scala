@@ -294,6 +294,44 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Collocation extraction: bigrams scoring high on PMI — the classic
+    // corpus-analysis pass for multiword terms. Score is the RATIONAL
+    // PMI core N·c(xy)/(c(x)·c(y)) (same monotone ranking as
+    // log of it, minus the libm transcendental that would diverge
+    // across engines — the t_tfidf trick). Counts are exact integers,
+    // the one divide is correctly-rounded IEEE: bit-identical
+    // everywhere. Both unigram joins are vocabulary-sized → broadcast;
+    // the token stream shuffles once per count.
+    "t_colloc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = words(col("text"))
+      val toks = t(s, d, "documents")
+        .select(explode(w).as("wd"))
+      val bi = t(s, d, "documents")
+        .select(explode(transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val uni = toks.groupBy("wd").agg(count("*").as("c1"))
+      val n = toks.agg(count("*").cast("double").as("nt"))
+      val pairs = bi.groupBy("w1", "w2").agg(count("*").as("c12"))
+        .filter(col("c12") >= 5)
+      val rk = Window.orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      pairs
+        .join(broadcast(uni.select(col("wd").as("w1"),
+          col("c1").as("ca"))), "w1")
+        .join(broadcast(uni.select(col("wd").as("w2"),
+          col("c1").as("cb"))), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          roundf(col("c12").cast("double") * col("nt") /
+            (col("ca").cast("double") * col("cb").cast("double")), 4)
+            .as("pmi"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 20)
+        .orderBy("rk")
+    }),
+
     // Benchmark decontamination: flag training documents sharing any
     // 4-gram with a held-out benchmark set — the standard pre-training
     // hygiene pass (an n-gram hit against an eval set means the model
@@ -328,6 +366,31 @@ object Text {
     curateOracle
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "t_colloc" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+         bi AS (
+           SELECT w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT string_split(text, ' ') AS w FROM documents),
+                LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+         uni AS (SELECT wd, COUNT(*) AS c1 FROM toks GROUP BY wd),
+         n AS (SELECT COUNT(*)::DOUBLE AS nt FROM toks),
+         pairs AS (
+           SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+           HAVING COUNT(*) >= 5),
+         scored AS (
+           SELECT p.w1, p.w2, p.c12,
+             floor(p.c12::DOUBLE * n.nt / (a.c1::DOUBLE * b.c1::DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS pmi
+           FROM pairs p
+             JOIN uni a ON a.wd = p.w1
+             JOIN uni b ON b.wd = p.w2
+             CROSS JOIN n)
+         SELECT w1, w2, c12, pmi, rk FROM (
+           SELECT w1, w2, c12, pmi, row_number() OVER (
+             ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+           FROM scored)
+         WHERE rk <= 20 ORDER BY rk""",
     "t_spandedup" ->
       """WITH base AS (
            SELECT doc_id,
