@@ -134,6 +134,25 @@ object Extras {
         .orderBy("col_name")
     }),
 
+    // Exact-k-per-group deterministic sample: rank rows inside each
+    // stratum by their portable hash (a uniform, seed-free order) and
+    // keep the first 10 — train/eval splits need EXACT sizes, which
+    // fraction-based sampling can't give, and the hash order makes the
+    // chosen set identical across runs, engines, and partitionings
+    // (df.sample/sampleBy are partition-layout-dependent). One window
+    // shuffle on the stratum key.
+    "x_topk_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = portableHash(concat(col("vec_id").cast("string"),
+        lit("|"), col("label").cast("string")))
+      val w = Window.partitionBy("label").orderBy(hk.asc, col("vec_id").asc)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy("label", "rn")
+    }),
+
     // Stratified sampling: a DIFFERENT deterministic fraction per stratum
     // (label ℓ keeps (ℓ+1)/20) — the reproducible-on-re-run equivalent of
     // df.stat.sampleBy, whose seed depends on partition layout and is
@@ -219,6 +238,14 @@ object Extras {
          WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber),
            1, 15))::BIGINT % 100 < 7
          ORDER BY l_orderkey, l_linenumber""",
+    "x_topk_sample" ->
+      """SELECT vec_id, label, rn FROM (
+           SELECT vec_id, label, row_number() OVER (
+             PARTITION BY label
+             ORDER BY ('0x' || substr(md5(vec_id || '|' || label),
+               1, 15))::BIGINT ASC, vec_id ASC) AS rn
+           FROM embeddings)
+         WHERE rn <= 10 ORDER BY label, rn""",
     "x_stratified" ->
       """SELECT vec_id, label
          FROM embeddings
