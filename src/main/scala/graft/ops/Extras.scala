@@ -59,22 +59,34 @@ object Extras {
     // sketch, bounded memory, single pass; exact percentile must
     // materialize sorted groups). Like a3_approx, the sketch value is
     // engine-specific, so the hash-checked output is the GUARANTEE:
-    // approx_percentile(q, acc=100) promises rank error ≤ 1%, so the
-    // estimate must land between the exact 49th and 51st percentiles —
-    // within_bound emits exactly that, alongside the exact median both
-    // engines agree on. A sketch regression flips the boolean → hash-red.
+    // approx_percentile(q, acc=100) promises it returns an ELEMENT whose
+    // RANK is within ±1%·n of the target — so the check is on ranks, not
+    // values: the estimate's occupied rank interval [#(x<ap)+1, #(x≤ap)]
+    // must intersect [0.48n, 0.52n] (the guarantee band widened one
+    // point, since the target rank itself is ⌈pn⌉-vs-⌊pn⌋ ambiguous
+    // across sketch definitions). Pure integer comparisons — no
+    // interpolated-value bound that heavy ties happen to satisfy but a
+    // boundary-rank element could legitimately violate. A sketch
+    // regression still flips the boolean → hash-red.
     "x_approx_pctile" -> ((s, d) => {
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+      val li = t(s, d, "lineitem")
+      val ap = li.groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_quantity, 0.5, 100)").as("ap"),
-          expr("percentile(l_quantity, 0.49)").as("lo"),
-          expr("percentile(l_quantity, 0.51)").as("hi"),
           roundf(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
           count("*").as("n"))
+      // rank of the estimate within its group: one conditional-count agg
+      // against the (3-row) broadcast estimate table — scan-bound, no sort
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          sum((col("l_quantity") < col("ap")).cast("long")).as("n_lt"),
+          sum((col("l_quantity") <= col("ap")).cast("long")).as("n_le"),
+          first(col("p50_exact")).as("p50_exact"),
+          first(col("n")).as("n"))
         .select(col("l_returnflag"),
-          (col("ap") >= col("lo") && col("ap") <= col("hi"))
-            .as("within_bound"),
+          ((col("n_lt") + 1) * 100 <= col("n") * 52 &&
+            col("n_le") * 100 >= col("n") * 48).as("within_bound"),
           col("p50_exact"), col("n"))
         .orderBy("l_returnflag")
     }),

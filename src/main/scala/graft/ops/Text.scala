@@ -253,13 +253,20 @@ object Text {
         .groupBy("doc_id").agg(count("*").as("n_dup"))
       val frac = coalesce(col("n_dup"), lit(0L)).cast("double") /
         col("n_spans").cast("double")
-      base.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+      val res = base
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
         .join(dupPerDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_spans"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
           roundf(frac, 4).as("dup_frac"),
           (roundf(frac, 4) < 0.5).cast("int").as("keep"))
         .orderBy("doc_id")
+      // materialize both consumers of the cached shingle table in one
+      // action, then release it — bench runs this query repeatedly in one
+      // JVM, and an unpersisted cache per invocation accretes memory/disk
+      val out = res.localCheckpoint(eager = true)
+      base.unpersist()
+      out
     }),
 
     // PII detection + redaction: count and scrub email/phone patterns —
@@ -307,7 +314,11 @@ object Text {
       val w = words(col("text"))
       val toks = t(s, d, "documents")
         .select(explode(w).as("wd"))
+      // size guard: a 1-word doc has no bigrams — unguarded
+      // sequence(1, 0) DESCENDS to [1, 0] and element_at(w, 0) throws,
+      // while the oracle's range(1, 1) is simply empty
       val bi = t(s, d, "documents")
+        .where(size(w) >= 2)
         .select(explode(transform(sequence(lit(1), size(w) - 1), i =>
           struct(element_at(w, i).as("w1"),
             element_at(w, i + 1).as("w2")))).as("b"))
@@ -316,8 +327,13 @@ object Text {
       val n = toks.agg(count("*").cast("double").as("nt"))
       val pairs = bi.groupBy("w1", "w2").agg(count("*").as("c12"))
         .filter(col("c12") >= 5)
-      val rk = Window.orderBy(desc("pmi"), asc("w1"), asc("w2"))
-      pairs
+      // top-20 via orderBy().limit() — plans TakeOrderedAndProject (a
+      // per-partition heap + driver merge of 20-row heads), NOT the
+      // single-task global sort a row_number() window over an
+      // unpartitioned frame would force; bigram-type cardinality grows
+      // with corpus size, so that window is the shape that dies at 100×.
+      // rk is then numbered over the bounded 20-row result (constant).
+      val scored = pairs
         .join(broadcast(uni.select(col("wd").as("w1"),
           col("c1").as("ca"))), "w1")
         .join(broadcast(uni.select(col("wd").as("w2"),
@@ -327,8 +343,10 @@ object Text {
           roundf(col("c12").cast("double") * col("nt") /
             (col("ca").cast("double") * col("cb").cast("double")), 4)
             .as("pmi"))
-        .withColumn("rk", row_number().over(rk))
-        .filter(col("rk") <= 20)
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(20)
+      scored.withColumn("rk", row_number().over(
+          Window.orderBy(desc("pmi"), asc("w1"), asc("w2"))))
         .orderBy("rk")
     }),
 

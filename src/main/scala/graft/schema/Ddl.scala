@@ -90,16 +90,34 @@ object Ddl {
     * depth `{}[]` recursion collapses to a JSON column — the standard
     * MySQL answer); `json` not `jsonb`; DATETIME(6) for µs timestamps;
     * keyed string columns must be length-bounded (TEXT can't be a
-    * PRIMARY KEY/UNIQUE key), so bare keyed strings become varchar(255).
+    * PRIMARY KEY/UNIQUE key), so bare keyed strings become varchar(255);
+    * declared lengths are capped (utf8mb4 varchar tops out at 16383
+    * chars and the row itself at 65535 bytes, so an uncapped
+    * varchar(32000) fails CREATE TABLE outright on stock MySQL 8 —
+    * over-limit non-keyed columns collapse to TEXT, keyed ones to
+    * varchar(min(N, 255)) so they stay indexable); FK constraints are
+    * emitted table-level (MySQL parses inline column `REFERENCES` but
+    * silently ignores it — only a `FOREIGN KEY (...) REFERENCES ...`
+    * table clause creates a real constraint).
     */
   implicit object MySql extends SqlGenerator {
+
+    /** utf8mb4 varchar limit in CHARACTERS (65535-byte row / 4 bytes). */
+    private val MaxVarchar = 16383L
+    /** Largest safely-indexable key prefix (InnoDB 3072-byte index / 4). */
+    private val MaxKeyChars = 255L
 
     def typeName(dt: DataType, md: Metadata): String = dt match {
       case StringType if md.contains(Mapping.K.Json) => "json"
       case StringType if md.contains(Mapping.K.SfType) &&
           md.getString(Mapping.K.SfType) == FieldType.Time.wireName => "time"
       case StringType if md.contains(Mapping.K.Length) =>
-        s"varchar(${md.getLong(Mapping.K.Length)})"
+        val n = md.getLong(Mapping.K.Length)
+        val keyed = md.contains(Mapping.K.Primary) ||
+          md.contains(Mapping.K.Unique)
+        if (keyed) s"varchar(${math.min(n, MaxKeyChars)})"
+        else if (n > MaxVarchar) "text"
+        else s"varchar($n)"
       case StringType if md.contains(Mapping.K.Primary) ||
           md.contains(Mapping.K.Unique) => "varchar(255)"
       case StringType => "text"
@@ -128,18 +146,22 @@ object Ddl {
         if (!f.nullable) parts += "NOT NULL"
         if (f.metadata.contains(Mapping.K.Unique)) parts += "UNIQUE"
       }
-      if (f.metadata.contains(Mapping.K.FkTable)) {
-        val t = f.metadata.getString(Mapping.K.FkTable)
-        val ks = f.metadata.getStringArray(Mapping.K.FkKeys)
-          .map(k => s"`$k`").mkString(", ")
-        parts += s"REFERENCES `$t` ($ks)"
-      }
       parts.result().mkString(" ")
     }
 
     def createTable(table: String, schema: StructType): String = {
       val cols = schema.fields.map(f => s"  ${createColumn(f)}")
-      s"CREATE TABLE IF NOT EXISTS `$table` (\n${cols.mkString(",\n")}\n);"
+      // FK constraints go table-level: MySQL accepts inline column
+      // `REFERENCES` syntactically but creates NO foreign key from it
+      val fks = schema.fields.collect {
+        case f if f.metadata.contains(Mapping.K.FkTable) =>
+          val t = f.metadata.getString(Mapping.K.FkTable)
+          val ks = f.metadata.getStringArray(Mapping.K.FkKeys)
+            .map(k => s"`$k`").mkString(", ")
+          s"  FOREIGN KEY (`${f.name}`) REFERENCES `$t` ($ks)"
+      }
+      s"CREATE TABLE IF NOT EXISTS `$table` (\n" +
+        s"${(cols ++ fks).mkString(",\n")}\n);"
     }
   }
 }

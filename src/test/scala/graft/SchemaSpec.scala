@@ -121,15 +121,16 @@ class SchemaSpec extends AnyFunSuite {
   test("golden MySQL DDL: second dialect through the same typeclass") {
     // same describe fixture, different SqlGenerator instance — the
     // divergences (backticks, arrays→json, jsonb→json, datetime(6),
-    // tinyint(1)) live entirely in the instance, as the reference's
-    // pluggable-generator design intends (sql/mod.rs:9-12)
+    // tinyint(1), varchar length caps, table-level FOREIGN KEY) live
+    // entirely in the instance, as the reference's pluggable-generator
+    // design intends (sql/mod.rs:9-12)
     val ddl = Ddl.generate("Case",
       Mapping.describeToStructType(describeJson))(Ddl.MySql)
     val expected =
       """CREATE TABLE IF NOT EXISTS `Case` (
         |  `Id` varchar(18) PRIMARY KEY,
-        |  `AccountId` varchar(18) REFERENCES `Account` (`Id`),
-        |  `Description` varchar(32000),
+        |  `AccountId` varchar(18),
+        |  `Description` text,
         |  `Tags__c` json,
         |  `Payload__c` json,
         |  `IsEscalated` tinyint(1) NOT NULL,
@@ -138,9 +139,27 @@ class SchemaSpec extends AnyFunSuite {
         |  `SlaTime` time,
         |  `Amount` double,
         |  `CaseNumber` varchar(30) NOT NULL UNIQUE,
-        |  `Votes` int
+        |  `Votes` int,
+        |  FOREIGN KEY (`AccountId`) REFERENCES `Account` (`Id`)
         |);""".stripMargin
     assert(ddl == expected)
+  }
+
+  test("MySQL length caps: over-limit strings collapse safely") {
+    // non-keyed 32000-char column would exceed both the utf8mb4 varchar
+    // limit (16383 chars) and the 65535-byte row — must become TEXT
+    val huge = StructField("Description", StringType, nullable = true,
+      new MetadataBuilder().putLong(Mapping.K.Length, 32000L).build())
+    assert(Ddl.MySql.typeName(huge.dataType, huge.metadata) == "text")
+    // keyed columns can't be TEXT (not indexable) — cap to varchar(255)
+    val keyedHuge = StructField("Code", StringType, nullable = false,
+      new MetadataBuilder().putLong(Mapping.K.Length, 32000L)
+        .putBoolean(Mapping.K.Unique, true).build())
+    assert(Ddl.MySql.typeName(keyedHuge.dataType, keyedHuge.metadata) ==
+      "varchar(255)")
+    // in-range lengths pass through untouched, keyed or not
+    val ok = new MetadataBuilder().putLong(Mapping.K.Length, 16383L).build()
+    assert(Ddl.MySql.typeName(StringType, ok) == "varchar(16383)")
   }
 
   test("nested array DDL recurses {}[] style (pg.rs:67)") {
