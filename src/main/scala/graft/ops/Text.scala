@@ -239,11 +239,15 @@ object Text {
     // across 71/500 docs — discriminative; k=3 saturates (every doc
     // flagged), k≥6 plateaus at the template near-dups.
     "t_spandedup" -> ((s, d) => {
+      // deliberately NOT persisted: the two consumers below cost one
+      // extra codegen'd scan of documents, which beats materializing a
+      // per-doc hash-array table (at corpus scale that cache is itself
+      // data-sized, and a persist without a same-invocation unpersist
+      // leaks a copy per run in a long-lived JVM — bench/verify share one)
       val base = t(s, d, "documents")
         .select(col("doc_id"),
           org.apache.spark.sql.graftshim.ShingleHashes
             .shingleHashes(words(col("text")), 5).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spans = base.select(col("doc_id"), explode(col("sh")).as("h"))
       // per-doc spans are already distinct (ShingleHashes dedups), so
       // count(*) per hash == distinct-doc frequency
@@ -253,7 +257,7 @@ object Text {
         .groupBy("doc_id").agg(count("*").as("n_dup"))
       val frac = coalesce(col("n_dup"), lit(0L)).cast("double") /
         col("n_spans").cast("double")
-      val res = base
+      base
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
         .join(dupPerDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_spans"),
@@ -261,12 +265,6 @@ object Text {
           roundf(frac, 4).as("dup_frac"),
           (roundf(frac, 4) < 0.5).cast("int").as("keep"))
         .orderBy("doc_id")
-      // materialize both consumers of the cached shingle table in one
-      // action, then release it — bench runs this query repeatedly in one
-      // JVM, and an unpersisted cache per invocation accretes memory/disk
-      val out = res.localCheckpoint(eager = true)
-      base.unpersist()
-      out
     }),
 
     // PII detection + redaction: count and scrub email/phone patterns —

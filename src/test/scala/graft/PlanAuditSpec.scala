@@ -95,6 +95,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("o1_sort").contains("rangepartitioning(o_orderstatus"))
   }
 
+  test("w5_ntile: rank window is per-range-partition, never a global ntile") {
+    val p = plan("w5_ntile")
+    // the r4-audit scale-killer: ntile(4) OVER (ORDER BY ...) funnels the
+    // table through one task — must never reappear
+    assert(!p.contains("ntile("), "unpartitioned global ntile crept back")
+    // the data-sized rank window must be partitioned by the range pid;
+    // the only unpartitioned window is the #partitions-row offsets cumsum
+    val rankSpec = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition"))
+      .mkString("\n")
+    assert(rankSpec.contains("windowspecdefinition(pid#"),
+      s"rank window lost its pid partition spec:\n$rankSpec")
+    // the sort itself is a distributed range exchange on the sort key
+    assert(p.contains("rangepartitioning(c_acctbal"), p)
+    // and at runtime the three consumers of the range shuffle share ONE
+    // materialized stage (AQE stage reuse on canonical equality) — the
+    // property that makes spark_partition_id consistent across branches
+    val df = SparkEntry.queries("w5_ntile")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ReusedExchange"),
+      "range shuffle must be materialized once and reused")
+  }
+
+  test("t_colloc: top-20 is TakeOrdered, not a global sort+filter window") {
+    val p = plan("t_colloc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("t_contam: benchmark side broadcasts; corpus joins without sort") {
     // The ONE ng-shuffle in this plan is the BENCHMARK branch's distinct
     // (eval sets are thousands of docs — that shuffle is tiny at any
