@@ -73,16 +73,25 @@ object Bench {
     skew.skewedStages().foreach(l => System.err.println(s"[skew] $l"))
     val mode = if (full) "full-surface-one-shot"
       else if (oneshot) "one-shot" else "best-of-2"
+    // stdout gets a COMPACT line: the driver keeps only a ~2000-char tail
+    // of the run's output, and the full line with per-pass detail (~3 KB)
+    // overflowed it every round (BENCH_r04/r05 "parsed": null — the
+    // leading {"metric": was cut off). Per-pass detail goes to stderr and
+    // the side file instead; the headline stdout line stays parseable.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""mode":"$mode","sf":"$sfDir"}"""
+    val jsonFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode","passes":$allPasses,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] passes: $allPasses")
     println(json)
     // the stdout line drowns in sbt/log4j decoration when run under sbt
     // (BENCH_r01 parsed: null) — also write it to a plain file the driver
     // can always read
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (jsonFull + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] $out: $e") }
     spark.stop()
   }

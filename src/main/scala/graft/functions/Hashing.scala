@@ -20,4 +20,23 @@ object Hashing {
 
   def portableHash60(s: String): Long =
     portableHash60(s.getBytes(StandardCharsets.UTF_8))
+
+  /** Derived-hyperplane weight domain: hash60("p,j") % PlaneMod − PlaneOff
+    * ∈ [−1000, 1000]. SINGLE source of truth for every consumer — the
+    * composable plane bits in Vectors, the DuckDB oracle mirror
+    * (Vectors.planesSql interpolates these constants), and the fused
+    * HyperplaneBandKeys expression — so the plane family cannot silently
+    * diverge between engines or between the fused and composable paths. */
+  val PlaneMod = 2001
+  val PlaneOff = 1000
+
+  /** Deterministic hyperplane weights for (plane, dim): integers in
+    * [−PlaneOff, PlaneOff] derived from the portable hash family, so
+    * every engine and every cluster re-run builds identical planes with
+    * no stored model artifact. Integers are exact in float, so a float
+    * dot against them reproduces a ::DOUBLE fold bit-for-bit. */
+  def planeWeights(nPlanes: Int, dims: Int): Array[Array[Float]] =
+    Array.tabulate(nPlanes, dims) { (p, j) =>
+      ((portableHash60(s"$p,$j") % PlaneMod) - PlaneOff).toFloat
+    }
 }

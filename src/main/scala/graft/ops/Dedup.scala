@@ -359,7 +359,68 @@ object Dedup {
             cos(col("va"), col("na"), col("vb"), col("nb")))
       }
       pairs.filter(col("cos") >= 0.45).orderBy("a", "b")
+    }),
+
+    // Production-threshold embedding near-dup (cos ≥ 0.9): the LSH-
+    // bucketed shape that is the 100 TB path once the threshold is a
+    // real near-dup operating point. d_embed_pairs (0.45) had to stay
+    // exact because weak similarity defeats banding (a band accepts 88%
+    // of RANDOM pairs there); at 0.9 per-plane agreement is ≈0.86 and
+    // 12-bit bands reject ~95% of random pairs — candidates come from
+    // Vectors.lshCandidatePairs' (band, key) equi-join (multi-probe,
+    // Hamming ≤ 1), then an exact codegen'd-fdot verify keeps only true
+    // pairs. 16 bands × 12 rows is sized so measured recall vs the
+    // quadratic truth is 1.0 on this corpus (asserted in DedupSpec —
+    // misses would go hash-red here, since the oracle IS the quadratic
+    // SQL, deliberately: the green row proves end-to-end that banding
+    // loses nothing at this operating point).
+    //
+    // The corpus is embedLshCorpus (planted deterministic twins — see
+    // its doc); planted cosines measure 0.904–0.959, inside the
+    // production band, NOT trivially at 1.0 — and at sf0.1 two planted
+    // pairs legitimately land below 0.9, so the threshold demonstrably
+    // bites (truth 198 of 200 planted; LSH output matches pair-for-pair).
+    "d_embed_lsh" -> ((s, d) => {
+      val corpus = embedLshCorpus(s, d)
+      val cand = Vectors.lshCandidatePairs(corpus, "vec_id",
+        nPlanes = 192, rowsPerBand = 12, probeHam = 1)
+      val e = corpus.withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
+      val ea = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(ea, "a").join(eb, "b")
+        .select(col("a"), col("b"),
+          roundf(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("cos"))
+        .filter(col("cos") >= 0.9)
+        .orderBy("a", "b")
     }))
+
+  /** d_embed_lsh's corpus: the embeddings table plus a deterministic
+    * perturbed twin of every 10th vector (the testdata has NO natural
+    * pairs at cos ≥ 0.9 — max natural cosine is 0.51 at sf0.01 — so,
+    * like m_decode_real's synthesized PNGs, the production-threshold
+    * pairs are planted in-plan and mirrored exactly by the oracle):
+    * v'_j = float(v_j · (1 + ((id·7 + j·13) mod 21 − 10)/16)), twin id =
+    * id + 1,000,000. Each factor is IEEE-exact (m/16 is a dyadic
+    * rational; one double multiply, one float rounding — identical in
+    * every engine), so both sides synthesize bit-identical twins.
+    * Shared by the query and DedupSpec's recall measurement.
+    */
+  private[graft] def embedLshCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val perturbed = base.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("v"), (x, j) => (x.cast("double") *
+          (lit(1.0) +
+            ((col("vec_id") * 7 + j * 13) % 21 - 10).cast("double") /
+              lit(16.0))).cast("float")).as("v"))
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
+    base.unionByName(perturbed)
+  }
 
   // Canonical shingle enumeration, matching the Spark side for ALL doc
   // lengths: i ∈ [1, max(len-k+1, 1)] — DuckDB range() is upper-exclusive,
@@ -491,5 +552,29 @@ object Dedup {
          WHERE floor(list_sum([(x.v[i]::DOUBLE) * (y.v[i]::DOUBLE)
                for i in range(1, len(x.v) + 1)])
              / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 >= 0.45
-         ORDER BY a, b""")
+         ORDER BY a, b""",
+    // Plain quadratic truth over the SAME planted-twin corpus the query
+    // synthesizes — deliberately NOT an LSH mirror, so a banding recall
+    // miss goes hash-red instead of being defined away.
+    "d_embed_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         pl0 AS (
+           SELECT vec_id,
+             [CAST(v[j] * (1.0 +
+                 ((((vec_id * 7 + (j - 1) * 13) % 21) - 10)::DOUBLE)
+                   / 16.0) AS FLOAT)
+               for j in range(1, len(v) + 1)] AS v
+           FROM base WHERE vec_id % 10 = 0),
+         pl AS (SELECT vec_id + 1000000 AS vec_id, v FROM pl0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+         e AS (SELECT vec_id, v,
+             sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in v])) AS nrm
+           FROM u)
+         SELECT a, b, cos FROM (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             floor(list_sum([(x.v[i]::DOUBLE) * (y.v[i]::DOUBLE)
+                 for i in range(1, len(x.v) + 1)])
+               / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+           FROM e x JOIN e y ON x.vec_id < y.vec_id)
+         WHERE cos >= 0.9 ORDER BY a, b""")
 }

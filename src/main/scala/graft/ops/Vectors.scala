@@ -31,27 +31,20 @@ object Vectors {
   private val BandsV = 4
   private val RowsV = 4
   private val Dims = 64
-  // Derived-hyperplane weight domain: hash60 % PlaneMod - PlaneOff ∈
-  // [-1000, 1000]. Single source of truth for BOTH engines — planesSql
-  // interpolates these same values into the DuckDB mirror, so the plane
-  // family cannot silently diverge between query and oracle.
-  private val PlaneMod = 2001
-  private val PlaneOff = 1000
+  // Derived-hyperplane weight domain — constants live in
+  // graft.functions.Hashing (shared with the fused HyperplaneBandKeys
+  // expression); planesSql interpolates the same values into the DuckDB
+  // mirror, so the plane family cannot silently diverge anywhere.
+  private val PlaneMod = graft.functions.Hashing.PlaneMod
+  private val PlaneOff = graft.functions.Hashing.PlaneOff
 
-  /** Deterministic pseudo-random hyperplane weights for (plane, dim):
-    * integers in [-1000, 1000] derived from the portable hash family, so
-    * both engines (and every cluster re-run) build identical planes with
-    * no stored model artifact. Precomputed ONCE driver-side (the previous
-    * per-row md5 formulation re-hashed plane×dim for every vector — 1024
-    * interpreted md5 calls per row); integers are exact in float, so the
-    * codegen'd float dot against them reproduces the oracle's
-    * v[j]::DOUBLE * weight::DOUBLE fold bit-for-bit.
+  /** Deterministic pseudo-random hyperplane weights for (plane, dim) —
+    * see [[graft.functions.Hashing.planeWeights]]. Precomputed ONCE
+    * driver-side (the previous per-row md5 formulation re-hashed
+    * plane×dim for every vector — 1024 interpreted md5 calls per row).
     */
   private[ops] def planeWeightsFor(n: Int): Array[Array[Float]] =
-    Array.tabulate(n, Dims) { (p, j) =>
-      ((graft.functions.Hashing.portableHash60(s"$p,$j") % PlaneMod)
-        - PlaneOff).toFloat
-    }
+    graft.functions.Hashing.planeWeights(n, Dims)
 
   private lazy val planeWeights: Array[Array[Float]] = planeWeightsFor(Planes)
 
@@ -82,18 +75,16 @@ object Vectors {
     require(nPlanes % rowsPerBand == 0,
       s"nPlanes ($nPlanes) must be a multiple of rowsPerBand ($rowsPerBand)" +
         " — integer division would silently drop the trailing planes")
-    val w = planeWeightsFor(nPlanes)
-    val nBands = nPlanes / rowsPerBand
     // One packed key per band: band index in the high bits, the band's
     // sign bits in the low rowsPerBand bits — a single LONG equi-join key
     // (the first cut concatenated per-bit strings per probe; key packing
-    // cut d_embed_pairs sf0.1 wall time ~3×).
-    val bandKey = (b: Int) => (0 until rowsPerBand).map { i =>
-      when(fdot(col("v"), lit(w(b * rowsPerBand + i))) >= 0, 1L << i)
-        .otherwise(0L)
-    }.reduce(_ + _) + lit((b + 1).toLong << 32)
+    // cut d_embed_pairs sf0.1 wall time ~3×). All keys come from ONE
+    // fused codegen'd expression — at production thresholds nPlanes ≈
+    // 200, and that many per-plane fdot literals made Janino plan
+    // compile the bottleneck (~8 s/pass), not the arithmetic.
     val keys = e.select(col(idCol),
-      array((0 until nBands).map(bandKey): _*).as("ks"))
+      org.apache.spark.sql.graftshim.HyperplaneBandKeys
+        .bandKeys(col("v"), nPlanes, rowsPerBand, dims = Dims).as("ks"))
     val stored = keys.select(col(idCol), explode(col("ks")).as("bk"))
     // probe keys = each true key XOR every bit mask of weight <= probeHam
     // (multi-probe: Hamming ball around the true key, constant fan-out)

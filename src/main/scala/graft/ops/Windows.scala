@@ -80,42 +80,56 @@ object Windows {
     //
     // Scale shape: NOT `ntile(4) OVER (ORDER BY ...)` — an unpartitioned
     // window coalesces the whole table through ONE task (the one
-    // avoidable scale-killer r4's audit flagged). Instead, the
-    // zipWithIndex construction Spark itself uses for global indexing,
-    // stated in DataFrame terms:
-    //   1. range-repartition on the sort key (parallel, sampling-based
-    //      boundaries — boundary placement cannot affect the result,
-    //      only which task computes it);
-    //   2. per-partition counts → 32-row cumulative offsets (the only
-    //      unpartitioned window runs over THOSE 32 rows — bounded by the
-    //      partition count, not the data);
-    //   3. global rank = broadcast offset + row_number PER PARTITION;
-    //   4. quartile = CASE against the ntile cumulative bucket bounds
+    // avoidable scale-killer r4's audit flagged). And NOT the previous
+    // repartitionByRange + spark_partition_id construction either: that
+    // made the bucket id a property of WHICH exchange materialization a
+    // branch read (range boundaries are re-sampled per materialization),
+    // so correctness hinged on ReusedExchange firing — plan-shape-
+    // dependent, exactly what the r5 ADVICE flagged. Here the bucket id
+    // is a PURE FUNCTION of the row's values:
+    //   1. 31 deterministic cut VALUES from one approx_percentile pass
+    //      (the QuantileSummaries sketch has no RNG — same input, same
+    //      cuts, on every engine/run; accuracy shapes bucket BALANCE,
+    //      never the result);
+    //   2. bucket b = #{cuts ≤ acctbal} via a broadcast scalar row and a
+    //      codegen'd size(filter(...)) — monotone in acctbal, and equal
+    //      acctbals share a bucket, so buckets are contiguous runs of
+    //      the (acctbal, custkey) total order no matter how ties fall
+    //      against a cut;
+    //   3. per-bucket counts → ≤32-row cumulative offsets (the only
+    //      unpartitioned window runs over THOSE rows — bounded by the
+    //      cut count, not the data);
+    //   4. global rank = broadcast offset + row_number per bucket;
+    //      quartile = CASE against the ntile cumulative bucket bounds
     //      k·⌊N/4⌋ + min(k, N mod 4) from a broadcast scalar count.
-    // Every data-sized stage is parallel; what's single-partition is
-    // O(#partitions) metadata. Result is bit-identical to exact ntile —
-    // the oracle keeps the window formulation as the cross-check.
+    // Every data-sized stage is parallel AND every branch recomputes the
+    // same bucket id from values — no cross-branch exchange identity
+    // required. Result is bit-identical to exact ntile — the oracle
+    // keeps the window formulation as the cross-check.
     "w5_ntile" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
-      val parted = c
-        .repartitionByRange(32, asc("c_acctbal"), asc("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-      // both consumers below reference the SAME parted subtree, so the
-      // range exchange is planned once and reused (one wide scan)
-      val counts = parted.groupBy("pid").agg(count(lit(1)).as("pc"))
+      val fracs = (1 until 32).map(i => i / 32.0)
+      val cuts = c.agg(expr(
+        s"approx_percentile(c_acctbal, array(${fracs.mkString(",")}), 1000)")
+        .as("cuts"))
+      val bucketed = c.crossJoin(broadcast(cuts))
+        .withColumn("b", size(filter(col("cuts"),
+          x => x <= col("c_acctbal"))))
+        .drop("cuts")
+      val counts = bucketed.groupBy("b").agg(count(lit(1)).as("pc"))
       val offs = counts
         .withColumn("off", coalesce(sum("pc").over(
-          Window.orderBy(asc("pid"))
+          Window.orderBy(asc("b"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "off")
+        .select("b", "off")
       val total = counts.agg(sum("pc").as("ntot"))
-      val wIn = Window.partitionBy("pid")
+      val wIn = Window.partitionBy("b")
         .orderBy(asc("c_acctbal"), asc("c_custkey"))
       val cum = (k: Int) => lit(k.toLong) *
         floor(col("ntot") / lit(4)).cast("long") +
         least(lit(k.toLong), pmod(col("ntot"), lit(4)))
-      parted
-        .join(broadcast(offs), "pid")
+      bucketed
+        .join(broadcast(offs), "b")
         .withColumn("rk", col("off") + row_number().over(wIn))
         .crossJoin(broadcast(total))
         .withColumn("quartile",

@@ -95,7 +95,8 @@ object Ddl {
     * chars and the row itself at 65535 bytes, so an uncapped
     * varchar(32000) fails CREATE TABLE outright on stock MySQL 8 —
     * over-limit non-keyed columns collapse to TEXT, keyed ones to
-    * varchar(min(N, 255)) so they stay indexable); FK constraints are
+    * varchar(min(N, 768)) so they stay indexable under the InnoDB
+    * 3072-byte index cap); FK constraints are
     * emitted table-level (MySQL parses inline column `REFERENCES` but
     * silently ignores it — only a `FOREIGN KEY (...) REFERENCES ...`
     * table clause creates a real constraint).
@@ -104,8 +105,12 @@ object Ddl {
 
     /** utf8mb4 varchar limit in CHARACTERS (65535-byte row / 4 bytes). */
     private val MaxVarchar = 16383L
-    /** Largest safely-indexable key prefix (InnoDB 3072-byte index / 4). */
-    private val MaxKeyChars = 255L
+    /** Largest safely-indexable key prefix in CHARACTERS: InnoDB caps an
+      * index key at 3072 bytes (DYNAMIC row format), utf8mb4 reserves 4
+      * bytes per char → 3072 / 4 = 768. Capping lower (the legacy 255)
+      * would silently shrink valid declared lengths of 256-768 and make
+      * strict-mode inserts of in-range source values fail. */
+    private val MaxKeyChars = 768L
 
     def typeName(dt: DataType, md: Metadata): String = dt match {
       case StringType if md.contains(Mapping.K.Json) => "json"

@@ -115,6 +115,49 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("d_embed_lsh: banding recall is 1.0 AND a real filter at cos>=0.9") {
+    // The 0.9 operating point is where LSH must EARN the green row: the
+    // oracle is the plain quadratic truth, so any banding recall miss is
+    // a hash mismatch, not a footnote. Two measurements, neither assumed:
+    //  (a) recall — the query's output is pair-for-pair the quadratic
+    //      truth over the same planted-twin corpus;
+    //  (b) precision of the CANDIDATE stage — at 0.45 a band accepts 88%
+    //      of random pairs (the documented reason d_embed_pairs stays
+    //      exact); at 0.9 with 16 bands × 12 rows the candidate set must
+    //      be a small fraction of all pairs, or the "bucketed join"
+    //      claim is an empty shape.
+    import graft.ops.{fdot, roundf, Vectors}
+    val d = requireFixture("sf0.01")
+    val got = Dedup.queries("d_embed_lsh")(spark, d)
+      .select("a", "b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = Dedup.embedLshCorpus(spark, d)
+      .withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
+    val x = corpus.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val y = corpus.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val truth = x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        roundf(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(truth.size >= 40, s"degenerate fixture: ${truth.size} pairs")
+    assert(got == truth,
+      s"missed=${truth -- got} spurious=${got -- truth}")
+    // candidate-stage selectivity: candidates / all pairs (n·(n−1)/2)
+    val n = corpus.count()
+    val cand = Vectors.lshCandidatePairs(corpus, "vec_id",
+      nPlanes = 192, rowsPerBand = 12, probeHam = 1).count()
+    val frac = cand.toDouble / (n * (n - 1) / 2)
+    info(f"candidates=$cand of ${n * (n - 1) / 2} pairs " +
+      f"(${frac * 100}%.2f%%) at n=$n")
+    assert(frac < 0.10,
+      f"banding stopped filtering: candidate fraction ${frac * 100}%.1f%%")
+  }
+
   test("bottom-2 minhash blocking recall vs length-block-only is measured") {
     // The secondary block key (bottom-2 bigram minhashes mod NgramSalt)
     // drops a borderline pair with P ≈ (1-j)² — and because the DuckDB

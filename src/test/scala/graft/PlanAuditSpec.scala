@@ -75,7 +75,7 @@ class PlanAuditSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin appearing in any of these means a
     // candidate generator degenerated to all-pairs
     for (q <- Seq("d_minhash_pairs", "d_ngram_jaccard", "v_ann_lsh",
-        "j_fuzzy_blocked")) {
+        "j_fuzzy_blocked", "d_embed_lsh")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
@@ -95,28 +95,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan("o1_sort").contains("rangepartitioning(o_orderstatus"))
   }
 
-  test("w5_ntile: rank window is per-range-partition, never a global ntile") {
+  test("w5_ntile: rank window is per-bucket, never a global ntile") {
     val p = plan("w5_ntile")
     // the r4-audit scale-killer: ntile(4) OVER (ORDER BY ...) funnels the
-    // table through one task — must never reappear
-    assert(!p.contains("ntile("), "unpartitioned global ntile crept back")
-    // the data-sized rank window must be partitioned by the range pid;
-    // the only unpartitioned window is the #partitions-row offsets cumsum
+    // table through one task — must never reappear. Boundary-aware match:
+    // "percentile(" (the cut-point sketch) contains "ntile(" as a suffix
+    assert(!"(?<![a-zA-Z_])ntile\\(".r.findFirstIn(p).isDefined,
+      "unpartitioned global ntile crept back")
+    // the r5-ADVICE correctness hazard: a bucket id read off
+    // spark_partition_id() of a repartitionByRange subtree is only
+    // consistent across branches if ReusedExchange fires (range
+    // boundaries re-sample per materialization) — the bucket id must be
+    // a pure function of row values, so the expression must be gone
+    assert(!p.toLowerCase.contains("spark_partition_id"),
+      "bucket id must not depend on physical partition identity")
+    // the data-sized rank window must be partitioned by the value-derived
+    // bucket id; the only unpartitioned window is the ≤32-row offsets
+    // cumsum over the bucket counts
     val rankSpec = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition"))
       .mkString("\n")
-    assert(rankSpec.contains("windowspecdefinition(pid#"),
-      s"rank window lost its pid partition spec:\n$rankSpec")
-    // the sort itself is a distributed range exchange on the sort key
-    assert(p.contains("rangepartitioning(c_acctbal"), p)
-    // and at runtime the three consumers of the range shuffle share ONE
-    // materialized stage (AQE stage reuse on canonical equality) — the
-    // property that makes spark_partition_id consistent across branches
-    val df = SparkEntry.queries("w5_ntile")(spark, dir)
-    df.collect()
-    assert(df.queryExecution.executedPlan.toString
-      .contains("ReusedExchange"),
-      "range shuffle must be materialized once and reused")
+    assert(rankSpec.contains("windowspecdefinition(b#"),
+      s"rank window lost its bucket partition spec:\n$rankSpec")
   }
 
   test("t_colloc: top-20 is TakeOrdered, not a global sort+filter window") {

@@ -151,12 +151,18 @@ class SchemaSpec extends AnyFunSuite {
     val huge = StructField("Description", StringType, nullable = true,
       new MetadataBuilder().putLong(Mapping.K.Length, 32000L).build())
     assert(Ddl.MySql.typeName(huge.dataType, huge.metadata) == "text")
-    // keyed columns can't be TEXT (not indexable) — cap to varchar(255)
+    // keyed columns can't be TEXT (not indexable) — cap to varchar(768),
+    // the utf8mb4 char count that fits the InnoDB 3072-byte index limit
     val keyedHuge = StructField("Code", StringType, nullable = false,
       new MetadataBuilder().putLong(Mapping.K.Length, 32000L)
         .putBoolean(Mapping.K.Unique, true).build())
     assert(Ddl.MySql.typeName(keyedHuge.dataType, keyedHuge.metadata) ==
-      "varchar(255)")
+      "varchar(768)")
+    // declared lengths in (255, 768] are NOT shrunk for keyed columns —
+    // they are both valid varchars and fully indexable
+    val keyedMid = new MetadataBuilder().putLong(Mapping.K.Length, 400L)
+      .putBoolean(Mapping.K.Primary, true).build()
+    assert(Ddl.MySql.typeName(StringType, keyedMid) == "varchar(400)")
     // in-range lengths pass through untouched, keyed or not
     val ok = new MetadataBuilder().putLong(Mapping.K.Length, 16383L).build()
     assert(Ddl.MySql.typeName(StringType, ok) == "varchar(16383)")
