@@ -40,10 +40,20 @@ object Multimodal {
   final case class MediaResized(
       media_id: Long, kind: String, out_w: Int, out_h: Int, checksum: Long)
 
+  /** Decoded per-clip audio features (what a real decode summarizes):
+    * everything integer so sums are order-independent and the oracle is
+    * closed-form. sample_rate comes from the DECODED stream format,
+    * never the row's metadata.
+    */
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Int, n_samples: Long,
+      sum_amp: Long, peak: Long)
+
   /** Decode interface. Production: JNI/FFmpeg/javax.imageio. */
   trait MediaCodec extends Serializable {
     def decode(m: MediaRow): MediaFeatures
     def resize(m: MediaRow, target: Int): MediaResized
+    def decodeAudio(m: MediaRow): AudioFeatures
   }
 
   /** ===== STUB ===== Deterministic fake decode: "luminance" is derived
@@ -66,6 +76,13 @@ object Multimodal {
       val oh = m.height * target / mx
       MediaResized(m.media_id, m.kind, ow, oh,
         (hash60(m.content) + ow.toLong * 31L + oh.toLong) % 1000L)
+    }
+    // stub audio "decode": metadata-derived sample count, hash-derived
+    // amplitude digest — same deterministic-fake contract as decode
+    def decodeAudio(m: MediaRow): AudioFeatures = {
+      val n = m.duration_ms * m.sample_rate / 1000L
+      AudioFeatures(m.media_id, m.sample_rate, n,
+        hash60(m.content) % 100000L, hash60(m.content) % 1000L)
     }
   }
 
@@ -134,6 +151,77 @@ object Multimodal {
       }
       MediaResized(m.media_id, m.kind, ow, oh, sum)
     }
+    def decodeAudio(m: MediaRow): AudioFeatures =
+      throw new UnsupportedOperationException(
+        s"media_id=${m.media_id}: ImageIoCodec decodes images, not audio")
+  }
+
+  /** ===== REAL ===== JDK-only audio codec: `content` is an ENCODED WAV
+    * container, parsed by `javax.sound.sampled` (ships in every JDK —
+    * no new dependency): AudioSystem reads the RIFF/fmt chunks, the
+    * sample rate comes from the DECODED AudioFormat, and the PCM frames
+    * stream through the AudioInputStream — the audio analogue of
+    * ImageIoCodec's real pixel path.
+    *
+    * Determinism contract: features are integer folds of the decoded
+    * 16-bit samples (sum, peak, count) — order-fixed within a clip,
+    * independent of partitioning across clips.
+    */
+  object JavaSoundCodec extends MediaCodec {
+    def decode(m: MediaRow): MediaFeatures =
+      throw new UnsupportedOperationException(
+        s"media_id=${m.media_id}: JavaSoundCodec decodes audio, not images")
+    def resize(m: MediaRow, target: Int): MediaResized =
+      throw new UnsupportedOperationException(
+        s"media_id=${m.media_id}: audio has no raster to resize")
+    def decodeAudio(m: MediaRow): AudioFeatures = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian,
+        s"media_id=${m.media_id}: expected 16-bit LE mono PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      var i = 0
+      var n = 0L
+      var sum = 0L
+      var peak = 0L
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toLong
+        sum += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        n += 1
+        i += 2
+      }
+      AudioFeatures(m.media_id, fmt.getSampleRate.toInt, n, sum, peak)
+    }
+  }
+
+  /** Deterministic WAV synthesis for the real-codec oracle queries:
+    * sample i of clip `id` is ((id·31 + i·17) mod 2001) − 1000 — pure
+    * integer arithmetic, so the DuckDB oracle reproduces the decoded
+    * fold analytically with a lateral range join. Encoding goes through
+    * the JDK's own WAVE writer (AudioSystem.write), so the payload is a
+    * genuine RIFF container, not a hand-rolled header the decoder might
+    * be accidentally lenient about.
+    */
+  def synthWav(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i.toLong * 17) % 2001) - 1000).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic PNG synthesis for specs/demos: pixel (x, y) takes
