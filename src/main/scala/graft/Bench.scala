@@ -18,6 +18,23 @@ import org.apache.spark.sql.SparkSession
   *    pass. SPARK_GRAFT_BENCH_ONESHOT=1 restores single-pass timing.
   */
 object Bench {
+
+  /** Cumulative host steal time in jiffies from /proc/stat's aggregate
+    * cpu line (field 8: user nice system idle iowait irq softirq STEAL).
+    * -1 when unreadable (non-Linux). Snapshotted around every timed pass
+    * so a burst-inflated wall time is SELF-LABELING in the artifact —
+    * the r5 and r6 reviews both burned time adjudicating phantom
+    * regressions (t_tfidf 5.4 s vs 0.6 s clean) that were 20-50 s steal
+    * bursts landing on both passes of one query.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,21 +69,30 @@ object Bench {
     val timed = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to passes).map { _ =>
+        val st0 = stealJiffies()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        val st1 = stealJiffies()
         spark.catalog.clearCache() // per-query cache lifetime (see Verify)
-        dt
+        // steal delta in seconds (USER_HZ=100), summed across all CPUs —
+        // a pass whose wall time is burst-inflated shows it right here
+        val steal = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 100.0 else -1.0
+        (dt, steal)
       }
       System.err.println(f"[bench] ${java.time.Instant.now()} $name%-22s " +
-        ts.map(t => f"$t%7.2f").mkString(" ") + " s")
+        ts.map { case (t, s) => f"$t%7.2f (steal $s%5.1f)" }.mkString(" ") +
+        " s")
       name -> ts
     }
-    val results = timed.map { case (n, ts) => n -> ts.min }.toMap
+    val results = timed.map { case (n, ts) => n -> ts.map(_._1).min }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val allPasses = timed.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+      s"\"" + k + "\":[" + ts.map(_._1).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val allSteal = timed.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // skew report → stderr; stdout stays one machine-readable JSON line
@@ -83,8 +109,10 @@ object Bench {
         s""""mode":"$mode","sf":"$sfDir"}"""
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""mode":"$mode","passes":$allPasses,"sf":"$sfDir"}"""
+        s""""mode":"$mode","passes":$allPasses,""" +
+        s""""steal_sec_per_pass":$allSteal,"sf":"$sfDir"}"""
     System.err.println(s"[bench] passes: $allPasses")
+    System.err.println(s"[bench] steal_sec_per_pass: $allSteal")
     println(json)
     // the stdout line drowns in sbt/log4j decoration when run under sbt
     // (BENCH_r01 parsed: null) — also write it to a plain file the driver

@@ -412,6 +412,16 @@ object Dedup {
       d: String): DataFrame = {
     val base = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
+    // The +1,000,000 twin offset is hardcoded in BOTH this plan and the
+    // DuckDB oracle SQL, so an id collision at a larger scale factor
+    // would silently conflate twins with real vectors on both sides and
+    // the oracle could never catch it — fail loudly instead. A one-value
+    // max() fetch (parquet footer stats make this a metadata-cheap scan),
+    // not a driver-side data loop.
+    val maxId = base.agg(max("vec_id")).head.getLong(0)
+    require(maxId < 1000000L,
+      s"embedLshCorpus twin-id offset collides: max(vec_id)=$maxId >= 1e6" +
+        " — raise the offset here AND in the d_embed_lsh oracle SQL")
     val perturbed = base.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"),
         transform(col("v"), (x, j) => (x.cast("double") *

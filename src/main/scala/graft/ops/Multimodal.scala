@@ -9,12 +9,20 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is REAL — schema, partitioning, typed
   * mapPartitions with micro-batched iteration (the Scala analogue of
-  * mapInPandas batch shape), explode-based frame sampling. The codec is a
-  * clearly-marked STUB (this container has no image/audio libraries): it
-  * derives "decoded" features from the md5 of the payload, which keeps the
-  * whole path deterministic AND oracle-replicable in SQL — swap
-  * `StubCodec` for a real JNI/FFmpeg-backed codec to productionize; every
-  * other line stays.
+  * mapInPandas batch shape), explode-based frame sampling. Codecs come in
+  * two flavors:
+  *  - REAL, JDK-only: `ImageIoCodec` (javax.imageio → actual pixels,
+  *    m_decode_real / m_resize_real) and `JavaSoundCodec`
+  *    (javax.sound.sampled → actual 16-bit PCM samples, m_audio_real) —
+  *    both oracle-checked end-to-end against closed-form arithmetic.
+  *  - STUB: `StubCodec` derives "decoded" features from the md5 of the
+  *    payload, keeping the synthesized-from-text queries deterministic
+  *    AND oracle-replicable in SQL.
+  * VIDEO decode is stub-only BY DESIGN: the JDK ships no video decoder
+  * and adding a native dependency (FFmpeg/JavaCV) is out of scope for
+  * this container — m_frames exercises the real Spark-side shape
+  * (explode-based frame enumeration, per-frame features) with the stub
+  * feature function; swapping in a JNI-backed codec changes no plumbing.
   *
   * No media testdata exists, so media rows are synthesized 1:1 from
   * `documents` (payload = utf-8 text bytes, kind round-robins
@@ -289,6 +297,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** Audio analogue of decodeFeatures: same typed mapPartitions
+    * micro-batch path, emitting per-clip integer folds of the DECODED
+    * PCM stream.
+    */
+  def decodeAudioAll(s: SparkSession, media: DataFrame,
+      codec: MediaCodec, partitions: Int): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow]
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.map(codec.decodeAudio))
+      }
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Decode + per-kind feature aggregation through the typed
@@ -358,6 +381,31 @@ object Multimodal {
         s.sparkContext.defaultParallelism)
         .select(col("media_id"), col("out_w"), col("out_h"),
           col("checksum"))
+        .orderBy("media_id")
+    }),
+
+    // REAL audio decode, oracle-checked: payloads are genuine RIFF/WAVE
+    // containers (synthWav encodes through the JDK's own AudioSystem
+    // writer), synthesized ON THE EXECUTORS and decoded back to actual
+    // 16-bit PCM samples by JavaSoundCodec through the same typed
+    // mapPartitions path as the image queries. Sample i of clip `id` is
+    // ((id·31 + i·17) mod 2001) − 1000 — pure integer arithmetic — so
+    // the DuckDB oracle reproduces the decoded fold analytically with a
+    // correlated range join; any decode bug (header parse, LE sample
+    // reassembly, frame count, stream sample rate) goes hash-red. This
+    // is the audio analogue of m_decode_real's end-to-end pixel proof.
+    "m_audio_real" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (800 + (id % 5) * 400).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          MediaRow(id, "audio", synthWav(id, n, rate), 0, 0, rate, 0L)
+        }
+      decodeAudioAll(s, rows.toDF(), JavaSoundCodec,
+        s.sparkContext.defaultParallelism)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("sum_amp"), col("peak"))
         .orderBy("media_id")
     }),
 
@@ -434,6 +482,23 @@ object Multimodal {
            CAST((out_w * out_h * luma_px) % 1000000007 AS BIGINT)
              AS checksum
          FROM r ORDER BY media_id""",
+    // analytic mirror of the REAL PCM path: the decoded fold over sample
+    // i = ((id·31 + i·17) mod 2001) − 1000. DuckDB's range() takes no
+    // lateral column args, so the per-clip length is an uncorrelated
+    // range(0, max) + filter; n_samples comes out as the group count, so
+    // a frame-count bug on either side is a row/hash mismatch, not a
+    // silent agreement
+    "m_audio_real" ->
+      """SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(((doc_id * 31 + i * 17) % 2001) - 1000) AS BIGINT)
+             AS sum_amp,
+           CAST(MAX(ABS(((doc_id * 31 + i * 17) % 2001) - 1000)) AS BIGINT)
+             AS peak
+         FROM documents, range(0, 2400) t(i)
+         WHERE i < 800 + (doc_id % 5) * 400
+         GROUP BY doc_id ORDER BY media_id""",
     "m_frames" ->
       """SELECT doc_id AS media_id, f AS frame_idx,
            (f * (1000 + (doc_id % 60) * 250)) // 4 AS frame_ts_ms,

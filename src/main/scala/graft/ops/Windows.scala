@@ -87,12 +87,20 @@ object Windows {
     // so correctness hinged on ReusedExchange firing — plan-shape-
     // dependent, exactly what the r5 ADVICE flagged. Here the bucket id
     // is a PURE FUNCTION of the row's values:
-    //   1. 31 deterministic cut VALUES from one approx_percentile pass
-    //      (the QuantileSummaries sketch has no RNG — same input, same
-    //      cuts, on every engine/run; accuracy shapes bucket BALANCE,
-    //      never the result);
-    //   2. bucket b = #{cuts ≤ acctbal} via a broadcast scalar row and a
-    //      codegen'd size(filter(...)) — monotone in acctbal, and equal
+    //   1. 31 cut VALUES from one approx_percentile pass, COLLECTED TO
+    //      THE DRIVER as a 31-double scalar fetch (one tiny job — the
+    //      same move AQE makes with runtime stats; this is not a
+    //      driver-side data loop) and re-embedded as a LITERAL array.
+    //      The r6 form kept the cuts as a shared plan subtree feeding
+    //      two branches, so cut consistency still silently depended on
+    //      the BroadcastExchange being evaluated once — distributed
+    //      approx_percentile merges partial sketches in shuffle-fetch
+    //      arrival order, so two evaluations could disagree. A literal
+    //      is evaluated zero times in the plan: no shared-subtree
+    //      evaluation-count assumption remains (r6 ADVICE medium).
+    //      Accuracy shapes bucket BALANCE, never the result;
+    //   2. bucket b = #{cuts ≤ acctbal} via a codegen'd
+    //      size(filter(literal, ...)) — monotone in acctbal, and equal
     //      acctbals share a bucket, so buckets are contiguous runs of
     //      the (acctbal, custkey) total order no matter how ties fall
     //      against a cut;
@@ -109,13 +117,12 @@ object Windows {
     "w5_ntile" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
       val fracs = (1 until 32).map(i => i / 32.0)
-      val cuts = c.agg(expr(
+      val cutVals: Seq[Double] = c.agg(expr(
         s"approx_percentile(c_acctbal, array(${fracs.mkString(",")}), 1000)")
-        .as("cuts"))
-      val bucketed = c.crossJoin(broadcast(cuts))
-        .withColumn("b", size(filter(col("cuts"),
-          x => x <= col("c_acctbal"))))
-        .drop("cuts")
+        .as("cuts")).head.getSeq[Double](0)
+      val bucketed = c
+        .withColumn("b", size(filter(
+          typedLit(cutVals), x => x <= col("c_acctbal"))))
       val counts = bucketed.groupBy("b").agg(count(lit(1)).as("pc"))
       val offs = counts
         .withColumn("off", coalesce(sum("pc").over(

@@ -34,9 +34,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType,
   * once per (plan-)instance, never shipped as a model artifact.
   *
   * Determinism: the dot is a left-fold of float·float products in
-  * double, identical to FloatVecDot's contract; null ELEMENTS contribute
-  * 0 (the embedding schema admits them; none occur in data). Vectors
-  * shorter than `dims` fold over their own length.
+  * double, identical to FloatVecDot's contract INCLUDING nulls: a null
+  * ELEMENT in the folded range makes the dot NULL, and NULL >= 0 is not
+  * true, so the band bit is 0 — exactly what the composable
+  * `when(fdot(v, w) >= 0, bit).otherwise(0)` formulation produced (the
+  * embedding schema admits null elements; none occur in data; the
+  * equivalence is pinned by GraftFunctionsSpec's fused-vs-composable
+  * property test). Vectors shorter than `dims` fold over their own
+  * length.
   */
 case class HyperplaneBandKeys(child: Expression, nPlanes: Int,
     rowsPerBand: Int, dims: Int)
@@ -73,13 +78,17 @@ case class HyperplaneBandKeys(child: Expression, nPlanes: Int,
       while (i < rowsPerBand) {
         val wp = w(b * rowsPerBand + i)
         var dot = 0.0
+        var sawNull = false
         val m = math.min(n, wp.length)
         var j = 0
         while (j < m) {
-          if (!v.isNullAt(j)) dot += v.getFloat(j).toDouble * wp(j)
+          if (v.isNullAt(j)) sawNull = true
+          else dot += v.getFloat(j).toDouble * wp(j)
           j += 1
         }
-        if (dot >= 0) key |= (1L << i)
+        // null element => dot is NULL (FloatVecDot contract) => the
+        // composable when(dot >= 0, bit).otherwise(0) yields bit 0
+        if (!sawNull && dot >= 0) key |= (1L << i)
         i += 1
       }
       keys(b) = key

@@ -28,6 +28,48 @@ class CompactionSpec extends SparkTestBase {
     assert(back.exceptAll(ev).count() == 0)
   }
 
+  test("compact sizes a hive-partitioned layout recursively (not flat)") {
+    // Locks the r4 rewrite: sizing walks the Hadoop FS RECURSIVELY, so a
+    // hive-partitioned input (all .parquet files live under
+    // event_type=... subdirectories — the top level has none) still
+    // counts its bytes. The pre-fix java.io.File sizing saw zero files
+    // at the top level -> bytes=0 -> everything into ONE file; with
+    // enough input bytes and targetMB=1, a multi-file output proves the
+    // subdirectory bytes were actually seen.
+    val ev = etl.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val big = (1 to 32).map(_ => ev).reduce(_ union _)
+    val in = java.nio.file.Files.createTempDirectory("graft-part").toString
+    big.repartition(8).write.mode("overwrite")
+      .partitionBy("event_type").parquet(in)
+    val top = new java.io.File(in).listFiles()
+    assert(top.exists(f => f.isDirectory &&
+      f.getName.startsWith("event_type=")), "expected hive layout")
+    assert(!top.exists(_.getName.endsWith(".parquet")),
+      "hive layout must hold parquet only under partition dirs")
+    def parquetFiles(dir: java.io.File): Int = {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+      fs.count(_.getName.endsWith(".parquet")) +
+        fs.filter(_.isDirectory).map(parquetFiles).sum
+    }
+    val tinyCount = parquetFiles(new java.io.File(in))
+    assert(tinyCount >= 8 * 5, s"expected tiny files per partition dir," +
+      s" got $tinyCount")
+    val out = in + "_compacted"
+    etl.Load.compact(spark, in, out, targetMB = 1)
+    val bigCount = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(bigCount >= 2,
+      "recursive sizing must see partition-subdir bytes (flat sizing " +
+        s"collapses to 1 file); got $bigCount")
+    assert(bigCount < tinyCount / 4,
+      s"compaction left $bigCount files from $tinyCount")
+    // lossless, INCLUDING the partition column the read re-attaches
+    val back = spark.read.parquet(out)
+    assert(back.count() == big.count())
+    assert(back.select(big.columns.map(col): _*).exceptAll(big)
+      .count() == 0)
+  }
+
   test("AQE splits a skewed join at runtime (OptimizeSkewedJoin)") {
     import spark.implicits._
     // one key holds ~95% of the left side — the classic hot-key join

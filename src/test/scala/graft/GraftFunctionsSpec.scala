@@ -105,6 +105,50 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(withNullElem.collect()(0).isNullAt(0))
   }
 
+  test("HyperplaneBandKeys equals the composable when(fdot>=0) form") {
+    // Pins the fused expression's contract to the formulation it
+    // replaced: band b's key = (b+1)<<32 | Σ_i when(fdot(v, plane) >= 0,
+    // 1<<i).otherwise(0) — including the null-element path (null element
+    // in the folded range → fdot is NULL → NULL >= 0 is not true → bit
+    // 0) and the short/empty-vector path (fold over own length; empty →
+    // dot 0.0 → bit 1), which the d_embed_lsh corpus never exercises.
+    // (A whole-NULL vector is out of scope on both paths: the fused
+    // UnaryExpression null-propagates the row, a case the production
+    // corpus — non-null embedding column — never produces.)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val nPlanes = 8
+    val r = 2
+    val dims = 6
+    val w = functions.Hashing.planeWeights(nPlanes, dims)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def vec(n: Int): Seq[java.lang.Float] = Seq.fill(n)(
+      java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 4f))
+    val nullF = null.asInstanceOf[java.lang.Float]
+    val rows: Seq[Seq[java.lang.Float]] =
+      (1 to 40).map(_ => vec(dims)) ++
+        Seq(vec(3), vec(1), Seq.empty[java.lang.Float]) ++
+        Seq(vec(dims).updated(2, nullF), vec(4).updated(0, nullF),
+          Seq(nullF, nullF))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 4),
+      StructType(Seq(StructField("v",
+        ArrayType(FloatType, containsNull = true)))))
+    val fused = org.apache.spark.sql.graftshim.HyperplaneBandKeys
+      .bandKeys(col("v"), nPlanes, r, dims)
+    val composed = array((0 until nPlanes / r).map { b =>
+      (0 until r).map { i =>
+        when(ops.fdot(col("v"), typedLit(w(b * r + i).toSeq)) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit((b + 1).toLong << 32)
+    }: _*)
+    val out = df.select(fused.as("f"), composed.as("c"))
+    assert(out.filter(col("f") =!= col("c")).count() == 0,
+      out.filter(col("f") =!= col("c")).collect().mkString("\n"))
+    assert(out.filter(col("f").isNull).count() == 0)
+  }
+
   test("malformed usage yields a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception](

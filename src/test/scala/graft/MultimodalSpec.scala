@@ -91,6 +91,52 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("JavaSoundCodec decodes REAL PCM samples with known values") {
+    import Multimodal.JavaSoundCodec
+    // synthWav encodes sample i of clip `id` as ((id·31 + i·17) mod
+    // 2001) − 1000 through the JDK's own RIFF writer; the decode fold
+    // must reproduce the closed-form (n, sum, peak) exactly
+    val id = 42L
+    val n = 1000
+    val wav = Multimodal.synthWav(id, n, sampleRate = 12000)
+    // genuine RIFF container, not a bare PCM blob
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val samples = (0 until n).map(i => ((id * 31 + i * 17) % 2001) - 1000)
+    // metadata sample_rate is deliberately WRONG (99): a real decode must
+    // take the rate from the decoded AudioFormat, not the row metadata
+    val f = JavaSoundCodec.decodeAudio(
+      MediaRow(id, "audio", wav, 0, 0, 99, 0L))
+    assert(f.sample_rate == 12000, "rate must come from the decoded format")
+    assert(f.n_samples == n.toLong)
+    assert(f.sum_amp == samples.sum)
+    assert(f.peak == samples.map(math.abs).max)
+  }
+
+  test("JavaSoundCodec runs through the SAME Spark plumbing as images") {
+    import Multimodal.JavaSoundCodec
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      val id = i.toLong
+      val n = 400 + (i % 4) * 100
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.synthWav(id, n, 8000), 0, 0, 8000, 0L)
+    }
+    val df = spark.createDataset(rows).toDF()
+    val feats = Multimodal.decodeAudioAll(spark, df, JavaSoundCodec, 4)
+      .orderBy("media_id").collect()
+    assert(feats.length == 20)
+    feats.zipWithIndex.foreach { case (r, i) =>
+      val id = r.getLong(0)
+      val n = 400 + (i % 4) * 100
+      val samples = (0 until n).map(j => ((id * 31 + j * 17) % 2001) - 1000)
+      assert(r.getInt(1) == 8000)
+      assert(r.getLong(2) == n.toLong, s"id $id n_samples")
+      assert(r.getLong(3) == samples.sum, s"id $id sum_amp")
+      assert(r.getLong(4) == samples.map(math.abs).max, s"id $id peak")
+    }
+  }
+
   test("stub codec arithmetic is the portable hash family") {
     val bytes = "hello world".getBytes("UTF-8")
     val h = StubCodec.hash60(bytes)

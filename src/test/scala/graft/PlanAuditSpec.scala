@@ -109,6 +109,13 @@ class PlanAuditSpec extends SparkTestBase {
     // a pure function of row values, so the expression must be gone
     assert(!p.toLowerCase.contains("spark_partition_id"),
       "bucket id must not depend on physical partition identity")
+    // the r6-ADVICE hazard: cuts as a shared approx_percentile subtree
+    // feeding two branches are only consistent if the exchange is
+    // evaluated once (sketch merges are fetch-order-dependent). The cuts
+    // are now collected to the driver and embedded as a LITERAL array —
+    // zero in-plan evaluations — so the sketch must be gone from the plan
+    assert(!p.contains("approx_percentile"),
+      "cuts must be a driver-collected literal, not a shared plan subtree")
     // the data-sized rank window must be partitioned by the value-derived
     // bucket id; the only unpartitioned window is the ≤32-row offsets
     // cumsum over the bucket counts
