@@ -34,9 +34,18 @@ object Hashing {
     * [−PlaneOff, PlaneOff] derived from the portable hash family, so
     * every engine and every cluster re-run builds identical planes with
     * no stored model artifact. Integers are exact in float, so a float
-    * dot against them reproduces a ::DOUBLE fold bit-for-bit. */
+    * dot against them reproduces a ::DOUBLE fold bit-for-bit.
+    *
+    * Cached per (nPlanes, dims): each table is nPlanes·dims md5 calls,
+    * and every plan-instance of HyperplaneBandKeys / the LSH queries
+    * re-derives the same family (the weights are a pure function of the
+    * shape, so sharing is safe — arrays are treated as read-only). */
+  private val planeCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), Array[Array[Float]]]
+
   def planeWeights(nPlanes: Int, dims: Int): Array[Array[Float]] =
-    Array.tabulate(nPlanes, dims) { (p, j) =>
-      ((portableHash60(s"$p,$j") % PlaneMod) - PlaneOff).toFloat
-    }
+    planeCache.getOrElseUpdate((nPlanes, dims),
+      Array.tabulate(nPlanes, dims) { (p, j) =>
+        ((portableHash60(s"$p,$j") % PlaneMod) - PlaneOff).toFloat
+      })
 }

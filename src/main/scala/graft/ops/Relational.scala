@@ -261,6 +261,41 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Bloom-prefiltered fact⋈dim join — Spark's runtime-filter pattern
+    // (InjectRuntimeFilter plants this same BloomFilterMightContain
+    // predicate under shuffle joins) made EXPLICIT: a KB-sized bloom
+    // sketch of the filtered dim keys is built driver-side
+    // (df.stat.bloomFilter — a sketch fetch like AQE's runtime stats,
+    // never key data) and embedded as a foldable binary literal, so the
+    // fact scan drops non-joining rows BEFORE any exchange. At 100 TB
+    // this is THE lever for a selective dim filter against a fact table
+    // too big to shuffle in full: no false negatives (exact join result
+    // preserved — the oracle IS the plain join), bounded false positives
+    // (fpp 1%) that the exact join then removes. Whole predicate stays
+    // inside WholeStageCodegen; sketch deserializes once per task.
+    "j_bloom" -> ((s, d) => {
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000)
+        .select(col("o_orderkey"))
+      // size the sketch from the true key count (one scalar job);
+      // floor of 1000 keeps fpp honest when the filter matches few rows
+      val nDim = dim.count()
+      val bf = dim.stat.bloomFilter("o_orderkey",
+        math.max(nDim, 1000L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val fact = t(s, d, "lineitem")
+      fact
+        .filter(org.apache.spark.sql.graftshim.BloomFilters
+          .mightContain(bos.toByteArray, col("l_orderkey")))
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count("*").as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // Fuzzy record linkage — the dirty-data join every CRM ETL runs
     // (matching hand-keyed names against the master table). A probe set
     // of deterministically CORRUPTED names (5th char dropped from every
@@ -567,6 +602,16 @@ object Relational {
     // the blocked variant is result-invariant, so its oracle IS the
     // plain unblocked join (same as d_embed_pairs' triangle shape)
     "j_fuzzy_blocked" -> fuzzySql,
+    // the bloom prefilter is result-invariant (no false negatives; the
+    // exact join removes false positives), so its oracle IS the plain
+    // filtered join — a recall bug in the sketch path goes hash-red
+    "j_bloom" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "j_salted" ->
       """SELECT p_brand, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

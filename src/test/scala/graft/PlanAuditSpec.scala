@@ -126,6 +126,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"rank window lost its bucket partition spec:\n$rankSpec")
   }
 
+  test("j_bloom: bloom prefilter sits on the fact side below the join") {
+    val p = plan("j_bloom")
+    assert(p.contains("might_contain"),
+      "bloom runtime-filter predicate missing from the plan")
+    // formatted-explain operator ids grow PARENT-ward (a child always has
+    // a smaller id than its parent), so "the filter runs below the join"
+    // is exactly: id(Filter whose Condition holds might_contain) <
+    // id(BroadcastHashJoin). The detail block for each operator starts
+    // "(N) Name" and blocks are blank-line separated.
+    val joinId = """BroadcastHashJoin [^(]*\((\d+)\)""".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(joinId.nonEmpty, "expected a BroadcastHashJoin in the plan")
+    val bloomFilterId = p.split("\n\n")
+      .filter(b => b.startsWith("(") && b.contains("might_contain"))
+      .flatMap(b => """^\((\d+)\) Filter""".r.findFirstMatchIn(b)
+        .map(_.group(1).toInt))
+      .headOption
+    assert(bloomFilterId.nonEmpty,
+      "no Filter detail block carries the might_contain condition")
+    assert(bloomFilterId.get < joinId.get,
+      s"bloom prefilter (op ${bloomFilterId.get}) must run below the " +
+        s"join (op ${joinId.get}), not above it")
+  }
+
   test("t_colloc: top-20 is TakeOrdered, not a global sort+filter window") {
     val p = plan("t_colloc")
     assert(p.contains("TakeOrderedAndProject"), p)
