@@ -59,7 +59,8 @@ object SparkEntry {
       "j7_range", "x_percentile", "m_decode_features", "d_simhash",
       "d_ngram_jaccard", "d_clusters", "t_contam", "v_quant",
       "e_retention", "e_funnel", "v_ann_ivfq", "t_tfidf", "m_decode_real",
-      "t_spandedup", "j_salted", "l_scd2", "d_embed_lsh")
+      "t_spandedup", "j_salted", "l_scd2", "d_embed_lsh", "m_audio_real",
+      "j_bloom")
     val have = queries.keySet
     preferred.filter(have)
   }

@@ -123,6 +123,27 @@ object Load {
       .write.mode("errorifexists").parquet(outPath)
   }
 
+  /** Write a table range-partitioned AND sorted on a column — the
+    * data-LAYOUT lever next to hive partitioning (writePartitioned) and
+    * bucketing (writeBucketed): parquet records per-row-group min/max
+    * statistics, and a sorted layout makes consecutive row groups'
+    * ranges DISJOINT, so a point/range predicate on the sort column
+    * prunes all but the few overlapping groups at scan time (the
+    * footer-level analogue of partition pruning — no directory scheme
+    * needed, works for high-cardinality columns where one-directory-
+    * per-value would thrash listing). On an unsorted layout every row
+    * group spans nearly the full value range and NOTHING prunes.
+    * LayoutSpec proves the pruning from the written footers themselves.
+    * At 100 TB: sort the fact table by its dominant filter column (time,
+    * usually) at ingest; repartitionByRange keeps the sort global across
+    * files so file-level skipping composes with row-group skipping.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with ZERO shuffle — at 100 TB this is THE
     * lever for repeated fact⋈fact joins that broadcast can't cover

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sorted-layout row-group pruning, proven from the written parquet
+  * footers themselves: after `Load.writeSorted` on a column, the
+  * per-row-group [min, max] statistics are near-disjoint, so a narrow
+  * range predicate overlaps only a few groups — the footer-level
+  * analogue of partition pruning, and the property the scan's
+  * row-group skipping actually consumes. An unsorted write of the SAME
+  * rows leaves every group spanning nearly the full value range, so
+  * nothing can prune.
+  */
+class LayoutSpec extends SparkTestBase {
+
+  import scala.jdk.CollectionConverters._
+
+  /** (min, max) of `column` for every row group under `dir`, read from
+    * the parquet footers — zero Spark jobs, exactly what the reader's
+    * filter-pushdown consults.
+    */
+  private def rowGroupRanges(dir: String,
+      column: String): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val it = p.getFileSystem(conf).listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try {
+          rdr.getFooter.getBlocks.forEach { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).get
+            val s = c.getStatistics
+            out += ((s.genericGetMin.asInstanceOf[Number].longValue(),
+              s.genericGetMax.asInstanceOf[Number].longValue()))
+          }
+        } finally rdr.close()
+      }
+    }
+    out.toSeq
+  }
+
+  test("writeSorted yields near-disjoint row-group ranges that prune") {
+    val ev = etl.Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val base = java.nio.file.Files.createTempDirectory("graft-layout")
+      .toString
+    val sorted = base + "/sorted"
+    val unsorted = base + "/unsorted"
+    etl.Load.writeSorted(ev, sorted, "event_id", partitions = 8)
+    ev.repartition(8).write.mode("overwrite").parquet(unsorted)
+
+    val sortedRg = rowGroupRanges(sorted, "event_id")
+    val unsortedRg = rowGroupRanges(unsorted, "event_id")
+    assert(sortedRg.size >= 8 && unsortedRg.size >= 8)
+
+    // a narrow id range in the middle of the domain (~1% of rows)
+    val ids = ev.agg(min("event_id"), max("event_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val qLo = lo + (hi - lo) / 2
+    val qHi = qLo + (hi - lo) / 100
+    def overlapping(rgs: Seq[(Long, Long)]): Int =
+      rgs.count { case (mn, mx) => mx >= qLo && mn <= qHi }
+
+    // sorted: global range partitioning makes group ranges near-disjoint
+    // → the 1% query touches a small fraction of groups. unsorted:
+    // round-robin spreads the domain over every group → zero pruning.
+    assert(overlapping(unsortedRg) == unsortedRg.size,
+      "unsorted layout should have no prunable row groups for this query")
+    assert(overlapping(sortedRg) * 4 <= sortedRg.size,
+      s"sorted layout should prune most groups: " +
+        s"${overlapping(sortedRg)} of ${sortedRg.size} overlap")
+
+    // and the layout is lossless
+    assert(spark.read.parquet(sorted).count() == ev.count())
+    assert(spark.read.parquet(sorted).exceptAll(ev).count() == 0)
+  }
+}
