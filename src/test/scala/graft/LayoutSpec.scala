@@ -78,5 +78,33 @@ class LayoutSpec extends SparkTestBase {
     // and the layout is lossless
     assert(spark.read.parquet(sorted).count() == ev.count())
     assert(spark.read.parquet(sorted).exceptAll(ev).count() == 0)
+
+    // EXECUTED proof, not just footer math: run the same range query
+    // against both layouts and read the FileSourceScan's numOutputRows
+    // metric — rows the scan actually produced AFTER row-group skipping
+    // (the pushed predicate prunes groups whose [min,max] miss the
+    // range). Sorted: only the overlapping groups' rows come out.
+    // Unsorted: every group overlaps, so the scan emits ~all rows and
+    // the post-scan Filter does all the work.
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("event_id") >= qLo && col("event_id") <= qHi)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scan.nonEmpty, "expected a FileSourceScan leaf")
+      scan.get.metrics("numOutputRows").value
+    }
+    val sortedScan = scannedRows(sorted)
+    val unsortedScan = scannedRows(unsorted)
+    assert(sortedScan * 2 <= unsortedScan,
+      s"sorted layout should scan far fewer rows: $sortedScan vs " +
+        s"$unsortedScan")
   }
 }
