@@ -13,12 +13,21 @@ import graft.schema.{Ddl, Mapping}
   *
   * Usage:
   *   SqlBuilderCli --in describe.json --out table.sql
+  *   SqlBuilderCli --object NAME --out table.sql
   *     [--table NAME]      override the table name (default: describe name,
   *                         like main.rs:63 `Table::new(args.name)`)
   *     [--decimal-mode]    map Currency/Percent to DECIMAL(p,s) instead of
   *                         the reference-faithful sized varchar
+  *                         (describe-file mode only)
   *     [--dialect pg|mysql] target dialect (default pg) — selects the
   *                         SqlGenerator instance, like `generate::<Pg>()`
+  *
+  * `--object NAME` is the live-pipeline parity mode (main.rs:50-82 runs
+  * login → describe → generate in one binary): it introspects the named
+  * table's schema from the SOURCE LAYER itself — `etl.Tables.schemas`,
+  * the same frozen StructTypes every scan in the engine reads with —
+  * instead of a describe file, so the emitted DDL can never drift from
+  * what the engine actually loads.
   *
   * Pure driver-side string work — no SparkSession is started (DDL
   * generation never touches data, exactly as in the reference).
@@ -26,11 +35,13 @@ import graft.schema.{Ddl, Mapping}
 object SqlBuilderCli {
 
   final case class Opts(in: String, out: String, table: Option[String],
-      decimalMode: Boolean, dialect: String = "pg")
+      decimalMode: Boolean, dialect: String = "pg",
+      obj: Option[String] = None)
 
   def parseArgs(args: Array[String]): Opts = {
     def loop(rest: List[String], o: Opts): Opts = rest match {
       case "--in" :: v :: t => loop(t, o.copy(in = v))
+      case "--object" :: v :: t => loop(t, o.copy(obj = Some(v)))
       case "--out" :: v :: t => loop(t, o.copy(out = v))
       case "--table" :: v :: t => loop(t, o.copy(table = Some(v)))
       case "--decimal-mode" :: t => loop(t, o.copy(decimalMode = true))
@@ -40,12 +51,31 @@ object SqlBuilderCli {
         throw new IllegalArgumentException(s"unknown argument: $other")
     }
     val o = loop(args.toList, Opts("", "", None, decimalMode = false))
-    require(o.in.nonEmpty && o.out.nonEmpty,
-      "usage: SqlBuilderCli --in describe.json --out table.sql" +
-        " [--table NAME] [--decimal-mode] [--dialect pg|mysql]")
+    require((o.in.nonEmpty ^ o.obj.nonEmpty) && o.out.nonEmpty,
+      "usage: SqlBuilderCli (--in describe.json | --object NAME)" +
+        " --out table.sql [--table NAME] [--decimal-mode]" +
+        " [--dialect pg|mysql]")
+    require(o.obj.isEmpty || !o.decimalMode,
+      "--decimal-mode applies to describe-file mode only: --object" +
+        " schemas are already typed")
     require(Set("pg", "mysql")(o.dialect),
       s"unknown dialect ${o.dialect}: expected pg or mysql")
     o
+  }
+
+  /** The live-pipeline mode as a pure function: source-layer schema →
+    * DDL (the reference's describe-to-generate path with the describe
+    * served by the engine's own frozen table registry).
+    */
+  def runObject(name: String, tableOverride: Option[String],
+      dialect: String = "pg"): String = {
+    val schema = etl.Tables.schemas.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown object $name: expected one of " +
+          etl.Tables.schemas.keys.toSeq.sorted.mkString(", ")))
+    val g: graft.schema.SqlGenerator =
+      if (dialect == "mysql") Ddl.MySql else Ddl.Pg
+    g.createTable(tableOverride.getOrElse(name), schema)
   }
 
   /** The pipeline as a pure function (main.rs:50-82), for tests. */
@@ -65,8 +95,12 @@ object SqlBuilderCli {
 
   def main(args: Array[String]): Unit = {
     val o = parseArgs(args)
-    val json = Files.readString(Paths.get(o.in))
-    val ddl = run(json, o.table, o.decimalMode, o.dialect)
+    val ddl = o.obj match {
+      case Some(name) => runObject(name, o.table, o.dialect)
+      case None =>
+        val json = Files.readString(Paths.get(o.in))
+        run(json, o.table, o.decimalMode, o.dialect)
+    }
     Files.writeString(Paths.get(o.out), ddl + "\n")
     System.err.println(s"[sql-builder] wrote ${o.out}")
   }

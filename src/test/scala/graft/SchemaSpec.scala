@@ -238,6 +238,38 @@ class SchemaSpec extends AnyFunSuite {
         out.toString, "--dialect", "oracle")))
   }
 
+  test("CLI --object mode: DDL from the engine's own table registry") {
+    // live-pipeline parity (main.rs runs describe → generate in one
+    // binary): --object introspects etl.Tables.schemas — the SAME frozen
+    // StructTypes every scan reads with — so the DDL cannot drift from
+    // what the engine loads
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-obj")
+    val out = dir.resolve("customer.sql")
+    SqlBuilderCli.main(Array("--object", "customer", "--out",
+      out.toString))
+    val ddl = java.nio.file.Files.readString(out)
+    assert(ddl.startsWith("""CREATE TABLE IF NOT EXISTS "customer" ("""))
+    assert(ddl.contains(""""c_custkey" bigint"""))
+    assert(ddl.contains(""""c_acctbal" double precision"""))
+    // every registered table generates in both dialects without error
+    etl.Tables.schemas.keys.foreach { t =>
+      assert(SqlBuilderCli.runObject(t, None, "pg")
+        .startsWith("CREATE TABLE"))
+      assert(SqlBuilderCli.runObject(t, None, "mysql")
+        .startsWith("CREATE TABLE"))
+    }
+    // unknown object is a clear error listing the registry
+    val e = intercept[IllegalArgumentException](
+      SqlBuilderCli.runObject("nope", None))
+    assert(e.getMessage.contains("customer"))
+    // --in and --object are mutually exclusive; --decimal-mode is
+    // describe-file-only
+    assertThrows[IllegalArgumentException](SqlBuilderCli.parseArgs(
+      Array("--in", "x.json", "--object", "customer", "--out", "y.sql")))
+    assertThrows[IllegalArgumentException](SqlBuilderCli.parseArgs(
+      Array("--object", "customer", "--out", "y.sql", "--decimal-mode")))
+  }
+
   test("decimal-mode CLI maps Currency/Percent to DECIMAL(p,s)") {
     val json =
       """{"name": "Opp", "fields": [
