@@ -51,6 +51,14 @@ object GraftFunctions {
       s"shingle_hashes expects (words, k), got ${other.size}")
   }
 
+  private val simhash60Info = new ExpressionInfo(
+    classOf[SimHash60].getName, "simhash60")
+  private val simhash60Builder: Seq[Expression] => Expression = {
+    case Seq(words) => SimHash60(words)
+    case other => throw new IllegalArgumentException(
+      s"simhash60 expects (words), got ${other.size}")
+  }
+
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -58,6 +66,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("shingle_minhashes", shingleBuilder,
       "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes", shingleHashesBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash60", simhash60Builder,
       "built-in")
   }
 
@@ -71,5 +81,7 @@ object GraftFunctions {
     extensions.injectFunction(
       (FunctionIdentifier("shingle_hashes"), shingleHashesInfo,
         shingleHashesBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("simhash60"), simhash60Info, simhash60Builder))
   }
 }

@@ -158,6 +158,26 @@ class DedupSpec extends SparkTestBase {
       f"banding stopped filtering: candidate fraction ${frac * 100}%.1f%%")
   }
 
+  test("d_simhash_hamming block join equals the quadratic truth") {
+    // Pigeonhole completeness is structural (4 blocks, <= 3 differing
+    // bits => >= 1 equal block), but this pins the IMPLEMENTATION —
+    // block extraction, distinct-fingerprint candidate set, doc
+    // expansion — to the unblocked quadratic over the same fingerprints.
+    val d = "/root/testdata/sf0.001"
+    val got = Dedup.queries("d_simhash_hamming")(spark, d)
+    val fp = Dedup.queries("d_simhash")(spark, d)
+    val x = fp.select(col("doc_id").as("a"), col("simhash").as("fa"))
+    val y = fp.select(col("doc_id").as("b"), col("simhash").as("fb"))
+    val truth = x.join(y, col("a") < col("b"))
+      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
+      .filter(col("hamming").between(1, 3))
+      .select("a", "b", "hamming")
+    val n = truth.count()
+    assert(n > 0, "vacuous corpus: no Hamming 1..3 pairs")
+    assert(got.count() == n)
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty)
+  }
+
   test("bottom-2 minhash blocking recall vs length-block-only is measured") {
     // The secondary block key (bottom-2 bigram minhashes mod NgramSalt)
     // drops a borderline pair with P ≈ (1-j)² — and because the DuckDB

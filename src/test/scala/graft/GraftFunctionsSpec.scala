@@ -72,6 +72,44 @@ class GraftFunctionsSpec extends SparkTestBase {
     assert(one.head == functions.Hashing.portableHash60("a b c"))
   }
 
+  test("SimHash60 equals the composable 60-HOF aggregate form") {
+    import org.apache.spark.sql.functions._
+    // real corpus: every sf0.001 doc, fused vs the formulation d_simhash
+    // shipped before the codegen expression (and which the DuckDB oracle
+    // still spells out) — bit-identical or the oracle would go hash-red
+    val docs = etl.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val composed = docs
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("dw"))
+      .withColumn("n", size(col("dw")))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), 0L, (acc, b) -> acc +
+             IF(2 * size(filter(dw, x ->
+                  (shiftright(CAST(conv(substring(md5(x),1,15),16,10)
+                     AS BIGINT), b) & 1L) = 1L)) > n,
+                shiftleft(1L, b), 0L))""").as("c"))
+    val fused = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftshim.SimHash60
+        .simhash60(split(col("text"), " ")).as("f"))
+    val mismatch = fused.join(composed, "doc_id")
+      .filter(col("f") =!= col("c")).count()
+    assert(mismatch == 0, s"fused != composed on $mismatch docs")
+    // duplicate words count ONCE (dedup precedes the majority vote):
+    // "a a a b" has distinct set {a, b} — same fingerprint as "a b"
+    import spark.implicits._
+    val pair = Seq(("a a a b", "a b")).toDF("t1", "t2")
+      .select(org.apache.spark.sql.graftshim.SimHash60
+          .simhash60(split(col("t1"), " ")).as("h1"),
+        org.apache.spark.sql.graftshim.SimHash60
+          .simhash60(split(col("t2"), " ")).as("h2"))
+      .collect()(0)
+    assert(pair.getLong(0) == pair.getLong(1))
+    // null array → null fingerprint
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT simhash60(CAST(NULL AS ARRAY<STRING>)) AS h")
+      .collect()(0).isNullAt(0))
+  }
+
   test("fvec_dot on non-nullable arrays (containsNull=false) via codegen") {
     // Regression for the nullable-override contract: with containsNull =
     // false on BOTH inputs and non-null columns, nullable must still be

@@ -75,7 +75,7 @@ class PlanAuditSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin appearing in any of these means a
     // candidate generator degenerated to all-pairs
     for (q <- Seq("d_minhash_pairs", "d_ngram_jaccard", "v_ann_lsh",
-        "j_fuzzy_blocked", "d_embed_lsh")) {
+        "j_fuzzy_blocked", "d_embed_lsh", "d_simhash_hamming")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
