@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * As-of is composed, not custom: a `last(..., ignoreNulls)` over an
   * ordered per-key window — one shuffle on the key, no point-lookup loop,
   * which is exactly how it scales (SURVEY J7: "as-of via window +
-  * last(...)"). The range join is an equi-join on the key with the range
-  * as a join-level filter — Catalyst plans a sort-merge join with the
-  * band predicate; at 100 TB add time-bucket keys to bound the merge
-  * (noted inline).
+  * last(...)"). The range join is banded: an equi-join on
+  * (key, 5-minute time bucket) with the exact range as residual, so the
+  * merge ranges stay bounded even for a hot key (details inline at
+  * j7_range).
   */
 object Temporal {
 
@@ -38,18 +38,33 @@ object Temporal {
     }),
 
     // J7b: banded range join — per error event, count same-user events in
-    // the following 5 minutes. Equi key (user_id) + band predicate; at
-    // scale, bucket ts into 5-minute keys and join on (user, bucket∈{b,b+1})
-    // to keep merge ranges bounded — same shape as the dedup length blocks.
+    // the following 5 minutes. The r7 plan was an equi-join on user_id
+    // alone with the range as a residual SMJ condition: per-user candidate
+    // pairs are O(n_u²) BEFORE the filter, so one bot-like hot user makes
+    // a single task quadratic at 100 TB (the skew class j_salted solves).
+    // Banded fix: bucket ts into 5-minute keys. Because the bucket width
+    // EQUALS the range width, an error at ts ∈ bucket b can only have
+    // follow-ups (t, t+5min] in buckets {b, b+1} — so explode the
+    // (smaller, filtered) error side into its 2 covering buckets and join
+    // on (user_id, bucket) with the exact range as residual. Each (err,
+    // follow-up) pair matches on exactly ONE bucket key (the follow-up's
+    // own bucket), so no post-join dedup is needed and the result — and
+    // the DuckDB oracle — is unchanged. Same proof pattern as
+    // j_fuzzy_blocked's length blocking.
     "j7_range" -> ((s, d) => {
       val e = t(s, d, "events")
+      val bkt = (c: org.apache.spark.sql.Column) =>
+        floor(unix_micros(c) / lit(300000000L))
       val err = e.filter(col("event_type") === "error")
         .select(col("event_id").as("err_id"), col("user_id").as("u"),
           col("ts").as("err_ts"))
+        .withColumn("b",
+          explode(array(bkt(col("err_ts")), bkt(col("err_ts")) + 1)))
       val any = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
-        col("event_id").as("eid2"))
+        col("event_id").as("eid2"), bkt(col("ts")).as("b2"))
       err.join(any,
-          col("u") === col("u2") && col("ts2") > col("err_ts") &&
+          col("u") === col("u2") && col("b") === col("b2") &&
+          col("ts2") > col("err_ts") &&
           col("ts2") <= col("err_ts") + expr("INTERVAL 5 MINUTES"))
         .groupBy(col("err_id"))
         .agg(count("*").as("n_followups"), min(col("eid2")).as("first_eid"))

@@ -150,6 +150,24 @@ class PlanAuditSpec extends SparkTestBase {
         s"join (op ${joinId.get}), not above it")
   }
 
+  test("j7_range: join keys include the time bucket, range only residual") {
+    // the r7 scale-killer: an SMJ on user_id alone leaves per-user
+    // candidate pairs O(n_u²) before the residual range filter — one hot
+    // user makes a task quadratic. The banded plan must carry the 5-min
+    // bucket IN THE JOIN KEYS (hashpartitioning on both u/user_id and the
+    // bucket column), leaving the range as residual only.
+    // (at sf0.001 the filtered error side broadcasts — also fine; the
+    // property is the KEY LIST, which is plan-choice-invariant)
+    val p = plan("j7_range")
+    val keys = p.linesIterator
+      .filter(l => l.contains("keys [") || l.contains("Join condition"))
+      .mkString("\n")
+    assert("Left keys \\[2\\]: \\[u#\\d+L?, b#\\d+L".r
+      .findFirstIn(p).isDefined, s"error side lost the bucket key:\n$keys")
+    assert("Right keys \\[2\\]: \\[u2#\\d+L?, b2#\\d+L".r
+      .findFirstIn(p).isDefined, s"event side lost the bucket key:\n$keys")
+  }
+
   test("t_colloc: top-20 is TakeOrdered, not a global sort+filter window") {
     val p = plan("t_colloc")
     assert(p.contains("TakeOrderedAndProject"), p)
