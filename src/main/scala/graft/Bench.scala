@@ -5,16 +5,19 @@ import org.apache.spark.sql.SparkSession
   * machine-readable JSON line on stdout (also written to a plain file —
   * see SPARK_GRAFT_BENCH_OUT below).
   *
-  * Methodology: each query runs TWICE and the headline number is the
-  * per-query MIN (disclosed as "mode":"best-of-2", with both passes in
-  * the JSON). Two reasons, both measured:
+  * Methodology: each query runs THREE times and the headline number is
+  * the per-query MIN (disclosed as "mode":"best-of-3", with every pass
+  * and its steal delta in the side-file JSON). Reasons, all measured:
   *  - pass 1 is dominated by per-query codegen/plan-compile (~2-4s on the
-  *    many-stage dedup plans), not data throughput;
+  *    many-stage dedup plans), not data throughput — pass1−pass2 is the
+  *    codegen cost, pass2≈pass3 is the reproducible throughput (the r7
+  *    d_clusters/m_decode_real attribution questions needed exactly this
+  *    split);
   *  - this host is a shared microVM with bursty CPU steal (~20-50s
   *    stalls observed landing on a random query: BENCH_r02 had
   *    d_minhash_pairs at 19.4s where back-to-back local runs measure
   *    5.1s cold / 1.9s steady; /proc/stat shows ~83 min cumulative
-  *    steal over 7.4h). min-of-2 bounds one burst's damage to a single
+  *    steal over 7.4h). min-of-3 bounds one burst's damage to a single
   *    pass. SPARK_GRAFT_BENCH_ONESHOT=1 restores single-pass timing.
   */
 object Bench {
@@ -52,7 +55,7 @@ object Bench {
     catch { case _: Throwable => }
     val oneshot = sys.env.get("SPARK_GRAFT_BENCH_ONESHOT").contains("1") ||
       sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
-    val passes = if (oneshot) 1 else 2
+    val passes = if (oneshot) 1 else 3
     // SPARK_GRAFT_BENCH_ONLY=q1,q2: restrict to a comma-separated subset
     // (local iteration / regression isolation); unset = full headline set.
     // SPARK_GRAFT_BENCH_FULL=1: time EVERY registered query (the ~50
@@ -98,7 +101,7 @@ object Bench {
     // skew report → stderr; stdout stays one machine-readable JSON line
     skew.skewedStages().foreach(l => System.err.println(s"[skew] $l"))
     val mode = if (full) "full-surface-one-shot"
-      else if (oneshot) "one-shot" else "best-of-2"
+      else if (oneshot) "one-shot" else "best-of-3"
     // stdout gets a COMPACT line: the driver keeps only a ~2000-char tail
     // of the run's output, and the full line with per-pass detail (~3 KB)
     // overflowed it every round (BENCH_r04/r05 "parsed": null — the

@@ -139,10 +139,26 @@ object Load {
     * files so file-level skipping composes with row-group skipping.
     */
   def writeSorted(df: DataFrame, path: String, sortCol: String,
-      partitions: Int): Unit =
-    df.repartitionByRange(partitions, col(sortCol))
-      .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(path)
+      partitions: Int): Unit = {
+    // Spark still defaults parquet timestamps to INT96, which carries NO
+    // min/max statistics — a sorted layout whose sort column has no
+    // stats cannot prune anything, silently defeating this whole lever
+    // (measured: every row group reports has_min_max=false). Write
+    // TIMESTAMP_MICROS for the duration of this write; scoped + restored
+    // since it's a session-wide conf (no per-write option exists).
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try
+      df.repartitionByRange(partitions, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Write a table bucketed (and sorted) by its join key. Two tables
     * bucketed the same way join with ZERO shuffle — at 100 TB this is THE

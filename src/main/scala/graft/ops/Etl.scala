@@ -83,6 +83,31 @@ object Etl {
         .orderBy("o_orderstatus")
     }),
 
+    // S6+layout: sorted-layout scan registered end-to-end — write events
+    // range-partitioned AND sorted on ts (Load.writeSorted), read back
+    // with a narrow time-range predicate (8 h of a 30-day table, ~1%).
+    // Result-invariant vs the unsorted table — the oracle runs the same
+    // range query on raw events — but the sorted layout's near-disjoint
+    // per-row-group [min,max] ts ranges let the pushed predicate prune
+    // at the footer level, so the scan emits ~1% of rows instead of all
+    // of them (PlanAuditSpec executes this query and asserts the scan
+    // metric; LayoutSpec proves the same property from raw footers).
+    // At 100 TB this is the ingest-side lever for time-filtered scans.
+    "l_sorted_scan" -> ((s, d) => {
+      val path =
+        s"/tmp/graft_sorted_layout/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Load.writeSorted(
+        t(s, d, "events").select("event_id", "user_id", "event_type", "ts"),
+        path, "ts", partitions = 16)
+      // no orderBy: the compare sorts rows, and a global sort would both
+      // add an exchange and double-execute the scan (the range
+      // partitioner samples its child), polluting the pruning metric
+      s.read.parquet(path)
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 08:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
     // Latest-record compaction (W4): newest event per user by (ts, id) —
     // the SystemModstamp upsert-dedup every SF pipeline runs.
     "l_latest" -> ((s, d) => {
@@ -144,6 +169,12 @@ object Etl {
                   ELSE o_orderpriority END, 'UNSPECIFIED') AS o_orderpriority,
            COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "l_sorted_scan" ->
+      """SELECT event_id, user_id, event_type, ts
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 08:00:00'
+         ORDER BY event_id""",
     "l_latest" ->
       """SELECT user_id, event_id, event_type
          FROM (SELECT user_id, event_id, event_type,

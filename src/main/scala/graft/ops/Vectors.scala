@@ -284,6 +284,13 @@ object Vectors {
     // cells' candidates; same index, no extra state.
     "v_ann_ivf2" -> ((s, d) => ivfTopK(s, d, nprobe = 2, lloydRounds = 1)),
 
+    // nprobe=4: the top of the measured recall/cost ladder (IvfSpec:
+    // recall@5 = 0.30/0.46/0.72 at nprobe 1/2/4) — registering it makes
+    // the full ladder oracle-checked, not just spec-measured. Still the
+    // same broadcast-quantizer shape: cost grows only in candidate rows
+    // scanned (4 cells of 10), never in shuffle.
+    "v_ann_ivf4" -> ((s, d) => ivfTopK(s, d, nprobe = 4, lloydRounds = 1)),
+
     // Quantized inverted file: stored vectors are int8 (v_quant), scored
     // directly (scale cancels in cosine) — 4× less memory bandwidth on
     // the candidate scan, which is what dominates IVF search at 100 TB.
@@ -486,6 +493,7 @@ object Vectors {
          SELECT a, b, cos FROM scored WHERE cos >= 0.4 ORDER BY a, b""",
     "v_ann_ivf" -> ivfSql(nprobe = 1, lloydRounds = 1),
     "v_ann_ivf2" -> ivfSql(nprobe = 2, lloydRounds = 1),
+    "v_ann_ivf4" -> ivfSql(nprobe = 4, lloydRounds = 1),
     "v_ann_ivfq" -> ivfSql(nprobe = 2, lloydRounds = 1, quantized = true),
     "v_centroid" ->
       """SELECT label, i - 1 AS dim,

@@ -70,6 +70,69 @@ class CompactionSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("streaming ingest -> compacted sorted layout (foreachBatch maintenance)") {
+    // Closes the loop between the streaming surface and the layout
+    // levers: per-trigger foreachBatch writes accrete tiny files (the
+    // real shape of streaming ingest), then ONE maintenance pass rewrites
+    // them via Load.writeSorted into the query-optimized layout — few
+    // files, globally range-partitioned and sorted on ts, so time-range
+    // scans prune. This is the nightly job every 100 TB streaming table
+    // runs; here each stage is asserted.
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-compact")
+    val src = tmp.resolve("src"); java.nio.file.Files.createDirectory(src)
+    for (n <- 1 to 2)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        src.resolve(s"events_$n.parquet"))
+    val ingest = tmp.resolve("ingest").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.repartition(8).write.mode("append").parquet(ingest); ()
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val tinyCount = new java.io.File(ingest).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(tinyCount == 16, s"expected 2 triggers x 8 files, got $tinyCount")
+
+    // maintenance pass: tiny unsorted ingest files -> few sorted files
+    val sorted = tmp.resolve("sorted").toString
+    etl.Load.writeSorted(spark.read.parquet(ingest), sorted, "ts",
+      partitions = 4)
+    val sortedCount = new java.io.File(sorted).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(sortedCount == 4, s"got $sortedCount files")
+
+    // lossless across the whole pipeline (2 copies of events)
+    val back = spark.read.parquet(sorted)
+    val ev = etl.Tables.load(spark, dir, "events")
+    assert(back.count() == 2 * ev.count())
+    assert(back.exceptAll(ev.union(ev)).count() == 0)
+
+    // and the layout actually prunes: a ~1% time window's executed scan
+    // emits a small fraction of rows (row-group skip on the pushed ts
+    // range — requires the TIMESTAMP_MICROS stats writeSorted forces)
+    val ranged = back
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 08:00:00").cast("timestamp"))
+    ranged.collect()
+    val scan = ranged.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scan.nonEmpty)
+    val scanned = scan.get.metrics("numOutputRows").value
+    assert(scanned * 4 <= 2 * ev.count(),
+      s"sorted maintenance layout should prune: scanned $scanned")
+  }
+
   test("AQE splits a skewed join at runtime (OptimizeSkewedJoin)") {
     import spark.implicits._
     // one key holds ~95% of the left side — the classic hot-key join

@@ -126,6 +126,42 @@ class PlanAuditSpec extends SparkTestBase {
       s"rank window lost its bucket partition spec:\n$rankSpec")
   }
 
+  test("l_sorted_scan: sorted layout prunes row groups in the executed scan") {
+    // LayoutSpec proves the footer property in isolation; this drives it
+    // through the REGISTERED surface: execute the query, read the
+    // FileSourceScan's numOutputRows — rows the scan emitted after
+    // row-group skipping against the pushed ts range. On the sorted
+    // layout the ~1% time window overlaps few of the 16 range-partition
+    // files, so the scan must emit a small fraction of the table.
+    val q = SparkEntry.queries("l_sorted_scan")(spark, dir)
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    q.collect()
+    // the orderBy exchange makes AQE wrap the scan in a query stage —
+    // collect must recurse through stage boundaries to reach it
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      pl.flatMap {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(st.plan)
+        case _ => Nil
+      }
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = scans(plan).headOption
+    assert(scan.nonEmpty, "expected a FileSourceScan leaf")
+    val scanned = scan.get.metrics("numOutputRows").value
+    val total = etl.Tables.load(spark, dir, "events").count()
+    assert(scanned * 4 <= total,
+      s"sorted scan should prune most row groups: emitted $scanned of " +
+        s"$total rows")
+  }
+
   test("j_bloom: bloom prefilter sits on the fact side below the join") {
     val p = plan("j_bloom")
     assert(p.contains("might_contain"),
