@@ -68,6 +68,7 @@ object Bench {
       if (full) SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
     val selected = base.filter(n => only.forall(_.contains(n)))
+    skew.drainWorstRatio() // don't charge warmup stages to the first query
     // headline subset (SparkEntry.benchQueries) — representative, bounded
     val timed = selected.map { name =>
       val fn = SparkEntry.queries(name)
@@ -83,23 +84,30 @@ object Bench {
         val steal = if (st0 >= 0 && st1 >= 0) (st1 - st0) / 100.0 else -1.0
         (dt, steal)
       }
+      // worst per-stage max/mean task-time ratio over this query's passes
+      val worstSkew = skew.drainWorstRatio()
       System.err.println(f"[bench] ${java.time.Instant.now()} $name%-22s " +
         ts.map { case (t, s) => f"$t%7.2f (steal $s%5.1f)" }.mkString(" ") +
-        " s")
-      name -> ts
+        f" s  skew $worstSkew%.1fx")
+      name -> (ts, worstSkew)
     }
-    val results = timed.map { case (n, ts) => n -> ts.map(_._1).min }.toMap
+    val results = timed.map { case (n, (ts, _)) => n -> ts.map(_._1).min }
+      .toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val allPasses = timed.map { case (k, ts) =>
+    val allPasses = timed.map { case (k, (ts, _)) =>
       s"\"" + k + "\":[" + ts.map(_._1).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val allSteal = timed.map { case (k, ts) =>
+    val allSteal = timed.map { case (k, (ts, _)) =>
       s"\"" + k + "\":[" + ts.map(_._2).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val allSkew = timed.map { case (k, (_, w)) =>
+      s"\"" + k + "\":" + f"$w%.2f"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // skew report → stderr; stdout stays one machine-readable JSON line
-    skew.skewedStages().foreach(l => System.err.println(s"[skew] $l"))
+    timed.collect { case (k, (_, w)) if w >= 3.0 =>
+      System.err.println(f"[skew] $k worst max/mean $w%.1fx")
+    }
     val mode = if (full) "full-surface-one-shot"
       else if (oneshot) "one-shot" else "best-of-3"
     // stdout gets a COMPACT line: the driver keeps only a ~2000-char tail
@@ -113,7 +121,8 @@ object Bench {
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode","passes":$allPasses,""" +
-        s""""steal_sec_per_pass":$allSteal,"sf":"$sfDir"}"""
+        s""""steal_sec_per_pass":$allSteal,""" +
+        s""""skew_worst_ratio":$allSkew,"sf":"$sfDir"}"""
     System.err.println(s"[bench] passes: $allPasses")
     System.err.println(s"[bench] steal_sec_per_pass: $allSteal")
     println(json)

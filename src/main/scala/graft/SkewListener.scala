@@ -21,6 +21,25 @@ class SkewListener extends SparkListener {
     }
   }
 
+  /** Worst max/mean task-time ratio across stages recorded since the
+    * last call, then clears the window — the per-query lens Bench
+    * emits as `skew_worst_ratio` so a partition-balance regression is
+    * diffable round-over-round instead of anecdotal. 0 when no stage
+    * cleared the task-count/duration floors (tiny stages are all
+    * "skewed" by scheduling noise). Listener delivery is async, so a
+    * straggling task event may land in the next query's window —
+    * acceptable slop for a diagnostic ratio.
+    */
+  def drainWorstRatio(minTasks: Int = 8, minMaxMs: Long = 200): Double = {
+    val worst = stages.values.foldLeft(0.0) {
+      case (w, (mx, sum, n)) if n >= minTasks && mx >= minMaxMs =>
+        w max (mx.toDouble / (sum.toDouble / n))
+      case (w, _) => w
+    }
+    stages.clear()
+    worst
+  }
+
   /** Stages where the slowest task ran ≥ `ratio`× the mean (only stages
     * with enough tasks and non-trivial work to matter).
     */
