@@ -60,7 +60,8 @@ object SparkEntry {
       "d_ngram_jaccard", "d_clusters", "t_contam", "v_quant",
       "e_retention", "e_funnel", "v_ann_ivfq", "t_tfidf", "m_decode_real",
       "t_spandedup", "j_salted", "l_scd2", "d_embed_lsh", "m_audio_real",
-      "j_bloom", "d_simhash_hamming", "l_sorted_scan", "v_ann_ivf4")
+      "j_bloom", "d_simhash_hamming", "l_sorted_scan", "v_ann_ivf4",
+      "t_chunkpack")
     val have = queries.keySet
     preferred.filter(have)
   }

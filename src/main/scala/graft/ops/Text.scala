@@ -44,6 +44,46 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (concatenate-and-chunk): the pretraining layout
+    // op — documents are concatenated in deterministic doc_id order
+    // into one global token stream and cut into fixed 512-token context
+    // windows; each doc reports its global token offset and covering
+    // chunk range. The naive plan is ONE unpartitioned running sum
+    // (every row through a single task — the w5_ntile scale-killer),
+    // so this runs two-phase: per-shard window sums (shard =
+    // doc_id DIV 64, all shards in parallel) plus a driver-collected
+    // base offset per shard (ONE scalar per shard, prefix-summed on
+    // the driver — the same bounded AQE-style move as w5_ntile's cuts
+    // and j_bloom's sketch) broadcast-joined back. Identical to the
+    // global cumsum, which is exactly what the DuckDB oracle computes.
+    // At 100 TB: shard width set so #shards stays in the thousands —
+    // the driver state is KBs while every heavy pass stays partitioned.
+    "t_chunkpack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), size(words(col("text"))).as("n_tokens"),
+          expr("doc_id DIV 64").as("shard"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = docs.withColumn("lsum", sum(col("n_tokens")).over(w))
+      val totals = docs.groupBy("shard")
+        .agg(sum(col("n_tokens")).as("tot"))
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+        .sortBy(_._1)
+      var acc = 0L
+      val bases = totals.map { case (sh, tot) =>
+        val b = acc; acc += tot; (sh, b)
+      }.toSeq
+      val baseDf = s.createDataFrame(bases).toDF("shard", "base")
+      local.join(broadcast(baseDf), "shard")
+        .withColumn("gstart", col("base") + col("lsum") - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("gstart"),
+          expr("gstart DIV 512").as("first_chunk"),
+          expr("(gstart + n_tokens - 1) DIV 512").as("last_chunk"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: length/stopword/word-shape signals combined with
     // rational weights (filterable score for corpus curation).
     "t_quality" -> ((s, d) => {
@@ -446,6 +486,18 @@ object Text {
              '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '555-[0-9]+', '<PHONE>', 'g')) AS redacted_md5
          FROM inj ORDER BY doc_id""",
+    "t_chunkpack" ->
+      """SELECT doc_id, n_tokens, gstart,
+           gstart // 512 AS first_chunk,
+           (gstart + n_tokens - 1) // 512 AS last_chunk
+         FROM (SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(SUM(len(string_split(text, ' '))) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - len(string_split(text, ' ')) AS BIGINT) AS gstart
+               FROM documents)
+         ORDER BY doc_id""",
     "t_tokens" ->
       """SELECT doc_id,
            len(string_split(text, ' ')) AS n_ws_tokens,

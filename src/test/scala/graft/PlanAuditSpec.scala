@@ -186,6 +186,21 @@ class PlanAuditSpec extends SparkTestBase {
         s"join (op ${joinId.get}), not above it")
   }
 
+  test("t_chunkpack: running sum is per-shard, never a global window") {
+    // the packing cumsum must NOT be one unpartitioned ORDER BY window
+    // (every row through a single task — the w5_ntile scale-killer);
+    // the only window in the plan must carry the shard partition spec,
+    // and the cross-shard prefix must be the broadcast of driver bases
+    val p = plan("t_chunkpack")
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, "expected a window in the plan")
+    assert(winSpecs.forall(_.contains("windowspecdefinition(shard#")),
+      s"window lost its shard partition spec:\n${winSpecs.mkString("\n")}")
+    assert(nodeCount(p, "BroadcastHashJoin") == 1,
+      "shard bases must broadcast back")
+  }
+
   test("j7_range: join keys include the time bucket, range only residual") {
     // the r7 scale-killer: an SMJ on user_id alone leaves per-user
     // candidate pairs O(n_u²) before the residual range filter — one hot
