@@ -103,6 +103,26 @@ object Extras {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Deterministic train/val/test split assignment (96/2/2 by salted
+    // hash): every document lands in exactly one split, identically on
+    // re-run, across engines, and regardless of partitioning — the
+    // property `randomSplit` cannot give an auditable training
+    // pipeline. The salt ("split:") decouples this hash use from every
+    // other portableHash site so adding a new hash-based op never
+    // reshuffles the split. Output is the per-split census (the
+    // assignment itself is the pushed filter; the census proves the
+    // distribution and the disjoint-and-total property in one query).
+    "x_split" -> ((s, d) => {
+      val bucket =
+        portableHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+      t(s, d, "documents")
+        .select(when(bucket < 96, "train")
+          .when(bucket < 98, "val")
+          .otherwise("test").as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
     // Column profiling (the ANALYZE TABLE shape): one aggregation pass
     // emits per-column null counts, distinct counts, and min/max — the
     // stats every load pipeline collects before planning/quality gates.
@@ -251,6 +271,14 @@ object Extras {
          WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber),
            1, 15))::BIGINT % 100 < 7
          ORDER BY l_orderkey, l_linenumber""",
+    "x_split" ->
+      """SELECT CASE
+           WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+             % 100 < 96 THEN 'train'
+           WHEN ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT
+             % 100 < 98 THEN 'val'
+           ELSE 'test' END AS split, COUNT(*) AS n
+         FROM documents GROUP BY 1 ORDER BY split""",
     "x_topk_sample" ->
       """SELECT vec_id, label, rn FROM (
            SELECT vec_id, label, row_number() OVER (
