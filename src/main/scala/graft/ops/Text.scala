@@ -56,13 +56,18 @@ object Text {
     // the driver — the same bounded AQE-style move as w5_ntile's cuts
     // and j_bloom's sketch) broadcast-joined back. Identical to the
     // global cumsum, which is exactly what the DuckDB oracle computes.
-    // At 100 TB: shard width set so #shards stays in the thousands —
-    // the driver state is KBs while every heavy pass stays partitioned.
+    // The shard width derives from max(doc_id) (one scalar agg — the
+    // same bounded driver move), so #shards stays <= ~2048 at ANY
+    // corpus size: the driver state is KBs while every heavy pass
+    // stays partitioned.
     "t_chunkpack" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head()
+        .getAs[Number](0).longValue
+      val width = math.max(64L, (maxId + 2048L) / 2048L)
       val docs = t(s, d, "documents")
         .select(col("doc_id"), size(words(col("text"))).as("n_tokens"),
-          expr("doc_id DIV 64").as("shard"))
+          expr(s"doc_id DIV $width").as("shard"))
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = docs.withColumn("lsum", sum(col("n_tokens")).over(w))
