@@ -28,6 +28,36 @@ object Text {
 
   private val stopwords = Seq("the", "a", "of", "to", "in")
 
+  /** t_chunkpack body, parameterized by shard width so PropertySpec can
+    * prove the two-phase decomposition is width-invariant (any width
+    * yields the identical global cumsum). */
+  private[graft] def chunkPack(s: SparkSession, d: String,
+      shardWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), size(words(col("text"))).as("n_tokens"),
+        expr(s"doc_id DIV $shardWidth").as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("lsum", sum(col("n_tokens")).over(w))
+    val totals = docs.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (sh, tot) =>
+      val b = acc; acc += tot; (sh, b)
+    }.toSeq
+    val baseDf = s.createDataFrame(bases).toDF("shard", "base")
+    local.join(broadcast(baseDf), "shard")
+      .withColumn("gstart", col("base") + col("lsum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("gstart"),
+        expr("gstart DIV 512").as("first_chunk"),
+        expr("(gstart + n_tokens - 1) DIV 512").as("last_chunk"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream
@@ -61,32 +91,9 @@ object Text {
     // corpus size: the driver state is KBs while every heavy pass
     // stays partitioned.
     "t_chunkpack" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val maxId = t(s, d, "documents").agg(max(col("doc_id"))).head()
         .getAs[Number](0).longValue
-      val width = math.max(64L, (maxId + 2048L) / 2048L)
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), size(words(col("text"))).as("n_tokens"),
-          expr(s"doc_id DIV $width").as("shard"))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = docs.withColumn("lsum", sum(col("n_tokens")).over(w))
-      val totals = docs.groupBy("shard")
-        .agg(sum(col("n_tokens")).as("tot"))
-        .collect()
-        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
-        .sortBy(_._1)
-      var acc = 0L
-      val bases = totals.map { case (sh, tot) =>
-        val b = acc; acc += tot; (sh, b)
-      }.toSeq
-      val baseDf = s.createDataFrame(bases).toDF("shard", "base")
-      local.join(broadcast(baseDf), "shard")
-        .withColumn("gstart", col("base") + col("lsum") - col("n_tokens"))
-        .select(col("doc_id"), col("n_tokens"), col("gstart"),
-          expr("gstart DIV 512").as("first_chunk"),
-          expr("(gstart + n_tokens - 1) DIV 512").as("last_chunk"))
-        .orderBy("doc_id")
+      chunkPack(s, d, shardWidth = math.max(64L, (maxId + 2048L) / 2048L))
     }),
 
     // Quality scoring: length/stopword/word-shape signals combined with

@@ -20,6 +20,22 @@ class PropertySpec extends SparkTestBase {
     assert(once.count() == docs.count())
   }
 
+  test("chunkpack decomposition is shard-width-invariant") {
+    // the two-phase cumsum (per-shard window + driver-prefixed bases)
+    // must equal the single global cumsum for ANY shard width —
+    // including width 1 (every doc its own shard: the result is pure
+    // driver prefix) and a width larger than the corpus (one shard:
+    // the result is pure window). Ragged widths catch off-by-one bugs
+    // in the base prefix.
+    val ref = ops.Text.chunkPack(spark, dir, shardWidth = 1000000L)
+      .collect().toSeq
+    for (wd <- Seq(1L, 7L, 64L, 499L)) {
+      val got = ops.Text.chunkPack(spark, dir, shardWidth = wd)
+        .collect().toSeq
+      assert(got == ref, s"width $wd diverges from single-shard result")
+    }
+  }
+
   test("decimal-cast sums are partitioning-invariant") {
     val li = etl.Tables.load(spark, dir, "lineitem")
     def total(df: org.apache.spark.sql.DataFrame): Double =
