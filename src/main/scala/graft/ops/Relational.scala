@@ -89,11 +89,14 @@ object Relational {
       .join(m.filter(col("ml") < 3), col("lm") === col("ml"))
       .select(col("probe_key"), col("dirty_name"),
         col("c_custkey"), col("c_name"))
+    // thresholded levenshtein: banded O(τ·n) with early exit instead of
+    // the full O(n·m) table; returns -1 above τ and the exact distance
+    // otherwise, so filtering >= 0 keeps the result identical
     candSeg.union(candShort).distinct()
       .select(col("probe_key"), col("dirty_name"),
         col("c_custkey").as("matched_key"),
-        levenshtein(col("dirty_name"), col("c_name")).as("dist"))
-      .filter(col("dist") <= τ)
+        levenshtein(col("dirty_name"), col("c_name"), τ).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   private val fuzzySql: String =
@@ -323,11 +326,16 @@ object Relational {
       // al. 2011: τ+1 segments — ≤τ edits must leave one segment intact
       // as a substring), which trades this O(|probe|·|master|) verify
       // for segment-bucket joins.
+      // thresholded levenshtein (Spark 3.5+): banded O(τ·n) with early
+      // exit instead of the full O(n·m) dynamic-programming table —
+      // returns -1 when the distance exceeds 2 and the exact distance
+      // otherwise, so >= 0 keeps exactly the dist <= 2 rows with the
+      // same dist values (oracle unchanged)
       probes.join(master, abs(col("ml") - col("pl")) <= 2)
         .select(col("probe_key"), col("dirty_name"),
           col("c_custkey").as("matched_key"),
-          levenshtein(col("dirty_name"), col("c_name")).as("dist"))
-        .filter(col("dist") <= 2)
+          levenshtein(col("dirty_name"), col("c_name"), 2).as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy("probe_key", "matched_key")
     }),
 
