@@ -63,6 +63,9 @@ object SparkEntry {
       "j_bloom", "d_simhash_hamming", "l_sorted_scan", "v_ann_ivf4",
       "t_chunkpack")
     val have = queries.keySet
-    preferred.filter(have)
+    val unknown = preferred.filterNot(have)
+    // a typo here would silently drop a query from every bench artifact
+    require(unknown.isEmpty, s"benchQueries not in registry: $unknown")
+    preferred
   }
 }

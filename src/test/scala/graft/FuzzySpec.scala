@@ -25,6 +25,26 @@ class FuzzySpec extends SparkTestBase {
     df.select("probe_key", "matched_key", "dist").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  test("thresholded levenshtein pins full-levenshtein semantics") {
+    // the fuzzy verifies use levenshtein(l, r, 2) (banded, early-exit);
+    // this pins the contract the oracles rely on: exact distance when
+    // <= threshold, -1 otherwise — including the empty-string and
+    // length-gap edges
+    import spark.implicits._
+    val ls = Seq("abcde", "abde", "xbcde", "abcdefgh", "a", "", "abcd")
+    val rs = Seq("abcde", "abdce", "zzzzz", "ab", "")
+    val rows = (for (a <- ls; b <- rs) yield (a, b))
+      .toDF("l", "r")
+      .select(levenshtein(col("l"), col("r")).as("full"),
+        levenshtein(col("l"), col("r"), 2).as("thr"))
+      .collect()
+    rows.foreach { r =>
+      val (full, thr) = (r.getInt(0), r.getInt(1))
+      if (full <= 2) assert(thr == full, s"full=$full thr=$thr")
+      else assert(thr == -1, s"full=$full thr=$thr")
+    }
+  }
+
   test("blocked equals brute force on varied-length dirty strings") {
     import spark.implicits._
     // master: lengths 1..24 across all residues mod 3

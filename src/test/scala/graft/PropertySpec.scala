@@ -20,6 +20,17 @@ class PropertySpec extends SparkTestBase {
     assert(once.count() == docs.count())
   }
 
+  test("registry parity: every query has an oracle, headline is valid") {
+    // the driver's correctness gate only checks queries that have BOTH
+    // a queries entry and an oracleSql entry — a key drift between the
+    // two maps silently weakens the gate, so it fails here instead
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet)
+        .union(SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet)
+        .mkString(", "))
+    assert(SparkEntry.benchQueries.nonEmpty) // throws on a typo'd name
+  }
+
   test("chunkpack decomposition is shard-width-invariant") {
     // the two-phase cumsum (per-shard window + driver-prefixed bases)
     // must equal the single global cumsum for ANY shard width —
