@@ -117,6 +117,31 @@ object Etl {
         .orderBy("user_id")
     }),
 
+    // SCD1 upsert / MERGE on files: a late batch of corrections (every
+    // 50th event re-emitted 1 h later as 'corrected') plus inserts
+    // (every 77th event mirrored under a negated id — new keys that
+    // can't collide with base ids) merged into the base table keeping
+    // the NEWEST record per key via Load.latestByKey — the
+    // MERGE-without-a-metastore every parquet-lake ingest runs. One
+    // hash shuffle on the key at any scale; union is by name (schema
+    // evolution safe).
+    "l_upsert" -> ((s, d) => {
+      val cols = Seq("event_id", "user_id", "event_type", "ts", "value")
+      val base = t(s, d, "events").select(cols.map(col): _*)
+      val corrections = base.filter(col("event_id") % 50 === 0)
+        .withColumn("event_type", lit("corrected"))
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      val inserts = base
+        .filter(col("event_id") % 77 === 0 && col("event_id") > 0)
+        .withColumn("event_id", -col("event_id"))
+        .withColumn("event_type", lit("insert"))
+      Load.latestByKey(
+          base.unionByName(corrections).unionByName(inserts),
+          "event_id", "ts")
+        .select(cols.map(col): _*)
+        .orderBy("event_id")
+    }),
+
     // SCD Type-2 history build: collapse each user's event stream into
     // validity intervals of its changing attribute (event_type) — change
     // detection via lag, interval close via lead, open interval =
@@ -175,6 +200,22 @@ object Etl {
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 08:00:00'
          ORDER BY event_id""",
+    "l_upsert" ->
+      """WITH u AS (
+           SELECT event_id, user_id, 'corrected' AS event_type,
+             ts + INTERVAL 1 HOUR AS ts, value
+           FROM events WHERE event_id % 50 = 0
+           UNION ALL
+           SELECT -event_id AS event_id, user_id, 'insert' AS event_type,
+             ts, value
+           FROM events WHERE event_id % 77 = 0 AND event_id > 0),
+         a AS (
+           SELECT event_id, user_id, event_type, ts, value FROM events
+           UNION ALL SELECT * FROM u)
+         SELECT event_id, user_id, event_type, ts, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_id
+             ORDER BY ts DESC) AS rn FROM a)
+         WHERE rn = 1 ORDER BY event_id""",
     "l_latest" ->
       """SELECT user_id, event_id, event_type
          FROM (SELECT user_id, event_id, event_type,
