@@ -31,6 +31,23 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // S6b: second columnar sink/source format — ORC round-trip with the
+    // frozen schema plus a pushable predicate on read-back (ORC carries
+    // stripe-level min/max like parquet row groups, so the same layout
+    // levers apply). The extract surface is format-pluggable: CSV for
+    // the reference's Bulk-API wire shape, parquet as the lake default,
+    // ORC where the downstream warehouse prefers it.
+    "s6_orc_roundtrip" -> ((s, d) => {
+      val path =
+        s"/tmp/graft_orc_extract/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      t(s, d, "orders").write.mode("overwrite").orc(path)
+      s.read.schema(graft.etl.Tables.orders).orc(path)
+        .filter(col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
     // S7: AnyType→jsonb columns (main.rs:91) — extract a JSON property and
     // aggregate over it (get_json_object keeps the scan codegen'd).
     "f_json" -> ((s, d) => {
@@ -200,6 +217,11 @@ object Etl {
          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
            AND ts < TIMESTAMP '2024-01-15 08:00:00'
          ORDER BY event_id""",
+    "s6_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate
+         FROM orders WHERE o_totalprice > 1000.0
+         ORDER BY o_orderkey""",
     "l_upsert" ->
       """WITH u AS (
            SELECT event_id, user_id, 'corrected' AS event_type,

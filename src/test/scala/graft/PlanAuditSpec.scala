@@ -186,6 +186,17 @@ class PlanAuditSpec extends SparkTestBase {
         s"join (op ${joinId.get}), not above it")
   }
 
+  test("l_upsert: the merge costs ONE key shuffle") {
+    // MERGE = unionByName → newest-per-key window: the union branches
+    // must flow into a single event_id exchange feeding the window —
+    // a second key shuffle would mean the union materialized/re-sorted
+    val p = plan("l_upsert")
+    assert(p.linesIterator
+      .count(_.contains("hashpartitioning(event_id")) == 1,
+      p.linesIterator.filter(_.contains("hashpartitioning"))
+        .mkString("\n"))
+  }
+
   test("t_chunkpack: running sum is per-shard, never a global window") {
     // the packing cumsum must NOT be one unpartitioned ORDER BY window
     // (every row through a single task — the w5_ntile scale-killer);
