@@ -186,6 +186,14 @@ class PlanAuditSpec extends SparkTestBase {
         s"join (op ${joinId.get}), not above it")
   }
 
+  test("s6_orc_roundtrip: predicate pushes into the ORC scan") {
+    // the format-pluggable claim is only real if ORC gets the same
+    // stripe-level pruning parquet gets — the filter must reach the scan
+    assert(plan("s6_orc_roundtrip")
+      .contains("PushedFilters: [IsNotNull(o_totalprice), " +
+        "GreaterThan(o_totalprice,1000.0)]"))
+  }
+
   test("l_upsert: the merge costs ONE key shuffle") {
     // MERGE = unionByName → newest-per-key window: the union branches
     // must flow into a single event_id exchange feeding the window —
