@@ -15,6 +15,73 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** Exact equal-frequency bucketing (`ntile(n)` over a global total
+    * order) as an explicit TWO-JOB design — the shape a 1000-executor
+    * cluster needs, where `ntile(n) OVER (ORDER BY ...)` would funnel
+    * every row through one task:
+    *
+    *   job 1 (sketch): one `approx_percentile` pass collects `sketchCuts`
+    *     cut VALUES to the driver — a bounded scalar fetch, the same move
+    *     AQE makes with runtime stats, not a driver-side data loop. The
+    *     cuts are re-embedded as a LITERAL array so no plan branch shares
+    *     (and possibly re-evaluates) the sketch subtree: distributed
+    *     approx_percentile merges partial sketches in shuffle-fetch
+    *     arrival order, so two evaluations could disagree.
+    *   job 2 (rank): bucket id = #{cuts ≤ value} via a codegen'd
+    *     size(filter(literal)) — a PURE FUNCTION of the row, monotone in
+    *     the value, so buckets are contiguous runs of the
+    *     (value, tieCols...) total order no matter how ties fall against
+    *     a cut. Per-bucket counts → cumulative offsets (the only
+    *     unpartitioned window runs over ≤ sketchCuts+1 COUNT rows, never
+    *     the data); global rank = broadcast offset + per-bucket
+    *     row_number; tile = CASE against the ntile cumulative bounds
+    *     k·⌊N/n⌋ + min(k, N mod n) from a broadcast total.
+    *
+    * Sketch accuracy shapes bucket BALANCE (parallelism), never the
+    * result: the output is bit-identical to exact `ntile(n)` for ANY
+    * cuts (property-spec'd in NtileSpec with sketchCuts = 1).
+    *
+    * The value is compared in double space (monotone cast), while
+    * within-bucket ranking uses the original column plus `tieCols` — so
+    * ordering stays exact even when the double cast collapses
+    * neighbouring values.
+    */
+  def ntileBySketch(df: DataFrame, valueCol: String, tieCols: Seq[String],
+      n: Int, sketchCuts: Int = 31, accuracy: Int = 1000,
+      out: String = "tile"): DataFrame = {
+    require(n >= 1 && sketchCuts >= 1)
+    val fracs = (1 to sketchCuts).map(i => i.toDouble / (sketchCuts + 1))
+    val cutVals: Seq[Double] = df
+      .agg(expr(s"approx_percentile(CAST($valueCol AS DOUBLE), " +
+        s"array(${fracs.mkString(",")}), $accuracy)").as("cuts"))
+      .head.getSeq[Double](0)
+    val bucketed = df.withColumn("__b", size(filter(
+      typedLit(cutVals), x => x <= col(valueCol).cast("double"))))
+    val counts = bucketed.groupBy("__b").agg(count(lit(1)).as("__pc"))
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__pc").over(
+        Window.orderBy(asc("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val total = counts.agg(sum("__pc").as("__ntot"))
+    val wIn = Window.partitionBy("__b")
+      .orderBy(asc(valueCol) +: tieCols.map(asc): _*)
+    val cum = (k: Int) => lit(k.toLong) *
+      floor(col("__ntot") / lit(n)).cast("long") +
+      least(lit(k.toLong), pmod(col("__ntot"), lit(n)))
+    val ranked = bucketed
+      .join(broadcast(offs), "__b")
+      .withColumn("__rk", col("__off") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+    val tile = (1 until n).foldLeft(when(lit(false), 0)) {
+      (acc, k) => acc.when(col("__rk") <= cum(k), k)
+    }.otherwise(n)
+    ranked.withColumn(out, tile)
+      .drop("__b", "__pc", "__off", "__rk", "__ntot")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // W1: ranking trio over a per-customer order history.
@@ -76,74 +143,16 @@ object Windows {
 
     // W5: ntile quantile bucketing — equal-frequency binning for score
     // calibration / cohort splits. Total order (acctbal, custkey) makes
-    // tile assignment deterministic in both engines.
-    //
-    // Scale shape: NOT `ntile(4) OVER (ORDER BY ...)` — an unpartitioned
-    // window coalesces the whole table through ONE task (the one
-    // avoidable scale-killer r4's audit flagged). And NOT the previous
-    // repartitionByRange + spark_partition_id construction either: that
-    // made the bucket id a property of WHICH exchange materialization a
-    // branch read (range boundaries are re-sampled per materialization),
-    // so correctness hinged on ReusedExchange firing — plan-shape-
-    // dependent, exactly what the r5 ADVICE flagged. Here the bucket id
-    // is a PURE FUNCTION of the row's values:
-    //   1. 31 cut VALUES from one approx_percentile pass, COLLECTED TO
-    //      THE DRIVER as a 31-double scalar fetch (one tiny job — the
-    //      same move AQE makes with runtime stats; this is not a
-    //      driver-side data loop) and re-embedded as a LITERAL array.
-    //      The r6 form kept the cuts as a shared plan subtree feeding
-    //      two branches, so cut consistency still silently depended on
-    //      the BroadcastExchange being evaluated once — distributed
-    //      approx_percentile merges partial sketches in shuffle-fetch
-    //      arrival order, so two evaluations could disagree. A literal
-    //      is evaluated zero times in the plan: no shared-subtree
-    //      evaluation-count assumption remains (r6 ADVICE medium).
-    //      Accuracy shapes bucket BALANCE, never the result;
-    //   2. bucket b = #{cuts ≤ acctbal} via a codegen'd
-    //      size(filter(literal, ...)) — monotone in acctbal, and equal
-    //      acctbals share a bucket, so buckets are contiguous runs of
-    //      the (acctbal, custkey) total order no matter how ties fall
-    //      against a cut;
-    //   3. per-bucket counts → ≤32-row cumulative offsets (the only
-    //      unpartitioned window runs over THOSE rows — bounded by the
-    //      cut count, not the data);
-    //   4. global rank = broadcast offset + row_number per bucket;
-    //      quartile = CASE against the ntile cumulative bucket bounds
-    //      k·⌊N/4⌋ + min(k, N mod 4) from a broadcast scalar count.
-    // Every data-sized stage is parallel AND every branch recomputes the
-    // same bucket id from values — no cross-branch exchange identity
-    // required. Result is bit-identical to exact ntile — the oracle
-    // keeps the window formulation as the cross-check.
+    // tile assignment deterministic in both engines. The scale shape —
+    // NOT `ntile(4) OVER (ORDER BY ...)` (one-task funnel, the r4-audit
+    // scale-killer), NOT a shared approx_percentile plan subtree (the
+    // r6-ADVICE evaluation-count hazard) — lives in ntileBySketch above:
+    // sketch job → driver cut literal → parallel rank job, bit-identical
+    // to exact ntile. The oracle keeps the window formulation as the
+    // cross-check.
     "w5_ntile" -> ((s, d) => {
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
-      val fracs = (1 until 32).map(i => i / 32.0)
-      val cutVals: Seq[Double] = c.agg(expr(
-        s"approx_percentile(c_acctbal, array(${fracs.mkString(",")}), 1000)")
-        .as("cuts")).head.getSeq[Double](0)
-      val bucketed = c
-        .withColumn("b", size(filter(
-          typedLit(cutVals), x => x <= col("c_acctbal"))))
-      val counts = bucketed.groupBy("b").agg(count(lit(1)).as("pc"))
-      val offs = counts
-        .withColumn("off", coalesce(sum("pc").over(
-          Window.orderBy(asc("b"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("b", "off")
-      val total = counts.agg(sum("pc").as("ntot"))
-      val wIn = Window.partitionBy("b")
-        .orderBy(asc("c_acctbal"), asc("c_custkey"))
-      val cum = (k: Int) => lit(k.toLong) *
-        floor(col("ntot") / lit(4)).cast("long") +
-        least(lit(k.toLong), pmod(col("ntot"), lit(4)))
-      bucketed
-        .join(broadcast(offs), "b")
-        .withColumn("rk", col("off") + row_number().over(wIn))
-        .crossJoin(broadcast(total))
-        .withColumn("quartile",
-          when(col("rk") <= cum(1), 1)
-            .when(col("rk") <= cum(2), 2)
-            .when(col("rk") <= cum(3), 3)
-            .otherwise(4))
+      ntileBySketch(c, "c_acctbal", Seq("c_custkey"), 4, out = "quartile")
         .groupBy("quartile")
         .agg(count("*").as("n"),
           min(col("c_acctbal").cast("decimal(18,2)")).cast("double")

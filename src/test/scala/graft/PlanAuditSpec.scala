@@ -122,7 +122,7 @@ class PlanAuditSpec extends SparkTestBase {
     val rankSpec = p.linesIterator
       .filter(_.contains("row_number() windowspecdefinition"))
       .mkString("\n")
-    assert(rankSpec.contains("windowspecdefinition(b#"),
+    assert(rankSpec.contains("windowspecdefinition(__b#"),
       s"rank window lost its bucket partition spec:\n$rankSpec")
   }
 
