@@ -48,6 +48,26 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // S6 (third row format): JSON-lines extract round-trip — the
+    // interchange format every downstream tokenizer/labeling tool reads.
+    // Write orders as JSONL, read back against the SAME frozen schema
+    // (no inference pass — at 100 TB schema inference would be a full
+    // extra scan), then filter+project. Timestamps survive via the ISO
+    // writer/parser pair; doubles survive via shortest-decimal
+    // round-trip (both Spark-side, engine-independent). The oracle is
+    // the same query on the parquet original: any loss in the
+    // write→read hop goes hash-red.
+    "s6_jsonl_roundtrip" -> ((s, d) => {
+      val path =
+        s"/tmp/graft_jsonl_extract/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      t(s, d, "orders").write.mode("overwrite").json(path)
+      s.read.schema(graft.etl.Tables.orders).json(path)
+        .filter(col("o_custkey") % 7 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+          "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // S7: AnyType→jsonb columns (main.rs:91) — extract a JSON property and
     // aggregate over it (get_json_object keeps the scan codegen'd).
     "f_json" -> ((s, d) => {
@@ -221,6 +241,11 @@ object Etl {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate
          FROM orders WHERE o_totalprice > 1000.0
+         ORDER BY o_orderkey""",
+    "s6_jsonl_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           o_orderpriority
+         FROM orders WHERE o_custkey % 7 = 0
          ORDER BY o_orderkey""",
     "l_upsert" ->
       """WITH u AS (

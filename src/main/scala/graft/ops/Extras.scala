@@ -43,6 +43,34 @@ object Extras {
         .orderBy("l_orderkey", "l_linenumber", "metric")
     }),
 
+    // Pearson correlation + population covariance per group — NOT
+    // corr()/covar_pop() builtins: their streaming double accumulation
+    // is aggregation-order-dependent (not reproducible across engines,
+    // or even across partition layouts at 100 TB). Instead the five
+    // moment sums (Σx Σy Σxy Σx² Σy²) accumulate as EXACT decimals —
+    // associative, so partial aggregation commutes — and the final
+    // corr/cov arithmetic runs once per group in IEEE doubles with an
+    // identical expression tree on both engines. Rounded to a grid that
+    // absorbs the decimal→double cast's last-ulp ambiguity.
+    "x_corr" -> ((s, d) => {
+      val q = col("l_quantity").cast("decimal(18,2)")
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      val nd = col("n").cast("double")
+      val dbl = (c: String) => col(c).cast("double")
+      val num = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(p).as("sy"), sum(q * p).as("sxy"),
+          sum(q * q).as("sxx"), sum(p * p).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          roundf(num / (sqrt(nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            sqrt(nd * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+            .as("corr_qty_price"),
+          roundf(num / (nd * nd), 4).as("cov_pop"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact interpolated percentiles per group (both engines implement
     // the same (1-d)·a + d·b continuous quantile).
     "x_percentile" -> ((s, d) => {
@@ -219,6 +247,31 @@ object Extras {
            SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
              l_discount AS value FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, metric""",
+    "x_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS cov_pop
+         FROM m ORDER BY l_returnflag""",
     "x_percentile" ->
       """SELECT l_returnflag,
            floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0

@@ -203,6 +203,30 @@ object Text {
 
     // A6: corpus term frequency — explode + two-phase hash agg (partial
     // map-side combine keeps the shuffle at |vocab| not |tokens| at scale).
+    // Rare-token ratio — the OOV/noise quality signal: fraction of a
+    // doc's token occurrences whose corpus document-frequency is ≤ 2
+    // (hapax/dis legomena; high ratio = garbled text, codes, boilerplate
+    // IDs). Scale shape: tokens collapse to (doc, word, count) FIRST (a
+    // partial-agg groupBy, shrinking stopword repetition before any
+    // join), the df table derives from those pairs, and the join is
+    // word-keyed hash — NO broadcast, because at 100 TB the df≤2 long
+    // tail is the BIG end of the vocabulary, not the small one. Per-word
+    // row fan is data-linear (one df row per word), so stopword skew is
+    // bounded by input size, never quadratic.
+    "t_rarity" -> ((s, d) => {
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val dfreq = tc.groupBy("word").agg(count(lit(1)).as("df"))
+      tc.join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          sum(when(col("df") <= 2, col("c")).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_ratio",
+          col("n_rare").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     "t_termfreq" -> ((s, d) => {
       t(s, d, "documents")
         .select(explode(words(col("text"))).as("word"))
@@ -603,6 +627,22 @@ object Text {
            CASE WHEN dup2_frac > 0.08 OR dup3_frac > 0.04
              THEN 1 ELSE 0 END AS flagged
          FROM f ORDER BY doc_id""",
+    "t_rarity" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tc AS (SELECT doc_id, word, COUNT(*) AS c
+                FROM toks GROUP BY doc_id, word),
+         dfreq AS (SELECT word, COUNT(*) AS df FROM tc GROUP BY word)
+         SELECT tc.doc_id,
+           CAST(SUM(tc.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN dfreq.df <= 2 THEN tc.c ELSE 0 END)
+             AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN dfreq.df <= 2 THEN tc.c ELSE 0 END)
+               AS DOUBLE)
+             / CAST(SUM(tc.c) AS DOUBLE) AS rare_ratio
+         FROM tc JOIN dfreq ON tc.word = dfreq.word
+         GROUP BY tc.doc_id ORDER BY tc.doc_id""",
     "t_termfreq" ->
       """SELECT word, COUNT(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word

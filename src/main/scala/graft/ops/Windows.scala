@@ -141,6 +141,23 @@ object Windows {
         .orderBy("o_orderstatus", "rn")
     }),
 
+    // W6: distribution windows — cume_dist / percent_rank per customer.
+    // The tie-break column is INSIDE the ORDER BY, so every frame is a
+    // total order: each row is its own peer group and both functions
+    // reduce to exact rational arithmetic on (row position, partition
+    // size) — identical IEEE doubles in any engine. Partitioned by
+    // customer, so the window parallelizes across the key like w1-w4
+    // (never an unpartitioned global funnel).
+    "w6_cume" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // W5: ntile quantile bucketing — equal-frequency binning for score
     // calibration / cohort splits. Total order (acctbal, custkey) makes
     // tile assignment deterministic in both engines. The scale shape —
@@ -203,6 +220,14 @@ object Windows {
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+    "w6_cume" ->
+      """SELECT o_custkey, o_orderkey,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
     "w5_ntile" ->
       """SELECT quartile, COUNT(*) AS n,
            CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
