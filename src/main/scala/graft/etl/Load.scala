@@ -139,24 +139,80 @@ object Load {
     * files so file-level skipping composes with row-group skipping.
     */
   def writeSorted(df: DataFrame, path: String, sortCol: String,
-      partitions: Int): Unit = {
-    // Spark still defaults parquet timestamps to INT96, which carries NO
-    // min/max statistics — a sorted layout whose sort column has no
-    // stats cannot prune anything, silently defeating this whole lever
-    // (measured: every row group reports has_min_max=false). Write
-    // TIMESTAMP_MICROS for the duration of this write; scoped + restored
-    // since it's a session-wide conf (no per-write option exists).
+      partitions: Int): Unit =
+    withMicrosTimestamps(df) {
+      df.repartitionByRange(partitions, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** Spark still defaults parquet timestamps to INT96, which carries NO
+    * min/max statistics — a clustered layout whose cluster column has no
+    * stats cannot prune anything, silently defeating the whole lever
+    * (measured: every row group reports has_min_max=false). Write
+    * TIMESTAMP_MICROS for the duration of the body; scoped + restored
+    * since it's a session-wide conf (no per-write option exists).
+    */
+  private def withMicrosTimestamps(df: DataFrame)(body: => Unit): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")
-    try
-      df.repartitionByRange(partitions, col(sortCol))
-        .sortWithinPartitions(sortCol)
-        .write.mode("overwrite").parquet(path)
+    try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Bit-interleave the low `bits` of two non-negative longs — the
+    * Z-order (Morton) curve key. Pure shift/and/or column arithmetic, so
+    * the whole key stays inside whole-stage codegen.
+    */
+  def zInterleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Write a layout clustered on the Z-order curve over TWO columns —
+    * the multi-dimensional generalization of `writeSorted`: a single
+    * sort column makes one predicate prunable; interleaving the bits of
+    * two columns makes row-group min/max tight on BOTH, so time-range
+    * scans AND key-range scans each skip most of the table from the same
+    * copy (the lever Delta/Iceberg expose as OPTIMIZE ZORDER BY).
+    *
+    * Each column is normalized to a 2^bits grid by a driver-collected
+    * (min, max) — one tiny agg job, the same bounded AQE-style scalar
+    * move as w5_ntile's cuts — then the interleaved key drives a range
+    * partition + within-partition sort. The synthetic key is dropped
+    * before the write: the layout is pure row ORDER; readers consult
+    * only the natural columns' stats. Monotone normalization means
+    * z-contiguous files cover axis-aligned rectangles, so each file's
+    * per-column [min, max] spans ~2^(-bits_assigned) of that column's
+    * range instead of all of it.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, partitions: Int, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def norm(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      floor((col(c).cast("double") - lit(lo)) / lit(span) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
+    }
+    val z = zInterleave(
+      norm(colA, r.getDouble(0), r.getDouble(1)),
+      norm(colB, r.getDouble(2), r.getDouble(3)), bits)
+    withMicrosTimestamps(df) {
+      df.withColumn("__z", z)
+        .repartitionByRange(partitions, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
     }
   }
 

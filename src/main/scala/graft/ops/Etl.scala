@@ -145,6 +145,28 @@ object Etl {
         .select("event_id", "user_id", "event_type", "ts")
     }),
 
+    // Z-order clustered layout, driven end-to-end: write events
+    // clustered on the (user_id, ts) Morton curve, read back with a
+    // predicate on BOTH dimensions. One copy of the data serves
+    // key-range scans and time-range scans alike — the layout lever
+    // `l_sorted_scan` can only offer one dimension at a time. Oracle =
+    // the same predicate on the original table (pruning must never
+    // change results); PlanAuditSpec asserts the executed scan emitted
+    // a small fraction of the table, and LayoutSpec proves each
+    // single-dimension predicate prunes on its own.
+    "l_zorder_scan" -> ((s, d) => {
+      val path =
+        s"/tmp/graft_zorder_layout/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Load.writeZOrdered(
+        t(s, d, "events").select("event_id", "user_id", "event_type", "ts"),
+        path, "user_id", "ts", partitions = 16)
+      s.read.parquet(path)
+        .filter(col("user_id") >= 10 && col("user_id") < 20 &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "event_type", "ts")
+    }),
+
     // Latest-record compaction (W4): newest event per user by (ts, id) —
     // the SystemModstamp upsert-dedup every SF pipeline runs.
     "l_latest" -> ((s, d) => {
@@ -247,6 +269,13 @@ object Etl {
            o_orderpriority
          FROM orders WHERE o_custkey % 7 = 0
          ORDER BY o_orderkey""",
+    "l_zorder_scan" ->
+      """SELECT event_id, user_id, event_type, ts
+         FROM events
+         WHERE user_id >= 10 AND user_id < 20
+           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         ORDER BY event_id""",
     "l_upsert" ->
       """WITH u AS (
            SELECT event_id, user_id, 'corrected' AS event_type,

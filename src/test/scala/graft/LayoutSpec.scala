@@ -107,4 +107,48 @@ class LayoutSpec extends SparkTestBase {
       s"sorted layout should scan far fewer rows: $sortedScan vs " +
         s"$unsortedScan")
   }
+
+  test("writeZOrdered prunes BOTH dimensions from one copy") {
+    val ev = etl.Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "event_type", "ts")
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .toString
+    val z = base + "/z"
+    val un = base + "/un"
+    etl.Load.writeZOrdered(ev, z, "user_id", "ts", partitions = 16)
+    // baseline also writes micros (stats-bearing) timestamps, so the
+    // contrast below is purely about row ORDER, not stats presence
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try ev.repartition(16).write.mode("overwrite").parquet(un)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+
+    // single-dimension probes: a narrow slice of EACH column must prune
+    // on the z layout (no layout sorted on one column can do both)
+    def micros(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    val probes = Seq(
+      ("user_id", 10L, 19L),
+      ("ts", micros("2024-01-05T00:00:00Z"),
+        micros("2024-01-08T00:00:00Z")))
+    for ((c, lo, hi) <- probes) {
+      val zRg = rowGroupRanges(z, c)
+      val unRg = rowGroupRanges(un, c)
+      def overlapping(rgs: Seq[(Long, Long)]): Int =
+        rgs.count { case (mn, mx) => mx >= lo && mn <= hi }
+      assert(overlapping(unRg) == unRg.size,
+        s"unsorted layout should have no prunable groups for $c")
+      assert(overlapping(zRg) * 2 <= zRg.size,
+        s"z layout should prune most groups for $c: " +
+          s"${overlapping(zRg)} of ${zRg.size} overlap")
+    }
+
+    // and the layout is lossless
+    assert(spark.read.parquet(z).count() == ev.count())
+    assert(spark.read.parquet(z).exceptAll(ev).count() == 0)
+  }
 }
