@@ -140,6 +140,27 @@ object Dedup {
     labels
   }
 
+  /** Fused minhash signatures for every document — the cheap full-scan
+    * stage shared by the self-join and incremental dedup paths. */
+  private def minhashSig(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      org.apache.spark.sql.graftshim.ShingleMinHashes
+        .shingleMinhashes(split(col("text"), " "), 5, MinhashK).as("mh"))
+
+  /** (doc_id, band, bh) LSH band-bucket keys from a signature frame —
+    * the join-ready (and, for incremental dedup, the MATERIALIZABLE)
+    * form of the minhash index: 4 rows of 3 longs per doc. */
+  private def minhashBands(sig: DataFrame): DataFrame = {
+    val bandHash = (b: Int) => portableHash(concat(lit(s"$b|"),
+      array_join(transform(slice(col("mh"), b * Rows + 1, Rows),
+        x => x.cast("string")), ",")))
+    sig.select(col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup (hash-groupBy): the corpus has no exact dups, so we
@@ -172,19 +193,54 @@ object Dedup {
       // rescan), then exact Jaccard. At 100 TB this shape shuffles 12
       // longs per doc, not a multi-KB shingle array.
       val docs = t(s, d, "documents")
-      val sig = docs.select(col("doc_id"),
-        org.apache.spark.sql.graftshim.ShingleMinHashes
-          .shingleMinhashes(split(col("text"), " "), 5, MinhashK).as("mh"))
-      val bandHash = (b: Int) => portableHash(concat(lit(s"$b|"),
-        array_join(transform(slice(col("mh"), b * Rows + 1, Rows),
-          x => x.cast("string")), ",")))
-      val banded = sig.select(col("doc_id"),
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bh"))
+      val banded = minhashBands(minhashSig(s, d))
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = cand.select(explode(array(col("a"), col("b")))
+        .as("doc_id")).distinct()
+      val shCand = docs.join(candIds, "doc_id")
+        .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double")
+      cand
+        .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+        .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }),
+
+    // Incremental (new-batch vs corpus) near-dup dedup — the shape every
+    // PRODUCTION ingest actually runs: the corpus is already indexed;
+    // only the new batch is fingerprinted, and the asymmetric band join
+    // finds which new docs duplicate EXISTING content. Here the last
+    // fifth of doc_ids (split = max_id·4/5, one driver scalar — same
+    // bounded move as w5_ntile's cuts) plays the new batch; the corpus
+    // band index is MATERIALIZED to parquet and read back, so the plan
+    // consumed is the reuse plan: at 100 TB the index build is amortized
+    // across every future batch, each batch pays
+    // O(batch + matched buckets) — never a corpus rescan. Candidates
+    // still distinct-collapse before the shingle verify (multi-band
+    // collisions verify once), and the verify rescan semi-joins down to
+    // candidate ids only. Oracle = the self-join oracle restricted to
+    // corpus×batch pairs: the banded index must lose nothing.
+    "d_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val splitId = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+      val idxPath =
+        s"/tmp/graft_minhash_index/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      minhashBands(minhashSig(s, d).filter(col("doc_id") < splitId))
+        .write.mode("overwrite").parquet(idxPath)
+      val idx = s.read.parquet(idxPath)
+      val batch = minhashBands(
+        minhashSig(s, d).filter(col("doc_id") >= splitId))
+      val cand = idx.as("x").join(batch.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -489,6 +545,7 @@ object Dedup {
            COUNT(*) AS n_copies
          FROM u GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""",
     "d_minhash_pairs" -> minhashPairsSql,
+    "d_incremental" -> incrementalPairsSql,
     // TRUE components, as a recursive reachability closure (UNION
     // deduplicates, so the iteration terminates): min reachable node id
     // == the Spark fixpoint's min component label.
@@ -504,11 +561,17 @@ object Dedup {
            CASE WHEN node = min(m) THEN 1 ELSE 0 END AS is_canonical
          FROM r GROUP BY node ORDER BY doc_id""") ++ moreOracles
 
-  private lazy val minhashPairsSql: String =
+  /** The MinHash pipeline CTEs with a pluggable candidate-pair clause —
+    * the self-join oracle and the incremental (corpus×batch) oracle
+    * share every stage except which banded pairs count as candidates.
+    * `spl` computes the incremental split (max_id·4/5, mirroring the
+    * Scala Long floor division with //); unused by the self-join. */
+  private def minhashPairsSqlCand(candSql: String): String =
       s"""WITH sh AS (
            SELECT doc_id, $shingleSql AS sh
            FROM (SELECT doc_id, string_split(text, ' ') AS w
                  FROM documents)),
+         spl AS (SELECT max(doc_id) * 4 // 5 AS v FROM documents),
          mh AS (
            SELECT doc_id, sh,
              [list_aggregate([(h * ((k+1)*1299709) + k*15485863)
@@ -525,10 +588,7 @@ object Dedup {
                array_to_string(mh[t.b*3+1:t.b*3+3], ',')), 1, 15))::BIGINT
                AS bh
            FROM mh, range(0, 4) t(b)),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           FROM bands x JOIN bands y
-             ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         cand AS ($candSql),
          j AS (
            SELECT a, b,
              len(list_intersect(sa.sh, sb.sh))::DOUBLE /
@@ -540,6 +600,18 @@ object Dedup {
          SELECT a, b, floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
          FROM j WHERE floor(jac * 10000.0 + 0.5) / 10000.0 >= 0.5
          ORDER BY a, b"""
+
+  private lazy val minhashPairsSql: String = minhashPairsSqlCand(
+    """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       FROM bands x JOIN bands y
+         ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""")
+
+  private lazy val incrementalPairsSql: String = minhashPairsSqlCand(
+    """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       FROM bands x JOIN bands y
+         ON x.band = y.band AND x.bh = y.bh
+       CROSS JOIN spl
+       WHERE x.doc_id < spl.v AND y.doc_id >= spl.v""")
 
   private val moreOracles: Map[String, String] = Map(
     "d_simhash" ->

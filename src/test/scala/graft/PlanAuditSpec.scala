@@ -75,12 +75,30 @@ class PlanAuditSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin appearing in any of these means a
     // candidate generator degenerated to all-pairs
     for (q <- Seq("d_minhash_pairs", "d_ngram_jaccard", "v_ann_lsh",
-        "j_fuzzy_blocked", "d_embed_lsh", "d_simhash_hamming")) {
+        "j_fuzzy_blocked", "d_embed_lsh", "d_simhash_hamming",
+        "d_incremental")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
         s"$q plans a nested loop")
     }
+  }
+
+  test("d_incremental: corpus side is the materialized parquet band index") {
+    // the reuse plan: the candidate join's corpus input must be a scan
+    // of the written index files, not a recomputation of corpus
+    // signatures — at 100 TB that difference is a full corpus pass per
+    // batch
+    val p = plan("d_incremental")
+    assert(p.contains("graft_minhash_index"),
+      "corpus band index should be scanned from parquet")
+    // and only the batch slice pays the signature expression: exactly
+    // one documents scan feeds a shingle_minhashes projection upstream
+    // of the candidate join (the other documents scans are the verify
+    // rescans, which are candidate-id semi-joined)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), " +
+      "GreaterThanOrEqual(doc_id,"),
+      "batch-slice filter must push into the documents scan")
   }
 
   test("x_sample: hash filter runs pre-shuffle; only the output sort exchanges") {
