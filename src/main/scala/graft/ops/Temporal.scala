@@ -71,6 +71,56 @@ object Temporal {
         .orderBy("err_id")
     }),
 
+    // J7c: interval-overlap join — general intervals on BOTH sides (the
+    // shape j7_range can't express: its probe side is points). A = the
+    // per-user session intervals (e_session's construction), B =
+    // high-activity hours (e_burst's trailing-24h stats at a milder
+    // 1.5× threshold — integer-exact as 2·n·cnt24 > 3·sum24 — so both
+    // bench SFs produce overlaps; the 2× burst bar is empty at sf0.1).
+    // Scale shape: band time into 1-hour buckets and equi-join on the
+    // bucket with the exact overlap as residual. The session side
+    // explodes into its covering buckets (sequence over the interval);
+    // burst intervals are exactly one bucket wide, so any true overlap
+    // shares a bucket — candidate-complete by construction — and each
+    // (session, burst) pair meets in at most one bucket, so no dedup is
+    // needed. For open-ended interval tables at 100 TB the same plan
+    // holds with the band width picked near the MEDIAN interval length,
+    // and pathological long intervals split across bucket rows (cost
+    // linear in interval length / width, never quadratic in rows).
+    "j7_interval" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val sess = t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count("*").as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("s_end"))
+      val hourly = t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .groupBy("h", "event_type").agg(count("*").as("n"))
+      val wTrail = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      val burst = hourly
+        .withColumn("sum24", sum("n").over(wTrail))
+        .withColumn("cnt24", count("n").over(wTrail))
+        .filter(col("cnt24") >= 12 &&
+          col("n") * col("cnt24") * 2 > col("sum24") * 3)
+        .select(col("event_type"), col("h").as("burst_hour"))
+      val sessB = sess.withColumn("bk",
+        explode(sequence(floor(unix_micros(col("session_start")) /
+            lit(hourUs)),
+          floor((unix_micros(col("s_end")) - 1) / lit(hourUs)))))
+      val burstB = burst.withColumn("bk",
+        floor(unix_micros(col("burst_hour")) / lit(hourUs)))
+      sessB.join(burstB, Seq("bk"))
+        .filter(col("session_start") <
+            col("burst_hour") + expr("INTERVAL 1 HOUR") &&
+          col("burst_hour") < col("s_end"))
+        .select(col("user_id"), col("session_start"), col("event_type"),
+          col("burst_hour"))
+        .orderBy("user_id", "session_start", "event_type", "burst_hour")
+    }),
+
     // §2.7 date/time + math family, end-to-end against the oracle.
     "f_scalar" -> ((s, d) => {
       t(s, d, "orders")
@@ -124,6 +174,42 @@ object Temporal {
            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
          WHERE a.event_type = 'error'
          GROUP BY a.event_id ORDER BY err_id""",
+    "j7_interval" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+               OR lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess0 AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         sess AS (
+           SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS s_end
+           FROM sess0 GROUP BY user_id, sid),
+         hourly AS (
+           SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         trailed AS (
+           SELECT event_type, h, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sum24,
+             COUNT(n) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS cnt24
+           FROM hourly),
+         burst AS (
+           SELECT event_type, h AS burst_hour FROM trailed
+           WHERE cnt24 >= 12 AND n * cnt24 * 2 > sum24 * 3)
+         SELECT s.user_id, s.session_start, b.event_type, b.burst_hour
+         FROM sess s JOIN burst b
+           ON s.session_start < b.burst_hour + INTERVAL 1 HOUR
+           AND b.burst_hour < s.s_end
+         ORDER BY s.user_id, s.session_start, b.event_type, b.burst_hour""",
     "f_scalar" ->
       """SELECT o_orderkey,
            year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,

@@ -293,6 +293,15 @@ class PlanAuditSpec extends SparkTestBase {
       .findFirstIn(p).isDefined, s"event side lost the bucket key:\n$keys")
   }
 
+  test("j7_interval: overlap join is bucket-keyed, never all-pairs") {
+    val p = plan("j7_interval")
+    assert(nodeCount(p, "CartesianProduct") == 0 &&
+      nodeCount(p, "BroadcastNestedLoopJoin") == 0,
+      "interval join degenerated to all-pairs")
+    // the equi key is the hour bucket; the overlap condition is residual
+    assert(p.contains("bk"), "bucket key missing from the plan")
+  }
+
   test("t_colloc: top-20 is TakeOrdered, not a global sort+filter window") {
     val p = plan("t_colloc")
     assert(p.contains("TakeOrderedAndProject"), p)
