@@ -43,6 +43,32 @@ object Extras {
         .orderBy("l_orderkey", "l_linenumber", "metric")
     }),
 
+    // Winsorization — clamp a measure to its [p5, p95] before
+    // aggregating, the standard outlier guard for feature/reward
+    // pipelines. Two-job shape like Windows.ntileBySketch: ONE exact
+    // percentile pass collects the two cut values to the driver
+    // (bounded scalar fetch), re-embedded as literals so the clamp is a
+    // pure codegen'd least/greatest over the scan — no join, no second
+    // shuffle. At 100 TB swap the exact percentile for
+    // approx_percentile: the cuts move slightly but the plan is
+    // unchanged (and the oracle would then bound, not equal).
+    "x_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val cuts = li.agg(
+        expr("percentile(l_extendedprice, 0.05)"),
+        expr("percentile(l_extendedprice, 0.95)")).head()
+      val (lo, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+      li.select(col("l_returnflag"),
+          greatest(least(col("l_extendedprice"), lit(hi)), lit(lo))
+            .as("wp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum4(col("wp")).as("sum_wins"),
+          roundf(min(col("wp")), 4).as("min_wins"),
+          roundf(max(col("wp")), 4).as("max_wins"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pearson correlation + population covariance per group — NOT
     // corr()/covar_pop() builtins: their streaming double accumulation
     // is aggregation-order-dependent (not reproducible across engines,
@@ -247,6 +273,21 @@ object Extras {
            SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
              l_discount AS value FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, metric""",
+    "x_winsorize" ->
+      """WITH c AS (
+           SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                  quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem),
+         w AS (
+           SELECT l_returnflag,
+             greatest(least(l_extendedprice, c.hi), c.lo) AS wp
+           FROM lineitem, c)
+         SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(wp * 10000.0 + 0.5) / 10000.0
+             AS DECIMAL(22,4))) AS DOUBLE) AS sum_wins,
+           floor(MIN(wp) * 10000.0 + 0.5) / 10000.0 AS min_wins,
+           floor(MAX(wp) * 10000.0 + 0.5) / 10000.0 AS max_wins
+         FROM w GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x_corr" ->
       """WITH m AS (
            SELECT l_returnflag, COUNT(*) AS n,

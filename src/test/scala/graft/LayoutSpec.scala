@@ -108,6 +108,21 @@ class LayoutSpec extends SparkTestBase {
         s"$unsortedScan")
   }
 
+  test("zInterleave matches a reference Morton encoding") {
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val s = spark
+    import s.implicits._
+    val got = cases.toDF("a", "b")
+      .select(etl.Load.zInterleave(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map { case (a, b) => ref(a, b, 16) })
+  }
+
   test("writeZOrdered prunes BOTH dimensions from one copy") {
     val ev = etl.Tables.load(spark, "/root/testdata/sf0.01", "events")
       .select("event_id", "user_id", "event_type", "ts")
