@@ -103,6 +103,32 @@ object Events {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Rolling 28-day distinct actives per day (the MAU curve) — EXACT,
+    // via the inverted-window contribution pattern: instead of a
+    // count-distinct window over 28 days of raw events (a per-day
+    // re-scan, or a giant state store), each DISTINCT (user, day) row
+    // fans out to the ≤28 target days it keeps the user active for, and
+    // the answer is a plain count of distinct (user, target) pairs.
+    // Every stage partial-aggregates; total shuffle is a bounded 28× of
+    // the user-day table (itself ≪ events), never a function of window
+    // count × window width. Target days are semi-joined to days that
+    // actually occur (the day dimension is tiny → broadcast). The
+    // approximate scale alternative — per-day HLL sketches merged across
+    // 28 days — drops the 28× fan at the cost of the a3_approx bound.
+    "e_rolling28" -> ((s, d) => {
+      val ud = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("t_day")).distinct()
+      val contrib = ud
+        .withColumn("t_day",
+          explode(sequence(col("day"), date_add(col("day"), 27))))
+        .select("user_id", "t_day").distinct()
+      contrib.join(broadcast(days), Seq("t_day"))
+        .groupBy("t_day").agg(count(lit(1)).as("active_28d"))
+        .orderBy("t_day")
+    }),
+
     // Ordered funnel: view → first click AFTER the first view → first
     // purchase AFTER that click, per user; one row of stage populations.
     // The sequential dependency makes this three conditional min-aggs,
@@ -169,6 +195,15 @@ object Events {
            COUNT(*) AS n_users
          FROM act JOIN coh USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e_rolling28" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         days AS (SELECT DISTINCT day AS t_day FROM ud),
+         c AS (
+           SELECT DISTINCT user_id, t_day
+           FROM ud JOIN days ON t_day BETWEEN day AND day + 27)
+         SELECT t_day, COUNT(*) AS active_28d
+         FROM c GROUP BY t_day ORDER BY t_day""",
     "e_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, ts FROM events),
          v AS (SELECT user_id, min(ts) AS t_view FROM ev

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Text.portableHash
 
@@ -66,6 +67,41 @@ object Extras {
           dsum4(col("wp")).as("sum_wins"),
           roundf(min(col("wp")), 4).as("min_wins"),
           roundf(max(col("wp")), 4).as("max_wins"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Fixed-width histogram — ONE partial-aggregated pass: the bin id is
+    // a pure scalar of the row (clamped floor), so map-side combine
+    // collapses each partition to ≤ n_bins rows before the exchange.
+    // Shuffle = |bins|, independent of table size — the 100 TB profile
+    // pass. Bounds are literals (domain knowledge); a data-driven variant
+    // collects min/max first like x_winsorize's cuts, same plan.
+    "x_histogram" -> ((s, d) => {
+      val w = 6000.0; val nb = 20
+      t(s, d, "lineitem")
+        .select(least(greatest(floor(col("l_extendedprice") / lit(w)),
+            lit(0)), lit(nb - 1)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // Per-group mode with DETERMINISTIC tie-break (highest count, then
+    // smallest value) — mode() builtins leave ties unspecified, useless
+    // for reproducible pipelines. Two-phase: the first aggregation
+    // collapses rows to (group, value) counts — bounded by the value
+    // domain, partial-agg'd map-side — and the rank window runs over
+    // those count rows only, partitioned by group. The raw table never
+    // sees a window.
+    "x_mode" -> ((s, d) => {
+      val cnt = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(desc("n"), asc("l_quantity"))
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -273,6 +309,20 @@ object Extras {
            SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
              l_discount AS value FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, metric""",
+    "x_histogram" ->
+      """SELECT CAST(least(greatest(floor(l_extendedprice / 6000.0), 0),
+             19) AS BIGINT) AS bin, COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY bin""",
+    "x_mode" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_quantity, COUNT(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY n DESC, l_quantity ASC) AS rn
+           FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, n
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     "x_winsorize" ->
       """WITH c AS (
            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,

@@ -171,6 +171,25 @@ object Relational {
         .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))
     }),
 
+    // J2b: FULL OUTER join — null padding in BOTH directions. The sides
+    // are per-customer aggregates of different order subsets ('F' vs 'O'
+    // status), so each has keys the other lacks. Scale shape: both sides
+    // partial-aggregate BEFORE the join (the shuffle carries |custkeys|,
+    // not |orders|), and since Spark has no broadcast form for full
+    // outer, the sort-merge equi-join this plans to IS the 100 TB plan.
+    "j2_full" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("n_f"))
+      val g = o.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ck_o")).agg(count(lit(1)).as("n_o"))
+      f.join(g, col("ck_f") === col("ck_o"), "full_outer")
+        .select(coalesce(col("ck_f"), col("ck_o")).as("c_custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+        .orderBy("c_custkey")
+    }),
+
     // J3: parent→child relationship subquery, flattened as per-parent child
     // aggregates (SOQL `SELECT Id, (SELECT ... FROM Contacts)` shape).
     "j3_children" -> ((s, d) => {
@@ -573,6 +592,15 @@ object Relational {
          FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
            ON c_custkey = o.o_custkey
          ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "j2_full" ->
+      """WITH f AS (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+             WHERE o_orderstatus = 'F' GROUP BY 1),
+           g AS (SELECT o_custkey, COUNT(*) AS n_o FROM orders
+             WHERE o_orderstatus = 'O' GROUP BY 1)
+         SELECT COALESCE(f.o_custkey, g.o_custkey) AS c_custkey,
+           COALESCE(n_f, 0) AS n_f, COALESCE(n_o, 0) AS n_o
+         FROM f FULL OUTER JOIN g ON f.o_custkey = g.o_custkey
+         ORDER BY c_custkey""",
     "j3_children" ->
       """SELECT c_custkey,
            COALESCE(a.n_orders, 0) AS n_orders,

@@ -302,6 +302,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("bk"), "bucket key missing from the plan")
   }
 
+  test("e_rolling28: rolling distinct actives never plan a window") {
+    val p = plan("e_rolling28")
+    // the inverted-contribution form: NO count-distinct-over-window (no
+    // Window operator at all), and the day dimension comes back via a
+    // broadcast, so the only exchanges carry (user, day)-grade keys
+    assert(nodeCount(p, "Window") == 0, "window crept into the plan")
+    assert(p.contains("BroadcastHashJoin"), "day dimension must broadcast")
+  }
+
+  test("x_mode: rank window runs over count rows, not the raw table") {
+    val p = plan("x_mode")
+    // partial/final agg BELOW the window: the Exchange feeding the Window
+    // partitions the (group, value) count rows, never raw lineitem.
+    // FormattedMode prints root-first, so "below" = later in the text:
+    // Window, then the aggregates, then the scan.
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    val scanIdx = p.indexOf("Scan parquet")
+    assert(winIdx > 0 && aggIdx > winIdx && scanIdx > aggIdx,
+      s"aggregation must sit between window and scan (win=$winIdx " +
+        s"agg=$aggIdx scan=$scanIdx)")
+  }
+
   test("t_colloc: top-20 is TakeOrdered, not a global sort+filter window") {
     val p = plan("t_colloc")
     assert(p.contains("TakeOrderedAndProject"), p)
