@@ -223,11 +223,16 @@ object Load {
     * (`saveAsTable`) because bucketing metadata lives in the metastore.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write
+      buckets: Int, location: Option[String] = None): Unit = {
+    // explicit location → external table, immune to the warehouse dir
+    // being cwd-relative (registered queries can't control the session's
+    // warehouse conf); callers clear stale dirs before overwrite
+    val w = df.write
       .mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    location.fold(w.saveAsTable(table))(p =>
+      w.option("path", p).saveAsTable(table))
+  }
 }

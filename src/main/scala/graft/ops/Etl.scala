@@ -145,6 +145,39 @@ object Etl {
         .select("event_id", "user_id", "event_type", "ts")
     }),
 
+    // Bucketed co-located join, driven end-to-end through the registered
+    // surface: both sides written bucketBy(8, custkey) + sortBy (Spark
+    // metastore bucketing), then joined with NO exchange on either side
+    // — the only hash exchange in the whole plan is the final group-by's
+    // (PlanAuditSpec asserts the count). At 100 TB this is THE repeated
+    // fact⋈fact lever broadcast can't cover: pay one bucketed write at
+    // ingest, every later same-key join (and same-key aggregation) is
+    // shuffle-free. The merge hint pins SMJ so the small sf doesn't
+    // broadcast away the property under test. Oracle = the same join+agg
+    // on the raw parquet — bucketing must never change results.
+    "l_bucket_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_") // no '.': table name
+      val base = s"/tmp/graft_bucketed/$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (ot, ct) = (s"orders_bk_$tag", s"customer_bk_$tag")
+      Seq(ot, ct).foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb"))
+      Load.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        ot, "o_custkey", 8, Some(s"$base/$ot"))
+      Load.writeBucketed(
+        t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        ct, "o_custkey", 8, Some(s"$base/$ct"))
+      s.table(ot).hint("merge")
+        .join(s.table(ct).hint("merge"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Z-order clustered layout, driven end-to-end: write events
     // clustered on the (user_id, ts) Morton curve, read back with a
     // predicate on BOTH dimensions. One copy of the data serves
@@ -299,6 +332,12 @@ object Etl {
                    ORDER BY ts DESC, event_id DESC, user_id DESC) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    "l_bucket_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "l_scd2" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

@@ -302,6 +302,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("bk"), "bucket key missing from the plan")
   }
 
+  test("l_bucket_join: bucketed fact join adds no exchange") {
+    val p = plan("l_bucket_join")
+    assert(p.contains("SortMergeJoin"), "merge hint must pin SMJ")
+    // the ONLY hash exchange is the final group-by's — the join itself
+    // reads bucket-partitioned scans and never shuffles either side.
+    // FormattedMode lists each exchange's partitioning once, in its
+    // details-section Arguments line
+    val n = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(n == 1, s"expected 1 hash exchange (the agg), got $n:\n" +
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+  }
+
   test("e_rolling28: rolling distinct actives never plan a window") {
     val p = plan("e_rolling28")
     // the inverted-contribution form: NO count-distinct-over-window (no
