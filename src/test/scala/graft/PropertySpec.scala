@@ -68,6 +68,19 @@ class PropertySpec extends SparkTestBase {
     assert(viaSql.toSeq == viaJvm)
   }
 
+  test("exactQuantiles is bit-identical to the builtin percentile") {
+    val li = etl.Tables.load(spark, dir, "lineitem")
+    // mixed fractional + integer ranks, duplicates-heavy (l_quantity)
+    // and near-distinct (l_extendedprice) distributions
+    for (c <- Seq("l_extendedprice", "l_quantity")) {
+      val ps = Seq(0.0, 0.05, 0.25, 0.5, 0.9, 1.0)
+      val got = ops.Extras.exactQuantiles(li, c, ps, shards = 7)
+      val want = li.agg(expr(
+        s"percentile($c, array(${ps.mkString(",")}))")).head.getSeq[Double](0)
+      assert(got == want.toSeq, s"$c: $got != $want")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     // the query now emits the bound verdict itself (within_bound — the
     // hash-checkable form); assert it holds AND cross-check the exact
