@@ -120,6 +120,23 @@ object Extras {
     // percentile(), whose single final buffer of every distinct value
     // is a one-task straggler at scale (measured 3 s steady at sf0.1
     // vs 0.5 s distributed).
+    // exactQuantiles driven through the oracle surface directly: the
+    // distributed exact-order-statistics job (see exactQuantiles above —
+    // the scale-safe replacement for the builtin percentile()'s
+    // single-buffer final merge) against DuckDB's quantile_cont on the
+    // same ranks. Both engines implement continuous interpolation at
+    // pos = p·(n−1); 4-decimal rounding absorbs last-ulp form
+    // differences per the x_percentile convention.
+    "x_quantiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val vs = exactQuantiles(li, "l_extendedprice", ps)
+      import s.implicits._
+      ps.zip(vs).toDF("p", "v")
+        .select(col("p"), roundf(col("v"), 4).as("v"))
+        .orderBy("p")
+    }),
+
     "x_winsorize" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val Seq(lo, hi) =
@@ -388,6 +405,23 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "x_quantiles" ->
+      """SELECT 0.01::DOUBLE AS p,
+           floor(quantile_cont(l_extendedprice, 0.01) * 10000.0 + 0.5)
+             / 10000.0 AS v FROM lineitem
+         UNION ALL SELECT 0.25::DOUBLE,
+           floor(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5)
+             / 10000.0 FROM lineitem
+         UNION ALL SELECT 0.5::DOUBLE,
+           floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5)
+             / 10000.0 FROM lineitem
+         UNION ALL SELECT 0.75::DOUBLE,
+           floor(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5)
+             / 10000.0 FROM lineitem
+         UNION ALL SELECT 0.99::DOUBLE,
+           floor(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5)
+             / 10000.0 FROM lineitem
+         ORDER BY p""",
     "x_winsorize" ->
       """WITH c AS (
            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
