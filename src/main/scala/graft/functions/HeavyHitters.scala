@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Misra-Gries frequent-items sketch as a mergeable UDAF — the
+  * bounded-memory answer to "top keys by count" when the key domain is
+  * too large to exact-count (the exact two-phase groupBy shuffles one
+  * row per DISTINCT key; at 100 TB a URL/token/id domain makes that
+  * shuffle itself data-sized). The summary holds at most k entries per
+  * aggregation buffer regardless of input size, and the final merge
+  * moves k (key, count) pairs per partition — constant, not
+  * domain-sized.
+  *
+  * Guarantee (Misra-Gries 1982; merge form Agarwal et al., "Mergeable
+  * Summaries", PODS 2012): for every key x with true count c(x),
+  * the estimate satisfies c(x) − n/(k+1) ≤ ĉ(x) ≤ c(x), and any key
+  * with c(x) > n/(k+1) is guaranteed PRESENT in the summary. Both
+  * properties hold for ANY partitioning / merge order, which is what
+  * makes them hash-checkable verdicts (the summary CONTENTS are
+  * merge-order-dependent; the guarantee is not — so the registered
+  * query emits the booleans, never the raw estimates).
+  */
+object HeavyHitters {
+
+  type Summary = Map[String, Long]
+
+  /** Mergeable Misra-Gries aggregator keeping at most k entries. */
+  def misraGries(k: Int): Aggregator[String, Summary, Summary] = {
+    require(k >= 1, s"misraGries needs k >= 1, got $k")
+    new Aggregator[String, Summary, Summary] {
+      def zero: Summary = Map.empty
+
+      def reduce(b: Summary, x: String): Summary = {
+        if (x == null) b
+        else b.get(x) match {
+          case Some(c) => b.updated(x, c + 1L)
+          case None if b.size < k => b.updated(x, 1L)
+          case None =>
+            // classic MG decrement: every counter pays 1, zeros drop;
+            // O(k) but amortized O(1) per insert (each decrement
+            // retires k+1 prior increments)
+            b.flatMap { case (key, c) =>
+              if (c > 1L) Some(key -> (c - 1L)) else None
+            }
+        }
+      }
+
+      def merge(a: Summary, b: Summary): Summary = {
+        if (a.isEmpty) b
+        else if (b.isEmpty) a
+        else {
+          val combined = b.foldLeft(a) { case (m, (key, c)) =>
+            m.updated(key, m.getOrElse(key, 0L) + c)
+          }
+          if (combined.size <= k) combined
+          else {
+            // subtract the (k+1)-th largest count from every entry and
+            // drop non-positives — at most k survive and the total
+            // decrement stays within the n/(k+1) budget (Agarwal et al.)
+            val pivot = combined.valuesIterator.toArray
+              .sortBy(-_).apply(k)
+            combined.flatMap { case (key, c) =>
+              if (c > pivot) Some(key -> (c - pivot)) else None
+            }
+          }
+        }
+      }
+
+      def finish(r: Summary): Summary = r
+
+      def bufferEncoder: Encoder[Summary] =
+        ExpressionEncoder[Summary]()
+      def outputEncoder: Encoder[Summary] =
+        ExpressionEncoder[Summary]()
+    }
+  }
+
+  /** Column form: `df.agg(mgSketchCol(col("key"), 50).as("mg"))`. */
+  def mgSketchCol(c: Column, k: Int): Column = udaf(misraGries(k)).apply(c)
+}

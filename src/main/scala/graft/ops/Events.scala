@@ -165,6 +165,31 @@ object Events {
         .orderBy("user_id", "session_start")
     }),
 
+    // Event-type transition matrix (first-order Markov counts) — the
+    // behavior-modeling staple over clickstreams. The lag window is
+    // partitioned by user_id: ONE shuffle of events on their natural
+    // key, per-user frames sort locally, and the (prev, next) pair
+    // counts partial-aggregate before the |types|²-row final shuffle.
+    // The share normalization windows over those ≤|types|² count rows,
+    // never the raw events. Deterministic ordering: (ts, event_id)
+    // tie-break inside the frame.
+    "e_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = tr.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("prev_type")
+      counts
+        .withColumn("share", roundf(col("n").cast("double") /
+          sum(col("n")).over(wt).cast("double"), 4))
+        .orderBy("prev_type", "event_type")
+    }),
+
     // Incremental extract: SystemModstamp high-water-mark filter, applied
     // on the raw nanos column so it pushes into the parquet scan
     // (PushedFilters: GreaterThan) — at 100 TB this is the difference
@@ -181,6 +206,18 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "e_transitions" ->
+      """WITH tr AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (SELECT prev_type, event_type, COUNT(*) AS n
+               FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n,
+           floor(n::DOUBLE / (SUM(n) OVER (PARTITION BY prev_type))::DOUBLE
+             * 10000.0 + 0.5) / 10000.0 AS share
+         FROM c ORDER BY prev_type, event_type""",
     "e_retention" ->
       """WITH act AS (
            -- CAST: DuckDB date_trunc('day') yields DATE; Spark's yields

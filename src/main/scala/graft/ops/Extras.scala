@@ -120,6 +120,107 @@ object Extras {
     // percentile(), whose single final buffer of every distinct value
     // is a one-task straggler at scale (measured 3 s steady at sf0.1
     // vs 0.5 s distributed).
+    // Two-sample A/B test (Welch's t) between two event arms — the
+    // experimentation staple. Single conditional-aggregation pass (no
+    // per-arm scans, no join): six exact-decimal moments partial-agg'd
+    // map-side, then the statistic is pure driver-free IEEE arithmetic
+    // in the final projection. Values IEEE-round to the 4-decimal grid
+    // before the decimal cast (the dsum4 move — grid values have no
+    // cast ties), decimal sums/products are exact, and sqrt is
+    // IEEE-correctly-rounded in both engines, so mean/t/significance
+    // are bit-identical to the oracle. |t| > 1.96 emits the verdict
+    // boolean, hash-checked. At wider-than-decimal(38,8) scale the sxx
+    // precision cap needs a narrower input grid — same plan.
+    "x_abtest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+      val dv = roundf(col("value"), 4).cast("decimal(18,4)")
+      val a = col("event_type") === "click"
+      val st = ev.agg(
+        sum(when(a, lit(1L)).otherwise(lit(0L))).as("n_a"),
+        sum(when(!a, lit(1L)).otherwise(lit(0L))).as("n_b"),
+        sum(when(a, dv)).as("sa"), sum(when(a, dv * dv)).as("sxa"),
+        sum(when(!a, dv)).as("sb"), sum(when(!a, dv * dv)).as("sxb"))
+      val nd = (c: String) => col(c).cast("double")
+      val meanA = nd("sa") / nd("n_a")
+      val meanB = nd("sb") / nd("n_b")
+      val varA = (nd("n_a") * nd("sxa") - nd("sa") * nd("sa")) /
+        (nd("n_a") * (nd("n_a") - lit(1.0)))
+      val varB = (nd("n_b") * nd("sxb") - nd("sb") * nd("sb")) /
+        (nd("n_b") * (nd("n_b") - lit(1.0)))
+      val tstat = (meanA - meanB) /
+        sqrt(varA / nd("n_a") + varB / nd("n_b"))
+      st.select(col("n_a"), col("n_b"),
+        roundf(meanA, 4).as("mean_a"), roundf(meanB, 4).as("mean_b"),
+        roundf(tstat, 4).as("t_stat"),
+        (abs(tstat) > lit(1.96)).as("significant"))
+    }),
+
+    // Bounded-memory frequent items (Misra-Gries, k=50) with the
+    // guarantee emitted as the hash-checked verdict — the a3_approx /
+    // x_approx_pctile pattern: the summary CONTENTS depend on merge
+    // order, but the theorem (any key with c > n/(k+1) is present;
+    // estimates within [c − n/(k+1), c]) holds for every partitioning,
+    // so the booleans are deterministic. The key domain is constructed
+    // skewed (t_pii's inline-synthesis precedent): ~half the rows land
+    // on 7 hot keys (each ≫ n/51), the rest are near-unique cold keys
+    // (~30k distinct — 600× the k=50 summary), which is exactly the
+    // regime where the exact two-phase count's |distinct|-sized shuffle
+    // is the thing the sketch exists to avoid. The hot-key truth side
+    // stays an exact partial-agg'd count for the oracle.
+    "x_heavyhitters" -> ((s, d) => {
+      val hh = graft.functions.HeavyHitters
+      val keyed = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 5,
+          concat(lit("hot"), (col("l_orderkey") % 7).cast("string")))
+        .otherwise(concat(lit("cold"), col("l_orderkey").cast("string")))
+        .as("k"))
+      val sk = keyed.agg(hh.mgSketchCol(col("k"), 50).as("mg"),
+        count(lit(1)).cast("double").as("n"))
+      val truth = keyed.filter(col("k").startsWith("hot"))
+        .groupBy("k").agg(count(lit(1)).as("exact_n"))
+      val est = element_at(col("mg"), col("k")).cast("double")
+      truth.crossJoin(broadcast(sk))
+        .select(col("k"), col("exact_n"),
+          est.isNotNull.as("in_summary"),
+          coalesce(est >= col("exact_n").cast("double") - col("n") / lit(51.0)
+            && est <= col("exact_n").cast("double"), lit(false))
+            .as("within_bound"))
+        .orderBy("k")
+    }),
+
+    // Feature standardization (z-score) per group — the normalization
+    // staple in front of model training. Two-phase, never a per-group
+    // window over the fact table: (1) per-group moments from EXACT
+    // decimal sums (order-independent — the streaming-double builtin
+    // avg/stddev depend on merge order in the last ulps), a tiny
+    // aggregate; (2) the moments BROADCAST back onto a second scan, so
+    // the z projection + outlier flag are pure codegen over the fact
+    // rows and the only fact-table shuffle is the final group-by's
+    // partial-agg'd count. At 100 TB the stats side stays |groups|
+    // rows — the broadcast never grows with data.
+    "x_zscore" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      val dbl = (c: String) => col(c).cast("double")
+      val stats = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(p).as("sx"), sum(p * p).as("sxx"))
+        .select(col("l_returnflag"),
+          (dbl("sx") / dbl("n")).as("mean"),
+          sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) /
+            (dbl("n") * dbl("n"))).as("std"))
+      li.join(broadcast(stats), "l_returnflag")
+        .select(col("l_returnflag"), col("mean"), col("std"),
+          ((col("l_extendedprice") - col("mean")) / col("std")).as("z"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          roundf(max(col("mean")), 4).as("mean_price"),
+          roundf(max(col("std")), 4).as("std_price"),
+          sum(when(abs(col("z")) > lit(2.0), lit(1L)).otherwise(lit(0L)))
+            .as("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
+
     // exactQuantiles driven through the oracle surface directly: the
     // distributed exact-order-statistics job (see exactQuantiles above —
     // the scale-safe replacement for the builtin percentile()'s
@@ -405,6 +506,68 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "x_abtest" ->
+      """WITH s AS (
+           SELECT
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             SUM(CASE WHEN event_type = 'click' THEN dv END) AS sa,
+             SUM(CASE WHEN event_type = 'click' THEN dv * dv END) AS sxa,
+             SUM(CASE WHEN event_type <> 'click' THEN dv END) AS sb,
+             SUM(CASE WHEN event_type <> 'click' THEN dv * dv END) AS sxb
+           FROM (SELECT event_type,
+                   CAST(floor(value * 10000.0 + 0.5) / 10000.0
+                     AS DECIMAL(18,4)) AS dv
+                 FROM events WHERE event_type IN ('click', 'view')))
+         SELECT n_a, n_b,
+           floor(sa::DOUBLE / n_a::DOUBLE * 10000.0 + 0.5) / 10000.0
+             AS mean_a,
+           floor(sb::DOUBLE / n_b::DOUBLE * 10000.0 + 0.5) / 10000.0
+             AS mean_b,
+           floor((sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+             / sqrt((n_a::DOUBLE * sxa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                 / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+               + (n_b::DOUBLE * sxb::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+                 / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS t_stat,
+           abs((sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+             / sqrt((n_a::DOUBLE * sxa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                 / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+               + (n_b::DOUBLE * sxb::DOUBLE - sb::DOUBLE * sb::DOUBLE)
+                 / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) / n_b::DOUBLE))
+             > 1.96 AS significant
+         FROM s""",
+    "x_heavyhitters" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN l_orderkey % 10 < 5
+             THEN 'hot' || CAST(l_orderkey % 7 AS VARCHAR)
+             ELSE 'cold' || CAST(l_orderkey AS VARCHAR) END AS k
+           FROM lineitem)
+         SELECT k, COUNT(*) AS exact_n,
+           TRUE AS in_summary, TRUE AS within_bound
+         FROM keyed WHERE k LIKE 'hot%' GROUP BY k ORDER BY k""",
+    "x_zscore" ->
+      """WITH s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx
+           FROM lineitem GROUP BY l_returnflag),
+         m AS (
+           SELECT l_returnflag,
+             sx::DOUBLE / n::DOUBLE AS mean,
+             sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               / (n::DOUBLE * n::DOUBLE)) AS std
+           FROM s)
+         SELECT l.l_returnflag, COUNT(*) AS n,
+           floor(MAX(m.mean) * 10000.0 + 0.5) / 10000.0 AS mean_price,
+           floor(MAX(m.std) * 10000.0 + 0.5) / 10000.0 AS std_price,
+           CAST(SUM(CASE WHEN abs((l.l_extendedprice - m.mean) / m.std)
+             > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "x_quantiles" ->
       """SELECT 0.01::DOUBLE AS p,
            floor(quantile_cont(l_extendedprice, 0.01) * 10000.0 + 0.5)

@@ -383,6 +383,55 @@ object Text {
     // the one divide is correctly-rounded IEEE: bit-identical
     // everywhere. Both unigram joins are vocabulary-sized → broadcast;
     // the token stream shuffles once per count.
+    // Okapi BM25 retrieval scoring for a fixed query-term set — the
+    // standard lexical ranker in front of RAG / retrieval pipelines.
+    // Rational-idf form: idf_raw = (N − df + 0.5)/(df + 0.5), i.e.
+    // Robertson's odds WITHOUT the log. The log is monotone, so
+    // per-term document ranking is identical; keeping the arithmetic to
+    // integer-derived products/divides makes scores bit-identical
+    // across engines (t_tfidf's transcendental-free convention — ln()'s
+    // last ulp differs between libm and the JVM). Per-term components
+    // IEEE-round to the 4-decimal grid, then EXACT decimal summation
+    // (dsum4), so the cross-term sum is aggregation-order-independent.
+    // Scale shape: the query-term filter lands on the exploded tokens
+    // BEFORE any aggregation (only matching postings survive); doclen
+    // is a corpus-sized per-doc aggregate joined on doc_id (hash, never
+    // broadcast — it grows with data); df (|terms| rows) and the
+    // N/avgdl scalars broadcast; final ranking is orderBy+limit →
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
+    "t_bm25" -> ((s, d) => {
+      val qterms = Seq("join", "scan", "window")
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("word"))
+      val dl = toks.groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("dl"))
+      val avg = dl.agg((sum("dl") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val qt = toks.filter(col("word").isin(qterms: _*))
+      val tf = qt.groupBy("doc_id", "word")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = qt.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+      val score = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(avg))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), roundf(score, 4).as("comp"), col("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("comp").cast("decimal(22,4)")).cast("double")
+            .as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(10)
+    }),
+
     "t_colloc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = words(col("text"))
@@ -458,6 +507,33 @@ object Text {
     curateOracle
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "t_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl
+                FROM toks GROUP BY 1),
+         a AS (SELECT SUM(dl) / COUNT(*)::DOUBLE AS avgdl FROM dl),
+         n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         qt AS (SELECT doc_id, word FROM toks
+                WHERE word IN ('join', 'scan', 'window')),
+         tf AS (SELECT doc_id, word, COUNT(*)::DOUBLE AS tf
+                FROM qt GROUP BY 1, 2),
+         dfreq AS (SELECT word, COUNT(*)::DOUBLE AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM qt)
+                   GROUP BY 1),
+         comp AS (
+           SELECT tf.doc_id,
+             floor((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl))
+               * 10000.0 + 0.5) / 10000.0 AS comp
+           FROM tf JOIN dfreq USING (word)
+                   JOIN dl ON tf.doc_id = dl.doc_id, a, n)
+         SELECT doc_id, COUNT(*) AS n_terms,
+           CAST(SUM(CAST(comp AS DECIMAL(22,4))) AS DOUBLE) AS bm25
+         FROM comp GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
     "t_colloc" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS wd FROM documents),

@@ -81,6 +81,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Misra-Gries guarantee holds under any partitioning") {
+    import graft.functions.HeavyHitters
+    val keyed = etl.Tables.load(spark, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 < 5,
+        concat(lit("hot"), (col("l_orderkey") % 7).cast("string")))
+      .otherwise(concat(lit("cold"), col("l_orderkey").cast("string")))
+      .as("k"))
+    val truth = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val k = 50
+    val eps = n.toDouble / (k + 1)
+    // merge order changes the summary contents; the guarantee must not
+    for (parts <- Seq(1, 7, 32)) {
+      val mg = keyed.repartition(parts)
+        .agg(HeavyHitters.mgSketchCol(col("k"), k))
+        .head.getMap[String, Long](0)
+      assert(mg.size <= k, s"parts=$parts: summary exceeded k")
+      for ((key, c) <- truth if c > eps)
+        assert(mg.contains(key), s"parts=$parts: heavy $key absent")
+      for ((key, est) <- mg) {
+        val c = truth(key)
+        assert(est <= c && est >= c - eps,
+          s"parts=$parts: $key est $est outside [${c - eps}, $c]")
+      }
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     // the query now emits the bound verdict itself (within_bound — the
     // hash-checkable form); assert it holds AND cross-check the exact
