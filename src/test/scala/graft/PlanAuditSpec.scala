@@ -342,6 +342,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("x_zscore: no window over the fact table; stats broadcast back") {
+    val p = plan("x_zscore")
+    assert(nodeCount(p, "Window") == 0, "z must come from a broadcast " +
+      "join of |groups| stats, not a per-group window over the scan")
+    assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double," +
+      "l_returnflag:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("x_abtest: one aggregation pass over one pruned scan") {
+    val p = plan("x_abtest")
+    assert(nodeCount(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_"), "moments must partial-aggregate")
+    assert(nodeCount(p, "Window") == 0 && nodeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("x_heavyhitters: sketch partial-aggregates per partition") {
+    // the MG summary must combine map-side (k-bounded buffers per
+    // partition) before the single final merge — a final-only UDAF
+    // would ship every raw key to one task
+    val p = plan("x_heavyhitters")
+    assert(nodeCount(p, "ObjectHashAggregate") == 2,
+      "expected a partial/final ObjectHashAggregate pair: " + p)
+  }
+
+  test("e_transitions: one event shuffle on user_id; share window on counts") {
+    val p = plan("e_transitions")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(nodeCount(p, "Window") == 2, p)
+  }
+
+  test("t_bm25: TakeOrdered root; dl joins hash, term sides broadcast") {
+    val p = plan("t_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // df + avgdl + nDocs broadcast; the only SMJ-eligible join is the
+    // corpus-sized doc-length join on doc_id
+    assert(nodeCount(p, "BroadcastExchange") >= 3, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+  }
+
   test("t_contam: benchmark side broadcasts; corpus joins without sort") {
     // The ONE ng-shuffle in this plan is the BENCHMARK branch's distinct
     // (eval sets are thousands of docs — that shuffle is tiny at any
