@@ -128,6 +128,49 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the batch `e_transitions` query: first-order
+    * Markov transitions emitted incrementally. State per user is ONE
+    * record — the last seen event — so state size is |users|, not
+    * |events|. Within a micro-batch the group's rows re-sort by
+    * (ts, event_id) before chaining (arrival order inside a batch is a
+    * shuffle artifact, not event order); ACROSS batches the chain
+    * continues from the stored last event, which matches the batch lag
+    * window whenever batches respect event-time order per user — the
+    * guarantee a watermark + ordered replay provides, and exactly the
+    * contract StreamsSpec drives (2-batch file replay = batch counts).
+    */
+  final case class TransEvent(user_id: Long, ts_ms: Long, event_id: Long,
+      event_type: String)
+  final case class LastEvent(ts_ms: Long, event_id: Long,
+      event_type: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      event_type: String)
+
+  def transitionsStreaming(spark: SparkSession, events: DataFrame)
+      : Dataset[Transition] = {
+    import spark.implicits._
+    events.select(col("user_id"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts_ms"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, it: Iterator[TransEvent],
+         state: GroupState[LastEvent]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          for (e <- sorted) {
+            prev.foreach(p =>
+              out += Transition(uid, p.event_type, e.event_type))
+            prev = Some(LastEvent(e.ts_ms, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** transformWithState variant of the per-user running aggregate —
     * Spark 4's successor to flatMapGroupsWithState: explicit named state
     * variables on a StatefulProcessorHandle, TTL support, and (unlike

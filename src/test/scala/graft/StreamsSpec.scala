@@ -35,6 +35,67 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("transitionsStreaming over a time-split 2-batch replay equals " +
+      "batch e_transitions") {
+    // two batches split at the median event time — NOT the duplicate-copy
+    // replay runningPerUser uses, because transitions chain across the
+    // batch boundary (the stored last event of batch 1 must link to the
+    // first event of batch 2), so the replay has to respect event-time
+    // order per user
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(etl.Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    // cut on a whole-millisecond boundary: the handler re-sorts within a
+    // batch at ms granularity, so a same-ms tie group split across the
+    // two batches would chain in file order, not (ts, event_id) order
+    val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("trans_stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      java.nio.file.Files.copy(p, tmp.resolve(name))
+    }
+    writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
+    writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
+    val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_events.parquet")
+      .parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val batch = graft.ops.Events.queries("e_transitions")(spark, dir)
+      .select("prev_type", "event_type", "n")
+    val expected = batch.agg(sum("n")).head.getLong(0)
+    // poll-with-deadline, not runAvailableNow: stateful FMGWS queries
+    // under AvailableNow process everything but may never self-terminate
+    // (see runningPerUser above) — awaiting termination burns the full
+    // timeout
+    val q = Streams.transitionsStreaming(spark, stream).toDF()
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 180000
+      while (spark.table("trans_test").count() < expected &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must actually span two micro-batches")
+      val streamed = spark.table("trans_test")
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
