@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.etl.{Bulk, Load}
 
@@ -234,6 +235,50 @@ object Etl {
         .orderBy("event_id")
     }),
 
+    // Incremental aggregate maintenance — the production rollup shape:
+    // a daily (day × type) aggregate table is MATERIALIZED (parquet),
+    // and a new-batch delta (last fifth of event time; split = one
+    // integer scalar from min/max micros) merges into it by re-summing
+    // PARTIAL aggregates, never rescanning base events. At 100 TB the
+    // merge input is |rollup keys| + |delta keys| rows — days × types,
+    // not events. Counts add; value sums stay exact decimals end-to-end
+    // (grid-round → decimal partials → decimal merge → one final double
+    // cast), so the incremental result is bit-identical to the oracle's
+    // full recompute — the invariant that makes incremental ETL safe to
+    // run forever.
+    "l_rollup_merge" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
+      val rollup = (df: DataFrame) => df
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(roundf(col("value"), 4).cast("decimal(22,4)")).as("sv"))
+      val basePath =
+        s"/tmp/graft_rollup/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      // split on the RAW nanos column (the eventsSince move): the
+      // loaded `ts` is timestamp_micros(raw DIV 1000) — derived, so a
+      // predicate on it can never reach PushedFilters, and the delta
+      // scan pruning IS the incremental win. µs-cut ⟺ raw ns bound:
+      // trunc_µs(ns) >= cut ⟺ ns >= cut·1000 for positive epochs.
+      val raw = {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.schema(graft.etl.Tables.eventsRaw)
+          .parquet(s"$d/events.parquet")
+      }
+      val withTs = (df: DataFrame) =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      rollup(withTs(raw.filter(col("ts") < lit(cut * 1000L))))
+        .write.mode("overwrite").parquet(basePath)
+      s.read.parquet(basePath)
+        .unionByName(rollup(withTs(raw.filter(col("ts") >= lit(cut * 1000L)))))
+        .groupBy("day", "event_type")
+        .agg(sum("n").as("n"),
+          sum("sv").cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // SCD Type-2 history build: collapse each user's event stream into
     // validity intervals of its changing attribute (event_type) — change
     // detection via lag, interval close via lead, open interval =
@@ -338,6 +383,12 @@ object Etl {
              AS sum_total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+    "l_rollup_merge" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
+             AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "l_scd2" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

@@ -383,6 +383,45 @@ object Text {
     // the one divide is correctly-rounded IEEE: bit-identical
     // everywhere. Both unigram joins are vocabulary-sized → broadcast;
     // the token stream shuffles once per count.
+    // Bigram language-model quality scoring — the perplexity-filter
+    // analog of pretraining pipelines (score each document by how
+    // predictable its token transitions are under the corpus LM; flag
+    // the improbable tail). Transcendental-free form: the score is the
+    // MEAN transition probability P(w2|w1) = c12/c1prefix, not the
+    // log-perplexity — monotone-comparable for filtering, and every
+    // number is an integer-derived ratio, so scores are cross-engine
+    // bit-identical (no ln). Per-bigram probabilities IEEE-round to the
+    // 6-decimal grid then exact-decimal-sum (order-independent). Scale
+    // shape: the bigram fan is data-linear; corpus bigram counts
+    // partial-aggregate to |bigram vocab| and join the per-doc bigrams
+    // by (w1,w2) HASH — at 100 TB that vocabulary is huge, never
+    // broadcast; the w1-prefix totals (|vocab| rows) ride the same
+    // aggregate. The flag threshold lands on grid values, so the
+    // verdict boolean is deterministic.
+    "t_lmscore" -> ((s, d) => {
+      val w = words(col("text"))
+      val bi = t(s, d, "documents")
+        .where(size(w) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(w) - 1), i =>
+            struct(element_at(w, i).as("w1"),
+              element_at(w, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val p = roundf(col("c12").cast("double") / col("c1").cast("double"), 6)
+      val lm = roundf(col("sp").cast("double") / col("nb").cast("double"), 6)
+      bi.join(c12.join(c1, "w1"), Seq("w1", "w2"))
+        .select(col("doc_id"), p.as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p").cast("decimal(24,6)")).as("sp"),
+          count(lit(1)).as("nb"))
+        .select(col("doc_id"), col("n_bigrams"), lm.as("lm_score"),
+          (lm < lit(0.02)).as("flag_improbable"))
+        .orderBy("doc_id")
+    }),
+
     // Okapi BM25 retrieval scoring for a fixed query-term set — the
     // standard lexical ranker in front of RAG / retrieval pipelines.
     // Rational-idf form: idf_raw = (N − df + 0.5)/(df + 0.5), i.e.
@@ -507,6 +546,29 @@ object Text {
     curateOracle
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "t_lmscore" ->
+      """WITH bi AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+                LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+         sc AS (
+           SELECT bi.doc_id,
+             floor(c12.c12::DOUBLE / c1.c1::DOUBLE * 1000000.0 + 0.5)
+               / 1000000.0 AS p
+           FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON bi.w1 = c1.w1),
+         ag AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(p AS DECIMAL(24,6))) AS sp, COUNT(*) AS nb
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+             AS lm_score,
+           floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+             < 0.02 AS flag_improbable
+         FROM ag ORDER BY doc_id""",
     "t_bm25" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -384,6 +384,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
+  test("l_rollup_merge: delta filter pushes to raw scan; no base rescan") {
+    val p = plan("l_rollup_merge")
+    // merge plan = materialized rollup scan + ONE events scan (the
+    // delta), whose raw-nanos watermark reaches the parquet reader
+    assert(nodeCount(p, "Scan parquet") == 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("partial_"), "merge must re-sum partial aggregates")
+  }
+
+  test("t_lmscore: bigram prob join is equi-keyed; aggs partial") {
+    val p = plan("t_lmscore")
+    assert(nodeCount(p, "CartesianProduct") == 0 &&
+      nodeCount(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("t_contam: benchmark side broadcasts; corpus joins without sort") {
     // The ONE ng-shuffle in this plan is the BENCHMARK branch's distinct
     // (eval sets are thousands of docs — that shuffle is tiny at any
