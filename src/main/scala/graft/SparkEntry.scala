@@ -62,7 +62,8 @@ object SparkEntry {
       "t_spandedup", "j_salted", "l_scd2", "d_embed_lsh", "m_audio_real",
       "j_bloom", "d_simhash_hamming", "l_sorted_scan", "v_ann_ivf4",
       "t_chunkpack", "j7_interval", "d_incremental", "l_zorder_scan",
-      "e_rolling28", "l_bucket_join", "x_winsorize")
+      "e_rolling28", "l_bucket_join", "x_winsorize", "x_heavyhitters",
+      "t_bm25", "l_rollup_merge", "t_lmscore")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

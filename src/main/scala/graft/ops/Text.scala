@@ -407,6 +407,18 @@ object Text {
             struct(element_at(w, i).as("w1"),
               element_at(w, i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      // This corpus's bigram vocabulary (31² types) broadcasts, so the
+      // instance-level probability join plans ZERO wide ops over the
+      // bigram stream: explode → BroadcastHashJoin → map-side partial
+      // agg collapses 2.7M instances to |docs| rows before the only
+      // exchange. Collapsing instances to (doc, type, k) counts BEFORE
+      // the join was measured SLOWER here (+1 s at sf0.1): it inserts a
+      // 480k-row exchange into a plan that otherwise has none. When the
+      // vocabulary outgrows broadcast (open-text corpora at 100 TB),
+      // invert: groupBy(doc_id, w1, w2).count first, hash-join the
+      // collapsed counts, and fold Σ k·p — identical result (k·decimal
+      // is exact), one bounded exchange instead of an instance-sized
+      // shuffle join.
       val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
       val p = roundf(col("c12").cast("double") / col("c1").cast("double"), 6)
