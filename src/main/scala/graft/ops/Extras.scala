@@ -120,6 +120,27 @@ object Extras {
     // percentile(), whose single final buffer of every distinct value
     // is a one-task straggler at scale (measured 3 s steady at sf0.1
     // vs 0.5 s distributed).
+    // Per-entity Gini impurity of the event-type mix — the
+    // concentration/diversity signal for behavior features and label
+    // balance monitoring. gini = 1 − Σ c_t²/n² is pure integer-derived
+    // rational arithmetic (the transcendental-free cousin of Shannon
+    // entropy — same ordering for the filtering use case, no ln).
+    // Two-phase: (user, type) counts collapse map-side first (bounded
+    // by |users|×|types|), then per-user integer moments — both
+    // aggregations partial; nothing event-sized shuffles twice.
+    "x_gini" -> ((s, d) => {
+      val c = t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val gini = lit(1.0) - col("s2").cast("double") /
+        (col("n").cast("double") * col("n").cast("double"))
+      c.groupBy("user_id")
+        .agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("n_types"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          roundf(gini, 6).as("gini"))
+        .orderBy("user_id")
+    }),
+
     // Two-sample A/B test (Welch's t) between two event arms — the
     // experimentation staple. Single conditional-aggregation pass (no
     // per-arm scans, no join): six exact-decimal moments partial-agg'd
@@ -506,6 +527,18 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "x_gini" ->
+      """WITH c AS (
+           SELECT user_id, event_type, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT user_id, SUM(c) AS n, SUM(c * c) AS s2,
+             COUNT(*) AS n_types
+           FROM c GROUP BY user_id)
+         SELECT user_id, CAST(n AS BIGINT) AS n, n_types,
+           floor((1.0 - s2::DOUBLE / (n::DOUBLE * n::DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini
+         FROM m ORDER BY user_id""",
     "x_abtest" ->
       """WITH s AS (
            SELECT

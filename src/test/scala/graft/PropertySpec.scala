@@ -81,6 +81,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantiles edges: constant column, single row, extreme ps") {
+    val sp = spark
+    import sp.implicits._
+    // constant column: every quantile is the constant, interpolation
+    // must not divide by an empty rank span
+    val const = Seq.fill(100)(7.5).toDF("v")
+    assert(ops.Extras.exactQuantiles(const, "v", Seq(0.0, 0.5, 1.0))
+      == Seq(7.5, 7.5, 7.5))
+    // single row: floor==ceil at every p
+    val one = Seq(42.0).toDF("v")
+    assert(ops.Extras.exactQuantiles(one, "v", Seq(0.0, 0.3, 1.0))
+      == Seq(42.0, 42.0, 42.0))
+    // two rows: p=0.5 interpolates halfway
+    val two = Seq(1.0, 2.0).toDF("v")
+    assert(ops.Extras.exactQuantiles(two, "v", Seq(0.5)) == Seq(1.5))
+    // more shards than distinct values (empty shards are legal)
+    val few = Seq(1.0, 2.0, 3.0).toDF("v")
+    assert(ops.Extras.exactQuantiles(few, "v", Seq(0.0, 1.0), shards = 16)
+      == Seq(1.0, 3.0))
+    // all-null input refuses loudly instead of returning garbage
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    intercept[IllegalArgumentException] {
+      ops.Extras.exactQuantiles(nulls, "v", Seq(0.5))
+    }
+  }
+
   test("Misra-Gries guarantee holds under any partitioning") {
     import graft.functions.HeavyHitters
     val keyed = etl.Tables.load(spark, dir, "lineitem").select(
