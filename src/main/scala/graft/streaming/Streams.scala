@@ -500,6 +500,52 @@ object Streams {
     * in-memory table. Returns the drained query. This is the "bulk job"
     * lifecycle: start → InProgress → JobComplete.
     */
+  /** Incremental rollup maintenance as a streaming sink — the
+    * `l_rollup_merge` loop run CONTINUOUSLY: every micro-batch folds
+    * into a materialized (day × event_type) aggregate table by
+    * re-summing PARTIAL aggregates. The merge input per batch is
+    * |rollup keys| + |batch keys| rows — days × types, never events —
+    * and value sums stay exact decimals end-to-end, so after any number
+    * of batches the table is bit-identical to a full recompute
+    * (StreamsSpec proves it over a 2-batch time-split replay). The
+    * staged-write-then-swap keeps the table readable mid-maintenance;
+    * at production scale the same shape lands on a transactional table
+    * format, with the partial-agg merge unchanged.
+    */
+  def rollupMaintain(events: DataFrame, rollupPath: String)
+      : StreamingQuery = {
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val part = batch
+          .groupBy(date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(graft.ops.roundf(col("value"), 4).cast("decimal(22,4)"))
+              .as("sv"))
+        val cur = new java.io.File(rollupPath)
+        val merged =
+          if (!cur.exists()) part
+          else sp.read.parquet(rollupPath).unionByName(part)
+            .groupBy("day", "event_type")
+            .agg(sum("n").as("n"), sum("sv").as("sv"))
+        val staged = rollupPath + s"_stage$id"
+        merged.write.mode("overwrite").parquet(staged)
+        // the staged write MATERIALIZED the merge, so the old version
+        // can be dropped and the new one moved into place
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        if (cur.exists()) rm(cur)
+        require(new java.io.File(staged).renameTo(cur),
+          s"rollup swap failed: $staged -> $rollupPath")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: String = "append",
       timeoutMs: Long = 600000): StreamingQuery = {

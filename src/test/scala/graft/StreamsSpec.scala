@@ -96,6 +96,51 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rollupMaintain over a 2-batch replay equals the full recompute") {
+    // same time-split replay as transitionsStreaming: each batch folds
+    // into the materialized rollup; after both, the table must be
+    // bit-identical to aggregating all events at once
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(etl.Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("rollup_stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      java.nio.file.Files.copy(p, tmp.resolve(name))
+    }
+    writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
+    writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
+    val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_events.parquet")
+      .parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val rollupPath = tmp.resolve("rollup").toString
+    val q = Streams.rollupMaintain(stream, rollupPath)
+    assert(q.awaitTermination(180000), "foreachBatch query must terminate")
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches")
+    val got = spark.read.parquet(rollupPath)
+      .select(col("day"), col("event_type"), col("n"),
+        col("sv").cast("double").as("sv"))
+    val full = etl.Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(ops.roundf(col("value"), 4).cast("decimal(22,4)"))
+          .cast("double").as("sv"))
+    assert(got.exceptAll(full).count() == 0 &&
+      full.exceptAll(got).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
