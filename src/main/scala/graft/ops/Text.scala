@@ -412,7 +412,8 @@ object Text {
       // bigram stream: explode → BroadcastHashJoin → map-side partial
       // agg collapses 2.7M instances to |docs| rows before the only
       // exchange. Collapsing instances to (doc, type, k) counts BEFORE
-      // the join was measured SLOWER here (+1 s at sf0.1): it inserts a
+      // the join was measured SLOWER here (back-to-back A/B at sf0.1,
+      // steal<=0.5 both: 3.07 s vs 3.73 s steady): it inserts a
       // 480k-row exchange into a plan that otherwise has none. When the
       // vocabulary outgrows broadcast (open-text corpora at 100 TB),
       // invert: groupBy(doc_id, w1, w2).count first, hash-join the
