@@ -27,6 +27,32 @@ object HeavyHitters {
 
   type Summary = Map[String, Long]
 
+  /** The MG merge rule, usable outside the Aggregator too (streaming
+    * maintenance merges a batch sketch into stored state — both sides
+    * are ≤ k entries, so the merge is O(k) scalars wherever it runs):
+    * sum counters; if more than k survive, subtract the (k+1)-th
+    * largest count from every entry and drop non-positives — at most k
+    * remain and the total decrement stays within the n/(k+1) budget
+    * (Agarwal et al., PODS 2012), for ANY merge tree.
+    */
+  def mergeSummaries(a: Summary, b: Summary, k: Int): Summary = {
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val combined = b.foldLeft(a) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        val pivot = combined.valuesIterator.toArray
+          .sortBy(-_).apply(k)
+        combined.flatMap { case (key, c) =>
+          if (c > pivot) Some(key -> (c - pivot)) else None
+        }
+      }
+    }
+  }
+
   /** Mergeable Misra-Gries aggregator keeping at most k entries. */
   def misraGries(k: Int): Aggregator[String, Summary, Summary] = {
     require(k >= 1, s"misraGries needs k >= 1, got $k")
@@ -48,26 +74,7 @@ object HeavyHitters {
         }
       }
 
-      def merge(a: Summary, b: Summary): Summary = {
-        if (a.isEmpty) b
-        else if (b.isEmpty) a
-        else {
-          val combined = b.foldLeft(a) { case (m, (key, c)) =>
-            m.updated(key, m.getOrElse(key, 0L) + c)
-          }
-          if (combined.size <= k) combined
-          else {
-            // subtract the (k+1)-th largest count from every entry and
-            // drop non-positives — at most k survive and the total
-            // decrement stays within the n/(k+1) budget (Agarwal et al.)
-            val pivot = combined.valuesIterator.toArray
-              .sortBy(-_).apply(k)
-            combined.flatMap { case (key, c) =>
-              if (c > pivot) Some(key -> (c - pivot)) else None
-            }
-          }
-        }
-      }
+      def merge(a: Summary, b: Summary): Summary = mergeSummaries(a, b, k)
 
       def finish(r: Summary): Summary = r
 

@@ -546,6 +546,60 @@ object Streams {
       .start()
   }
 
+  /** Streaming heavy-hitters: a Misra-Gries summary of a key column
+    * maintained across micro-batches — the trending-keys shape. Each
+    * batch computes its own k-bounded sketch DISTRIBUTED (the
+    * HeavyHitters UDAF: per-partition partial sketches, one k-entry
+    * final merge), and the batch sketch merges into the stored summary
+    * with the same MG merge rule — both sides are ≤ k entries, so the
+    * maintenance step is O(k) scalars no matter how much data the
+    * stream has seen. By mergeable-summaries (Agarwal et al. 2012) the
+    * stored summary carries the n/(k+1) guarantee against the WHOLE
+    * stream prefix, for any batch boundaries — which is what the spec
+    * asserts after a 2-batch replay. State on disk is ≤ k rows plus one
+    * running-total row.
+    */
+  def heavyHittersMaintain(events: DataFrame, keyCol: String,
+      statePath: String, k: Int): StreamingQuery = {
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val row = batch.agg(
+          graft.functions.HeavyHitters.mgSketchCol(col(keyCol), k)
+            .as("mg"),
+          count(lit(1)).as("n")).head()
+        val batchSketch = Option(row.getMap[String, Long](0))
+          .map(_.toMap).getOrElse(Map.empty[String, Long])
+        val batchN = row.getLong(1)
+        val cur = new java.io.File(statePath)
+        val (prevSketch, prevN) =
+          if (!cur.exists()) (Map.empty[String, Long], 0L)
+          else {
+            val st = sp.read.parquet(statePath)
+              .as[(String, Long)].collect()
+            (st.filter(_._1 != "__n__").toMap,
+              st.collectFirst { case ("__n__", n) => n }.getOrElse(0L))
+          }
+        val merged = graft.functions.HeavyHitters
+          .mergeSummaries(prevSketch, batchSketch, k)
+        val staged = statePath + s"_stage$id"
+        (merged.toSeq :+ ("__n__" -> (prevN + batchN)))
+          .toDF("key", "est")
+          .coalesce(1).write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        if (cur.exists()) rm(cur)
+        require(new java.io.File(staged).renameTo(cur),
+          s"sketch swap failed: $staged -> $statePath")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: String = "append",
       timeoutMs: Long = 600000): StreamingQuery = {

@@ -141,6 +141,61 @@ class StreamsSpec extends SparkTestBase {
       full.exceptAll(got).count() == 0)
   }
 
+  test("heavyHittersMaintain: MG guarantee holds against the whole " +
+      "stream after a 2-batch replay") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(etl.Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("hh_stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      java.nio.file.Files.copy(p, tmp.resolve(name))
+    }
+    writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
+    writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
+    val keyed = (df: org.apache.spark.sql.DataFrame) => df.select(
+      when(col("event_id") % 10 < 5,
+        concat(lit("hot"), (col("event_id") % 7).cast("string")))
+      .otherwise(concat(lit("cold"), col("event_id").cast("string")))
+      .as("k"))
+    val stream = keyed(spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_events.parquet")
+      .parquet(tmp.toString))
+    val statePath = tmp.resolve("hh_state").toString
+    val k = 50
+    val q = Streams.heavyHittersMaintain(stream, "k", statePath, k)
+    assert(q.awaitTermination(180000), "foreachBatch query must terminate")
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches")
+    val state = spark.read.parquet(statePath)
+      .as[(String, Long)].collect().toMap
+    val truth = keyed(raw).groupBy("k").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    assert(state("__n__") == n, "running total must count the stream")
+    val sketch = state - "__n__"
+    assert(sketch.size <= k)
+    val eps = n.toDouble / (k + 1)
+    for ((key, c) <- truth if c > eps)
+      assert(sketch.contains(key), s"heavy $key absent after merge")
+    for ((key, est) <- sketch) {
+      val c = truth(key)
+      assert(est <= c && est >= c - eps,
+        s"$key est $est outside [${c - eps}, $c]")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
