@@ -87,4 +87,69 @@ object HeavyHitters {
 
   /** Column form: `df.agg(mgSketchCol(col("key"), 50).as("mg"))`. */
   def mgSketchCol(c: Column, k: Int): Column = udaf(misraGries(k)).apply(c)
+
+  // ---------------------------------------------------------------- CM
+
+  /** Count-min sketch (Cormode-Muthukrishnan 2005) as a mergeable UDAF
+    * — the complement of Misra-Gries: MG answers "which keys are big",
+    * CM answers "how big is THIS key" for ANY key, still in O(d·w)
+    * memory per buffer with an elementwise-add merge (the simplest
+    * mergeable summary there is). Guarantees with depth d, width w:
+    * est(x) ≥ c(x) ALWAYS (counters only ever add — deterministic
+    * theorem), and est(x) ≤ c(x) + (e/w)·n with probability ≥ 1−e^−d
+    * over the hash draw; our hashes are FIXED (MurmurHash3 seeded by
+    * row), so for given data the upper bound is a deterministic
+    * empirical fact — the a3_approx precedent: the registered verdict
+    * hash-checks both.
+    */
+  def cmDepth: Int = 4
+
+  private def cmIndex(x: String, row: Int, width: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(x, row)
+    ((h % width) + width) % width
+  }
+
+  /** Mergeable count-min aggregator: buffer = d×w counters, flattened. */
+  def countMin(width: Int): Aggregator[String, Array[Long], Array[Long]] = {
+    require(width >= 1)
+    new Aggregator[String, Array[Long], Array[Long]] {
+      def zero: Array[Long] = new Array[Long](cmDepth * width)
+      def reduce(b: Array[Long], x: String): Array[Long] = {
+        if (x != null) {
+          var r = 0
+          while (r < cmDepth) {
+            b(r * width + cmIndex(x, r, width)) += 1L
+            r += 1
+          }
+        }
+        b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(r: Array[Long]): Array[Long] = r
+      def bufferEncoder: Encoder[Array[Long]] =
+        ExpressionEncoder[Array[Long]]()
+      def outputEncoder: Encoder[Array[Long]] =
+        ExpressionEncoder[Array[Long]]()
+    }
+  }
+
+  /** Point estimate from a collected sketch: min over the d rows. */
+  def cmEstimate(sketch: Array[Long], width: Int, x: String): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < cmDepth) {
+      val v = sketch(r * width + cmIndex(x, r, width))
+      if (v < best) best = v
+      r += 1
+    }
+    best
+  }
+
+  /** Column form: `df.agg(cmSketchCol(col("key"), 2048).as("cm"))`. */
+  def cmSketchCol(c: Column, width: Int): Column =
+    udaf(countMin(width)).apply(c)
 }

@@ -210,6 +210,44 @@ object Extras {
         .orderBy("k")
     }),
 
+    // Count-min point queries over the same constructed-skew domain —
+    // the complement of x_heavyhitters: MG answers "which keys are
+    // big", CM answers "how big is THIS key" for ANY key in O(d·w)
+    // memory (d×w counter grid, elementwise-add merge — the simplest
+    // mergeable summary). The 64 KB sketch is a bounded driver fetch
+    // (the j_bloom/w5_ntile scalar move); probes mix the 7 hot keys
+    // with 3 near-unique cold ones, where CM's one-sided error shows:
+    // est ≥ exact ALWAYS (counters only add — theorem), est ≤ exact +
+    // (e/w)·n with fixed hashes a deterministic empirical fact (the
+    // a3_approx precedent). Exact probe counts stay a distributed
+    // partial-agg'd truth side.
+    "x_countmin" -> ((s, d) => {
+      val hh = graft.functions.HeavyHitters
+      val width = 2048
+      val keyed = t(s, d, "lineitem").select(
+        when(col("l_orderkey") % 10 < 5,
+          concat(lit("hot"), (col("l_orderkey") % 7).cast("string")))
+        .otherwise(concat(lit("cold"), col("l_orderkey").cast("string")))
+        .as("k"))
+      val probes = (0 to 6).map(i => s"hot$i") ++
+        Seq("cold5", "cold6", "cold7")
+      val row = keyed.agg(hh.cmSketchCol(col("k"), width).as("cm"),
+        count(lit(1)).as("n")).head()
+      val sketch = row.getSeq[Long](0).toArray
+      val eps = 2.718281828459045 / width * row.getLong(1)
+      import s.implicits._
+      val estDf = probes.map(p => (p, hh.cmEstimate(sketch, width, p)))
+        .toDF("k", "est")
+      keyed.filter(col("k").isin(probes: _*))
+        .groupBy("k").agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(estDf), "k")
+        .select(col("k"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("no_underestimate"),
+          (col("est").cast("double") <=
+            col("exact_n").cast("double") + lit(eps)).as("within_eps"))
+        .orderBy("k")
+    }),
+
     // Feature standardization (z-score) per group — the normalization
     // staple in front of model training. Two-phase, never a per-group
     // window over the fact table: (1) per-group moments from EXACT
@@ -527,6 +565,18 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "x_countmin" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN l_orderkey % 10 < 5
+             THEN 'hot' || CAST(l_orderkey % 7 AS VARCHAR)
+             ELSE 'cold' || CAST(l_orderkey AS VARCHAR) END AS k
+           FROM lineitem)
+         SELECT k, COUNT(*) AS exact_n,
+           TRUE AS no_underestimate, TRUE AS within_eps
+         FROM keyed
+         WHERE k IN ('hot0', 'hot1', 'hot2', 'hot3', 'hot4', 'hot5',
+           'hot6', 'cold5', 'cold6', 'cold7')
+         GROUP BY k ORDER BY k""",
     "x_gini" ->
       """WITH c AS (
            SELECT user_id, event_type, COUNT(*) AS c

@@ -368,6 +368,15 @@ class PlanAuditSpec extends SparkTestBase {
       "expected a partial/final ObjectHashAggregate pair: " + p)
   }
 
+  test("x_countmin: sketch partial-aggregates; probe truth partial too") {
+    val p = plan("x_countmin")
+    // the d×w counter buffers combine per-partition before the single
+    // final merge; the probe-key exact counts stay a partial/final
+    // HashAggregate pair and the 10-row estimate side broadcasts
+    assert(p.contains("partial_"), p)
+    assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
+  }
+
   test("e_transitions: one event shuffle on user_id; share window on counts") {
     val p = plan("e_transitions")
     assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,

@@ -135,6 +135,34 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("count-min: sketch is partition-invariant; bounds hold") {
+    import graft.functions.HeavyHitters
+    val keyed = etl.Tables.load(spark, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 < 5,
+        concat(lit("hot"), (col("l_orderkey") % 7).cast("string")))
+      .otherwise(concat(lit("cold"), col("l_orderkey").cast("string")))
+      .as("k"))
+    val width = 2048
+    // unlike MG, the CM buffer is a pure elementwise sum — the sketch
+    // ITSELF (not just its guarantees) must be identical under any
+    // partitioning
+    val sketches = Seq(1, 7, 32).map { parts =>
+      keyed.repartition(parts)
+        .agg(HeavyHitters.cmSketchCol(col("k"), width))
+        .head.getSeq[Long](0).toArray
+    }
+    assert(sketches.forall(_.sameElements(sketches.head)))
+    val truth = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val eps = 2.718281828459045 / width * n
+    for ((key, c) <- truth) {
+      val est = HeavyHitters.cmEstimate(sketches.head, width, key)
+      assert(est >= c, s"$key underestimated: $est < $c")
+      assert(est <= c + eps, s"$key est $est above $c + $eps")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     // the query now emits the bound verdict itself (within_bound — the
     // hash-checkable form); assert it holds AND cross-check the exact
