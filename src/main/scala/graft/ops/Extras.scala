@@ -15,7 +15,7 @@ import Text.portableHash
   */
 object Extras {
 
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{Column, DataFrame}
 
   /** EXACT interpolated quantiles (percentile() / quantile_cont
     * semantics) of a numeric column — WITHOUT the builtin's scale
@@ -208,6 +208,54 @@ object Extras {
             && est <= col("exact_n").cast("double"), lit(false))
             .as("within_bound"))
         .orderBy("k")
+    }),
+
+    // Sequential (group-sequential) A/B monitoring — x_abtest with an
+    // interim look: Welch's z at the mid-experiment checkpoint and at
+    // the end, each tested against the Pocock two-look critical value
+    // 2.178 (α=0.05 two-sided, K=2 — a FIXED table constant, so no
+    // transcendental enters the hash-checked output; naive per-look
+    // 1.96 would inflate false positives). ONE conditional-aggregation
+    // pass computes all twelve exact-decimal moments (both looks × both
+    // arms); the look-1 prefix flag derives from a broadcast min/max
+    // scalar with integer µs arithmetic, so Spark and the oracle cut
+    // the stream at the identical event. Production form pins the look
+    // timestamp as a literal watermark (pushable); here it is derived
+    // in-plan for oracle parity.
+    "x_abtest_seq" -> ((s, d) => {
+      val ev0 = t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+      val mm = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      val ev = ev0.crossJoin(broadcast(mm))
+        .withColumn("p1",
+          unix_micros(col("ts")) <= expr("lo + (hi - lo) DIV 2"))
+      val dv = roundf(col("value"), 4).cast("decimal(18,4)")
+      val a = col("event_type") === "click"
+      def mom(pred: Column, sfx: String) = Seq(
+        sum(when(pred && a, lit(1L)).otherwise(lit(0L))).as(s"na$sfx"),
+        sum(when(pred && !a, lit(1L)).otherwise(lit(0L))).as(s"nb$sfx"),
+        sum(when(pred && a, dv)).as(s"sa$sfx"),
+        sum(when(pred && a, dv * dv)).as(s"sxa$sfx"),
+        sum(when(pred && !a, dv)).as(s"sb$sfx"),
+        sum(when(pred && !a, dv * dv)).as(s"sxb$sfx"))
+      val cols = mom(col("p1"), "1") ++ mom(lit(true), "2")
+      val st = ev.agg(cols.head, cols.tail: _*)
+      def z(sfx: String): Column = {
+        val nd = (c: String) => col(s"$c$sfx").cast("double")
+        val meanA = nd("sa") / nd("na")
+        val meanB = nd("sb") / nd("nb")
+        val varA = (nd("na") * nd("sxa") - nd("sa") * nd("sa")) /
+          (nd("na") * (nd("na") - lit(1.0)))
+        val varB = (nd("nb") * nd("sxb") - nd("sb") * nd("sb")) /
+          (nd("nb") * (nd("nb") - lit(1.0)))
+        (meanA - meanB) / sqrt(varA / nd("na") + varB / nd("nb"))
+      }
+      def look(i: Int, sfx: String) = st.select(lit(i).as("look"),
+        col(s"na$sfx").as("n_a"), col(s"nb$sfx").as("n_b"),
+        roundf(z(sfx), 4).as("z"),
+        (abs(z(sfx)) > lit(2.178)).as("reject"))
+      look(1, "1").unionByName(look(2, "2")).orderBy("look")
     }),
 
     // Count-min point queries over the same constructed-skew domain —
@@ -565,6 +613,66 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "x_abtest_seq" ->
+      """WITH f AS (
+           SELECT event_type, ts,
+             CAST(floor(value * 10000.0 + 0.5) / 10000.0
+               AS DECIMAL(18,4)) AS dv
+           FROM events WHERE event_type IN ('click', 'view')),
+         b AS (SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+               FROM f),
+         e AS (SELECT event_type, dv,
+                 epoch_us(ts) <= b.lo + (b.hi - b.lo) // 2 AS p1
+               FROM f, b),
+         s AS (SELECT
+             CAST(SUM(CASE WHEN p1 AND event_type = 'click'
+               THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+             CAST(SUM(CASE WHEN p1 AND event_type <> 'click'
+               THEN 1 ELSE 0 END) AS BIGINT) AS nb1,
+             SUM(CASE WHEN p1 AND event_type = 'click' THEN dv END) AS sa1,
+             SUM(CASE WHEN p1 AND event_type = 'click' THEN dv * dv END)
+               AS sxa1,
+             SUM(CASE WHEN p1 AND event_type <> 'click' THEN dv END) AS sb1,
+             SUM(CASE WHEN p1 AND event_type <> 'click' THEN dv * dv END)
+               AS sxb1,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS na2,
+             CAST(SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb2,
+             SUM(CASE WHEN event_type = 'click' THEN dv END) AS sa2,
+             SUM(CASE WHEN event_type = 'click' THEN dv * dv END) AS sxa2,
+             SUM(CASE WHEN event_type <> 'click' THEN dv END) AS sb2,
+             SUM(CASE WHEN event_type <> 'click' THEN dv * dv END) AS sxb2
+           FROM e)
+         SELECT 1 AS look, na1 AS n_a, nb1 AS n_b,
+           floor((sa1::DOUBLE / na1::DOUBLE - sb1::DOUBLE / nb1::DOUBLE)
+             / sqrt((na1::DOUBLE * sxa1::DOUBLE - sa1::DOUBLE * sa1::DOUBLE)
+                 / (na1::DOUBLE * (na1::DOUBLE - 1.0)) / na1::DOUBLE
+               + (nb1::DOUBLE * sxb1::DOUBLE - sb1::DOUBLE * sb1::DOUBLE)
+                 / (nb1::DOUBLE * (nb1::DOUBLE - 1.0)) / nb1::DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS z,
+           abs((sa1::DOUBLE / na1::DOUBLE - sb1::DOUBLE / nb1::DOUBLE)
+             / sqrt((na1::DOUBLE * sxa1::DOUBLE - sa1::DOUBLE * sa1::DOUBLE)
+                 / (na1::DOUBLE * (na1::DOUBLE - 1.0)) / na1::DOUBLE
+               + (nb1::DOUBLE * sxb1::DOUBLE - sb1::DOUBLE * sb1::DOUBLE)
+                 / (nb1::DOUBLE * (nb1::DOUBLE - 1.0)) / nb1::DOUBLE))
+             > 2.178 AS reject
+         FROM s
+         UNION ALL
+         SELECT 2, na2, nb2,
+           floor((sa2::DOUBLE / na2::DOUBLE - sb2::DOUBLE / nb2::DOUBLE)
+             / sqrt((na2::DOUBLE * sxa2::DOUBLE - sa2::DOUBLE * sa2::DOUBLE)
+                 / (na2::DOUBLE * (na2::DOUBLE - 1.0)) / na2::DOUBLE
+               + (nb2::DOUBLE * sxb2::DOUBLE - sb2::DOUBLE * sb2::DOUBLE)
+                 / (nb2::DOUBLE * (nb2::DOUBLE - 1.0)) / nb2::DOUBLE)
+             * 10000.0 + 0.5) / 10000.0,
+           abs((sa2::DOUBLE / na2::DOUBLE - sb2::DOUBLE / nb2::DOUBLE)
+             / sqrt((na2::DOUBLE * sxa2::DOUBLE - sa2::DOUBLE * sa2::DOUBLE)
+                 / (na2::DOUBLE * (na2::DOUBLE - 1.0)) / na2::DOUBLE
+               + (nb2::DOUBLE * sxb2::DOUBLE - sb2::DOUBLE * sb2::DOUBLE)
+                 / (nb2::DOUBLE * (nb2::DOUBLE - 1.0)) / nb2::DOUBLE))
+             > 2.178
+         FROM s ORDER BY look""",
     "x_countmin" ->
       """WITH keyed AS (
            SELECT CASE WHEN l_orderkey % 10 < 5
