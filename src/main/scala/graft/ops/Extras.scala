@@ -210,6 +210,51 @@ object Extras {
         .orderBy("k")
     }),
 
+    // PageRank over a derived user co-activity graph — the iterative
+    // graph op beyond d_clusters' connected components. Edges: users
+    // active in the same hour ≥ 3 times (candidate generation is
+    // BANDED on the hour, the same equi-join discipline as every dedup
+    // blocker; the per-band quadratic is bounded by per-hour distinct
+    // actives — at 100 TB cap the band with top-K actives per hour,
+    // same plan). Three power iterations UNROLLED into one plan: each
+    // iteration is an edges-sized equi-join + partial-agg'd
+    // contribution sum — no driver loop state, no lineage growth
+    // (fixed depth). Determinism: contributions and ranks grid-round
+    // to 9 decimals each iteration and sum as exact decimals, so three
+    // chained float recurrences stay bit-identical to the oracle's
+    // unrolled CTEs; damping arithmetic is plain rational ops.
+    "g_pagerank" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      val edges = pairs.select(col("u"), col("v"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val nc = deg.agg(count(lit(1)).cast("double").as("nn"))
+      var pr = deg.crossJoin(broadcast(nc))
+        .select(col("u"), col("deg"),
+          roundf(lit(1.0) / col("nn"), 9).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.select(col("u"),
+            roundf(col("pr") / col("deg").cast("double"), 9).as("c")), "u")
+          .groupBy(col("v").as("u"))
+          .agg(sum(col("c").cast("decimal(38,9)")).cast("double").as("cs"))
+        pr = deg.join(contrib, Seq("u"), "left")
+          .crossJoin(broadcast(nc))
+          .select(col("u"), col("deg"),
+            roundf(lit(0.15) / col("nn") +
+              lit(0.85) * coalesce(col("cs"), lit(0.0)), 9).as("pr"))
+      }
+      pr.select(col("u").as("user_id"), col("deg"),
+          roundf(col("pr"), 6).as("pagerank"))
+        .orderBy("user_id")
+    }),
+
     // Sequential (group-sequential) A/B monitoring — x_abtest with an
     // interim look: Welch's z at the mid-experiment checkpoint and at
     // the end, each tested against the Pocock two-look critical value
@@ -613,6 +658,49 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "g_pagerank" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         edges AS (SELECT u, v FROM pairs
+                   UNION ALL SELECT v, u FROM pairs),
+         deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+         nc AS (SELECT COUNT(*)::DOUBLE AS nn FROM deg),
+         pr0 AS (SELECT u, deg,
+             floor(1.0 / nc.nn * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM deg, nc),
+         c1 AS (SELECT e.v AS u,
+             CAST(SUM(CAST(floor(p.pr / p.deg::DOUBLE * 1000000000.0
+               + 0.5) / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+           FROM edges e JOIN pr0 p ON e.u = p.u GROUP BY e.v),
+         pr1 AS (SELECT d.u, d.deg,
+             floor((0.15 / nc.nn + 0.85 * COALESCE(c1.cs, 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM deg d LEFT JOIN c1 ON d.u = c1.u, nc),
+         c2 AS (SELECT e.v AS u,
+             CAST(SUM(CAST(floor(p.pr / p.deg::DOUBLE * 1000000000.0
+               + 0.5) / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+           FROM edges e JOIN pr1 p ON e.u = p.u GROUP BY e.v),
+         pr2 AS (SELECT d.u, d.deg,
+             floor((0.15 / nc.nn + 0.85 * COALESCE(c2.cs, 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM deg d LEFT JOIN c2 ON d.u = c2.u, nc),
+         c3 AS (SELECT e.v AS u,
+             CAST(SUM(CAST(floor(p.pr / p.deg::DOUBLE * 1000000000.0
+               + 0.5) / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+           FROM edges e JOIN pr2 p ON e.u = p.u GROUP BY e.v),
+         pr3 AS (SELECT d.u, d.deg,
+             floor((0.15 / nc.nn + 0.85 * COALESCE(c3.cs, 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM deg d LEFT JOIN c3 ON d.u = c3.u, nc)
+         SELECT u AS user_id, deg,
+           floor(pr * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+         FROM pr3 ORDER BY user_id""",
     "x_abtest_seq" ->
       """WITH f AS (
            SELECT event_type, ts,

@@ -377,6 +377,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
   }
 
+  test("g_pagerank: edge generation banded on hour; iterations equi-join") {
+    val p = plan("g_pagerank")
+    // the co-activity self-join must be an equi-join on the hour band,
+    // and the three unrolled iterations must join edges to ranks on
+    // keys. The ONLY nested-loop joins allowed are the four 1-row nn
+    // scalar broadcasts (crossJoin(broadcast(1-row agg)) always plans
+    // BNLJ — the t_tfidf pattern): pr0 + one per iteration. A fifth
+    // would mean the banding or an iteration join went all-pairs.
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
+    assert(p.contains("partial_"), "contribution sums must partial-agg")
+  }
+
   test("e_transitions: one event shuffle on user_id; share window on counts") {
     val p = plan("e_transitions")
     assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
