@@ -600,6 +600,56 @@ object Streams {
       .start()
   }
 
+  /** Streaming count-min: the CM grid maintained across micro-batches.
+    * CM's merge is an elementwise SUM, so unlike the MG summary the
+    * maintained sketch is not merely guarantee-equivalent but
+    * BIT-IDENTICAL to a batch sketch over the whole stream prefix, for
+    * any batch boundaries — StreamsSpec asserts array equality. Each
+    * batch sketches distributed (per-partition partial grids, one
+    * d×w final merge); the maintenance step adds two d×w arrays —
+    * O(d·w) regardless of stream size. State = one (n, grid) row.
+    */
+  def countMinMaintain(events: DataFrame, keyCol: String,
+      statePath: String, width: Int): StreamingQuery = {
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val row = batch.agg(
+          graft.functions.HeavyHitters.cmSketchCol(col(keyCol), width)
+            .as("cm"),
+          count(lit(1)).as("n")).head()
+        val batchGrid = row.getSeq[Long](0).toArray
+        val batchN = row.getLong(1)
+        val cur = new java.io.File(statePath)
+        val (grid, n) =
+          if (!cur.exists()) (batchGrid, batchN)
+          else {
+            val st = sp.read.parquet(statePath)
+              .as[(Long, Array[Long])].head()
+            val g = st._2
+            require(g.length == batchGrid.length,
+              "count-min width/depth changed mid-stream")
+            var i = 0
+            while (i < g.length) { g(i) += batchGrid(i); i += 1 }
+            (g, st._1 + batchN)
+          }
+        val staged = statePath + s"_stage$id"
+        Seq((n, grid)).toDF("n", "grid")
+          .coalesce(1).write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        if (cur.exists()) rm(cur)
+        require(new java.io.File(staged).renameTo(cur),
+          s"sketch swap failed: $staged -> $statePath")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: String = "append",
       timeoutMs: Long = 600000): StreamingQuery = {

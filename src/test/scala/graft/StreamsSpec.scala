@@ -196,6 +196,60 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("countMinMaintain: maintained grid is bit-identical to the " +
+      "batch sketch over the whole stream") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(etl.Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("cm_stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      java.nio.file.Files.copy(p, tmp.resolve(name))
+    }
+    writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
+    writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
+    val keyed = (df: org.apache.spark.sql.DataFrame) => df.select(
+      concat(lit("u"), (col("event_id") % 97).cast("string")).as("k"))
+    val stream = keyed(spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_events.parquet")
+      .parquet(tmp.toString))
+    val statePath = tmp.resolve("cm_state").toString
+    val width = 256
+    val q = Streams.countMinMaintain(stream, "k", statePath, width)
+    assert(q.awaitTermination(180000), "foreachBatch query must terminate")
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches")
+    val (n, grid) = spark.read.parquet(statePath)
+      .as[(Long, Array[Long])].head()
+    // elementwise-sum mergeability: the maintained grid must EQUAL the
+    // one-shot batch sketch — bit for bit, not just within guarantee
+    val batchRow = keyed(raw).agg(
+      graft.functions.HeavyHitters.cmSketchCol(col("k"), width),
+      count(lit(1))).head()
+    val batchGrid: Array[Long] = batchRow.getSeq[Long](0).toArray
+    assert(grid.sameElements(batchGrid))
+    assert(n == batchRow.getLong(1))
+    // and the point-query guarantee holds against exact truth
+    val truth = keyed(raw).groupBy("k").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = 2.718281828459045 / width * n
+    for ((key, c) <- truth) {
+      val est = graft.functions.HeavyHitters.cmEstimate(grid, width, key)
+      assert(est >= c && est <= c + eps, s"$key: $est vs $c (eps $eps)")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
