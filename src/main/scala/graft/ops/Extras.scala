@@ -210,6 +210,55 @@ object Extras {
         .orderBy("k")
     }),
 
+    // Grouped EXACT quantiles, fully distributed — the per-group form
+    // of exactQuantiles and the scale replacement for x_percentile's
+    // builtin (whose final buffer holds every distinct value PER
+    // GROUP): rows collapse to (group, value, count) with map-side
+    // combine, the per-group cumsum windows over collapsed rows only
+    // (the x_mode discipline — the raw table never sees a window), the
+    // tiny per-group totals broadcast back, and the rank-straddling
+    // rows reduce via conditional aggregation — no driver interpolation
+    // at all, unlike exactQuantiles' global form. Interpolation uses
+    // the builtin's two-sided form, so results are bit-identical to
+    // percentile() per group and round4-equal to quantile_cont (the
+    // x_percentile precedent). Oracle = x_percentile's oracle verbatim:
+    // same numbers, distributed plan.
+    "x_quantiles_grouped" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vc = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("double").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      val ng = vc.groupBy("g").agg(sum("cnt").as("n"))
+      val wg = Window.partitionBy("g").orderBy("v")
+      val st = vc.withColumn("start", sum("cnt").over(wg) - col("cnt"))
+        .join(broadcast(ng), "g")
+      val nD = col("n").cast("double")
+      def hit(rank: Column): Column =
+        col("start").cast("double") <= rank &&
+          rank < (col("start") + col("cnt")).cast("double")
+      def straddle(p: Double, sfx: String) = {
+        val r = lit(p) * (nD - lit(1.0))
+        Seq(max(when(hit(floor(r)), col("v"))).as(s"lo$sfx"),
+          max(when(hit(ceil(r)), col("v"))).as(s"hi$sfx"))
+      }
+      val cols = Seq(max(col("n")).as("n")) ++
+        straddle(0.5, "50") ++ straddle(0.9, "90")
+      def interp(p: Double, sfx: String): Column = {
+        val r = lit(p) * (col("n").cast("double") - lit(1.0))
+        val fl = floor(r)
+        val ce = ceil(r)
+        when(ce === fl, col(s"lo$sfx"))
+          .otherwise((ce - r) * col(s"lo$sfx") + (r - fl) * col(s"hi$sfx"))
+      }
+      st.groupBy("g").agg(cols.head, cols.tail: _*)
+        .select(col("g").as("l_returnflag"),
+          roundf(interp(0.5, "50"), 4).as("p50_qty"),
+          roundf(interp(0.9, "90"), 4).as("p90_qty"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // PageRank over a derived user co-activity graph — the iterative
     // graph op beyond d_clusters' connected components. Edges: users
     // active in the same hour ≥ 3 times (candidate generation is
@@ -658,6 +707,14 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "x_quantiles_grouped" ->
+      """SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0
+             AS p50_qty,
+           floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0
+             AS p90_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "g_pagerank" ->
       """WITH act AS (
            SELECT DISTINCT user_id, date_trunc('hour', ts) AS h

@@ -377,6 +377,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
   }
 
+  test("x_quantiles_grouped: cumsum windows over collapsed rows only") {
+    val p = plan("x_quantiles_grouped")
+    // FormattedMode prints root-first: the (g,v) collapse HashAggregate
+    // appears AFTER (i.e. upstream of) the Window in the text — assert
+    // the Window's input is the aggregate, not the raw scan, by
+    // checking the subtree order (the x_mode discipline)
+    val winAt = p.indexOf("Window")
+    val aggAfterWin = p.indexOf("HashAggregate", winAt)
+    assert(winAt > 0 && aggAfterWin > winAt,
+      "the per-group cumsum must run over collapsed (g,v,cnt) rows")
+    assert(nodeCount(p, "Window") == 1, p)
+  }
+
   test("g_pagerank: edge generation banded on hour; iterations equi-join") {
     val p = plan("g_pagerank")
     // the co-activity self-join must be an equi-join on the hour band,

@@ -107,6 +107,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("x_quantiles_grouped is bit-identical to builtin percentile per group") {
+    // before the round4 for the oracle, the distributed interpolation
+    // must equal Spark's own percentile() exactly — same property the
+    // ungrouped exactQuantiles pins
+    val got = ops.Extras.queries("x_quantiles_grouped")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val want = etl.Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)"),
+        expr("percentile(l_quantity, 0.9)"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (math.floor(r.getDouble(1) * 1e4 + 0.5) / 1e4,
+          math.floor(r.getDouble(2) * 1e4 + 0.5) / 1e4))
+      .toMap
+    assert(got == want, s"$got != $want")
+  }
+
   test("Misra-Gries guarantee holds under any partitioning") {
     import graft.functions.HeavyHitters
     val keyed = etl.Tables.load(spark, dir, "lineitem").select(
