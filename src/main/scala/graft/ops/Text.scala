@@ -435,6 +435,80 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Trigram stupid-backoff LM scoring of HELD-OUT documents — the
+    // production shape of the perplexity filter (t_lmscore's bigram
+    // score over the whole corpus never exercises backoff: every
+    // observed trigram has count ≥ 1 against its own statistics, so
+    // the model must come from a TRAIN split and score the held-out
+    // fifth — the d_incremental split discipline). Stupid backoff
+    // (Brants et al. 2007): P = c123/c12 if the trigram was seen in
+    // train, else 0.4·(c23/c2) if the bigram was, else 0.4·0.4·(c3/NT)
+    // — every level a rational ratio, no log, cross-engine
+    // bit-identical. n_backoff per doc is the novelty signal (how
+    // often the doc leaves the train distribution). Scale shape: count
+    // tables partial-aggregate to |ngram vocab| and join the held-out
+    // trigram stream on their natural keys (broadcast here — 31-word
+    // vocab; hash at open-vocabulary scale, same plan); the eval
+    // stream is data-linear.
+    "t_lmscore3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val splitId = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+      val w = words(col("text"))
+      def tris(df: DataFrame) = df
+        .where(size(w) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(w) - 2), i =>
+            struct(element_at(w, i).as("w1"),
+              element_at(w, i + 1).as("w2"),
+              element_at(w, i + 2).as("w3")))).as("t"))
+        .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+      def bis(df: DataFrame) = df
+        .where(size(w) >= 2)
+        .select(explode(transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("b1"),
+            element_at(w, i + 1).as("b2")))).as("b"))
+        .select(col("b.b1"), col("b.b2"))
+      val train = docs.filter(col("doc_id") < splitId)
+      val c123 = tris(train).groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c123"))
+      val trainBi = bis(train).groupBy("b1", "b2")
+        .agg(count(lit(1)).as("cb"))
+      val c12 = trainBi.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb").as("c12"))
+      val c23 = trainBi.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("cb").as("c23"))
+      val uni = train.select(explode(w).as("wd"))
+        .groupBy("wd").agg(count(lit(1)).as("cu"))
+      val c2 = uni.select(col("wd").as("w2"), col("cu").as("c2"))
+      val c3 = uni.select(col("wd").as("w3"), col("cu").as("c3"))
+      val nt = uni.agg(sum("cu").cast("double").as("nt"))
+      val dbl = (c: String) => col(c).cast("double")
+      val p = when(col("c123").isNotNull, dbl("c123") / dbl("c12"))
+        .otherwise(when(col("c23").isNotNull,
+          lit(0.4) * (dbl("c23") / dbl("c2")))
+        .otherwise(when(col("c3").isNotNull,
+          lit(0.4) * (lit(0.4) * (dbl("c3") / col("nt"))))
+        .otherwise(lit(0.4) * (lit(0.4) * (lit(1.0) / col("nt"))))))
+      val lm = roundf(col("sp").cast("double") / col("nb").cast("double"), 6)
+      tris(docs.filter(col("doc_id") >= splitId))
+        .join(broadcast(c123), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(c12), Seq("w1", "w2"), "left")
+        .join(broadcast(c23), Seq("w2", "w3"), "left")
+        .join(broadcast(c2), Seq("w2"), "left")
+        .join(broadcast(c3), Seq("w3"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("doc_id"), roundf(p, 6).as("p"),
+          col("c123").isNull.cast("long").as("bk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("p").cast("decimal(24,6)")).as("sp"),
+          count(lit(1)).as("nb"),
+          sum(col("bk")).as("n_backoff"))
+        .select(col("doc_id"), col("n_trigrams"),
+          lm.as("sb_score"), col("n_backoff"))
+        .orderBy("doc_id")
+    }),
+
     // Okapi BM25 retrieval scoring for a fixed query-term set — the
     // standard lexical ranker in front of RAG / retrieval pipelines.
     // Rational-idf form: idf_raw = (N − df + 0.5)/(df + 0.5), i.e.
@@ -559,6 +633,55 @@ object Text {
     curateOracle
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "t_lmscore3" ->
+      """WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS sid FROM documents),
+         tri AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+                LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)),
+         bi AS (
+           SELECT doc_id, w[i] AS b1, w[i+1] AS b2
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents WHERE len(string_split(text, ' ')) >= 2),
+                LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+         c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123
+                  FROM tri, s WHERE doc_id < sid GROUP BY 1, 2, 3),
+         cb AS (SELECT b1, b2, COUNT(*) AS cb
+                FROM bi, s WHERE doc_id < sid GROUP BY 1, 2),
+         uni AS (SELECT wd, COUNT(*) AS cu
+                 FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS wd
+                       FROM documents), s
+                 WHERE doc_id < sid GROUP BY wd),
+         nt AS (SELECT SUM(cu)::DOUBLE AS nt FROM uni),
+         ev AS (SELECT tri.* FROM tri, s WHERE doc_id >= sid),
+         sc AS (
+           SELECT ev.doc_id,
+             floor(CASE
+               WHEN c123.c123 IS NOT NULL
+                 THEN c123.c123::DOUBLE / c12.cb::DOUBLE
+               WHEN c23.cb IS NOT NULL
+                 THEN 0.4 * (c23.cb::DOUBLE / c2.cu::DOUBLE)
+               WHEN c3.cu IS NOT NULL
+                 THEN 0.4 * (0.4 * (c3.cu::DOUBLE / nt.nt))
+               ELSE 0.4 * (0.4 * (1.0 / nt.nt)) END
+               * 1000000.0 + 0.5) / 1000000.0 AS p,
+             CASE WHEN c123.c123 IS NULL THEN 1 ELSE 0 END AS bk
+           FROM ev
+             LEFT JOIN c123 ON ev.w1 = c123.w1 AND ev.w2 = c123.w2
+               AND ev.w3 = c123.w3
+             LEFT JOIN cb c12 ON ev.w1 = c12.b1 AND ev.w2 = c12.b2
+             LEFT JOIN cb c23 ON ev.w2 = c23.b1 AND ev.w3 = c23.b2
+             LEFT JOIN uni c2 ON ev.w2 = c2.wd
+             LEFT JOIN uni c3 ON ev.w3 = c3.wd,
+             nt)
+         SELECT doc_id, COUNT(*) AS n_trigrams,
+           floor(CAST(SUM(CAST(p AS DECIMAL(24,6))) AS DOUBLE)
+             / COUNT(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+             AS sb_score,
+           CAST(SUM(bk) AS BIGINT) AS n_backoff
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "t_lmscore" ->
       """WITH bi AS (
            SELECT doc_id, w[i] AS w1, w[i+1] AS w2

@@ -429,6 +429,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "merge must re-sum partial aggregates")
   }
 
+  test("t_lmscore3: backoff joins equi-keyed; count sides aggregate first") {
+    val p = plan("t_lmscore3")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the five count-table joins key on ngram columns; only the 1-row
+    // NT scalar may nested-loop (crossJoin(broadcast) plans BNLJ)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("t_lmscore: bigram prob join is equi-keyed; aggs partial") {
     val p = plan("t_lmscore")
     assert(nodeCount(p, "CartesianProduct") == 0 &&
