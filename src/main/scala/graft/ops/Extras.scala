@@ -304,6 +304,51 @@ object Extras {
         .orderBy("user_id")
     }),
 
+    // Weighted PageRank — g_pagerank with the co-activity counts as
+    // edge weights: each node distributes rank proportionally to
+    // w(u,v)/S(u) where S(u)=Σw is node strength, so a pair sharing 40
+    // hours pulls harder than one sharing 3. Same unrolled fixed-depth
+    // plan discipline and grid-rounded recurrence; the per-edge share
+    // w/S is itself grid-rounded once (it is iteration-invariant) so
+    // all three iterations reuse the identical rational coefficient in
+    // both engines.
+    "g_wpagerank" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      val edges = pairs.select(col("u"), col("v"), col("w"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+          col("w")))
+      val str = edges.groupBy("u").agg(sum("w").as("s"))
+      val share = edges.join(str, "u")
+        .select(col("u"), col("v"),
+          roundf(col("w").cast("double") / col("s").cast("double"), 9)
+            .as("sh"))
+      val nc = str.agg(count(lit(1)).cast("double").as("nn"))
+      var pr = str.crossJoin(broadcast(nc))
+        .select(col("u"), roundf(lit(1.0) / col("nn"), 9).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = share
+          .join(pr, "u")
+          .select(col("v"), roundf(col("pr") * col("sh"), 9).as("c"))
+          .groupBy(col("v").as("u"))
+          .agg(sum(col("c").cast("decimal(38,9)")).cast("double").as("cs"))
+        pr = str.select(col("u")).join(contrib, Seq("u"), "left")
+          .crossJoin(broadcast(nc))
+          .select(col("u"),
+            roundf(lit(0.15) / col("nn") +
+              lit(0.85) * coalesce(col("cs"), lit(0.0)), 9).as("pr"))
+      }
+      pr.join(str, "u")
+        .select(col("u").as("user_id"), col("s").as("strength"),
+          roundf(col("pr"), 6).as("pagerank"))
+        .orderBy("user_id")
+    }),
+
     // Sequential (group-sequential) A/B monitoring — x_abtest with an
     // interim look: Welch's z at the mid-experiment checkpoint and at
     // the end, each tested against the Pocock two-look critical value
@@ -707,6 +752,53 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    "g_wpagerank" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         edges AS (SELECT u, v, w FROM pairs
+                   UNION ALL SELECT v, u, w FROM pairs),
+         str AS (SELECT u, SUM(w) AS s FROM edges GROUP BY u),
+         share AS (SELECT e.u, e.v,
+             floor(e.w::DOUBLE / str.s::DOUBLE * 1000000000.0 + 0.5)
+               / 1000000000.0 AS sh
+           FROM edges e JOIN str ON e.u = str.u),
+         nc AS (SELECT COUNT(*)::DOUBLE AS nn FROM str),
+         pr0 AS (SELECT u,
+             floor(1.0 / nc.nn * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM str, nc),
+         c1 AS (SELECT sh.v AS u,
+             CAST(SUM(CAST(floor(p.pr * sh.sh * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+           FROM share sh JOIN pr0 p ON sh.u = p.u GROUP BY sh.v),
+         pr1 AS (SELECT str.u,
+             floor((0.15 / nc.nn + 0.85 * COALESCE(c1.cs, 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM str LEFT JOIN c1 ON str.u = c1.u, nc),
+         c2 AS (SELECT sh.v AS u,
+             CAST(SUM(CAST(floor(p.pr * sh.sh * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+           FROM share sh JOIN pr1 p ON sh.u = p.u GROUP BY sh.v),
+         pr2 AS (SELECT str.u,
+             floor((0.15 / nc.nn + 0.85 * COALESCE(c2.cs, 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM str LEFT JOIN c2 ON str.u = c2.u, nc),
+         c3 AS (SELECT sh.v AS u,
+             CAST(SUM(CAST(floor(p.pr * sh.sh * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+           FROM share sh JOIN pr2 p ON sh.u = p.u GROUP BY sh.v),
+         pr3 AS (SELECT str.u,
+             floor((0.15 / nc.nn + 0.85 * COALESCE(c3.cs, 0.0))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+           FROM str LEFT JOIN c3 ON str.u = c3.u, nc)
+         SELECT pr3.u AS user_id, CAST(str.s AS BIGINT) AS strength,
+           floor(pr3.pr * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+         FROM pr3 JOIN str ON pr3.u = str.u ORDER BY user_id""",
     "x_quantiles_grouped" ->
       """SELECT l_returnflag,
            floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0

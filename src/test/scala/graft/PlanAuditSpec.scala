@@ -403,6 +403,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "contribution sums must partial-agg")
   }
 
+  test("g_wpagerank: weighted iterations equi-join; BNLJ pinned to scalars") {
+    val p = plan("g_wpagerank")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("e_transitions: one event shuffle on user_id; share window on counts") {
     val p = plan("e_transitions")
     assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
