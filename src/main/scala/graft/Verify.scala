@@ -25,7 +25,13 @@ object Verify {
     val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
       s"${outDir.stripSuffix("/")}.plans")
     if (dumpPlans) new java.io.File(plansDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration subset: comma-separated names; unset = full run
+    // (the driver never sets it, so the round artifact is always full)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(ns =>
+      SparkEntry.queries.filter { case (n, _) => ns(n) })
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         if (dumpPlans)

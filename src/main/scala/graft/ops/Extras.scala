@@ -80,6 +80,29 @@ object Extras {
     } finally { vc.unpersist(); () }
   }
 
+  /** Cap a per-hour co-activity band at the top-K actives per hour,
+    * ranked by a DETERMINISTIC hash of the user id (xxhash64, tie-broken
+    * by the id itself — layout- and run-invariant), so the banded
+    * self-join is O(K²) per hour instead of O(actives²). K=512 exceeds
+    * every test-scale hourly active count (measured max: 6 at sf0.001,
+    * 28 at sf0.01, 166 at sf0.1), so the cap keeps ALL rows here and the
+    * DuckDB oracles stay exact; at 100 TB one viral hour with 10⁶
+    * distinct actives would otherwise be a 10¹²-pair band — the cap
+    * bounds it at K²/2 ≈ 131k pairs, and the dropped tail is a uniform
+    * hash sample of the hour's actives (disclosed truncation, not silent
+    * skew — rank order is data-independent of activity volume). The
+    * rank-filter subtree is asserted in PlanAuditSpec; the window's
+    * hashpartitioning(h) exchange is REUSED by the downstream self-join
+    * on h, so the cap adds no extra shuffle.
+    */
+  private[graft] val CoActivityHourCapK = 512
+  private def capHourBand(act: DataFrame): DataFrame =
+    act.withColumn("hrk", row_number().over(
+        Window.partitionBy("h")
+          .orderBy(xxhash64(col("user_id")), col("user_id"))))
+      .filter(col("hrk") <= CoActivityHourCapK)
+      .drop("hrk")
+
   val queries: Map[String, Q] = Map(
 
     // Pivot with explicit status values: one wide row per priority.
@@ -263,9 +286,9 @@ object Extras {
     // graph op beyond d_clusters' connected components. Edges: users
     // active in the same hour ≥ 3 times (candidate generation is
     // BANDED on the hour, the same equi-join discipline as every dedup
-    // blocker; the per-band quadratic is bounded by per-hour distinct
-    // actives — at 100 TB cap the band with top-K actives per hour,
-    // same plan). Three power iterations UNROLLED into one plan: each
+    // blocker; the per-band quadratic is CAPPED at the top-K hash-ranked
+    // actives per hour — see capHourBand). Three power iterations
+    // UNROLLED into one plan: each
     // iteration is an edges-sized equi-join + partial-agg'd
     // contribution sum — no driver loop state, no lineage growth
     // (fixed depth). Determinism: contributions and ranks grid-round
@@ -273,9 +296,9 @@ object Extras {
     // chained float recurrences stay bit-identical to the oracle's
     // unrolled CTEs; damping arithmetic is plain rational ops.
     "g_pagerank" -> ((s, d) => {
-      val act = t(s, d, "events")
+      val act = capHourBand(t(s, d, "events")
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct()
+        .distinct())
       val pairs = act.as("a").join(act.as("b"), Seq("h"))
         .filter(col("a.user_id") < col("b.user_id"))
         .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
@@ -313,9 +336,9 @@ object Extras {
     // all three iterations reuse the identical rational coefficient in
     // both engines.
     "g_wpagerank" -> ((s, d) => {
-      val act = t(s, d, "events")
+      val act = capHourBand(t(s, d, "events")
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct()
+        .distinct())
       val pairs = act.as("a").join(act.as("b"), Seq("h"))
         .filter(col("a.user_id") < col("b.user_id"))
         .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))

@@ -401,6 +401,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
     assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
     assert(p.contains("partial_"), "contribution sums must partial-agg")
+    // the per-hour band must be CAPPED: a row_number window over the
+    // hour band feeding a rank filter (Extras.capHourBand). Without it
+    // one viral hour at 100 TB is an unbounded quadratic. The rank
+    // filter must additionally push down as WindowGroupLimit (Spark's
+    // rank-limit pushdown), so each map task discards beyond-K rows
+    // BEFORE the window sort — the cap costs no extra full sort. The
+    // subtree is replicated across the unrolled iterations, so counts
+    // are >= not ==.
+    assert(nodeCount(p, "Window") >= 1, p)
+    assert(nodeCount(p, "WindowGroupLimit") >= 1,
+      "rank filter must push down as a group limit")
+    assert(p.contains("row_number"), "hour band must be top-K capped")
   }
 
   test("g_wpagerank: weighted iterations equi-join; BNLJ pinned to scalars") {
@@ -408,6 +420,9 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
     assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
     assert(p.contains("partial_"), p)
+    assert(nodeCount(p, "WindowGroupLimit") >= 1,
+      "rank filter must push down as a group limit")
+    assert(p.contains("row_number"), "hour band must be top-K capped")
   }
 
   test("e_transitions: one event shuffle on user_id; share window on counts") {
