@@ -465,6 +465,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0 &&
       nodeCount(p, "BroadcastNestedLoopJoin") == 0, p)
     assert(p.contains("partial_"), p)
+    // PIN the tuned join shape (no hint in the code — stats pick it, per
+    // the measured A/B at Text.scala: broadcast here beats collapsing
+    // first by 3.07 s vs 3.73 s): the instance-level bigram stream must
+    // meet the c12⋈c1 count tables through BroadcastHashJoins ONLY. If
+    // stats estimation ever flips this to a SortMergeJoin, the
+    // instance-sized stream shuffles into a |vocab|-key space (961 keys
+    // here — heavy skew) and the win silently evaporates; at open-vocab
+    // scale the documented inversion (collapse to counts, hash-join) is
+    // the plan change to make EXPLICITLY, not via a stats accident.
+    assert(nodeCount(p, "SortMergeJoin") == 0 &&
+      nodeCount(p, "ShuffledHashJoin") == 0, p)
+    assert(nodeCount(p, "BroadcastHashJoin") == 2, p)
   }
 
   test("t_contam: benchmark side broadcasts; corpus joins without sort") {
