@@ -139,9 +139,9 @@ object Streams {
     * guarantee a watermark + ordered replay provides, and exactly the
     * contract StreamsSpec drives (2-batch file replay = batch counts).
     */
-  final case class TransEvent(user_id: Long, ts_ms: Long, event_id: Long,
+  final case class TransEvent(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String)
-  final case class LastEvent(ts_ms: Long, event_id: Long,
+  final case class LastEvent(ts_us: Long, event_id: Long,
       event_type: String)
   final case class Transition(user_id: Long, prev_type: String,
       event_type: String)
@@ -150,7 +150,7 @@ object Streams {
       : Dataset[Transition] = {
     import spark.implicits._
     events.select(col("user_id"),
-        (unix_micros(col("ts")) / 1000L).cast("long").as("ts_ms"),
+        unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
       .as[TransEvent]
       .groupByKey(_.user_id)
@@ -158,13 +158,13 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, it: Iterator[TransEvent],
          state: GroupState[LastEvent]) =>
-          val sorted = it.toArray.sortBy(e => (e.ts_ms, e.event_id))
+          val sorted = it.toArray.sortBy(e => (e.ts_us, e.event_id))
           var prev = state.getOption
           val out = Seq.newBuilder[Transition]
           for (e <- sorted) {
             prev.foreach(p =>
               out += Transition(uid, p.event_type, e.event_type))
-            prev = Some(LastEvent(e.ts_ms, e.event_id, e.event_type))
+            prev = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
           }
           prev.foreach(state.update)
           out.result().iterator
@@ -500,6 +500,31 @@ object Streams {
     * in-memory table. Returns the drained query. This is the "bulk job"
     * lifecycle: start → InProgress → JobComplete.
     */
+  /** Crash-safer staged swap for the local-FS maintenance sinks: rename
+    * the current state ASIDE, rename the staged version into place, then
+    * drop the old copy. A crash at any point leaves a recoverable full
+    * copy on disk (either `cur` or `cur + "_old"`); the old delete-then-
+    * rename order had a window where the only surviving copy was the
+    * staged dir under a different name. Leftover `_old` dirs from a
+    * prior crash are cleared on the next swap. Production state belongs
+    * on a transactional table format (or the Hadoop FileSystem API with
+    * an atomic rename contract); this bounds the local-mode damage.
+    */
+  private def stagedSwap(stagedPath: String, curPath: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val staged = new java.io.File(stagedPath)
+    val cur = new java.io.File(curPath)
+    val old = new java.io.File(curPath + "_old")
+    if (old.exists()) rm(old)
+    if (cur.exists())
+      require(cur.renameTo(old), s"swap aside failed: $curPath")
+    require(staged.renameTo(cur), s"swap failed: $stagedPath -> $curPath")
+    if (old.exists()) rm(old)
+  }
+
   /** Incremental rollup maintenance as a streaming sink — the
     * `l_rollup_merge` loop run CONTINUOUSLY: every micro-batch folds
     * into a materialized (day × event_type) aggregate table by
@@ -531,16 +556,9 @@ object Streams {
             .agg(sum("n").as("n"), sum("sv").as("sv"))
         val staged = rollupPath + s"_stage$id"
         merged.write.mode("overwrite").parquet(staged)
-        // the staged write MATERIALIZED the merge, so the old version
-        // can be dropped and the new one moved into place
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        if (cur.exists()) rm(cur)
-        require(new java.io.File(staged).renameTo(cur),
-          s"rollup swap failed: $staged -> $rollupPath")
-        ()
+        // the staged write MATERIALIZED the merge, so the new version
+        // can swap into place (rename-aside keeps a recoverable copy)
+        stagedSwap(staged, rollupPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -556,8 +574,10 @@ object Streams {
     * stream has seen. By mergeable-summaries (Agarwal et al. 2012) the
     * stored summary carries the n/(k+1) guarantee against the WHOLE
     * stream prefix, for any batch boundaries — which is what the spec
-    * asserts after a 2-batch replay. State on disk is ≤ k rows plus one
-    * running-total row.
+    * asserts after a 2-batch replay. State on disk is ONE (n, summary)
+    * row — the running total lives in its own column, out-of-band from
+    * the summary map, so no key value (however adversarial) can collide
+    * with it.
     */
   def heavyHittersMaintain(events: DataFrame, keyCol: String,
       statePath: String, k: Int): StreamingQuery = {
@@ -577,24 +597,16 @@ object Streams {
           if (!cur.exists()) (Map.empty[String, Long], 0L)
           else {
             val st = sp.read.parquet(statePath)
-              .as[(String, Long)].collect()
-            (st.filter(_._1 != "__n__").toMap,
-              st.collectFirst { case ("__n__", n) => n }.getOrElse(0L))
+              .as[(Long, Map[String, Long])].head()
+            (st._2, st._1)
           }
         val merged = graft.functions.HeavyHitters
           .mergeSummaries(prevSketch, batchSketch, k)
         val staged = statePath + s"_stage$id"
-        (merged.toSeq :+ ("__n__" -> (prevN + batchN)))
-          .toDF("key", "est")
+        Seq((prevN + batchN, merged))
+          .toDF("n", "mg")
           .coalesce(1).write.mode("overwrite").parquet(staged)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        if (cur.exists()) rm(cur)
-        require(new java.io.File(staged).renameTo(cur),
-          s"sketch swap failed: $staged -> $statePath")
-        ()
+        stagedSwap(staged, statePath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -637,14 +649,7 @@ object Streams {
         val staged = statePath + s"_stage$id"
         Seq((n, grid)).toDF("n", "grid")
           .coalesce(1).write.mode("overwrite").parquet(staged)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        if (cur.exists()) rm(cur)
-        require(new java.io.File(staged).renameTo(cur),
-          s"sketch swap failed: $staged -> $statePath")
-        ()
+        stagedSwap(staged, statePath)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -46,9 +46,11 @@ class StreamsSpec extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(etl.Tables.eventsRaw)
       .parquet(s"$dir/events.parquet")
-    // cut on a whole-millisecond boundary: the handler re-sorts within a
-    // batch at ms granularity, so a same-ms tie group split across the
-    // two batches would chain in file order, not (ts, event_id) order
+    // cut on a whole-millisecond boundary (stricter than needed: the
+    // handler re-sorts within a batch at full microsecond granularity,
+    // matching batch e_transitions' (ts, event_id) lag window, so only a
+    // same-microsecond tie group split across the two batches could chain
+    // in file order — a whole-ms cut rules that out a fortiori)
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
     val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
     val tmp = java.nio.file.Files.createTempDirectory("trans_stream")
@@ -178,13 +180,12 @@ class StreamsSpec extends SparkTestBase {
     assert(q.awaitTermination(180000), "foreachBatch query must terminate")
     assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
       "replay must span two micro-batches")
-    val state = spark.read.parquet(statePath)
-      .as[(String, Long)].collect().toMap
+    val (stateN, sketch) = spark.read.parquet(statePath)
+      .as[(Long, Map[String, Long])].head()
     val truth = keyed(raw).groupBy("k").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = truth.values.sum
-    assert(state("__n__") == n, "running total must count the stream")
-    val sketch = state - "__n__"
+    assert(stateN == n, "running total must count the stream")
     assert(sketch.size <= k)
     val eps = n.toDouble / (k + 1)
     for ((key, c) <- truth if c > eps)
