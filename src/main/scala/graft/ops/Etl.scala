@@ -279,6 +279,61 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // The streaming maintenance sink driven THROUGH the oracle gate:
+    // l_rollup_merge's (day × event_type) aggregate maintained by the
+    // actual Structured Streaming sink (Streams.rollupMaintain) over a
+    // 2-batch time-split file replay, then the MAINTAINED TABLE — not
+    // the source events — is what the oracle checks against a full
+    // recompute. This closes the loop the StreamsSpec-only coverage
+    // left open: the hash-red surface now includes the foreachBatch
+    // partial-agg merge, the staged-swap publish, and the crash-recovery
+    // read path, end to end. Merge input per batch stays |rollup keys| +
+    // |batch keys| rows (days × types, never events), and decimal sums
+    // are exact, so any batch split yields a bit-identical table.
+    "l_rollup_maintained" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.schema(graft.etl.Tables.eventsRaw)
+        .parquet(s"$d/events.parquet")
+      // split at the midpoint of raw-nanos event time (two footer-stat
+      // scalars, no sort/collect of the data)
+      val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val base = new java.io.File(
+        s"/tmp/graft_rollup_maint/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(base) // idempotent re-runs: stale state would double-count
+      base.mkdirs()
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val stage = new java.io.File(base, s"stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part under $stage"))
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(base, name).toPath)
+      }
+      writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
+      writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
+      val stream = s.readStream.schema(graft.etl.Tables.eventsRaw)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*_events.parquet")
+        .parquet(base.getPath)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val rollupPath = new java.io.File(base, "rollup").getPath
+      val q = graft.streaming.Streams.rollupMaintain(stream, rollupPath)
+      require(q.awaitTermination(600000),
+        "rollup maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      s.read.parquet(rollupPath)
+        .select(col("day"), col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // SCD Type-2 history build: collapse each user's event stream into
     // validity intervals of its changing attribute (event_type) — change
     // detection via lag, interval close via lead, open interval =
@@ -384,6 +439,14 @@ object Etl {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
     "l_rollup_merge" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
+             AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical oracle to l_rollup_merge — the full recompute IS the
+    // invariant the maintained table must hit, whatever the batch split
+    "l_rollup_maintained" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0

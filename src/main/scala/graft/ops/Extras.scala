@@ -427,10 +427,16 @@ object Extras {
     // mergeable summary). The 64 KB sketch is a bounded driver fetch
     // (the j_bloom/w5_ntile scalar move); probes mix the 7 hot keys
     // with 3 near-unique cold ones, where CM's one-sided error shows:
-    // est ≥ exact ALWAYS (counters only add — theorem), est ≤ exact +
-    // (e/w)·n with fixed hashes a deterministic empirical fact (the
-    // a3_approx precedent). Exact probe counts stay a distributed
-    // partial-agg'd truth side.
+    // est ≥ exact ALWAYS (counters only add — theorem), while the
+    // upper bound is PROBABILISTIC over the hash draw: P(est > exact +
+    // (e/w)·n) ≤ e^-d per key, so the 1× bound can legitimately fail
+    // ~1.8%/key on a fresh testdata seed and masquerade as an engine
+    // bug. The oracle therefore checks the 2× relaxation (P(fail) ≤
+    // (2e)^-d per key by Markov — effectively never), which with
+    // fixed hashes is a deterministic empirical fact at any plausible
+    // regeneration (the a3_approx precedent); DedupSpec-style 1×
+    // tightness stays observable via the printed estimates. Exact
+    // probe counts stay a distributed partial-agg'd truth side.
     "x_countmin" -> ((s, d) => {
       val hh = graft.functions.HeavyHitters
       val width = 2048
@@ -454,7 +460,8 @@ object Extras {
         .select(col("k"), col("exact_n"),
           (col("est") >= col("exact_n")).as("no_underestimate"),
           (col("est").cast("double") <=
-            col("exact_n").cast("double") + lit(eps)).as("within_eps"))
+            col("exact_n").cast("double") + lit(2.0 * eps))
+            .as("within_2eps"))
         .orderBy("k")
     }),
 
@@ -940,7 +947,7 @@ object Extras {
              ELSE 'cold' || CAST(l_orderkey AS VARCHAR) END AS k
            FROM lineitem)
          SELECT k, COUNT(*) AS exact_n,
-           TRUE AS no_underestimate, TRUE AS within_eps
+           TRUE AS no_underestimate, TRUE AS within_2eps
          FROM keyed
          WHERE k IN ('hot0', 'hot1', 'hot2', 'hot3', 'hot4', 'hot5',
            'hot6', 'cold5', 'cold6', 'cold7')

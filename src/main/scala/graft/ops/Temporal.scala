@@ -176,7 +176,7 @@ object Temporal {
          GROUP BY a.event_id ORDER BY err_id""",
     "j7_interval" ->
       """WITH flagged AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                ORDER BY ts, event_id) > INTERVAL 30 MINUTE
                OR lag(ts) OVER (PARTITION BY user_id
@@ -185,7 +185,7 @@ object Temporal {
            FROM events),
          sess0 AS (
            SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged),
          sess AS (

@@ -502,13 +502,17 @@ object Streams {
     */
   /** Crash-safer staged swap for the local-FS maintenance sinks: rename
     * the current state ASIDE, rename the staged version into place, then
-    * drop the old copy. A crash at any point leaves a recoverable full
-    * copy on disk (either `cur` or `cur + "_old"`); the old delete-then-
-    * rename order had a window where the only surviving copy was the
-    * staged dir under a different name. Leftover `_old` dirs from a
-    * prior crash are cleared on the next swap. Production state belongs
-    * on a transactional table format (or the Hadoop FileSystem API with
-    * an atomic rename contract); this bounds the local-mode damage.
+    * drop the old copy. A crash at any point leaves a full copy on disk
+    * (either `cur` or `cur + "_old"`), and [[recoverState]] — called by
+    * every maintenance reader before it opens state — renames a stranded
+    * `_old` back into place on the next run, so accumulated state
+    * SURVIVES a kill between the two renames (StreamsSpec simulates the
+    * crash and asserts it). A leftover `_old` alongside a missing `cur`
+    * is therefore never cleared here: that would delete the only copy
+    * after a merge-from-empty — stagedSwap refuses instead, pointing at
+    * the missed recovery. Production state belongs on a transactional
+    * table format (or the Hadoop FileSystem API with an atomic rename
+    * contract); this bounds the local-mode damage.
     */
   private def stagedSwap(stagedPath: String, curPath: String): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -518,11 +522,34 @@ object Streams {
     val staged = new java.io.File(stagedPath)
     val cur = new java.io.File(curPath)
     val old = new java.io.File(curPath + "_old")
-    if (old.exists()) rm(old)
+    if (old.exists()) {
+      // `_old` without `cur` means a prior run crashed mid-swap and the
+      // caller merged WITHOUT recovering — deleting it would finalize
+      // silent state loss. recoverState before reading is the contract.
+      require(cur.exists(),
+        s"stranded crash state at ${old.getPath} with no $curPath — " +
+          "recoverState(curPath) must run before the state is read")
+      rm(old)
+    }
     if (cur.exists())
       require(cur.renameTo(old), s"swap aside failed: $curPath")
     require(staged.renameTo(cur), s"swap failed: $stagedPath -> $curPath")
     if (old.exists()) rm(old)
+  }
+
+  /** Crash recovery for [[stagedSwap]]-managed state: if `cur` is missing
+    * but the rename-aside copy `cur + "_old"` survives (a crash landed
+    * between stagedSwap's two renames), rename it back into place so the
+    * next merge starts from the accumulated state instead of silently
+    * from zero. Idempotent and cheap (one existence check) — every
+    * maintenance reader calls it before opening `curPath`.
+    */
+  private[streaming] def recoverState(curPath: String): Unit = {
+    val cur = new java.io.File(curPath)
+    val old = new java.io.File(curPath + "_old")
+    if (!cur.exists() && old.exists())
+      require(old.renameTo(cur),
+        s"state recovery failed: ${old.getPath} -> $curPath")
   }
 
   /** Incremental rollup maintenance as a streaming sink — the
@@ -548,6 +575,7 @@ object Streams {
           .agg(count(lit(1)).as("n"),
             sum(graft.ops.roundf(col("value"), 4).cast("decimal(22,4)"))
               .as("sv"))
+        recoverState(rollupPath)
         val cur = new java.io.File(rollupPath)
         val merged =
           if (!cur.exists()) part
@@ -592,6 +620,7 @@ object Streams {
         val batchSketch = Option(row.getMap[String, Long](0))
           .map(_.toMap).getOrElse(Map.empty[String, Long])
         val batchN = row.getLong(1)
+        recoverState(statePath)
         val cur = new java.io.File(statePath)
         val (prevSketch, prevN) =
           if (!cur.exists()) (Map.empty[String, Long], 0L)
@@ -633,6 +662,7 @@ object Streams {
           count(lit(1)).as("n")).head()
         val batchGrid = row.getSeq[Long](0).toArray
         val batchN = row.getLong(1)
+        recoverState(statePath)
         val cur = new java.io.File(statePath)
         val (grid, n) =
           if (!cur.exists()) (batchGrid, batchN)

@@ -251,6 +251,65 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance state survives a crash between stagedSwap's renames") {
+    // Simulates the exact crash window ADVICE flagged: state was renamed
+    // ASIDE (cur -> cur_old) but the staged version never made it into
+    // place. The next run must recover `_old` and keep accumulating —
+    // without recoverState the restarted batch merges from empty and the
+    // subsequent swap deletes the only surviving copy. Count-min is the
+    // sharpest probe: its merge is elementwise sum, so survival is
+    // asserted bit-for-bit against the one-shot batch sketch over BOTH
+    // batches — any state loss shifts every hot counter.
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(etl.Tables.eventsRaw)
+      .parquet(s"$dir/events.parquet")
+    val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
+    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("crash_stream")
+    // two SEPARATE source dirs: each run drains exactly one batch file,
+    // with the simulated crash in between
+    def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+      val stage = tmp.resolve(s"stage_$sub")
+      df.coalesce(1).write.parquet(stage.toString)
+      val dirP = java.nio.file.Files.createDirectories(tmp.resolve(sub))
+      val it = java.nio.file.Files.list(stage).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f, dirP.resolve("events.parquet"))
+      }
+    }
+    writeOne(raw.filter(col("ts") < cut), "a")
+    writeOne(raw.filter(col("ts") >= cut), "b")
+    val keyed = (df: org.apache.spark.sql.DataFrame) => df.select(
+      concat(lit("u"), (col("event_id") % 97).cast("string")).as("k"))
+    def drain(sub: String, statePath: String): Unit = {
+      val stream = keyed(spark.readStream.schema(etl.Tables.eventsRaw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(tmp.resolve(sub).toString))
+      val q = Streams.countMinMaintain(stream, "k", statePath, 256)
+      assert(q.awaitTermination(180000), "foreachBatch query must terminate")
+    }
+    val statePath = tmp.resolve("cm_state").toString
+    drain("a", statePath)
+    // crash simulation: batch a's state went aside, new state never landed
+    val curF = new java.io.File(statePath)
+    assert(curF.renameTo(new java.io.File(statePath + "_old")))
+    drain("b", statePath)
+    val (n, grid) = spark.read.parquet(statePath)
+      .as[(Long, Array[Long])].head()
+    val batchRow = keyed(raw).agg(
+      graft.functions.HeavyHitters.cmSketchCol(col("k"), 256),
+      count(lit(1))).head()
+    val batchGrid: Array[Long] = batchRow.getSeq[Long](0).toArray
+    assert(grid.sameElements(batchGrid),
+      "batch-a state was lost across the simulated crash")
+    assert(n == batchRow.getLong(1))
+    assert(!new java.io.File(statePath + "_old").exists(),
+      "recovered _old copy must be consumed, not left to be re-merged")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
