@@ -65,11 +65,17 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's timestamp type
-    * (micros) can't scan directly: we read the raw INT64 nanos (via
-    * `nanosAsLong`) and convert with integer DIV — float division would
-    * lose precision above 2^53 ns (~mid-1970) — truncating toward -∞ for
-    * positive epochs exactly like DuckDB's ns→µs narrowing.
+  /** events.ts arrives as a parquet INT64 timestamp whose UNIT has
+    * changed across driver testdata generations: TIMESTAMP(NANOS) in
+    * earlier rounds (which Spark's micros timestamp type can't scan
+    * directly), TIMESTAMP(MICROS, NTZ) in regenerated data. Both scan
+    * uniformly as the raw INT64 (via `nanosAsLong` for the NANOS case)
+    * — so watermark/split predicates stay pushable simple comparisons —
+    * and convert with integer DIV by [[eventsTsDivisor]] (footer-
+    * detected, 1000 for nanos / 1 for micros). Integer DIV, not float:
+    * float division would lose precision above 2^53 ns (~mid-1970);
+    * DIV truncates toward -∞ for positive epochs exactly like DuckDB's
+    * ns→µs narrowing.
     */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -109,32 +115,63 @@ object Tables {
     * S2 in SURVEY §2.1 — Spark's partitioned parquet read subsumes the
     * reference's `total_size`/`done` page protocol, response.rs:6-10).
     */
+  /** Footer-detected raw-INT64→µs divisor for `path`'s ts column: 1000
+    * when the file is TIMESTAMP(NANOS) (inferred LongType under
+    * `nanosAsLong`), 1 when it is already micros (inferred
+    * Timestamp/TimestampNTZ). One cached metadata read per path — the
+    * regenerated driver testdata switched units mid-project, and a
+    * hardcoded divisor turned every event timestamp 1000× off (three
+    * data-dependent specs went red before any query did).
+    */
+  private val tsDivCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def eventsTsDivisor(spark: SparkSession, dir: String): Long = {
+    // the conf is needed by every subsequent eventsRaw scan of a NANOS
+    // file, not just the footer probe — set it on every call (cheap)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsDivCache.computeIfAbsent(s"$dir/events.parquet", p =>
+      spark.read.parquet(p).schema("ts").dataType match {
+        case LongType => 1000L
+        case _ => 1L
+      }).longValue()
+  }
+
+  /** Raw events scan: ts as epoch INT64 in the file's NATIVE unit (so
+    * watermark/split predicates push into the parquet scan as plain
+    * comparisons), paired with the ns→µs divisor callers must apply —
+    * `timestamp_micros(ts DIV divisor)` — after raw-unit filtering.
+    */
+  def eventsRawScan(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val div = eventsTsDivisor(spark, dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet"), div)
+  }
+
   /** Incremental events scan: applies the high-water-mark predicate on the
-    * RAW nanos column, before the ns→µs conversion. Filtering the converted
+    * RAW INT64 column, before the →µs conversion. Filtering the converted
     * timestamp cannot push down (parquet sees `timestamp_micros(ts DIV
-    * 1000) > X`, an opaque expression); filtering raw nanos pushes
-    * `GreaterThan(ts, X·1000)` into the scan — at 100 TB that's row-group
-    * pruning on the watermark instead of a full-table read.
+    * d) > X`, an opaque expression); filtering the raw column pushes
+    * `GreaterThanOrEqual(ts, X·d)` into the scan — at 100 TB that's
+    * row-group pruning on the watermark instead of a full-table read.
     */
   def eventsSince(spark: SparkSession, dir: String,
       watermark: java.time.Instant): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // "strictly after wm at µs resolution": trunc_µs(ts) > wm_µs
-    // ⟺ raw_ns ≥ (wm_µs + 1)·1000 — raw ns in (wm, wm+999] truncate to
+    // ⟺ raw ≥ (wm_µs + 1)·div — raw ns in (wm, wm+999] truncate to
     // exactly wm_µs and must be EXCLUDED, so a plain `raw > wm_ns` would
-    // over-include at the boundary.
+    // over-include at the boundary. (For micros files div = 1 and the
+    // bound degenerates to the plain strict comparison.)
     val wmMicros = watermark.getEpochSecond * 1000000L +
       watermark.getNano / 1000L
-    spark.read.schema(eventsRaw).parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= lit((wmMicros + 1L) * 1000L))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val (raw, div) = eventsRawScan(spark, dir)
+    raw.filter(col("ts") >= lit((wmMicros + 1L) * div))
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRaw).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val (raw, div) = eventsRawScan(spark, dir)
+      raw.withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
     } else
       spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
 }

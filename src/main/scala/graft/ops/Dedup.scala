@@ -491,6 +491,40 @@ object Dedup {
             .as("cos"))
         .filter(col("cos") >= 0.9)
         .orderBy("a", "b")
+    }),
+
+    // The 0.85 operating point, solved with MULTI-PROBE instead of more
+    // bands: 8 bands × 12 rows (HALF d_embed_lsh's signature compute and
+    // stored-index size) at probe radius Hamming ≤ 2. At cos 0.85 the
+    // per-plane agreement is ≈0.82, so a 12-bit band matches with
+    // p^12 ≈ 0.10 — at 8 bands, single-bit probing leaves a ~1–3% miss
+    // probability per borderline pair (DedupSpec's ladder MEASURES the
+    // recall gap), while the Ham≤2 ball (1+12+66 = 79 keys/band) drives
+    // the analytic miss below 10⁻³ per pair. The probe fan-out is a
+    // constant (8×79 = 632 probe rows/vector vs d_embed_lsh's 16×13 =
+    // 208) but the stored side — the term that scales with corpus size
+    // at 100 TB, and the one a persisted ANN index pays on disk — halves
+    // to 8 rows/vector. Same (band, key) equi-join shape, never
+    // all-pairs (PlanAuditSpec). Corpus = embedLshCorpus at mRange 29
+    // (twins straddle the threshold: at sf0.01, 45 of 50 planted pairs
+    // land ≥ 0.85 and 5 below, so the cut demonstrably bites); oracle =
+    // plain quadratic truth, so a probe-radius recall miss goes
+    // hash-red, not footnoted.
+    "d_embed_lsh2" -> ((s, d) => {
+      val corpus = embedLshCorpus(s, d, mRange = 29)
+      val cand = Vectors.lshCandidatePairs(corpus, "vec_id",
+        nPlanes = 96, rowsPerBand = 12, probeHam = 2)
+      val e = corpus.withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
+      val ea = e.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      cand.join(ea, "a").join(eb, "b")
+        .select(col("a"), col("b"),
+          roundf(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("cos"))
+        .filter(col("cos") >= 0.85)
+        .orderBy("a", "b")
     }))
 
   /** d_embed_lsh's corpus: the embeddings table plus a deterministic
@@ -498,14 +532,20 @@ object Dedup {
     * pairs at cos ≥ 0.9 — max natural cosine is 0.51 at sf0.01 — so,
     * like m_decode_real's synthesized PNGs, the production-threshold
     * pairs are planted in-plan and mirrored exactly by the oracle):
-    * v'_j = float(v_j · (1 + ((id·7 + j·13) mod 21 − 10)/16)), twin id =
-    * id + 1,000,000. Each factor is IEEE-exact (m/16 is a dyadic
-    * rational; one double multiply, one float rounding — identical in
-    * every engine), so both sides synthesize bit-identical twins.
-    * Shared by the query and DedupSpec's recall measurement.
+    * v'_j = float(v_j · (1 + ((id·7 + j·13) mod mRange − (mRange−1)/2)
+    * /16)), twin id = id + 1,000,000. Each factor is IEEE-exact (m/16 is
+    * a dyadic rational; one double multiply, one float rounding —
+    * identical in every engine), so both sides synthesize bit-identical
+    * twins. `mRange` sets the operating point: 21 (default) plants
+    * d_embed_lsh's cos 0.904–0.959 production band; 29 widens the
+    * perturbation to straddle 0.85 (measured 0.81–0.93 at sf0.01) for
+    * d_embed_lsh2 and the multi-probe recall ladder. Odd mRange keeps
+    * the m distribution symmetric. Shared by the queries and DedupSpec's
+    * recall measurements.
     */
   private[graft] def embedLshCorpus(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String, mRange: Int = 21): DataFrame = {
+    require(mRange % 2 == 1, s"mRange must be odd, got $mRange")
     val base = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
     // The +1,000,000 twin offset is hardcoded in BOTH this plan and the
@@ -518,11 +558,12 @@ object Dedup {
     require(maxId < 1000000L,
       s"embedLshCorpus twin-id offset collides: max(vec_id)=$maxId >= 1e6" +
         " — raise the offset here AND in the d_embed_lsh oracle SQL")
+    val half = (mRange - 1) / 2
     val perturbed = base.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"),
         transform(col("v"), (x, j) => (x.cast("double") *
           (lit(1.0) +
-            ((col("vec_id") * 7 + j * 13) % 21 - 10).cast("double") /
+            ((col("vec_id") * 7 + j * 13) % mRange - half).cast("double") /
               lit(16.0))).cast("float")).as("v"))
       .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("v"))
     base.unionByName(perturbed)
@@ -718,5 +759,28 @@ object Dedup {
                  for i in range(1, len(x.v) + 1)])
                / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
            FROM e x JOIN e y ON x.vec_id < y.vec_id)
-         WHERE cos >= 0.9 ORDER BY a, b""")
+         WHERE cos >= 0.9 ORDER BY a, b""",
+    // Same quadratic-truth discipline at the 0.85 operating point —
+    // mRange 29 twins; a multi-probe recall miss goes hash-red.
+    "d_embed_lsh2" ->
+      """WITH base AS (SELECT vec_id, embedding AS v FROM embeddings),
+         pl0 AS (
+           SELECT vec_id,
+             [CAST(v[j] * (1.0 +
+                 ((((vec_id * 7 + (j - 1) * 13) % 29) - 14)::DOUBLE)
+                   / 16.0) AS FLOAT)
+               for j in range(1, len(v) + 1)] AS v
+           FROM base WHERE vec_id % 10 = 0),
+         pl AS (SELECT vec_id + 1000000 AS vec_id, v FROM pl0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+         e AS (SELECT vec_id, v,
+             sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in v])) AS nrm
+           FROM u)
+         SELECT a, b, cos FROM (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             floor(list_sum([(x.v[i]::DOUBLE) * (y.v[i]::DOUBLE)
+                 for i in range(1, len(x.v) + 1)])
+               / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+           FROM e x JOIN e y ON x.vec_id < y.vec_id)
+         WHERE cos >= 0.85 ORDER BY a, b""")
 }

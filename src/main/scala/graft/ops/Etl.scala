@@ -257,22 +257,18 @@ object Etl {
           sum(roundf(col("value"), 4).cast("decimal(22,4)")).as("sv"))
       val basePath =
         s"/tmp/graft_rollup/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      // split on the RAW nanos column (the eventsSince move): the
-      // loaded `ts` is timestamp_micros(raw DIV 1000) — derived, so a
+      // split on the RAW INT64 column (the eventsSince move): the
+      // loaded `ts` is timestamp_micros(raw DIV d) — derived, so a
       // predicate on it can never reach PushedFilters, and the delta
-      // scan pruning IS the incremental win. µs-cut ⟺ raw ns bound:
-      // trunc_µs(ns) >= cut ⟺ ns >= cut·1000 for positive epochs.
-      val raw = {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.schema(graft.etl.Tables.eventsRaw)
-          .parquet(s"$d/events.parquet")
-      }
+      // scan pruning IS the incremental win. µs-cut ⟺ raw bound:
+      // trunc_µs(raw) >= cut ⟺ raw >= cut·d for positive epochs.
+      val (raw, div) = graft.etl.Tables.eventsRawScan(s, d)
       val withTs = (df: DataFrame) =>
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      rollup(withTs(raw.filter(col("ts") < lit(cut * 1000L))))
+        df.withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
+      rollup(withTs(raw.filter(col("ts") < lit(cut * div))))
         .write.mode("overwrite").parquet(basePath)
       s.read.parquet(basePath)
-        .unionByName(rollup(withTs(raw.filter(col("ts") >= lit(cut * 1000L)))))
+        .unionByName(rollup(withTs(raw.filter(col("ts") >= lit(cut * div)))))
         .groupBy("day", "event_type")
         .agg(sum("n").as("n"),
           sum("sv").cast("double").as("sum_value"))
@@ -291,10 +287,8 @@ object Etl {
     // |batch keys| rows (days × types, never events), and decimal sums
     // are exact, so any batch split yields a bit-identical table.
     "l_rollup_maintained" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.schema(graft.etl.Tables.eventsRaw)
-        .parquet(s"$d/events.parquet")
-      // split at the midpoint of raw-nanos event time (two footer-stat
+      val (raw, div) = graft.etl.Tables.eventsRawScan(s, d)
+      // split at the midpoint of raw event time (two footer-stat
       // scalars, no sort/collect of the data)
       val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
       val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
@@ -321,7 +315,8 @@ object Etl {
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*_events.parquet")
         .parquet(base.getPath)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // a/b replay files carry the SOURCE's raw unit (plain INT64)
+        .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
       val rollupPath = new java.io.File(base, "rollup").getPath
       val q = graft.streaming.Streams.rollupMaintain(stream, rollupPath)
       require(q.awaitTermination(600000),

@@ -372,6 +372,46 @@ object Extras {
         .orderBy("user_id")
     }),
 
+    // Label propagation (community detection) over the same weighted
+    // co-activity graph as g_wpagerank — the third graph op, reusing
+    // the banded+capped edge builder. Every node starts as its own
+    // community (label = user_id); each of 3 UNROLLED iterations,
+    // a node adopts the label with the largest total edge weight among
+    // its neighbors (row_number over (Σw DESC, label ASC) — the ASC
+    // tie-break makes synchronous LPA fully deterministic, a known
+    // requirement since Raghavan et al. 2007's random-tie version
+    // oscillates). All-integer arithmetic (weights are counts), so no
+    // grid rounding is needed anywhere — Spark and DuckDB agree
+    // bit-for-bit by construction. Per iteration: one edges-sized
+    // equi-join + partial-agg'd tally + one window — the same
+    // fixed-depth no-driver-state plan discipline as g_pagerank.
+    "g_labelprop" -> ((s, d) => {
+      val act = capHourBand(t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct())
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      val edges = pairs.select(col("u"), col("v"), col("w"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+          col("w")))
+      var lab = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lab"))
+      for (_ <- 1 to 3) {
+        val votes = edges
+          .join(lab.select(col("u").as("v"), col("lab")), "v")
+          .groupBy("u", "lab").agg(sum("w").as("wsum"))
+        lab = votes.withColumn("rn", row_number().over(
+            Window.partitionBy("u")
+              .orderBy(col("wsum").desc, col("lab").asc)))
+          .filter(col("rn") === 1)
+          .select(col("u"), col("lab"))
+      }
+      lab.select(col("u").as("user_id"), col("lab").as("label"))
+        .orderBy("user_id")
+    }),
+
     // Sequential (group-sequential) A/B monitoring — x_abtest with an
     // interim look: Welch's z at the mid-experiment checkpoint and at
     // the end, each tested against the Pocock two-look critical value
@@ -829,6 +869,39 @@ object Extras {
          SELECT pr3.u AS user_id, CAST(str.s AS BIGINT) AS strength,
            floor(pr3.pr * 1000000.0 + 0.5) / 1000000.0 AS pagerank
          FROM pr3 JOIN str ON pr3.u = str.u ORDER BY user_id""",
+    // Unrolled synchronous LPA, all-integer — the deterministic
+    // ASC-label tie-break is load-bearing on both sides.
+    "g_labelprop" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         edges AS (SELECT u, v, w FROM pairs
+                   UNION ALL SELECT v, u, w FROM pairs),
+         l0 AS (SELECT DISTINCT u, u AS lab FROM edges),
+         v1 AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+                FROM edges e JOIN l0 l ON e.v = l.u GROUP BY 1, 2),
+         l1 AS (SELECT u, lab FROM (
+                  SELECT u, lab, row_number() OVER (PARTITION BY u
+                    ORDER BY wsum DESC, lab ASC) AS rn FROM v1)
+                WHERE rn = 1),
+         v2 AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+                FROM edges e JOIN l1 l ON e.v = l.u GROUP BY 1, 2),
+         l2 AS (SELECT u, lab FROM (
+                  SELECT u, lab, row_number() OVER (PARTITION BY u
+                    ORDER BY wsum DESC, lab ASC) AS rn FROM v2)
+                WHERE rn = 1),
+         v3 AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+                FROM edges e JOIN l2 l ON e.v = l.u GROUP BY 1, 2),
+         l3 AS (SELECT u, lab FROM (
+                  SELECT u, lab, row_number() OVER (PARTITION BY u
+                    ORDER BY wsum DESC, lab ASC) AS rn FROM v3)
+                WHERE rn = 1)
+         SELECT u AS user_id, lab AS label FROM l3 ORDER BY user_id""",
     "x_quantiles_grouped" ->
       """SELECT l_returnflag,
            floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0

@@ -27,13 +27,17 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, sfDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    // streaming sources need a fixed schema upfront — detect the file's
+    // native INT64 time unit from the footer (one batch metadata read)
+    // and apply the matching →µs divisor, same as the batch reader
+    val div = graft.etl.Tables.eventsTsDivisor(spark, sfDir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(graft.etl.Tables.eventsRaw)
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
   }
 
   /** Tumbling 1-hour windowed counts with a 10-minute watermark — the

@@ -86,10 +86,10 @@ class CompactionSpec extends SparkTestBase {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         src.resolve(s"events_$n.parquet"))
     val ingest = tmp.resolve("ingest").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsDiv = etl.Tables.eventsTsDivisor(spark, dir)
     val stream = spark.readStream.schema(etl.Tables.eventsRaw)
       .option("maxFilesPerTrigger", 1).parquet(src.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.repartition(8).write.mode("append").parquet(ingest); ()

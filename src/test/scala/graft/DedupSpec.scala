@@ -158,6 +158,55 @@ class DedupSpec extends SparkTestBase {
       f"banding stopped filtering: candidate fraction ${frac * 100}%.1f%%")
   }
 
+  test("multi-probe recall ladder at cos>=0.85: Ham<=1 vs Ham<=2 at 8 bands") {
+    // The twice-deferred measurement: at the 0.85 operating point with
+    // HALF the bands (96 planes / 12 rows = 8, vs d_embed_lsh's 16),
+    // per-plane agreement ≈0.82 ⇒ band match p^12 ≈ 0.10, and single-bit
+    // probing leaves a 1–3% analytic miss per borderline pair. The ladder
+    // measures, per probeHam ∈ {1, 2}: candidate recall vs the quadratic
+    // truth and candidate-set growth (bounded by (1+12+66)/(1+12) ≈ 6.1×
+    // — the Hamming-ball size ratio). d_embed_lsh2 registers the chosen
+    // setting (Ham≤2) as an oracle-checked row.
+    import graft.ops.{fdot, roundf, Vectors}
+    val d = requireFixture("sf0.01")
+    val corpus = Dedup.embedLshCorpus(spark, d, mRange = 29)
+    val e = corpus.withColumn("nrm", sqrt(fdot(col("v"), col("v"))))
+    val x = e.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val y = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val truth = x.join(y, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        roundf(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.85)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 30, s"degenerate fixture: ${truth.size} pairs")
+    val ladder = Seq(1, 2).map { ham =>
+      val cand = Vectors.lshCandidatePairs(corpus, "vec_id",
+        nPlanes = 96, rowsPerBand = 12, probeHam = ham)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.intersect(cand).size.toDouble / truth.size
+      (ham, recall, cand)
+    }
+    val Seq((_, r1, c1), (_, r2, c2)) = ladder
+    for ((ham, r, c) <- ladder)
+      info(f"probeHam=$ham: recall=$r%.4f (${c.size} candidates, " +
+        f"truth=${truth.size})")
+    info(f"candidate growth Ham2/Ham1: ${c2.size.toDouble / c1.size}%.2fx " +
+      f"(ball-size bound ${(1 + 12 + 66).toDouble / (1 + 12)}%.2fx)")
+    assert(r2 >= r1, f"widening the probe ball LOST recall: $r1 -> $r2")
+    assert(r2 == 1.0,
+      f"chosen setting (8 bands, Ham<=2) missed pairs: recall=$r2%.4f" +
+        s" missed=${truth -- c2}")
+    // growth is the Hamming-ball constant, not corpus-dependent blowup
+    assert(c2.size.toDouble / c1.size <=
+      (1 + 12 + 66).toDouble / (1 + 12) + 0.5,
+      f"candidate growth ${c2.size.toDouble / c1.size}%.2fx exceeds the " +
+        "ball bound")
+  }
+
   test("d_simhash_hamming block join equals the quadratic truth") {
     // Pigeonhole completeness is structural (4 blocks, <= 3 differing
     // bits => >= 1 equal block), but this pins the IMPLEMENTATION —

@@ -75,7 +75,7 @@ class PlanAuditSpec extends SparkTestBase {
     // BroadcastNestedLoopJoin appearing in any of these means a
     // candidate generator degenerated to all-pairs
     for (q <- Seq("d_minhash_pairs", "d_ngram_jaccard", "v_ann_lsh",
-        "j_fuzzy_blocked", "d_embed_lsh", "d_simhash_hamming",
+        "j_fuzzy_blocked", "d_embed_lsh", "d_embed_lsh2", "d_simhash_hamming",
         "d_incremental")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")

@@ -12,6 +12,17 @@ class StreamsSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Raw events scan in the file's NATIVE INT64 unit, shared by the
+    * replay tests: `tsDiv` is the native→µs divisor (footer-detected —
+    * the driver testdata switched from TIMESTAMP(NANOS) to micros
+    * mid-project) and `msUnits` is one whole millisecond in native
+    * units (replay cuts land on ms boundaries).
+    */
+  private def rawEvents: (org.apache.spark.sql.DataFrame, Long, Long) = {
+    val (raw, div) = etl.Tables.eventsRawScan(spark, dir)
+    (raw, div, 1000L * div)
+  }
+
   test("windowedCounts over a drained stream equals the batch aggregation") {
     val stream = Streams.eventsStream(spark, dir)
     val q = Streams.runAvailableNow(Streams.windowedCounts(stream),
@@ -43,16 +54,14 @@ class StreamsSpec extends SparkTestBase {
     // first event of batch 2), so the replay has to respect event-time
     // order per user
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(etl.Tables.eventsRaw)
-      .parquet(s"$dir/events.parquet")
+    val (raw, tsDiv, msUnits) = rawEvents
     // cut on a whole-millisecond boundary (stricter than needed: the
     // handler re-sorts within a batch at full microsecond granularity,
     // matching batch e_transitions' (ts, event_id) lag window, so only a
     // same-microsecond tie group split across the two batches could chain
     // in file order — a whole-ms cut rules that out a fortiori)
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
-    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val cut = (tsSorted(tsSorted.length / 2) / msUnits) * msUnits
     val tmp = java.nio.file.Files.createTempDirectory("trans_stream")
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val stage = tmp.resolve(s"stage_$name")
@@ -71,7 +80,7 @@ class StreamsSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*_events.parquet")
       .parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
     val batch = graft.ops.Events.queries("e_transitions")(spark, dir)
       .select("prev_type", "event_type", "n")
     val expected = batch.agg(sum("n")).head.getLong(0)
@@ -102,11 +111,9 @@ class StreamsSpec extends SparkTestBase {
     // same time-split replay as transitionsStreaming: each batch folds
     // into the materialized rollup; after both, the table must be
     // bit-identical to aggregating all events at once
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(etl.Tables.eventsRaw)
-      .parquet(s"$dir/events.parquet")
+    val (raw, tsDiv, msUnits) = rawEvents
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
-    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val cut = (tsSorted(tsSorted.length / 2) / msUnits) * msUnits
     val tmp = java.nio.file.Files.createTempDirectory("rollup_stream")
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val stage = tmp.resolve(s"stage_$name")
@@ -125,7 +132,7 @@ class StreamsSpec extends SparkTestBase {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*_events.parquet")
       .parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
     val rollupPath = tmp.resolve("rollup").toString
     val q = Streams.rollupMaintain(stream, rollupPath)
     assert(q.awaitTermination(180000), "foreachBatch query must terminate")
@@ -146,11 +153,9 @@ class StreamsSpec extends SparkTestBase {
   test("heavyHittersMaintain: MG guarantee holds against the whole " +
       "stream after a 2-batch replay") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(etl.Tables.eventsRaw)
-      .parquet(s"$dir/events.parquet")
+    val (raw, tsDiv, msUnits) = rawEvents
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
-    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val cut = (tsSorted(tsSorted.length / 2) / msUnits) * msUnits
     val tmp = java.nio.file.Files.createTempDirectory("hh_stream")
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val stage = tmp.resolve(s"stage_$name")
@@ -200,11 +205,9 @@ class StreamsSpec extends SparkTestBase {
   test("countMinMaintain: maintained grid is bit-identical to the " +
       "batch sketch over the whole stream") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(etl.Tables.eventsRaw)
-      .parquet(s"$dir/events.parquet")
+    val (raw, tsDiv, msUnits) = rawEvents
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
-    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val cut = (tsSorted(tsSorted.length / 2) / msUnits) * msUnits
     val tmp = java.nio.file.Files.createTempDirectory("cm_stream")
     def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val stage = tmp.resolve(s"stage_$name")
@@ -261,11 +264,9 @@ class StreamsSpec extends SparkTestBase {
     // asserted bit-for-bit against the one-shot batch sketch over BOTH
     // batches — any state loss shifts every hot counter.
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(etl.Tables.eventsRaw)
-      .parquet(s"$dir/events.parquet")
+    val (raw, tsDiv, msUnits) = rawEvents
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
-    val cut = (tsSorted(tsSorted.length / 2) / 1000000L) * 1000000L
+    val cut = (tsSorted(tsSorted.length / 2) / msUnits) * msUnits
     val tmp = java.nio.file.Files.createTempDirectory("crash_stream")
     // two SEPARATE source dirs: each run drains exactly one batch file,
     // with the simulated crash in between
@@ -338,10 +339,10 @@ class StreamsSpec extends SparkTestBase {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         tmp.resolve(s"events_$n.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsDiv = etl.Tables.eventsTsDivisor(spark, dir)
     val stream = spark.readStream.schema(etl.Tables.eventsRaw)
       .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
     val plan = Streams.runningPerUser(spark, stream)
     val q = plan.writeStream
       .format("memory").queryName("run_test").outputMode("append")
@@ -397,14 +398,14 @@ class StreamsSpec extends SparkTestBase {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         tmp.resolve(s"events_$n.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsDiv = etl.Tables.eventsTsDivisor(spark, dir)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
     try {
       val stream = spark.readStream.schema(etl.Tables.eventsRaw)
         .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
       val q = Streams.runningPerUserTws(spark, stream).writeStream
         .format("memory").queryName("tws_test").outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -456,11 +457,11 @@ class StreamsSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsDiv = etl.Tables.eventsTsDivisor(spark, dir)
     withRocksDb {
       val stream = spark.readStream.schema(etl.Tables.eventsRaw)
         .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
       drainToTable(Streams.sessionsTtl(spark, stream), "sess_ttl", 1)
       val out = spark.table("sess_ttl")
       assert(out.count() > 0, "no closed sessions emitted")
@@ -486,7 +487,7 @@ class StreamsSpec extends SparkTestBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsDiv = etl.Tables.eventsTsDivisor(spark, dir)
     withRocksDb {
       // snapshot: pretend history already counted 100 events / 500.0 value
       // per user for every user in the table
@@ -496,7 +497,7 @@ class StreamsSpec extends SparkTestBase {
         .as[Streams.UserRunning]
       val stream = spark.readStream.schema(etl.Tables.eventsRaw)
         .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", expr(s"timestamp_micros(ts DIV $tsDiv)"))
       drainToTable(
         Streams.runningPerUserBootstrapped(spark, stream, snapshot),
         "boot_test", 1000)
