@@ -75,9 +75,13 @@ object DecodeAttrib {
     // deliberately does NOT touch ImageIO, so its first-use cost shows
     // up IN the measured passes (that registry scan is one suspect)
     graft.etl.Tables.load(spark, sfDir, "documents").count()
-    for (i <- 1 to 6) {
-      time(s"synth#$i", () => synthOnly())
-      time(s"full#$i", () => full())
+    // mode: "both" (interleaved, default), "full", "synth" — single-mode
+    // runs separate JVM-age effects from cross-query interference
+    val mode = args.headOption.getOrElse("both")
+    val passes = args.lift(1).map(_.toInt).getOrElse(6)
+    for (i <- 1 to passes) {
+      if (mode != "full") time(s"synth#$i", () => synthOnly())
+      if (mode != "synth") time(s"full#$i", () => full())
     }
     spark.stop()
   }
