@@ -451,6 +451,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "merge must re-sum partial aggregates")
   }
 
+  test("g_labelprop: vote joins equi-keyed; argmax is a hash agg, no window") {
+    // the edge build is behind a localCheckpoint (scanned, not
+    // re-planned), so this audits the iterate+argmax tail: 3 equi-joins
+    // + partial-agg'd tallies; the (Σw DESC, lab ASC) argmax must plan
+    // as max(struct(...)) hash aggregation — a per-iteration row_number
+    // window would shuffle AND sort every node every iteration
+    val p = plan("g_labelprop")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(p.contains("partial_"), "tallies must map-side combine")
+    // SMJ sorts are fine (the nodes×edges vote join is shuffle-sized at
+    // scale; AQE broadcasts it at runtime when tiny) — what must NOT
+    // appear is a per-iteration Window, the shape argmax replaced
+    assert(nodeCount(p, "Window") == 0,
+      "argmax must be a hash agg, not a row_number window")
+  }
+
   test("t_lmscore3: backoff joins equi-keyed; count sides aggregate first") {
     val p = plan("t_lmscore3")
     assert(nodeCount(p, "CartesianProduct") == 0, p)
