@@ -629,8 +629,16 @@ object Streams {
         val (prevSketch, prevN) =
           if (!cur.exists()) (Map.empty[String, Long], 0L)
           else {
-            val st = sp.read.parquet(statePath)
-              .as[(Long, Map[String, Long])].head()
+            val stored = sp.read.parquet(statePath)
+            // the on-disk format changed from (key, est) rows with a
+            // __n__ sentinel to a single (n, mg-map) row — surface a
+            // clear remediation instead of an opaque encoder error
+            require(stored.columns.toSet == Set("n", "mg"),
+              s"heavy-hitters state at $statePath has columns " +
+                s"${stored.columns.mkString("(", ", ", ")")} — this is " +
+                "the pre-(n, mg) legacy layout (or not MG state at " +
+                "all); delete the statePath to restart accumulation")
+            val st = stored.as[(Long, Map[String, Long])].head()
             (st._2, st._1)
           }
         val merged = graft.functions.HeavyHitters

@@ -311,6 +311,35 @@ class StreamsSpec extends SparkTestBase {
       "recovered _old copy must be consumed, not left to be re-merged")
   }
 
+  test("legacy heavy-hitters state layout fails with a clear message") {
+    // the state format changed from (key, est) rows + __n__ sentinel to
+    // one (n, mg) row; an old statePath must produce an actionable
+    // error naming the path and remediation, not an opaque encoder
+    // analysis failure
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hh_legacy")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val statePath = tmp.resolve("hh_state").toString
+    Seq(("hot0", 5L), ("__n__", 7L)).toDF("key", "est")
+      .coalesce(1).write.parquet(statePath)
+    val stream = spark.readStream.schema(etl.Tables.eventsRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(tmp.toString)
+      .select(concat(lit("u"), (col("event_id") % 97).cast("string"))
+        .as("k"))
+    val q = Streams.heavyHittersMaintain(stream, "k", statePath, 50)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("legacy layout")),
+      s"expected the legacy-layout remediation message, got: $e")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered events") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
