@@ -287,36 +287,7 @@ object Etl {
     // |batch keys| rows (days × types, never events), and decimal sums
     // are exact, so any batch split yields a bit-identical table.
     "l_rollup_maintained" -> ((s, d) => {
-      val (raw, div) = graft.etl.Tables.eventsRawScan(s, d)
-      // split at the midpoint of raw event time (two footer-stat
-      // scalars, no sort/collect of the data)
-      val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
-      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-      val base = new java.io.File(
-        s"/tmp/graft_rollup_maint/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(base) // idempotent re-runs: stale state would double-count
-      base.mkdirs()
-      def writeOne(df: DataFrame, name: String): Unit = {
-        val stage = new java.io.File(base, s"stage_$name")
-        df.coalesce(1).write.parquet(stage.getPath)
-        val part = stage.listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part under $stage"))
-        java.nio.file.Files.copy(part.toPath,
-          new java.io.File(base, name).toPath)
-      }
-      writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
-      writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
-      val stream = s.readStream.schema(graft.etl.Tables.eventsRaw)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*_events.parquet")
-        .parquet(base.getPath)
-        // a/b replay files carry the SOURCE's raw unit (plain INT64)
-        .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
+      val (base, stream) = replayEventsTwoBatches(s, d, "rollup_maint")
       val rollupPath = new java.io.File(base, "rollup").getPath
       val q = graft.streaming.Streams.rollupMaintain(stream, rollupPath)
       require(q.awaitTermination(600000),
@@ -327,6 +298,36 @@ object Etl {
         .select(col("day"), col("event_type"), col("n"),
           col("sv").cast("double").as("sum_value"))
         .orderBy("day", "event_type")
+    }),
+
+    // The SECOND maintenance sink on the oracle surface, via MG's
+    // exactness regime: when the summary capacity k EXCEEDS the number
+    // of distinct keys, Misra-Gries never decrements, so the maintained
+    // summary holds EXACT per-key counts and a plain GROUP BY is the
+    // oracle — no sketch math on the DuckDB side, no tautology. The key
+    // space is user_id mod 97 (97 keys < k = 256); the stream is the
+    // same 2-batch time-split replay, so the distributed per-batch
+    // sketch, the O(k) cross-batch merge, the out-of-band running
+    // total, the staged swap, and the recovery read all sit on the
+    // hash-red path. (The sub-capacity regime — where est is a lower
+    // bound, not a count — stays covered by StreamsSpec's k=50
+    // guarantee proof; it is deliberately NOT oracle-material since
+    // eviction order depends on merge grouping.)
+    "l_hh_maintained" -> ((s, d) => {
+      val (base, stream) = replayEventsTwoBatches(s, d, "hh_maint")
+      val keyed = stream.select(
+        concat(lit("u"), (col("user_id") % 97).cast("string")).as("k"))
+      val statePath = new java.io.File(base, "hh_state").getPath
+      val q = graft.streaming.Streams
+        .heavyHittersMaintain(keyed, "k", statePath, k = 256)
+      require(q.awaitTermination(600000),
+        "heavy-hitters maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      s.read.parquet(statePath)
+        .select(col("n").as("n_total"), explode(col("mg")).as(Seq("key", "est_n")))
+        .select(col("key"), col("est_n"), col("n_total"))
+        .orderBy("key")
     }),
 
     // SCD Type-2 history build: collapse each user's event stream into
@@ -350,6 +351,50 @@ object Etl {
           col("valid_to").isNull.cast("int").as("is_current"))
         .orderBy("user_id", "valid_from")
     }))
+
+  /** Shared 2-batch replay rig for the maintained-table queries: splits
+    * the events table at the raw event-time midpoint (two footer-stat
+    * scalars, no sort/collect), writes each half as its own parquet
+    * file under a per-(tag, sfdir) scratch dir — wiped first, so
+    * re-runs can't double-count into stale state — and returns that
+    * dir plus a file-source stream over the two halves
+    * (maxFilesPerTrigger=1 forces one micro-batch per half, so the
+    * cross-batch merge path is genuinely exercised). The a/b files
+    * carry the SOURCE's raw INT64 unit; the stream converts with the
+    * footer-detected divisor, same as the batch reader.
+    */
+  private def replayEventsTwoBatches(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): (java.io.File, DataFrame) = {
+    val (raw, div) = graft.etl.Tables.eventsRawScan(s, d)
+    val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val base = new java.io.File(
+      s"/tmp/graft_$tag/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(base)
+    base.mkdirs()
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val stage = new java.io.File(base, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $stage"))
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(base, name).toPath)
+    }
+    writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
+    writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
+    val stream = s.readStream.schema(graft.etl.Tables.eventsRaw)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_events.parquet")
+      .parquet(base.getPath)
+      .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
+    (base, stream)
+  }
 
   val oracles: Map[String, String] = Map(
     "s3_csv_roundtrip" ->
@@ -447,6 +492,14 @@ object Etl {
            CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
              AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // MG above capacity is exact, so the oracle is the plain GROUP BY
+    // truth — any eviction, lost merge, or running-total drift in the
+    // maintained sketch goes hash-red
+    "l_hh_maintained" ->
+      """SELECT 'u' || CAST(user_id % 97 AS VARCHAR) AS key,
+           COUNT(*) AS est_n,
+           (SELECT COUNT(*) FROM events) AS n_total
+         FROM events GROUP BY 1 ORDER BY 1""",
     "l_scd2" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,
