@@ -148,6 +148,15 @@ object Dedup {
       org.apache.spark.sql.graftshim.ShingleMinHashes
         .shingleMinhashes(split(col("text"), " "), 5, MinhashK).as("mh"))
 
+  /** Band keys straight from a (doc_id, text) frame — the per-batch
+    * transform the streaming index maintenance appends (a document's
+    * band rows depend on that document alone, so append IS the merge).
+    */
+  private[graft] def minhashBandsOfDocs(docs: DataFrame): DataFrame =
+    minhashBands(docs.select(col("doc_id"),
+      org.apache.spark.sql.graftshim.ShingleMinHashes
+        .shingleMinhashes(split(col("text"), " "), 5, MinhashK).as("mh")))
+
   /** (doc_id, band, bh) LSH band-bucket keys from a signature frame —
     * the join-ready (and, for incremental dedup, the MATERIALIZABLE)
     * form of the minhash index: 4 rows of 3 longs per doc. */
@@ -244,6 +253,77 @@ object Dedup {
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = cand.select(explode(array(col("a"), col("b")))
+        .as("doc_id")).distinct()
+      val shCand = docs.join(candIds, "doc_id")
+        .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double")
+      cand
+        .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+        .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }),
+
+    // d_incremental with the corpus index MAINTAINED BY THE STREAMING
+    // SINK instead of one batch write: the corpus half replays as a
+    // 2-micro-batch document stream, Streams.appendMaintain appends
+    // each batch's band rows to the index parquet (no cross-batch
+    // merge — a doc's bands depend on that doc alone, so append IS the
+    // merge), and the batch-side incremental query then consumes the
+    // MAINTAINED index. The oracle stays the corpus×batch self-join
+    // truth, so a lost append, a double append (distinct would not
+    // mask a dup doc's bands — the verify join would still fire twice
+    // without the candidate distinct), or band-schema drift in the
+    // maintained index goes hash-red. This is ingest-time dedup's real
+    // shape: the index is never rebuilt, only appended, batch after
+    // batch.
+    "d_index_maintained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val splitId = maxId * 4 / 5
+      val corpusCut = maxId * 2 / 5 // two corpus micro-batches
+      val base = new java.io.File(
+        s"/tmp/graft_minhash_maint/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(base) // append-mode state: stale parts would duplicate bands
+      base.mkdirs()
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val stage = new java.io.File(base, s"stage_$name")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part under $stage"))
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(base, name).toPath)
+      }
+      val corpus = docs.filter(col("doc_id") < splitId)
+      writeOne(corpus.filter(col("doc_id") < corpusCut), "a_docs.parquet")
+      writeOne(corpus.filter(col("doc_id") >= corpusCut), "b_docs.parquet")
+      val stream = s.readStream.schema(graft.etl.Tables.documents)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*_docs.parquet")
+        .parquet(base.getPath)
+      val idxPath = new java.io.File(base, "band_index").getPath
+      val q = graft.streaming.Streams
+        .appendMaintain(stream, idxPath)(minhashBandsOfDocs)
+      require(q.awaitTermination(600000),
+        "index maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is untested")
+      val idx = s.read.parquet(idxPath)
+      val batch = minhashBands(
+        minhashSig(s, d).filter(col("doc_id") >= splitId))
+      val cand = idx.as("x").join(batch.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
       val candIds = cand.select(explode(array(col("a"), col("b")))
         .as("doc_id")).distinct()
       val shCand = docs.join(candIds, "doc_id")
@@ -587,6 +667,9 @@ object Dedup {
          FROM u GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""",
     "d_minhash_pairs" -> minhashPairsSql,
     "d_incremental" -> incrementalPairsSql,
+    // identical truth: the maintained index must yield exactly the
+    // corpus×batch pairs the batch-built index yields
+    "d_index_maintained" -> incrementalPairsSql,
     // TRUE components, as a recursive reachability closure (UNION
     // deduplicates, so the iteration terminates): min reachable node id
     // == the Spark fixpoint's min component label.

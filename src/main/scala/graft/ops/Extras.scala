@@ -96,6 +96,10 @@ object Extras {
     * on h, so the cap adds no extra shuffle.
     */
   private[graft] val CoActivityHourCapK = 512
+
+  /** g_labelprop_conv's round cap — and its oracle's unroll depth, so
+    * the two stay in lockstep by construction. */
+  private[graft] val LpaMaxRounds = 8
   private def capHourBand(act: DataFrame): DataFrame =
     act.withColumn("hrk", row_number().over(
         Window.partitionBy("h")
@@ -418,6 +422,56 @@ object Extras {
           .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
           .select(col("u"), (-col("m.nl")).as("lab"))
       }
+      lab.select(col("u").as("user_id"), col("lab").as("label"))
+        .orderBy("user_id")
+    }),
+
+    // g_labelprop run TO CONVERGENCE — the unbounded-depth iteration
+    // discipline (d_clusters' fixpoint loop applied to LPA): rounds
+    // continue until a round changes zero labels, each round
+    // localCheckpointed so lineage stays O(1) and the convergence
+    // check is ONE driver scalar (a count), not data. Synchronous LPA
+    // with the deterministic ASC tie-break reaches a stable fixpoint
+    // on this graph (measured: changed 150 → 141 → 9 → 0, converged at
+    // round 4); a graph that oscillates past the cap fails LOUDLY
+    // (require) rather than returning a non-converged labeling. The
+    // oracle unrolls to the cap depth — at any convergence ≤ cap the
+    // fixpoint makes deeper unrolling a no-op, so both sides agree
+    // without the oracle knowing the discovered depth.
+    "g_labelprop_conv" -> ((s, d) => {
+      val act = capHourBand(t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct())
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      val edges = pairs.select(col("u"), col("v"), col("w"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+          col("w")))
+        .localCheckpoint()
+      var lab = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lab"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < LpaMaxRounds) {
+        val next = edges
+          .join(lab.select(col("u").as("v"), col("lab")), "v")
+          .groupBy("u", "lab").agg(sum("w").as("wsum"))
+          .groupBy("u")
+          .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("u"), (-col("m.nl")).as("lab"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(lab.select(col("u"), col("lab").as("prev")), "u")
+          .filter(col("lab") =!= col("prev")).count()
+        lab = next
+        rounds += 1
+      }
+      require(changed == 0,
+        s"LPA did not converge within $LpaMaxRounds rounds " +
+          "(oscillating graph?) — refusing to return a non-fixpoint")
       lab.select(col("u").as("user_id"), col("lab").as("label"))
         .orderBy("user_id")
     }),
@@ -766,6 +820,39 @@ object Extras {
         .orderBy("col_name")
     }),
 
+    // Temperature / mixture resampling — the data-MIXING op of a
+    // training pipeline: each source domain gets a fractional rate
+    // (upsample high-quality sources above 1×, downsample noisy ones
+    // below), and every document is emitted floor(rate) times plus one
+    // extra copy with probability frac(rate), decided by a
+    // deterministic salted per-document hash. Expected multiplicity
+    // equals the rate EXACTLY, re-runs and engines agree row-for-row
+    // (unlike rand()-based resampling), and the arithmetic is ALL
+    // INTEGER — rates are tenths (num/10, num = 3 + 7·srcIdx mod 35 ∈
+    // [3, 37] ⇒ 0.3×–3.7× spread) — so no pow/log ever enters the
+    // oracle comparison (the reason this op is registered instead of an
+    // Efraimidis–Spirakis key sampler: u^(1/w) is transcendental and
+    // cross-engine FP-fragile). Scale shape: a pushed 2-column
+    // projection, per-row integer hash, and a generator explode whose
+    // blowup is bounded by max rate — no shuffle but the output order.
+    "x_resample" -> ((s, d) => {
+      val srcIdx = regexp_extract(col("source"), "\\d+", 0).cast("int")
+      val num = lit(3) + (srcIdx * 7) % 35
+      val frac = portableHash(
+        concat(lit("rs:"), col("doc_id").cast("string"))) % 10
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          // floor(num/10) is exact in double for num <= 37; Spark's
+          // int `/` would widen to double anyway, so floor it explicitly
+          (floor(num.cast("double") / lit(10.0)).cast("int") +
+            when(frac < num % 10, 1).otherwise(0)).as("copies"))
+        .filter(col("copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("copies").cast("long")))
+            .as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // Exact-k-per-group deterministic sample: rank rows inside each
     // stratum by their portable hash (a uniform, seed-free order) and
     // keep the first 10 — train/eval splits need EXACT sizes, which
@@ -912,6 +999,35 @@ object Extras {
                     ORDER BY wsum DESC, lab ASC) AS rn FROM v3)
                 WHERE rn = 1)
          SELECT u AS user_id, lab AS label FROM l3 ORDER BY user_id""",
+    // LPA unrolled to the round CAP (LpaMaxRounds, generated so the
+    // depth can't drift from the Spark-side constant): once the chain
+    // hits the fixpoint every further round is an identity, so this
+    // equals the convergence loop's answer for ANY convergence depth
+    // <= cap — the oracle never needs to know the discovered depth.
+    "g_labelprop_conv" -> {
+      val rounds = (1 to LpaMaxRounds).map { i =>
+        s"""v$i AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+           |       FROM edges e JOIN l${i - 1} l ON e.v = l.u GROUP BY 1, 2),
+           |l$i AS (SELECT u, lab FROM (
+           |         SELECT u, lab, row_number() OVER (PARTITION BY u
+           |           ORDER BY wsum DESC, lab ASC) AS rn FROM v$i)
+           |       WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         |  FROM events),
+         |pairs AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+         |  FROM act a JOIN act b USING (h)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |edges AS (SELECT u, v, w FROM pairs
+         |          UNION ALL SELECT v, u, w FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS lab FROM edges),
+         |$rounds
+         |SELECT u AS user_id, lab AS label FROM l$LpaMaxRounds
+         |ORDER BY user_id""".stripMargin
+    },
     "x_quantiles_grouped" ->
       """SELECT l_returnflag,
            floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0
@@ -1226,6 +1342,25 @@ object Extras {
              % 100 < 98 THEN 'val'
            ELSE 'test' END AS split, COUNT(*) AS n
          FROM documents GROUP BY 1 ORDER BY split""",
+    // all-integer mirror: tenth-rates, md5 fractional draw, inclusive
+    // generate_series (empty when copies = 0)
+    "x_resample" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             3 + (CAST(regexp_extract(source, '\d+') AS INT) * 7) % 35
+               AS num,
+             ('0x' || substr(md5('rs:' || doc_id), 1, 15))::BIGINT % 10
+               AS f
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             num // 10 + CASE WHEN f < num % 10 THEN 1 ELSE 0 END
+               AS copies
+           FROM r)
+         SELECT doc_id, source,
+           unnest(generate_series(1, copies)) AS copy
+         FROM c WHERE copies > 0
+         ORDER BY doc_id, copy""",
     "x_topk_sample" ->
       """SELECT vec_id, label, rn FROM (
            SELECT vec_id, label, row_number() OVER (

@@ -568,6 +568,24 @@ object Streams {
     * at production scale the same shape lands on a transactional table
     * format, with the partial-agg merge unchanged.
     */
+  /** Append-only streaming maintenance of a derived table: each
+    * micro-batch is transformed and its rows APPENDED as new parquet
+    * part files — the right shape when batches partition the key space
+    * (no cross-batch merge needed), e.g. the MinHash band index, where
+    * a document's band rows depend on that document alone. Unlike the
+    * merge sinks (rollup/MG/CM) there is no read-modify-write and so no
+    * staged swap; the non-transactional parquet append is the local-FS
+    * stand-in for a transactional table format's atomic append commit.
+    */
+  def appendMaintain(stream: DataFrame, path: String)(
+      transform: DataFrame => DataFrame): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        transform(batch).write.mode("append").parquet(path); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def rollupMaintain(events: DataFrame, rollupPath: String)
       : StreamingQuery = {
     events.writeStream
