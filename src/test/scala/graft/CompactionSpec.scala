@@ -119,9 +119,15 @@ class CompactionSpec extends SparkTestBase {
     // and the layout actually prunes: a ~1% time window's executed scan
     // emits a small fraction of rows (row-group skip on the pushed ts
     // range — requires the TIMESTAMP_MICROS stats writeSorted forces)
+    // ~1% interior window derived from the data's own time range — a
+    // hardcoded date breaks when the driver regenerates the calendar
+    val mm = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 45 / 100
+    val hi = lo + (mm.getLong(1) - mm.getLong(0)) / 90
     val ranged = back
-      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
-        col("ts") < lit("2024-01-15 08:00:00").cast("timestamp"))
+      .filter(col("ts") >= expr(s"timestamp_micros(${lo}L)") &&
+        col("ts") < expr(s"timestamp_micros(${hi}L)"))
     ranged.collect()
     val scan = ranged.queryExecution.executedPlan.collectLeaves()
       .collectFirst {

@@ -143,13 +143,21 @@ class LayoutSpec extends SparkTestBase {
     }
 
     // single-dimension probes: a narrow slice of EACH column must prune
-    // on the z layout (no layout sorted on one column can do both)
-    def micros(iso: String): Long =
-      java.time.Instant.parse(iso).toEpochMilli * 1000L
-    val probes = Seq(
-      ("user_id", 10L, 19L),
-      ("ts", micros("2024-01-05T00:00:00Z"),
-        micros("2024-01-08T00:00:00Z")))
+    // on the z layout (no layout sorted on one column can do both).
+    // Probe windows DERIVE from the data's min/max (a ~7% and ~10%
+    // interior slice) — hardcoded ids/dates break when the driver
+    // regenerates testdata with a different seed or calendar
+    def range(c: String): (Long, Long) = {
+      val r = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts"))), min(col(c)), max(col(c))).head()
+      if (c == "ts") (r.getLong(0), r.getLong(1))
+      else (r.getLong(2), r.getLong(3))
+    }
+    def slice(c: String, fromPct: Long, toPct: Long): (String, Long, Long) = {
+      val (mn, mx) = range(c)
+      (c, mn + (mx - mn) * fromPct / 100, mn + (mx - mn) * toPct / 100)
+    }
+    val probes = Seq(slice("user_id", 6, 13), slice("ts", 40, 50))
     for ((c, lo, hi) <- probes) {
       val zRg = rowGroupRanges(z, c)
       val unRg = rowGroupRanges(un, c)

@@ -12,11 +12,15 @@ class PartitionPruneSpec extends SparkTestBase {
   test("day filter on a partitioned table reads only that day's files") {
     val ev = etl.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    // probe the busiest day DERIVED from the data, not a hardcoded
+    // date — a regenerated testdata seed moves the calendar
+    val probeDay = ev.groupBy("day").count()
+      .orderBy(col("count").desc, col("day")).head.getString(0)
     val dir = java.nio.file.Files.createTempDirectory("graft-part")
       .toString
     etl.Load.writePartitioned(ev, dir, "day")
     val back = spark.read.parquet(dir)
-    val one = back.filter(col("day") === "2024-01-03")
+    val one = back.filter(col("day") === probeDay)
 
     // the filter must reach the scan as a PARTITION filter (pruned at
     // planning), not a data filter (evaluated per row after reading)
@@ -26,7 +30,7 @@ class PartitionPruneSpec extends SparkTestBase {
     // file-level proof: the distinct files actually read are exactly the
     // files under the one selected partition directory
     val filesRead = one.select(input_file_name()).distinct().count()
-    val filesInPart = new java.io.File(s"$dir/day=2024-01-03")
+    val filesInPart = new java.io.File(s"$dir/day=$probeDay")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(filesInPart > 0)
     assert(filesRead == filesInPart,
@@ -34,7 +38,7 @@ class PartitionPruneSpec extends SparkTestBase {
 
     // and the pruned read returns the same rows as the unpartitioned scan
     assert(one.count() ==
-      ev.filter(col("day") === "2024-01-03").count())
+      ev.filter(col("day") === probeDay).count())
     assert(one.count() > 0)
   }
 }
