@@ -137,12 +137,22 @@ object Etl {
       Load.writeSorted(
         t(s, d, "events").select("event_id", "user_id", "event_type", "ts"),
         path, "ts", partitions = 16)
+      // probe window DERIVED from the data's own time range (~1.1%
+      // interior slice at 45% depth; integer-µs arithmetic mirrored by
+      // the oracle) — a hardcoded date goes vacuous-but-green when the
+      // driver regenerates the calendar. The min/max fetch is two
+      // footer-stat scalars; embedding them as literals keeps the
+      // filter PUSHABLE (PlanAuditSpec asserts PushedFilters).
+      val mm = t(s, d, "events").agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 45 / 100
+      val hi = lo + (mm.getLong(1) - mm.getLong(0)) / 90
       // no orderBy: the compare sorts rows, and a global sort would both
       // add an exchange and double-execute the scan (the range
       // partitioner samples its child), polluting the pruning metric
       s.read.parquet(path)
-        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-15 08:00:00").cast("timestamp"))
+        .filter(col("ts") >= expr(s"timestamp_micros(${lo}L)") &&
+          col("ts") < expr(s"timestamp_micros(${hi}L)"))
         .select("event_id", "user_id", "event_type", "ts")
     }),
 
@@ -194,10 +204,21 @@ object Etl {
       Load.writeZOrdered(
         t(s, d, "events").select("event_id", "user_id", "event_type", "ts"),
         path, "user_id", "ts", partitions = 16)
+      // both probe dimensions derive from the data (user slice 10–35%
+      // — wide enough to stay non-degenerate even on sf0.001's ~16-id
+      // domain; time slice 33–67% — the z-curve must prune each from
+      // ONE copy)
+      val r = t(s, d, "events").agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        min(col("user_id")), max(col("user_id"))).head()
+      val (tlo, thi) = (r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 3,
+        r.getLong(0) + (r.getLong(1) - r.getLong(0)) * 2 / 3)
+      val (ulo, uhi) = (r.getLong(2) + (r.getLong(3) - r.getLong(2)) * 10 / 100,
+        r.getLong(2) + (r.getLong(3) - r.getLong(2)) * 35 / 100)
       s.read.parquet(path)
-        .filter(col("user_id") >= 10 && col("user_id") < 20 &&
-          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .filter(col("user_id") >= ulo && col("user_id") < uhi &&
+          col("ts") >= expr(s"timestamp_micros(${tlo}L)") &&
+          col("ts") < expr(s"timestamp_micros(${thi}L)"))
         .select("event_id", "user_id", "event_type", "ts")
     }),
 
@@ -426,11 +447,17 @@ object Etl {
                   ELSE o_orderpriority END, 'UNSPECIFIED') AS o_orderpriority,
            COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // same integer-µs window arithmetic as the Spark side (// is
+    // integer division, matching Long truncation for positive epochs)
     "l_sorted_scan" ->
-      """SELECT event_id, user_id, event_type, ts
-         FROM events
-         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-           AND ts < TIMESTAMP '2024-01-15 08:00:00'
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS l0, epoch_us(MAX(ts)) AS h0
+                     FROM events),
+         w AS (SELECT l0 + (h0 - l0) * 45 // 100 AS lo,
+                      l0 + (h0 - l0) * 45 // 100 + (h0 - l0) // 90 AS hi
+               FROM mm)
+         SELECT event_id, user_id, event_type, ts
+         FROM events, w
+         WHERE epoch_us(ts) >= w.lo AND epoch_us(ts) < w.hi
          ORDER BY event_id""",
     "s6_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -443,11 +470,18 @@ object Etl {
          FROM orders WHERE o_custkey % 7 = 0
          ORDER BY o_orderkey""",
     "l_zorder_scan" ->
-      """SELECT event_id, user_id, event_type, ts
-         FROM events
-         WHERE user_id >= 10 AND user_id < 20
-           AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-           AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      """WITH r AS (SELECT epoch_us(MIN(ts)) AS tl0, epoch_us(MAX(ts)) AS th0,
+                      MIN(user_id) AS ul0, MAX(user_id) AS uh0
+                    FROM events),
+         w AS (SELECT tl0 + (th0 - tl0) // 3 AS tlo,
+                      tl0 + (th0 - tl0) * 2 // 3 AS thi,
+                      ul0 + (uh0 - ul0) * 10 // 100 AS ulo,
+                      ul0 + (uh0 - ul0) * 35 // 100 AS uhi
+               FROM r)
+         SELECT event_id, user_id, event_type, ts
+         FROM events, w
+         WHERE user_id >= w.ulo AND user_id < w.uhi
+           AND epoch_us(ts) >= w.tlo AND epoch_us(ts) < w.thi
          ORDER BY event_id""",
     "l_upsert" ->
       """WITH u AS (

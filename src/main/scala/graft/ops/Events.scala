@@ -191,14 +191,23 @@ object Events {
     }),
 
     // Incremental extract: SystemModstamp high-water-mark filter, applied
-    // on the raw nanos column so it pushes into the parquet scan
+    // on the raw INT64 column so it pushes into the parquet scan
     // (PushedFilters: GreaterThan) — at 100 TB this is the difference
-    // between reading a day and reading a decade. Note `>` on raw nanos is
-    // a strict superset of `>` on truncated micros only when the watermark
-    // is on a whole-µs boundary (ours is), keeping oracle parity.
+    // between reading a day and reading a decade. Note `>` on the raw
+    // unit is a strict superset of `>` on truncated micros only when the
+    // watermark is on a whole-µs boundary (ours is, by construction),
+    // keeping oracle parity. The watermark DERIVES from the data's own
+    // range (1/3 depth, two footer-stat scalars, embedded as a literal
+    // so the pushdown survives) — a fixed date goes vacuous-but-green
+    // under a regenerated calendar.
     "e_incremental" -> ((s, d) => {
+      val mm = graft.etl.Tables.load(s, d, "events")
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .head()
+      val wmMicros = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 3
       graft.etl.Tables.eventsSince(s, d,
-          java.time.Instant.parse("2024-01-10T00:00:00Z"))
+          java.time.Instant.ofEpochSecond(wmMicros / 1000000L,
+            (wmMicros % 1000000L) * 1000L))
         .groupBy("event_type")
         .agg(count("*").as("n"), min(col("ts")).as("first_ts"),
           max(col("ts")).as("last_ts"))
@@ -327,9 +336,14 @@ object Events {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // watermark = min + (max-min)//3 in integer µs, mirroring the Spark
+    // side's Long truncation exactly
     "e_incremental" ->
-      """SELECT event_type, COUNT(*) AS n, MIN(ts) AS first_ts,
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS l0, epoch_us(MAX(ts)) AS h0
+                     FROM events),
+         w AS (SELECT l0 + (h0 - l0) // 3 AS wm FROM mm)
+         SELECT event_type, COUNT(*) AS n, MIN(ts) AS first_ts,
            MAX(ts) AS last_ts
-         FROM events WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+         FROM events, w WHERE epoch_us(ts) > w.wm
          GROUP BY event_type ORDER BY event_type""")
 }

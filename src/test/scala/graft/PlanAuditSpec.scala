@@ -189,7 +189,9 @@ class PlanAuditSpec extends SparkTestBase {
     val p = q.queryExecution.explainString(FormattedMode)
     val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
       .mkString("\n")
-    assert(pushed.contains("GreaterThanOrEqual(user_id,10)") &&
+    // value-agnostic: the window now derives from the data range, so
+    // only the pushdown SHAPE (both dimensions reach the scan) is pinned
+    assert(pushed.contains("GreaterThanOrEqual(user_id,") &&
       pushed.contains("GreaterThanOrEqual(ts,"), pushed)
     q.collect()
     def scans(pl: org.apache.spark.sql.execution.SparkPlan)
