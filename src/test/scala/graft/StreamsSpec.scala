@@ -311,6 +311,47 @@ class StreamsSpec extends SparkTestBase {
       "recovered _old copy must be consumed, not left to be re-merged")
   }
 
+  test("appendMaintain over a 2-batch replay equals the batch-built bands") {
+    // the append sink's invariant: because a document's band rows
+    // depend on that document alone, appending per-batch band rows
+    // yields EXACTLY the rows a one-shot batch build yields — no merge,
+    // no dedup, no loss. Set-equality against the batch build proves
+    // no batch was dropped and none appended twice.
+    val docs = etl.Tables.load(spark, dir, "documents")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val cut = maxId / 2
+    val tmp = java.nio.file.Files.createTempDirectory("append_maint")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      java.nio.file.Files.copy(p, tmp.resolve(name))
+    }
+    writeOne(docs.filter(col("doc_id") < cut), "a_docs.parquet")
+    writeOne(docs.filter(col("doc_id") >= cut), "b_docs.parquet")
+    val stream = spark.readStream.schema(etl.Tables.documents)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_docs.parquet")
+      .parquet(tmp.toString)
+    val idxPath = tmp.resolve("idx").toString
+    val q = Streams.appendMaintain(stream, idxPath)(
+      graft.ops.Dedup.minhashBandsOfDocs)
+    assert(q.awaitTermination(180000), "append sink must drain")
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches")
+    val maintained = spark.read.parquet(idxPath)
+    val batch = graft.ops.Dedup.minhashBandsOfDocs(docs)
+    assert(maintained.count() == batch.count())
+    assert(maintained.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(maintained).count() == 0,
+      "maintained index diverged from the batch build")
+  }
+
   test("legacy heavy-hitters state layout fails with a clear message") {
     // the state format changed from (key, est) rows + __n__ sentinel to
     // one (n, mg) row; an old statePath must produce an actionable
