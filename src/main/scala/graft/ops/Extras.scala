@@ -853,6 +853,40 @@ object Extras {
         .orderBy("doc_id", "copy")
     }),
 
+    // Deterministic global corpus shuffle — the permutation step every
+    // training pipeline runs before sequence packing. Canonical order =
+    // (shard, hash, doc_id) with shard = hash mod 64: a uniform
+    // reproducible permutation (salted hash, so re-runs, engines, and
+    // partitionings agree position-for-position — `orderBy(rand())`
+    // gives none of that). The GLOBAL position is assigned WITHOUT a
+    // global sort: per-shard rank windows (64-way parallel) plus a
+    // broadcast 64-scalar shard-offset cumsum — the t_chunkpack
+    // two-phase discipline, so driver state is 64 longs no matter the
+    // corpus size. The output orderBy exists only for the hash compare.
+    "x_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hk = portableHash(
+        concat(lit("shuf:"), col("doc_id").cast("string")))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), hk.as("hk"),
+          pmod(hk, lit(64L)).as("shard"))
+      val w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+      val local = docs.withColumn("rk", row_number().over(w))
+      val counts = docs.groupBy("shard").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+        .sortBy(_._1)
+      var acc = 0L
+      val bases = counts.map { case (sh, n) =>
+        val b = acc; acc += n; (sh, b)
+      }.toSeq
+      val baseDf = s.createDataFrame(bases).toDF("shard", "base")
+      local.join(broadcast(baseDf), "shard")
+        .select(col("doc_id"), col("shard"),
+          (col("base") + col("rk")).as("pos"))
+        .orderBy("pos")
+    }),
+
     // Exact-k-per-group deterministic sample: rank rows inside each
     // stratum by their portable hash (a uniform, seed-free order) and
     // keep the first 10 — train/eval splits need EXACT sizes, which
@@ -1342,6 +1376,17 @@ object Extras {
              % 100 < 98 THEN 'val'
            ELSE 'test' END AS split, COUNT(*) AS n
          FROM documents GROUP BY 1 ORDER BY split""",
+    // global row_number over the same canonical (shard, hash, doc_id)
+    // order — DuckDB can afford the global sort; Spark assigns the
+    // identical positions shard-parallel
+    "x_shuffle" ->
+      """WITH h AS (
+           SELECT doc_id,
+             ('0x' || substr(md5('shuf:' || doc_id), 1, 15))::BIGINT AS hk
+           FROM documents)
+         SELECT doc_id, hk % 64 AS shard,
+           row_number() OVER (ORDER BY hk % 64, hk, doc_id) AS pos
+         FROM h ORDER BY pos""",
     // all-integer mirror: tenth-rates, md5 fractional draw, inclusive
     // generate_series (empty when copies = 0)
     "x_resample" ->

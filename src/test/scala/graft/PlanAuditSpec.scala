@@ -453,6 +453,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "merge must re-sum partial aggregates")
   }
 
+  test("x_shuffle: positions shard-parallel; offsets broadcast; one window") {
+    // the global permutation must NOT plan a global (single-partition)
+    // window: ranks come from a shard-partitioned window, the 64-row
+    // offset table broadcasts, and the only range partitioning is the
+    // output ordering
+    val p = plan("x_shuffle")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(nodeCount(p, "Window") == 1, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+    assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
+  }
+
   test("g_labelprop: vote joins equi-keyed; argmax is a hash agg, no window") {
     // the edge build is behind a localCheckpoint (scanned, not
     // re-planned), so this audits the iterate+argmax tail: 3 equi-joins
