@@ -121,7 +121,11 @@ object Tables {
     * Timestamp/TimestampNTZ). One cached metadata read per path — the
     * regenerated driver testdata switched units mid-project, and a
     * hardcoded divisor turned every event timestamp 1000× off (three
-    * data-dependent specs went red before any query did).
+    * data-dependent specs went red before any query did). The cache key
+    * carries the file's (mtime, size) fingerprint, not just its path:
+    * a fixture regenerated in-place with a different timestamp unit
+    * while the JVM is alive gets a fresh footer probe, not a stale
+    * divisor — the exact 1000×-off failure this cache was built to fix.
     */
   private val tsDivCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -129,8 +133,18 @@ object Tables {
     // the conf is needed by every subsequent eventsRaw scan of a NANOS
     // file, not just the footer probe — set it on every call (cheap)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsDivCache.computeIfAbsent(s"$dir/events.parquet", p =>
-      spark.read.parquet(p).schema("ts").dataType match {
+    val path = s"$dir/events.parquet"
+    // (max mtime, total length) over the file or directory tree — two
+    // stat calls per part, far cheaper than the footer read it guards
+    def sig(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val cs = Option(f.listFiles()).getOrElse(Array.empty).map(sig)
+        (cs.foldLeft(f.lastModified)((m, c) => math.max(m, c._1)),
+          cs.map(_._2).sum)
+      } else (f.lastModified, f.length)
+    val (mtime, len) = sig(new java.io.File(path))
+    tsDivCache.computeIfAbsent(s"$path@$mtime:$len", _ =>
+      spark.read.parquet(path).schema("ts").dataType match {
         case LongType => 1000L
         case _ => 1L
       }).longValue()

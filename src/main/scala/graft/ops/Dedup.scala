@@ -283,33 +283,17 @@ object Dedup {
     // batch.
     "d_index_maintained" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // one bounded driver scalar (the doc-id high-water mark) defines
+      // the corpus/batch split — the same footer-stat discipline as the
+      // events replay's time midpoint
       val maxId = docs.agg(max("doc_id")).head.getLong(0)
       val splitId = maxId * 4 / 5
       val corpusCut = maxId * 2 / 5 // two corpus micro-batches
-      val base = new java.io.File(
-        s"/tmp/graft_minhash_maint/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(base) // append-mode state: stale parts would duplicate bands
-      base.mkdirs()
-      def writeOne(df: DataFrame, name: String): Unit = {
-        val stage = new java.io.File(base, s"stage_$name")
-        df.coalesce(1).write.parquet(stage.getPath)
-        val part = stage.listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part under $stage"))
-        java.nio.file.Files.copy(part.toPath,
-          new java.io.File(base, name).toPath)
-      }
       val corpus = docs.filter(col("doc_id") < splitId)
-      writeOne(corpus.filter(col("doc_id") < corpusCut), "a_docs.parquet")
-      writeOne(corpus.filter(col("doc_id") >= corpusCut), "b_docs.parquet")
-      val stream = s.readStream.schema(graft.etl.Tables.documents)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*_docs.parquet")
-        .parquet(base.getPath)
+      val (base, stream) = Replay.twoBatchStream(s, "minhash_maint", d,
+        graft.etl.Tables.documents, "docs",
+        corpus.filter(col("doc_id") < corpusCut),
+        corpus.filter(col("doc_id") >= corpusCut))
       val idxPath = new java.io.File(base, "band_index").getPath
       val q = graft.streaming.Streams
         .appendMaintain(stream, idxPath)(minhashBandsOfDocs)
@@ -317,13 +301,16 @@ object Dedup {
         "index maintenance stream must drain (AvailableNow)")
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the append path is untested")
-      val idx = s.read.parquet(idxPath)
+      val idx = graft.streaming.Streams.readMaintained(s, idxPath)
       val batch = minhashBands(
         minhashSig(s, d).filter(col("doc_id") >= splitId))
       val cand = idx.as("x").join(batch.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
+        // consumed twice (candIds + the verify join) — persist, same
+        // as d_incremental, so the LSH join isn't recomputed
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candIds = cand.select(explode(array(col("a"), col("b")))
         .as("doc_id")).distinct()
       val shCand = docs.join(candIds, "doc_id")

@@ -351,6 +351,70 @@ object Etl {
         .orderBy("key")
     }),
 
+    // The THIRD (and last) maintenance sink on the oracle surface —
+    // count-min — via the verdict-column pattern (the a3_approx /
+    // x_countmin precedent), NOT a rows-only row: xxhash64 makes a
+    // DuckDB grid mirror impossible, so the registered query computes
+    // BOTH sketches in Spark — the grid MAINTAINED by the real
+    // streaming sink (Streams.countMinMaintain over the 2-batch
+    // replay: distributed per-batch sketch, elementwise O(d·w) merge,
+    // staged swap, recovery read) and a one-shot batch grid over the
+    // whole table — and emits checkable facts: cells_diff (CM's merge
+    // is elementwise sum, so the maintained grid must be BIT-IDENTICAL
+    // to the batch grid — 0 differing cells), n_total (vs the oracle's
+    // COUNT(*) — an exact value, not a verdict), and per-probe
+    // no_underestimate / within_2eps point-query verdicts against
+    // DISTRIBUTED exact counts (est ≥ exact always — counters only
+    // add; est ≤ exact + 2·(e/w)·n with the documented 2× Markov
+    // margin, deterministic-in-practice with the fixed hash family).
+    // A lost batch, a double merge, or recovery drift shows up as
+    // cells_diff > 0 / n_total off / an underestimate — all hash-red.
+    // Key space: constructed skew on user_id (7 hot keys + long cold
+    // tail), probes mix hot and cold, same shape as x_countmin.
+    "l_cm_maintained" -> ((s, d) => {
+      val hh = graft.functions.HeavyHitters
+      val width = 2048
+      val key = when(col("user_id") % 10 < 5,
+          concat(lit("hot"), (col("user_id") % 7).cast("string")))
+        .otherwise(concat(lit("cold"), col("user_id").cast("string")))
+      val (base, stream) = replayEventsTwoBatches(s, d, "cm_maint")
+      val statePath = new java.io.File(base, "cm_state").getPath
+      val q = graft.streaming.Streams.countMinMaintain(
+        stream.select(key.as("k")), "k", statePath, width)
+      require(q.awaitTermination(600000),
+        "count-min maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      import s.implicits._
+      val (nMaint, gridMaint) = s.read.parquet(statePath)
+        .as[(Long, Array[Long])].head()
+      val ev = t(s, d, "events").select(key.as("k"))
+      val bRow = ev.agg(hh.cmSketchCol(col("k"), width).as("cm"),
+        count(lit(1)).as("n")).head()
+      val gridBatch = bRow.getSeq[Long](0).toArray
+      // both grids are O(d·w) driver scalars (the 64 KB bounded fetch
+      // of x_countmin); the comparison is per-cell, reported as a count
+      val cellsDiff: Long =
+        gridMaint.zip(gridBatch).count { case (a, b) => a != b }.toLong +
+          math.abs(gridMaint.length - gridBatch.length).toLong
+      val eps = 2.718281828459045 / width * nMaint
+      val probes = (0 to 6).map(i => s"hot$i") ++
+        Seq("cold5", "cold7", "cold9")
+      val estDf = probes.map(p => (p, hh.cmEstimate(gridMaint, width, p)))
+        .toDF("k", "est")
+      ev.filter(col("k").isin(probes: _*))
+        .groupBy("k").agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(estDf), "k")
+        .select(col("k"), col("exact_n"),
+          lit(nMaint).as("n_total"),
+          lit(cellsDiff).as("cells_diff"),
+          (col("est") >= col("exact_n")).as("no_underestimate"),
+          (col("est").cast("double") <=
+            col("exact_n").cast("double") + lit(2.0 * eps))
+            .as("within_2eps"))
+        .orderBy("k")
+    }),
+
     // SCD Type-2 history build: collapse each user's event stream into
     // validity intervals of its changing attribute (event_type) — change
     // detection via lag, interval close via lead, open interval =
@@ -373,48 +437,22 @@ object Etl {
         .orderBy("user_id", "valid_from")
     }))
 
-  /** Shared 2-batch replay rig for the maintained-table queries: splits
-    * the events table at the raw event-time midpoint (two footer-stat
-    * scalars, no sort/collect), writes each half as its own parquet
-    * file under a per-(tag, sfdir) scratch dir — wiped first, so
-    * re-runs can't double-count into stale state — and returns that
-    * dir plus a file-source stream over the two halves
-    * (maxFilesPerTrigger=1 forces one micro-batch per half, so the
-    * cross-batch merge path is genuinely exercised). The a/b files
+  /** Events 2-batch replay: splits the events table at the raw
+    * event-time midpoint (two footer-stat scalars, no sort/collect)
+    * and hands the halves to the shared [[Replay]] rig. The a/b files
     * carry the SOURCE's raw INT64 unit; the stream converts with the
     * footer-detected divisor, same as the batch reader.
     */
-  private def replayEventsTwoBatches(
+  private[ops] def replayEventsTwoBatches(
       s: org.apache.spark.sql.SparkSession, d: String,
       tag: String): (java.io.File, DataFrame) = {
     val (raw, div) = graft.etl.Tables.eventsRawScan(s, d)
     val mm = raw.agg(min(col("ts")), max(col("ts"))).head()
     val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
-    val base = new java.io.File(
-      s"/tmp/graft_$tag/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(base)
-    base.mkdirs()
-    def writeOne(df: DataFrame, name: String): Unit = {
-      val stage = new java.io.File(base, s"stage_$name")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part under $stage"))
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(base, name).toPath)
-    }
-    writeOne(raw.filter(col("ts") < cut), "a_events.parquet")
-    writeOne(raw.filter(col("ts") >= cut), "b_events.parquet")
-    val stream = s.readStream.schema(graft.etl.Tables.eventsRaw)
-      .option("maxFilesPerTrigger", 1)
-      .option("pathGlobFilter", "*_events.parquet")
-      .parquet(base.getPath)
-      .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
-    (base, stream)
+    val (base, stream) = Replay.twoBatchStream(s, tag, d,
+      graft.etl.Tables.eventsRaw, "events",
+      raw.filter(col("ts") < cut), raw.filter(col("ts") >= cut))
+    (base, stream.withColumn("ts", expr(s"timestamp_micros(ts DIV $div)")))
   }
 
   val oracles: Map[String, String] = Map(
@@ -534,6 +572,24 @@ object Etl {
            COUNT(*) AS est_n,
            (SELECT COUNT(*) FROM events) AS n_total
          FROM events GROUP BY 1 ORDER BY 1""",
+    // Verdict-column oracle (x_countmin precedent): exact_n and
+    // n_total are exact truths recomputed here; the sketch facts —
+    // grid bit-identity and the point-query bounds — are Spark-side
+    // verdict columns this side pins to their expected constants.
+    "l_cm_maintained" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN user_id % 10 < 5
+             THEN 'hot' || CAST(user_id % 7 AS VARCHAR)
+             ELSE 'cold' || CAST(user_id AS VARCHAR) END AS k
+           FROM events)
+         SELECT k, COUNT(*) AS exact_n,
+           (SELECT COUNT(*) FROM keyed) AS n_total,
+           CAST(0 AS BIGINT) AS cells_diff,
+           TRUE AS no_underestimate, TRUE AS within_2eps
+         FROM keyed
+         WHERE k IN ('hot0', 'hot1', 'hot2', 'hot3', 'hot4', 'hot5',
+           'hot6', 'cold5', 'cold7', 'cold9')
+         GROUP BY k ORDER BY k""",
     "l_scd2" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

@@ -569,22 +569,46 @@ object Streams {
     * format, with the partial-agg merge unchanged.
     */
   /** Append-only streaming maintenance of a derived table: each
-    * micro-batch is transformed and its rows APPENDED as new parquet
+    * micro-batch is transformed and its rows landed as new parquet
     * part files — the right shape when batches partition the key space
     * (no cross-batch merge needed), e.g. the MinHash band index, where
     * a document's band rows depend on that document alone. Unlike the
-    * merge sinks (rollup/MG/CM) there is no read-modify-write and so no
-    * staged swap; the non-transactional parquet append is the local-FS
-    * stand-in for a transactional table format's atomic append commit.
+    * merge sinks (rollup/MG/CM) there is no read-modify-write and so
+    * no staged swap — but the sink must still be IDEMPOTENT under
+    * foreachBatch's at-least-once redelivery: each batch writes its
+    * own `batch=<id>` subdirectory in OVERWRITE mode, so a
+    * failed-then-retried micro-batch replaces its previous partial
+    * output instead of double-appending band rows (a blind
+    * mode("append") to the root would duplicate; for a deterministic
+    * `transform` the overwrite makes the retry exact). Readers use
+    * [[readMaintained]], which drops the synthetic `batch` partition
+    * column. At production scale the same shape is a transactional
+    * table format's idempotent append commit keyed by batchId.
     */
   def appendMaintain(stream: DataFrame, path: String)(
       transform: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        transform(batch).write.mode("append").parquet(path); ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(transform(batch), path, id)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One [[appendMaintain]] batch commit: overwrite of the
+    * batchId-derived subdirectory — calling it twice with the same id
+    * (the retry case) leaves exactly one copy of the batch's rows.
+    */
+  private[graft] def appendBatch(df: DataFrame, path: String,
+      id: Long): Unit = {
+    df.write.mode("overwrite").parquet(s"$path/batch=$id"); ()
+  }
+
+  /** Read an [[appendMaintain]]-maintained table: the union of all
+    * committed batch subdirectories, minus the synthetic `batch`
+    * partition column (state layout, not table schema).
+    */
+  def readMaintained(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
 
   def rollupMaintain(events: DataFrame, rollupPath: String)
       : StreamingQuery = {

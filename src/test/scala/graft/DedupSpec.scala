@@ -197,9 +197,20 @@ class DedupSpec extends SparkTestBase {
     info(f"candidate growth Ham2/Ham1: ${c2.size.toDouble / c1.size}%.2fx " +
       f"(ball-size bound ${(1 + 12 + 66).toDouble / (1 + 12)}%.2fx)")
     assert(r2 >= r1, f"widening the probe ball LOST recall: $r1 -> $r2")
+    // The exact-1.0 assert is INTENTIONALLY fixture-sensitive: the
+    // registered d_embed_lsh2 row's DuckDB oracle is the quadratic
+    // truth, so ANY missed pair turns that row hash-red — a softer
+    // floor here would green-light a spec while the oracle row fails.
+    // A regenerated embeddings fixture can legitimately plant a
+    // borderline pair outside the Ham<=2 ball (~1e-3 analytic miss per
+    // pair); if this fires with no code change, that is a DATA
+    // regeneration hitting the analytic tail — widen probeHam (or
+    // bands) in BOTH the query and this ladder, not just here.
     assert(r2 == 1.0,
       f"chosen setting (8 bands, Ham<=2) missed pairs: recall=$r2%.4f" +
-        s" missed=${truth -- c2}")
+        s" missed=${truth -- c2} — if no code changed, a regenerated " +
+        "fixture planted a pair outside the probe ball; d_embed_lsh2's " +
+        "quadratic-truth oracle is red for the same reason (see comment)")
     // growth is the Hamming-ball constant, not corpus-dependent blowup
     assert(c2.size.toDouble / c1.size <=
       (1 + 12 + 66).toDouble / (1 + 12) + 0.5,

@@ -344,12 +344,23 @@ class StreamsSpec extends SparkTestBase {
     assert(q.awaitTermination(180000), "append sink must drain")
     assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
       "replay must span two micro-batches")
-    val maintained = spark.read.parquet(idxPath)
+    val maintained = Streams.readMaintained(spark, idxPath)
     val batch = graft.ops.Dedup.minhashBandsOfDocs(docs)
     assert(maintained.count() == batch.count())
     assert(maintained.exceptAll(batch).count() == 0 &&
       batch.exceptAll(maintained).count() == 0,
       "maintained index diverged from the batch build")
+    // at-least-once redelivery: re-committing a batch with the SAME
+    // batchId (the foreachBatch retry case) must replace, not append —
+    // the total row count is unchanged after the duplicate commit
+    val batchA = docs.filter(col("doc_id") < cut)
+    Streams.appendBatch(
+      graft.ops.Dedup.minhashBandsOfDocs(batchA), idxPath, 0L)
+    val afterRetry = Streams.readMaintained(spark, idxPath)
+    assert(afterRetry.count() == batch.count(),
+      "a retried batch commit double-appended its rows")
+    assert(afterRetry.exceptAll(batch).count() == 0,
+      "a retried batch commit changed the maintained contents")
   }
 
   test("legacy heavy-hitters state layout fails with a clear message") {
