@@ -100,6 +100,21 @@ object Extras {
   /** g_labelprop_conv's round cap — and its oracle's unroll depth, so
     * the two stay in lockstep by construction. */
   private[graft] val LpaMaxRounds = 8
+
+  /** x_shuffle's shard fanout: max(floor, input file count). The
+    * global permutation sorts ONE shard per task, so the fanout must
+    * grow with the corpus — at the 100 TB design point, file count
+    * (~100k × 1 GB parts) gives ~1 GB sort tasks, while any fixed
+    * constant is a spill-bound straggler stage (64 shards ⇒ ~1.6 TB
+    * per task). Driver state stays |shards| longs (the offset cumsum),
+    * so the knob costs nothing driver-side. At test scale the
+    * single-file fixtures resolve to the FLOOR — 64, the constant the
+    * x_shuffle oracle mirrors in `hk % 64`; a fixture regenerated with
+    * >64 part files would need that oracle literal updated in step.
+    */
+  private[graft] def shuffleShards(df: DataFrame,
+      floor: Long = 64L): Long =
+    math.max(floor, df.inputFiles.length.toLong)
   private def capHourBand(act: DataFrame): DataFrame =
     act.withColumn("hrk", row_number().over(
         Window.partitionBy("h")
@@ -855,21 +870,29 @@ object Extras {
 
     // Deterministic global corpus shuffle — the permutation step every
     // training pipeline runs before sequence packing. Canonical order =
-    // (shard, hash, doc_id) with shard = hash mod 64: a uniform
+    // (shard, hash, doc_id) with shard = hash mod |shards|: a uniform
     // reproducible permutation (salted hash, so re-runs, engines, and
     // partitionings agree position-for-position — `orderBy(rand())`
     // gives none of that). The GLOBAL position is assigned WITHOUT a
-    // global sort: per-shard rank windows (64-way parallel) plus a
-    // broadcast 64-scalar shard-offset cumsum — the t_chunkpack
-    // two-phase discipline, so driver state is 64 longs no matter the
-    // corpus size. The output orderBy exists only for the hash compare.
+    // global sort: per-shard rank windows (|shards|-way parallel) plus
+    // a broadcast |shards|-scalar shard-offset cumsum — the t_chunkpack
+    // two-phase discipline, so driver state is |shards| longs. The
+    // fanout is DERIVED from the input layout (shuffleShards — floor 64,
+    // growing with the corpus's file count), not a literal: a fixed
+    // 64 would cap the permutation at 64 sort tasks forever, ~1.6 TB
+    // per task at the 100 TB design point. At test scale the
+    // single-file fixture resolves to the floor 64 — the constant the
+    // oracle mirrors. The output orderBy exists only for the hash
+    // compare.
     "x_shuffle" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val docsIn = t(s, d, "documents")
+      val shards = shuffleShards(docsIn)
       val hk = portableHash(
         concat(lit("shuf:"), col("doc_id").cast("string")))
-      val docs = t(s, d, "documents")
+      val docs = docsIn
         .select(col("doc_id"), hk.as("hk"),
-          pmod(hk, lit(64L)).as("shard"))
+          pmod(hk, lit(shards)).as("shard"))
       val w = Window.partitionBy("shard").orderBy("hk", "doc_id")
       val local = docs.withColumn("rk", row_number().over(w))
       val counts = docs.groupBy("shard").agg(count(lit(1)).as("n"))
