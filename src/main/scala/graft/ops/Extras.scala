@@ -122,6 +122,72 @@ object Extras {
       .filter(col("hrk") <= CoActivityHourCapK)
       .drop("hrk")
 
+  /** Banded+capped weighted co-activity edge list over an events slice
+    * — the shared graph builder of the LPA family: distinct
+    * (user, hour) actives, hour-band self-join capped at
+    * CoActivityHourCapK, pair weight = shared hours, threshold w ≥ 3,
+    * symmetrized. localCheckpointed: every consumer (label seed + one
+    * vote join per round) re-reads it, and Spark does not dedupe
+    * common subplans — an un-checkpointed edge list would recompute
+    * the hour-band self-join once per consumer (measured 9.1 s →
+    * 3.4 s one-shot at sf0.1); swap for reliable checkpoint on a real
+    * cluster.
+    */
+  private def coactivityEdges(ev: DataFrame): DataFrame = {
+    val act = capHourBand(ev
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct())
+    val pairs = act.as("a").join(act.as("b"), Seq("h"))
+      .filter(col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+    pairs.select(col("u"), col("v"), col("w"))
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      .localCheckpoint()
+  }
+
+  /** One synchronous-LPA adoption step over tallied votes
+    * (u, lab, wsum): each node takes the label with the largest total
+    * edge weight, ties to the SMALLEST label. Argmax via TWO hash aggs,
+    * not a window: max(struct(wsum, -lab)) is (Σw DESC, lab ASC)
+    * lexicographically — both aggs partial-combine map-side and
+    * nothing sorts per node, where a row_number window would shuffle
+    * AND sort every iteration.
+    */
+  private def lpaArgmax(votes: DataFrame): DataFrame =
+    votes.groupBy("u")
+      .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("u"), (-col("m.nl")).as("lab"))
+
+  /** Full-sync LPA from `seed` (u, lab) to a require-checked fixpoint:
+    * rounds continue until a round changes zero labels, each round
+    * localCheckpointed so lineage stays O(1) and the convergence check
+    * is ONE driver scalar (a count), not data. A graph that oscillates
+    * past LpaMaxRounds fails LOUDLY rather than returning a
+    * non-converged labeling.
+    */
+  private def lpaFixpoint(edges: DataFrame, seed: DataFrame): DataFrame = {
+    var lab = seed.localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < LpaMaxRounds) {
+      val next = lpaArgmax(edges
+          .join(lab.select(col("u").as("v"), col("lab")), "v")
+          .groupBy("u", "lab").agg(sum("w").as("wsum")))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(lab.select(col("u"), col("lab").as("prev")), "u")
+        .filter(col("lab") =!= col("prev")).count()
+      lab = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"LPA did not converge within $LpaMaxRounds rounds " +
+        "(oscillating graph?) — refusing to return a non-fixpoint")
+    lab
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Pivot with explicit status values: one wide row per priority.
@@ -405,37 +471,16 @@ object Extras {
     // equi-join + partial-agg'd tally + one window — the same
     // fixed-depth no-driver-state plan discipline as g_pagerank.
     "g_labelprop" -> ((s, d) => {
-      val act = capHourBand(t(s, d, "events")
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct())
-      val pairs = act.as("a").join(act.as("b"), Seq("h"))
-        .filter(col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
-      // the edge list feeds FOUR consumers (label seed + one vote join
-      // per iteration) and Spark does not dedupe common subplans — an
-      // un-checkpointed edges would recompute the hour-band self-join
-      // 4× (measured 9.1 s → 3.4 s one-shot at sf0.1). localCheckpoint
-      // materializes it once, the d_clusters discipline; swap for
-      // reliable checkpoint on a real cluster.
-      val edges = pairs.select(col("u"), col("v"), col("w"))
-        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
-          col("w")))
-        .localCheckpoint()
+      // 3 UNROLLED iterations over the shared coactivityEdges /
+      // lpaArgmax rig (see the helper docs for the checkpoint and
+      // two-hash-agg argmax rationale)
+      val edges = coactivityEdges(t(s, d, "events"))
       var lab = edges.select(col("u")).distinct()
         .select(col("u"), col("u").as("lab"))
       for (_ <- 1 to 3) {
-        val votes = edges
+        lab = lpaArgmax(edges
           .join(lab.select(col("u").as("v"), col("lab")), "v")
-          .groupBy("u", "lab").agg(sum("w").as("wsum"))
-        // argmax via TWO hash aggs, not a window: max(struct(wsum,
-        // -lab)) is (Σw DESC, lab ASC) lexicographically — both aggs
-        // partial-combine map-side and nothing sorts per node, where a
-        // row_number window would shuffle AND sort every iteration
-        lab = votes
-          .groupBy("u")
-          .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("u"), (-col("m.nl")).as("lab"))
+          .groupBy("u", "lab").agg(sum("w").as("wsum")))
       }
       lab.select(col("u").as("user_id"), col("lab").as("label"))
         .orderBy("user_id")
@@ -454,39 +499,96 @@ object Extras {
     // fixpoint makes deeper unrolling a no-op, so both sides agree
     // without the oracle knowing the discovered depth.
     "g_labelprop_conv" -> ((s, d) => {
-      val act = capHourBand(t(s, d, "events")
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct())
-      val pairs = act.as("a").join(act.as("b"), Seq("h"))
-        .filter(col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
-      val edges = pairs.select(col("u"), col("v"), col("w"))
-        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
-          col("w")))
-        .localCheckpoint()
+      val edges = coactivityEdges(t(s, d, "events"))
+      lpaFixpoint(edges,
+          edges.select(col("u")).distinct()
+            .select(col("u"), col("u").as("lab")))
+        .select(col("u").as("user_id"), col("lab").as("label"))
+        .orderBy("user_id")
+    }),
+
+    // INCREMENTAL label propagation — the graph-maintenance loop
+    // (d_index_maintained's discipline applied to LPA): the previous
+    // labeling is a MAINTAINED table the next run SEEDS from, instead
+    // of recomputing communities from scratch. Phase 1 computes the
+    // pre-cut half's fixpoint and persists it (in production that
+    // parquet is simply the last run's output — the d_incremental
+    // build-the-index-in-query rig); phase 2 seeds the FULL graph from
+    // it (new nodes self-seed) and iterates ONLY the changed-edge
+    // frontier: per round, the nodes whose vote inputs could have
+    // changed — first the changed edges' endpoints, then neighbors of
+    // last round's changed nodes. Work per round is |frontier
+    // neighborhood|, not |graph|; at 100 TB with a daily delta the
+    // frontier is orders of magnitude smaller than the corpus graph.
+    // Correctness rests on a provable equivalence with UNRESTRICTED
+    // seeded sync-LPA: a node whose edges and neighbor labels are
+    // unchanged re-derives its own label (the old fixpoint property),
+    // and inductively any node skipped by the frontier restriction
+    // would have recomputed its current label — so the restricted and
+    // full iterations produce THE SAME labeling round for round. The
+    // oracle therefore mirrors the unrestricted form: old-graph LPA
+    // unrolled to cap (the seed), then seeded full-graph LPA unrolled
+    // to cap — past the fixpoint every extra round is identity, so
+    // depth differences are no-ops, and all arithmetic is integer, so
+    // both engines agree bit-for-bit. Convergence is require-checked
+    // like g_labelprop_conv; the time cut is the epoch-µs midpoint
+    // (two footer-stat scalars, the l_sorted_scan integer discipline).
+    "g_labelprop_incr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val edgesOld = coactivityEdges(
+        ev.filter(unix_micros(col("ts")) < lit(cut)))
+      // phase 1: the maintained labeling — old-graph fixpoint,
+      // persisted and read back through parquet
+      val prevLab = lpaFixpoint(edgesOld,
+        edgesOld.select(col("u")).distinct()
+          .select(col("u"), col("u").as("lab")))
+      val base = Replay.scratchDir("lpa_maint", d)
+      val labPath = new java.io.File(base, "labels").getPath
+      prevLab.write.mode("overwrite").parquet(labPath)
+      val prev = s.read.parquet(labPath)
+      // phase 2: full graph, seeded from the maintained labeling
+      val edges = coactivityEdges(ev)
       var lab = edges.select(col("u")).distinct()
-        .select(col("u"), col("u").as("lab"))
+        .join(prev.select(col("u"), col("lab").as("plab")),
+          Seq("u"), "left")
+        .select(col("u"), coalesce(col("plab"), col("u")).as("lab"))
         .localCheckpoint()
-      var changed = 1L
+      // changed edges: new pairs or grown weights — events only
+      // accrue, so the old edge set is a subset and a triple anti-join
+      // finds exactly the delta
+      var frontier = edges.join(edgesOld, Seq("u", "v", "w"), "left_anti")
+        .select("u").distinct().localCheckpoint()
+      var fsize = frontier.count()
       var rounds = 0
-      while (changed > 0 && rounds < LpaMaxRounds) {
-        val next = edges
-          .join(lab.select(col("u").as("v"), col("lab")), "v")
-          .groupBy("u", "lab").agg(sum("w").as("wsum"))
-          .groupBy("u")
-          .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("u"), (-col("m.nl")).as("lab"))
+      while (fsize > 0 && rounds < LpaMaxRounds) {
+        val affected =
+          if (rounds == 0) frontier
+          else edges.join(frontier.withColumnRenamed("u", "v"),
+              Seq("v"), "left_semi")
+            .select("u").distinct()
+        val delta = lpaArgmax(edges
+            .join(affected, Seq("u"), "left_semi")
+            .join(lab.select(col("u").as("v"), col("lab")), "v")
+            .groupBy("u", "lab").agg(sum("w").as("wsum")))
+          .withColumnRenamed("lab", "nl")
+          .join(lab, "u")
+          .filter(col("nl") =!= col("lab"))
+          .select(col("u"), col("nl"))
           .localCheckpoint()
-        changed = next.as("n")
-          .join(lab.select(col("u"), col("lab").as("prev")), "u")
-          .filter(col("lab") =!= col("prev")).count()
-        lab = next
+        fsize = delta.count()
+        if (fsize > 0)
+          lab = lab.join(delta, Seq("u"), "left")
+            .select(col("u"), coalesce(col("nl"), col("lab")).as("lab"))
+            .localCheckpoint()
+        frontier = delta.select("u")
         rounds += 1
       }
-      require(changed == 0,
-        s"LPA did not converge within $LpaMaxRounds rounds " +
-          "(oscillating graph?) — refusing to return a non-fixpoint")
+      require(fsize == 0,
+        s"incremental LPA did not converge within $LpaMaxRounds rounds " +
+          "(oscillating frontier?) — refusing to return a non-fixpoint")
       lab.select(col("u").as("user_id"), col("lab").as("label"))
         .orderBy("user_id")
     }),
@@ -1082,6 +1184,55 @@ object Extras {
          |          UNION ALL SELECT v, u, w FROM pairs),
          |l0 AS (SELECT DISTINCT u, u AS lab FROM edges),
          |$rounds
+         |SELECT u AS user_id, lab AS label FROM l$LpaMaxRounds
+         |ORDER BY user_id""".stripMargin
+    },
+    // The UNRESTRICTED mirror of the incremental run (see the query
+    // comment's equivalence argument): old-graph LPA unrolled to cap
+    // builds the seed; seeded full-graph LPA unrolled to cap reaches
+    // the same fixpoint the frontier-restricted Spark loop converges
+    // to — extra rounds past either fixpoint are identities, so the
+    // oracle never needs to know either discovered depth. Both round
+    // chains are generated from LpaMaxRounds so depth can't drift.
+    "g_labelprop_incr" -> {
+      def chain(edgeT: String, pfx: String) =
+        (1 to LpaMaxRounds).map { i =>
+          s"""${pfx}v$i AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+             |       FROM $edgeT e JOIN ${pfx}l${i - 1} l ON e.v = l.u GROUP BY 1, 2),
+             |${pfx}l$i AS (SELECT u, lab FROM (
+             |         SELECT u, lab, row_number() OVER (PARTITION BY u
+             |           ORDER BY wsum DESC, lab ASC) AS rn FROM ${pfx}v$i)
+             |       WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+         |            FROM events),
+         |cw AS (SELECT t0 + (t1 - t0) // 2 AS cut FROM mm),
+         |act_o AS (
+         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         |  FROM events, cw WHERE epoch_us(ts) < cw.cut),
+         |pairs_o AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+         |  FROM act_o a JOIN act_o b USING (h)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |edges_o AS (SELECT u, v, w FROM pairs_o
+         |            UNION ALL SELECT v, u, w FROM pairs_o),
+         |ol0 AS (SELECT DISTINCT u, u AS lab FROM edges_o),
+         |${chain("edges_o", "o")},
+         |act AS (
+         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         |  FROM events),
+         |pairs AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+         |  FROM act a JOIN act b USING (h)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |edges AS (SELECT u, v, w FROM pairs
+         |          UNION ALL SELECT v, u, w FROM pairs),
+         |l0 AS (SELECT n.u, COALESCE(o.lab, n.u) AS lab
+         |       FROM (SELECT DISTINCT u FROM edges) n
+         |       LEFT JOIN ol$LpaMaxRounds o ON n.u = o.u),
+         |${chain("edges", "")}
          |SELECT u AS user_id, lab AS label FROM l$LpaMaxRounds
          |ORDER BY user_id""".stripMargin
     },
