@@ -22,7 +22,7 @@ object Dedup {
   private def words(c: Column): Column = split(c, " ")
 
   /** Distinct k-word shingle set. */
-  private def shingles(c: Column, k: Int): Column = {
+  private[graft] def shingles(c: Column, k: Int): Column = {
     val w = words(c)
     array_distinct(transform(
       sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
@@ -157,6 +157,44 @@ object Dedup {
       org.apache.spark.sql.graftshim.ShingleMinHashes
         .shingleMinhashes(split(col("text"), " "), 5, MinhashK).as("mh")))
 
+  /** IDF-weighted band keys for `docs` (doc_id, text) — the
+    * recall/precision lever on template-heavy corpora: signatures are
+    * re-aggregated over RARE shingles only (document frequency ≤
+    * `maxDf`), so boilerplate shared by every document cannot dominate
+    * the minima; a document with no rare shingles falls back to its
+    * full set so it keeps a signature. The weighting is the
+    * scale-honest integer form: one distributed DF pass (explode →
+    * count by the 60-bit shingle hash — the shuffle carries 8-byte
+    * keys, never shingle text), a DF join back, then the K signature
+    * minima as partial-agg'd MIN aggregates per doc — no per-row HOF
+    * loops, no driver state. The minima use the SAME fixed affine
+    * rehash family as ShingleMinHashes, so the DuckDB oracle mirrors
+    * every stage in integer math. Shared by d_minhash_idf and
+    * DedupSpec's template-corpus measurement.
+    */
+  private[graft] def idfBands(docs: DataFrame, maxDf: Long): DataFrame = {
+    val M = 2147483647L
+    val ex = docs.select(col("doc_id"),
+        explode(shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"), pmod(portableHash(col("s")), lit(M)).as("h0"))
+    val dft = ex.groupBy("h0").agg(count(lit(1)).as("df"))
+    val exdf = ex.join(dft, "h0")
+      // two consumers (rare counts + the filtered re-agg) — persist so
+      // the explode+DF join isn't recomputed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rc = exdf.groupBy("doc_id")
+      .agg(sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("nrare"))
+    val keep = exdf.join(rc, "doc_id")
+      .filter(col("df") <= lit(maxDf) || col("nrare") === 0)
+    val aggs = (0 until MinhashK).map(k =>
+      min(pmod(col("h0") * lit((k + 1) * 1299709L) + lit(k * 15485863L),
+        lit(M))).as(s"m$k"))
+    val sig = keep.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(k => col(s"m$k")): _*).as("mh"))
+    minhashBands(sig)
+  }
+
   /** (doc_id, band, bh) LSH band-bucket keys from a signature frame —
     * the join-ready (and, for incremental dedup, the MATERIALIZABLE)
     * form of the minhash index: 4 rows of 3 longs per doc. */
@@ -203,6 +241,45 @@ object Dedup {
       // longs per doc, not a multi-KB shingle array.
       val docs = t(s, d, "documents")
       val banded = minhashBands(minhashSig(s, d))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = cand.select(explode(array(col("a"), col("b")))
+        .as("doc_id")).distinct()
+      val shCand = docs.join(candIds, "doc_id")
+        .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double")
+      cand
+        .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+        .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }),
+
+    // d_minhash_pairs with IDF-WEIGHTED signatures (see idfBands): on
+    // template-heavy corpora plain MinHash samples shingles uniformly,
+    // so shared boilerplate dominates the minima and banding
+    // degenerates toward all-pairs; weighting by rarity keeps the
+    // signature on the CONTENT. The rare threshold is data-derived
+    // (df ≤ max(2, |docs|/20) — one bounded driver scalar), the verify
+    // stage is the same UNWEIGHTED exact Jaccard over full shingle
+    // sets, so the output contract matches d_minhash_pairs and the
+    // oracle mirrors every stage (DF counts, rare filter, fallback,
+    // minima, bands, verify) in DuckDB integer math. The corpus-level
+    // payoff is measured in DedupSpec: on a synthesized
+    // template-majority corpus, unweighted banding collapses toward
+    // all-pairs while IDF banding stays content-sized at full truth
+    // recall.
+    "d_minhash_idf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val maxDf = math.max(2L, docs.count() / 20)
+      val banded = idfBands(docs.select(col("doc_id"), col("text")), maxDf)
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -653,6 +730,7 @@ object Dedup {
            COUNT(*) AS n_copies
          FROM u GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""",
     "d_minhash_pairs" -> minhashPairsSql,
+    "d_minhash_idf" -> idfPairsSql,
     "d_incremental" -> incrementalPairsSql,
     // identical truth: the maintained index must yield exactly the
     // corpus×batch pairs the batch-built index yields
@@ -723,6 +801,59 @@ object Dedup {
          ON x.band = y.band AND x.bh = y.bh
        CROSS JOIN spl
        WHERE x.doc_id < spl.v AND y.doc_id >= spl.v""")
+
+  /** The IDF-weighted mirror: same shingle/hash/band/verify stages as
+    * minhashPairsSqlCand, with the DF pass, rare filter (df ≤
+    * max(2, |docs|/20)), and no-rare-shingles fallback inserted before
+    * the signature minima — the exact stages idfBands runs. */
+  private lazy val idfPairsSql: String =
+    s"""WITH sh AS (
+         SELECT doc_id, $shingleSql AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents)),
+       mdf AS (SELECT greatest(2, count(*) // 20) AS v FROM documents),
+       ex AS (
+         SELECT doc_id,
+           ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 AS h0
+         FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
+       dft AS (SELECT h0, COUNT(*) AS df FROM ex GROUP BY h0),
+       rc AS (
+         SELECT e.doc_id,
+           SUM(CASE WHEN d.df <= mdf.v THEN 1 ELSE 0 END) AS nrare
+         FROM ex e JOIN dft d USING (h0), mdf GROUP BY e.doc_id),
+       keep AS (
+         SELECT e.doc_id, e.h0
+         FROM ex e JOIN dft d USING (h0)
+           JOIN rc r ON r.doc_id = e.doc_id, mdf
+         WHERE d.df <= mdf.v OR r.nrare = 0),
+       keepl AS (SELECT doc_id, list(h0) AS h0s FROM keep GROUP BY doc_id),
+       mh AS (
+         SELECT doc_id,
+           [list_aggregate([(h * ((k+1)*1299709) + k*15485863)
+              % 2147483647 for h in h0s], 'min')
+            for k in range(0, 12)] AS mh
+         FROM keepl),
+       bands AS (
+         SELECT doc_id, t.b AS band,
+           ('0x' || substr(md5(t.b || '|' ||
+             array_to_string(mh[t.b*3+1:t.b*3+3], ',')), 1, 15))::BIGINT
+             AS bh
+         FROM mh, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       j AS (
+         SELECT a, b,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh)
+              - len(list_intersect(sa.sh, sb.sh))) AS jac
+         FROM cand
+           JOIN sh sa ON sa.doc_id = a
+           JOIN sh sb ON sb.doc_id = b)
+       SELECT a, b, floor(jac * 10000.0 + 0.5) / 10000.0 AS jaccard
+       FROM j WHERE floor(jac * 10000.0 + 0.5) / 10000.0 >= 0.5
+       ORDER BY a, b"""
 
   private val moreOracles: Map[String, String] = Map(
     "d_simhash" ->

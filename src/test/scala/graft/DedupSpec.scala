@@ -218,6 +218,64 @@ class DedupSpec extends SparkTestBase {
         "ball bound")
   }
 
+  test("IDF-weighted banding keeps candidates content-sized on a " +
+      "template-heavy corpus") {
+    // The measurement d_minhash_idf exists for: append a shared
+    // boilerplate template (240 words — several times the 56-word
+    // average document) to EVERY document. Unweighted MinHash minima
+    // are then mostly template shingles, so band buckets collapse and
+    // the candidate set blows toward all-pairs; the IDF signature
+    // drops the template (df = n >> maxDf) and candidates stay at the
+    // clean corpus's scale, still covering every true content pair.
+    val d = requireFixture("sf0.001")
+    val docs = graft.etl.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val template = (1 to 240).map(i => s"tmpl$i").mkString(" ")
+    val templated = docs.select(col("doc_id"),
+      concat(col("text"), lit(" " + template)).as("text"))
+    val n = templated.count()
+    val allPairs = n * (n - 1) / 2
+    def candPairs(bands: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cu = candPairs(Dedup.minhashBandsOfDocs(templated))
+    val cw = candPairs(Dedup.idfBands(templated, math.max(2L, n / 20)))
+    // The recall baseline is what 4×3 banding achieves WITHOUT the
+    // template — unweighted bands over the clean originals. (NOT the
+    // quadratic j≥0.5 truth: at j≈0.5 a 4-band×3-row scheme only
+    // catches ~41% of pairs by design, clean or not — the IDF lever
+    // restores the clean corpus's candidate set under template load,
+    // it does not change the banding operating point.)
+    val cb = candPairs(Dedup.minhashBandsOfDocs(docs))
+    val recovered = cb.intersect(cw).size.toDouble / math.max(cb.size, 1)
+    info(f"pairs=$allPairs unweighted=${cu.size} " +
+      f"(${cu.size * 100.0 / allPairs}%.1f%%) weighted=${cw.size} " +
+      f"(${cw.size * 100.0 / allPairs}%.1f%%) cleanBaseline=${cb.size} " +
+      f"recovered=$recovered%.3f")
+    assert(cb.nonEmpty, "degenerate fixture: clean banding found nothing")
+    assert(cu.size.toDouble / allPairs > 0.3,
+      "template corpus no longer degenerates unweighted banding — " +
+        "the measurement's premise broke (longer docs after a regen?)")
+    assert(cw.size.toDouble / allPairs < 0.1,
+      f"IDF banding stopped filtering: ${cw.size * 100.0 / allPairs}%.1f%%")
+    // Recovery is NOT 1.0 by construction: the k−1 = 4 doc→template
+    // JUNCTION shingles per doc are per-doc unique, hence rare, hence
+    // legitimately inside the IDF signature — they perturb ≈ 4/56 of
+    // each doc's minima, so a shared band survives with probability
+    // ≈ ((1−4/56)³)² ≈ 0.64 per pair (measured 0.536 at this extreme
+    // 81%-template contamination; milder contamination recovers more).
+    // The load-bearing contrast: the weighted candidate set is ~0.06%
+    // of all pairs yet contains the majority of the clean baseline —
+    // ~1000× enrichment — where unweighted banding is an 80% blanket.
+    assert(recovered >= 0.3,
+      f"IDF banding under template load recovered only $recovered%.3f " +
+        f"of the clean-corpus candidates (analytic envelope ≈ 0.64, " +
+        s"floor 0.3); missing=${cb -- cw}")
+  }
+
   test("d_simhash_hamming block join equals the quadratic truth") {
     // Pigeonhole completeness is structural (4 blocks, <= 3 differing
     // bits => >= 1 equal block), but this pins the IMPLEMENTATION —
