@@ -415,6 +415,39 @@ object Etl {
         .orderBy("k")
     }),
 
+    // DecimalType fidelity mode on the CORRECTNESS surface (ROADMAP r2
+    // item 6 — the last open candidate): the reference flattens
+    // Currency/Percent to sized varchar and DISCARDS describe
+    // precision/scale (main.rs:99), so downstream money aggregation is
+    // string-or-double and inexact. Mapping.dataTypeOf(field,
+    // decimalMode = true) maps them to DecimalType(p,s) from the
+    // carried describe metadata instead; here a Currency describe
+    // field (precision 18, scale 2) drives the mapped type, the fact
+    // column is cast to it, and the aggregation runs in EXACT decimal
+    // arithmetic end-to-end — the oracle's DECIMAL sums must
+    // value-match exactly, which double accumulation cannot promise
+    // (order-dependent last-ulp drift is why the mode exists). The
+    // DDL/CLI halves of the mode are golden-spec'd in SchemaSpec.
+    "l_decimal_mode" -> ((s, d) => {
+      val money = graft.schema.SfField("Amount",
+        graft.schema.FieldType.Currency, precision = 18, scale = 2)
+      val dt = graft.schema.Mapping.dataTypeOf(money, decimalMode = true)
+      require(dt == org.apache.spark.sql.types.DecimalType(18, 2),
+        s"decimal mode mapped Currency(18,2) to $dt")
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice").cast(dt).as("amt"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          // widen to the engines' common max precision: Spark declares
+          // sum(decimal(18,2)) as (28,2), DuckDB as (38,2) — values are
+          // identical, the declared type must be too
+          sum("amt").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .as("sum_amount"),
+          min("amt").as("min_amount"),
+          max("amt").as("max_amount"))
+        .orderBy("o_orderstatus")
+    }),
+
     // SCD Type-2 history build: collapse each user's event stream into
     // validity intervals of its changing attribute (event_type) — change
     // detection via lag, interval close via lead, open interval =
@@ -590,6 +623,16 @@ object Etl {
          WHERE k IN ('hot0', 'hot1', 'hot2', 'hot3', 'hot4', 'hot5',
            'hot6', 'cold5', 'cold7', 'cold9')
          GROUP BY k ORDER BY k""",
+    // exact decimal truth: DuckDB sums DECIMAL(18,2) in integer cents —
+    // any double drift or rounding-rule mismatch on the Spark side goes
+    // hash-red (o_totalprice carries 2-decimal values, so the
+    // double→decimal cast has no midpoint ambiguity in either engine)
+    "l_decimal_mode" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_amount,
+           MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_amount,
+           MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_amount
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "l_scd2" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,
