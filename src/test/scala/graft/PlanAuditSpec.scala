@@ -74,14 +74,27 @@ class PlanAuditSpec extends SparkTestBase {
     // EQUI-joins (bands, blocks, cells) — a CartesianProduct or
     // BroadcastNestedLoopJoin appearing in any of these means a
     // candidate generator degenerated to all-pairs
-    for (q <- Seq("d_minhash_pairs", "d_ngram_jaccard", "v_ann_lsh",
-        "j_fuzzy_blocked", "d_embed_lsh", "d_embed_lsh2", "d_simhash_hamming",
-        "d_incremental")) {
+    for (q <- Seq("d_minhash_pairs", "d_minhash_idf", "d_ngram_jaccard",
+        "v_ann_lsh", "j_fuzzy_blocked", "d_embed_lsh", "d_embed_lsh2",
+        "d_simhash_hamming", "d_incremental")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
         s"$q plans a nested loop")
     }
+  }
+
+  test("d_minhash_idf: DF pass and signature minima partial-aggregate") {
+    // the IDF weighting must stay a distributed re-aggregation: the
+    // shingle-DF count and the 12 per-doc MIN aggregates both combine
+    // map-side (the exploded corpus shuffles |vocab| + |doc keys|
+    // partials, never raw exploded rows), and the band join is the
+    // only candidate generator
+    val p = plan("d_minhash_idf")
+    assert(p.contains("partial_count"),
+      "shingle DF must map-side combine")
+    assert(p.contains("partial_min"),
+      "signature minima must map-side combine")
   }
 
   test("d_incremental: corpus side is the materialized parquet band index") {
