@@ -115,8 +115,11 @@ object Bench {
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // ONLY may name ANY registered query (not just the headline set) —
+    // it exists for regression isolation, and non-headline queries need
+    // best-of-3 steady-state numbers too
     val base =
-      if (full) SparkEntry.queries.keys.toSeq.sorted
+      if (full || only.isDefined) SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
     val selected = base.filter(n => only.forall(_.contains(n)))
     skew.drainWorstRatio() // don't charge warmup stages to the first query

@@ -177,6 +177,9 @@ object Dedup {
     val ex = docs.select(col("doc_id"),
         explode(shingles(col("text"), 5)).as("s"))
       .select(col("doc_id"), pmod(portableHash(col("s")), lit(M)).as("h0"))
+      // two consumers (the DF count and the DF join's probe side) —
+      // persist so the explode + md5 pass runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = ex.groupBy("h0").agg(count(lit(1)).as("df"))
     val exdf = ex.join(dft, "h0")
       // two consumers (rare counts + the filtered re-agg) — persist so
@@ -280,6 +283,11 @@ object Dedup {
       val docs = t(s, d, "documents")
       val maxDf = math.max(2L, docs.count() / 20)
       val banded = idfBands(docs.select(col("doc_id"), col("text")), maxDf)
+        // the band self-join reads both sides — persist or the whole
+        // 3-shuffle weighted-signature chain runs twice (the fused
+        // unweighted signature is cheap enough to recompute;
+        // this one is not)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
