@@ -434,8 +434,20 @@ object Etl {
       val dt = graft.schema.Mapping.dataTypeOf(money, decimalMode = true)
       require(dt == org.apache.spark.sql.types.DecimalType(18, 2),
         s"decimal mode mapped Currency(18,2) to $dt")
+      // storage round-trip: the decimal-typed frame lands in parquet
+      // (FIXED_LEN_BYTE_ARRAY DECIMAL(18,2) logical type) and is read
+      // back before aggregating — a sink that silently widened,
+      // narrowed, or re-floated the type would shift declared types or
+      // values and go hash-red
+      val path = new java.io.File(
+        Replay.scratchDir("decimal_mode", d), "amounts").getPath
       t(s, d, "orders")
         .select(col("o_orderstatus"), col("o_totalprice").cast(dt).as("amt"))
+        .write.mode("overwrite").parquet(path)
+      val back = s.read.parquet(path)
+      require(back.schema("amt").dataType == dt,
+        s"decimal round-trip changed the type: ${back.schema("amt").dataType}")
+      back
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           // widen to the engines' common max precision: Spark declares

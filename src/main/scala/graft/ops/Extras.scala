@@ -160,6 +160,45 @@ object Extras {
       .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
       .select(col("u"), (-col("m.nl")).as("lab"))
 
+  /** One weighted-PageRank chain: `iters` grid-rounded damped rounds
+    * over the strength-normalized shares of `edges` from `seed`
+    * (u, pr). The per-edge share w/S is iteration-invariant and
+    * grid-rounded once; contributions partial-agg as exact decimals
+    * before the exchange; the teleport term uses THIS graph's node
+    * count. Deterministic by the same grid discipline as g_wpagerank,
+    * so a DuckDB mirror of the same depth is bit-identical.
+    */
+  private[graft] def wprChain(edges: DataFrame, seed: DataFrame,
+      iters: Int): DataFrame = {
+    val str = edges.groupBy("u").agg(sum("w").as("s"))
+    val share = edges.join(str, "u")
+      .select(col("u"), col("v"),
+        roundf(col("w").cast("double") / col("s").cast("double"), 9)
+          .as("sh"))
+    val nc = str.agg(count(lit(1)).cast("double").as("nn"))
+    var pr = seed
+    for (_ <- 1 to iters) {
+      val contrib = share.join(pr, "u")
+        .select(col("v"), roundf(col("pr") * col("sh"), 9).as("c"))
+        .groupBy(col("v").as("u"))
+        .agg(sum(col("c").cast("decimal(38,9)")).cast("double").as("cs"))
+      pr = str.select(col("u")).join(contrib, Seq("u"), "left")
+        .crossJoin(broadcast(nc))
+        .select(col("u"),
+          roundf(lit(0.15) / col("nn") +
+            lit(0.85) * coalesce(col("cs"), lit(0.0)), 9).as("pr"))
+    }
+    pr
+  }
+
+  /** g_wpagerank's uniform start: 1/|nodes| on this graph's node set. */
+  private[graft] def wprUniformSeed(edges: DataFrame): DataFrame = {
+    val str = edges.groupBy("u").agg(sum("w").as("s"))
+    val nc = str.agg(count(lit(1)).cast("double").as("nn"))
+    str.crossJoin(broadcast(nc))
+      .select(col("u"), roundf(lit(1.0) / col("nn"), 9).as("pr"))
+  }
+
   /** Full-sync LPA from `seed` (u, lab) to a require-checked fixpoint:
     * rounds continue until a round changes zero labels, each round
     * localCheckpointed so lineage stays O(1) and the convergence check
@@ -590,6 +629,53 @@ object Extras {
         s"incremental LPA did not converge within $LpaMaxRounds rounds " +
           "(oscillating frontier?) — refusing to return a non-fixpoint")
       lab.select(col("u").as("user_id"), col("lab").as("label"))
+        .orderBy("user_id")
+    }),
+
+    // WARM-START weighted PageRank — the maintenance discipline
+    // applied where a frontier restriction CANNOT work (rank mass
+    // moves everywhere every round, so there is no small changed set;
+    // the honest incremental form is a warm start): the previous run's
+    // rank vector is a MAINTAINED table, and the next run seeds the
+    // same fixed-depth grid-rounded recurrence from it instead of from
+    // uniform. Honest measurement (GraphIncrSpec, the j_fuzzy_blocked
+    // disclosure precedent): on THIS 150-node test graph the chain is
+    // mixing-dominated — 3 cold rounds already land ~5e-6 L1 from a
+    // 6-round reference, so the warm start has no headroom here (and
+    // carries ~1e-5 of old-graph bias, both inside the asserted 1e-4
+    // envelope). The payoff regime is slow-mixing web-scale graphs
+    // where rounds are the expensive resource; what ships and is
+    // oracle-pinned is the DISCIPLINE: maintained-seed rig, exact
+    // determinism (grid-rounded seed data + the g_wpagerank
+    // recurrence), and a mirror of both chains — old-graph 3 rounds
+    // from uniform = the seed, then full-graph 3 rounds from
+    // coalesce(old rank, uniform); new nodes cold-start at 1/|nodes|.
+    "g_wpagerank_incr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val edgesOld = coactivityEdges(
+        ev.filter(unix_micros(col("ts")) < lit(cut)))
+      // phase 1: the maintained rank vector (previous run's output)
+      val prevPr = wprChain(edgesOld, wprUniformSeed(edgesOld), 3)
+      val base = Replay.scratchDir("wpr_maint", d)
+      val prPath = new java.io.File(base, "ranks").getPath
+      prevPr.write.mode("overwrite").parquet(prPath)
+      val prev = s.read.parquet(prPath)
+      // phase 2: full graph, warm-started from the maintained ranks
+      val edges = coactivityEdges(ev)
+      val str = edges.groupBy("u").agg(sum("w").as("s"))
+      val nc = str.agg(count(lit(1)).cast("double").as("nn"))
+      val seed = str.select(col("u"))
+        .join(prev.select(col("u"), col("pr").as("ppr")), Seq("u"), "left")
+        .crossJoin(broadcast(nc))
+        .select(col("u"),
+          coalesce(col("ppr"), roundf(lit(1.0) / col("nn"), 9)).as("pr"))
+      wprChain(edges, seed, 3)
+        .join(str, "u")
+        .select(col("u").as("user_id"), col("s").as("strength"),
+          roundf(col("pr"), 6).as("pagerank"))
         .orderBy("user_id")
     }),
 
@@ -1235,6 +1321,73 @@ object Extras {
          |${chain("edges", "")}
          |SELECT u AS user_id, lab AS label FROM l$LpaMaxRounds
          |ORDER BY user_id""".stripMargin
+    },
+    // Warm-start weighted PageRank mirror: the old-graph 3-round chain
+    // from uniform IS the seed; the full-graph 3-round chain runs from
+    // coalesce(old rank, uniform). Both chains are generated from one
+    // template so the grid-rounded recurrence cannot drift between
+    // them (or from the Spark side's wprChain).
+    "g_wpagerank_incr" -> {
+      def rounds(pfx: String, shareT: String, strT: String,
+          ncT: String) =
+        (1 to 3).map { i =>
+          s"""${pfx}c$i AS (SELECT sh.v AS u,
+             |    CAST(SUM(CAST(floor(p.pr * sh.sh * 1000000000.0 + 0.5)
+             |      / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS cs
+             |  FROM $shareT sh JOIN ${pfx}pr${i - 1} p ON sh.u = p.u
+             |  GROUP BY sh.v),
+             |${pfx}pr$i AS (SELECT st.u,
+             |    floor((0.15 / nc.nn + 0.85 * COALESCE(c.cs, 0.0))
+             |      * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+             |  FROM $strT st LEFT JOIN ${pfx}c$i c ON st.u = c.u, $ncT nc)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+         |            FROM events),
+         |cw AS (SELECT t0 + (t1 - t0) // 2 AS cut FROM mm),
+         |act_o AS (
+         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         |  FROM events, cw WHERE epoch_us(ts) < cw.cut),
+         |pairs_o AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+         |  FROM act_o a JOIN act_o b USING (h)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |edges_o AS (SELECT u, v, w FROM pairs_o
+         |            UNION ALL SELECT v, u, w FROM pairs_o),
+         |str_o AS (SELECT u, SUM(w) AS s FROM edges_o GROUP BY u),
+         |share_o AS (SELECT e.u, e.v,
+         |    floor(e.w::DOUBLE / st.s::DOUBLE * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS sh
+         |  FROM edges_o e JOIN str_o st ON e.u = st.u),
+         |nc_o AS (SELECT COUNT(*)::DOUBLE AS nn FROM str_o),
+         |opr0 AS (SELECT u,
+         |    floor(1.0 / nc.nn * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+         |  FROM str_o, nc_o nc),
+         |${rounds("o", "share_o", "str_o", "nc_o")},
+         |act AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         |        FROM events),
+         |pairs AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+         |  FROM act a JOIN act b USING (h)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |edges AS (SELECT u, v, w FROM pairs
+         |          UNION ALL SELECT v, u, w FROM pairs),
+         |str AS (SELECT u, SUM(w) AS s FROM edges GROUP BY u),
+         |share AS (SELECT e.u, e.v,
+         |    floor(e.w::DOUBLE / st.s::DOUBLE * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS sh
+         |  FROM edges e JOIN str st ON e.u = st.u),
+         |nc AS (SELECT COUNT(*)::DOUBLE AS nn FROM str),
+         |pr0 AS (SELECT st.u,
+         |    COALESCE(o.pr,
+         |      floor(1.0 / nc.nn * 1000000000.0 + 0.5) / 1000000000.0)
+         |      AS pr
+         |  FROM str st LEFT JOIN opr3 o ON st.u = o.u, nc),
+         |${rounds("", "share", "str", "nc")}
+         |SELECT pr3.u AS user_id, CAST(str.s AS BIGINT) AS strength,
+         |  floor(pr3.pr * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+         |FROM pr3 JOIN str ON pr3.u = str.u ORDER BY user_id""".stripMargin
     },
     "x_quantiles_grouped" ->
       """SELECT l_returnflag,

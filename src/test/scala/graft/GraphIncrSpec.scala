@@ -51,6 +51,66 @@ class GraphIncrSpec extends SparkTestBase {
     assert(lab.count() == nNodes)
   }
 
+  test("warm-started PageRank: both starts are mixing-dominated here") {
+    // The honest measurement behind g_wpagerank_incr (the
+    // j_fuzzy_blocked precedent — ship the discipline, disclose what
+    // the fixture actually shows): on this 150-node co-activity graph
+    // the damped chain mixes to ~1e-5 L1 of a 6-round reference within
+    // 3 COLD rounds, so a warm start has no headroom — and carries a
+    // small old-graph bias (measured warm3 ≈ 1.3e-5 vs cold3 ≈ 5e-6,
+    // both within the 1e-4 envelope asserted below). The warm-start
+    // payoff regime is slow-mixing web-scale graphs where cold rounds
+    // are the expensive resource; at test scale the spec pins that the
+    // maintained-seed rig is exact and loses nothing material, not
+    // that it wins.
+    import graft.ops.Extras
+    val d = requireFixture("sf0.01")
+    val ev = graft.etl.Tables.load(spark, d, "events")
+    val mm = ev.agg(unix_micros(min(col("ts"))),
+      unix_micros(max(col("ts")))).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    def edgesOf(e: org.apache.spark.sql.DataFrame) = {
+      val act = e.select(col("user_id"),
+        date_trunc("hour", col("ts")).as("h")).distinct()
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      pairs.select(col("u"), col("v"), col("w"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+          col("w")))
+        .localCheckpoint()
+    }
+    val edgesOld = edgesOf(ev.filter(unix_micros(col("ts")) < lit(cut)))
+    val edges = edgesOf(ev)
+    val str = edges.groupBy("u").agg(sum("w").as("s"))
+    val nc = str.agg(count(lit(1)).cast("double").as("nn"))
+    val oldPr = Extras.wprChain(edgesOld, Extras.wprUniformSeed(edgesOld), 3)
+    val warmSeed = str.select(col("u"))
+      .join(oldPr.select(col("u"), col("pr").as("ppr")), Seq("u"), "left")
+      .crossJoin(broadcast(nc))
+      .select(col("u"),
+        coalesce(col("ppr"),
+          graft.ops.roundf(lit(1.0) / col("nn"), 9)).as("pr"))
+    val warm3 = Extras.wprChain(edges, warmSeed, 3)
+    val cold3 = Extras.wprChain(edges, Extras.wprUniformSeed(edges), 3)
+    val ref6 = Extras.wprChain(edges, Extras.wprUniformSeed(edges), 6)
+    def l1(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Double =
+      a.select(col("u"), col("pr").as("pa"))
+        .join(b.select(col("u"), col("pr").as("pb")), "u")
+        .agg(sum(abs(col("pa") - col("pb")))).head.getDouble(0)
+    val dWarm = l1(warm3, ref6)
+    val dCold = l1(cold3, ref6)
+    info(f"L1 to 6-round reference: warm3=$dWarm%.8f cold3=$dCold%.8f")
+    assert(dCold < 1e-4,
+      f"cold 3-round chain stopped mixing: $dCold%.8f — the " +
+        "mixing-dominated premise of this disclosure broke")
+    assert(dWarm < 1e-4,
+      f"warm start drifted materially from the deep reference: " +
+        f"$dWarm%.8f — old-graph bias is no longer washing out")
+  }
+
   test("incremental seed converges in fewer frontier rounds than scratch") {
     // The point of seeding from the maintained labeling: the pre-cut
     // half's fixpoint already settles most nodes, so the seeded run's
