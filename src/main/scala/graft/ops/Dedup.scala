@@ -177,18 +177,25 @@ object Dedup {
     val ex = docs.select(col("doc_id"),
         explode(shingles(col("text"), 5)).as("s"))
       .select(col("doc_id"), pmod(portableHash(col("s")), lit(M)).as("h0"))
-      // two consumers (the DF count and the DF join's probe side) —
-      // persist so the explode + md5 pass runs once
+      // multiple consumers (DF count, stop anti-join, fallback passes)
+      // — persist so the explode + md5 pass runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = ex.groupBy("h0").agg(count(lit(1)).as("df"))
-    val exdf = ex.join(dft, "h0")
-      // two consumers (rare counts + the filtered re-agg) — persist so
-      // the explode+DF join isn't recomputed
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rc = exdf.groupBy("doc_id")
-      .agg(sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("nrare"))
-    val keep = exdf.join(rc, "doc_id")
-      .filter(col("df") <= lit(maxDf) || col("nrare") === 0)
+    // The STOP set — not the rare set — is the broadcastable side:
+    // Σ df = the corpus occurrence count, so |{h0 : df > maxDf}| ≤
+    // Σdf / maxDf; with maxDf = |docs|/20 that is ≤ 20 × the average
+    // shingles-per-doc (~1000 entries) INDEPENDENT of corpus size.
+    // Filtering via a broadcast anti-join keeps the weighting pass at
+    // ONE exploded-corpus shuffle (the per-doc re-agg) — the previous
+    // DF-join-back formulation shuffled the exploded corpus twice more.
+    val stop = dft.filter(col("df") > maxDf).select("h0")
+    val kept = ex.join(broadcast(stop), Seq("h0"), "left_anti")
+    // fallback: a doc whose every shingle is a stop shingle would lose
+    // its signature — such docs (rare by construction) keep their full
+    // set instead
+    val withRare = kept.select("doc_id").distinct()
+    val fallback = ex.join(withRare, Seq("doc_id"), "left_anti")
+    val keep = kept.unionByName(fallback)
     val aggs = (0 until MinhashK).map(k =>
       min(pmod(col("h0") * lit((k + 1) * 1299709L) + lit(k * 15485863L),
         lit(M))).as(s"m$k"))
