@@ -74,9 +74,12 @@ class PlanAuditSpec extends SparkTestBase {
     // EQUI-joins (bands, blocks, cells) — a CartesianProduct or
     // BroadcastNestedLoopJoin appearing in any of these means a
     // candidate generator degenerated to all-pairs
+    // d_index_maintained runs its 2-batch replay rig while the plan is
+    // built — the audited plan is the batch-side probe over the
+    // MAINTAINED index, which must stay a band equi-join like the rest
     for (q <- Seq("d_minhash_pairs", "d_minhash_idf", "d_ngram_jaccard",
         "v_ann_lsh", "j_fuzzy_blocked", "d_embed_lsh", "d_embed_lsh2",
-        "d_simhash_hamming", "d_incremental")) {
+        "d_simhash_hamming", "d_incremental", "d_index_maintained")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
