@@ -343,6 +343,46 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Global exact-segment DELETION with reassembly — the MassiveText /
+    // Falcon "remove repeated spans from the corpus" pass, one step past
+    // t_spandedup's flag-only form: the corpus is cut into non-overlapping
+    // 8-word segments, any segment occurring >= 2 times ANYWHERE in the
+    // corpus is deleted from every document that carries it, and the
+    // survivors are stitched back in original order. Output carries
+    // md5(scrubbed) so a reassembly-order or join-semantics drift goes
+    // hash-red. Scale shape: the frequency aggregate shuffles ONLY the
+    // 60-bit segment hash (not the text) and partial-aggregates to the
+    // segment vocabulary; the delete is a left-anti hash join on that
+    // hash (AQE broadcasts it when corpus redundancy is low); reassembly
+    // is one groupBy(doc_id) whose width is the document itself — the
+    // same data-linear three-shuffle plan at 100 TB.
+    "t_scrub" -> ((s, d) => {
+      val K = 8
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+      val segs = base
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(w) / $K.0) as int) - 1),
+                        j -> array_join(slice(w, j * $K + 1, $K), ' '))""")))
+        .toDF("doc_id", "pos", "seg")
+        .withColumn("h", portableHash(col("seg")))
+      val dup = segs.groupBy("h").agg(count("*").as("cnt"))
+        .filter(col("cnt") >= 2).select("h")
+      val re = segs.join(dup, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count("*").as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(pos, seg))), x -> x.seg), ' ')").as("scrubbed"))
+      base
+        .select(col("doc_id"),
+          ceil(size(col("w")) / lit(K.toDouble)).cast("long").as("n_segs"))
+        .join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     // PII detection + redaction: count and scrub email/phone patterns —
     // the compliance pass every corpus build runs before training. The
     // corpus is synthetic word soup, so PII is INJECTED deterministically
@@ -778,6 +818,34 @@ object Text {
            CASE WHEN floor(COALESCE(dup.n_dup, 0)::DOUBLE / len(b.sh)
              * 10000.0 + 0.5) / 10000.0 < 0.5 THEN 1 ELSE 0 END AS keep
          FROM base b LEFT JOIN dup ON dup.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
+    "t_scrub" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         segl AS (
+           SELECT doc_id,
+             [array_to_string(w[j*8+1 : j*8+8], ' ')
+               for j in range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))] AS sl
+           FROM base),
+         segs AS (
+           SELECT doc_id, generate_subscripts(sl, 1) - 1 AS pos,
+             unnest(sl) AS seg
+           FROM segl),
+         hashed AS (
+           SELECT doc_id, pos, seg,
+             ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+           FROM segs),
+         dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2),
+         kept AS (SELECT * FROM hashed ANTI JOIN dup USING (h)),
+         re AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS scrubbed
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id,
+           CAST(ceil(len(b.w) / 8.0) AS BIGINT) AS n_segs,
+           CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(re.scrubbed, '')) AS scrubbed_md5
+         FROM base b LEFT JOIN re USING (doc_id)
          ORDER BY b.doc_id""",
     "t_pii" ->
       """WITH inj AS (
