@@ -616,6 +616,41 @@ object Dedup {
       pairs.filter(col("cos") >= 0.45).orderBy("a", "b")
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    // embedding space with the coarse quantizer the ANN index already
+    // trains (Vectors.ivfAssign — label-seeded centroids + 1 Lloyd
+    // round), then dedupe ONLY within clusters: v is dropped when some
+    // cluster-mate u with u.vec_id < v.vec_id has cos(u,v) ≥ 0.4 on the
+    // 1e-4 grid (grid-then-compare makes the threshold engine-exact);
+    // dup_of records the smallest such u. The clustering bounds the
+    // quadratic: cost is Σ|cell|² instead of n² — the property that
+    // makes semantic dedup feasible at 100 TB, where a giant skewed
+    // cell would be sub-sharded (the d_embed_pairs block-triangle
+    // shape applied per cell). Cross-cluster near-dups are invisible
+    // by DESIGN (that is SemDeDup's approximation); the within/global
+    // recall is measured in DedupSpec, not asserted here.
+    // Shape: centroids broadcast (|cells| rows), assignment never
+    // shuffles the vector table; the pair join shuffles it once on
+    // cluster.
+    "d_semdedup" -> ((s, d) => {
+      val asg = Vectors.ivfAssign(t(s, d, "embeddings"), lloydRounds = 1)
+      val a = asg.select(col("vec_id").as("u"), col("v").as("vu"),
+        col("cluster").as("cu"))
+      val b = asg.select(col("vec_id"), col("v"), col("cluster"))
+      val cos = roundf(fdot(col("vu"), col("v")) /
+        (sqrt(fdot(col("vu"), col("vu"))) * sqrt(fdot(col("v"), col("v")))),
+        4)
+      val dup = a.join(b, col("cu") === col("cluster") &&
+          col("u") < col("vec_id"))
+        .filter(cos >= 0.4)
+        .groupBy("vec_id").agg(min(col("u")).as("dup_of"))
+      asg.select(col("vec_id"), col("cluster"))
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          col("dup_of").isNull.cast("int").as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // Production-threshold embedding near-dup (cos ≥ 0.9): the LSH-
     // bucketed shape that is the 100 TB path once the threshold is a
     // real near-dup operating point. d_embed_pairs (0.45) had to stay
@@ -952,6 +987,23 @@ object Dedup {
                for i in range(1, len(x.v) + 1)])
              / (x.nrm * y.nrm) * 10000.0 + 0.5) / 10000.0 >= 0.45
          ORDER BY a, b""",
+    // Same Lloyd CTE chain as the ivf oracles (Vectors.ivfRoundsSql —
+    // single source of truth for the quantizer), then the within-cluster
+    // exists-smaller-id rule mirrored verbatim.
+    "d_semdedup" ->
+      s"""WITH ${Vectors.ivfRoundsSql(1)},
+         asg AS (SELECT vec_id, v, k AS cluster FROM rk1 WHERE rn = 1),
+         dup AS (
+           SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+           FROM asg a JOIN asg b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           WHERE floor(${Vectors.cosVVSql("a.v", "b.v")}
+             * 10000.0 + 0.5) / 10000.0 >= 0.4
+           GROUP BY b.vec_id)
+         SELECT g.vec_id, g.cluster, dup.dup_of,
+           CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+         FROM asg g LEFT JOIN dup USING (vec_id)
+         ORDER BY g.vec_id""",
     // Plain quadratic truth over the SAME planted-twin corpus the query
     // synthesizes — deliberately NOT an LSH mirror, so a banding recall
     // miss goes hash-red instead of being defined away.

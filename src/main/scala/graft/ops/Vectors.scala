@@ -161,6 +161,14 @@ object Vectors {
     cent
   }
 
+  /** Cluster assignment under the label-seeded coarse quantizer:
+    * (vec_id, v, cluster). The clustering half of SemDeDup — shared with
+    * Dedup.d_semdedup so the dedup pass and the ANN index agree on one
+    * partition of the space. */
+  private[graft] def ivfAssign(e: DataFrame, lloydRounds: Int): DataFrame =
+    ivfRanked(e, ivfCentroids(e, lloydRounds)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+
   /** IVF top-5 for every 50th vector, searching `nprobe` cells. */
   def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
       nprobe: Int, lloydRounds: Int, quantized: Boolean = false)
@@ -359,29 +367,26 @@ object Vectors {
     s"((('0x' || substr(md5(p || ',' || j), 1, 15))::BIGINT % $PlaneMod)" +
       s" - $PlaneOff)"
 
-  /** DuckDB mirror of ivfTopK — the SAME CTE chain per Lloyd round,
-    * parameterized so both engines share one definition of the quantizer
-    * and probe rule (single source of truth, like NgramSalt). cosVC folds
-    * float·double (vector vs centroid, matching the Spark side's
-    * zip_with cast); cosVV folds float·float cast to double (candidate
-    * scoring, matching fdot).
-    */
-  private[ops] def ivfSql(nprobe: Int, lloydRounds: Int,
-      quantized: Boolean = false): String = {
-    def cosVC(v: String, c: String): String =
-      s"""list_sum([$v[i]::DOUBLE * $c[i] for i in range(1, len($c) + 1)]) /
-         (sqrt(list_sum([$v[i]::DOUBLE * $v[i]::DOUBLE
-            for i in range(1, len($v) + 1)])) *
-          sqrt(list_sum([$c[i] * $c[i] for i in range(1, len($c) + 1)])))"""
-    def cosVV(a: String, b: String): String =
-      s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
-            for i in range(1, len($a) + 1)]) /
-         (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
-            for i in range(1, len($a) + 1)])) *
-          sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
-            for i in range(1, len($b) + 1)])))"""
+  private[ops] def cosVCSql(v: String, c: String): String =
+    s"""list_sum([$v[i]::DOUBLE * $c[i] for i in range(1, len($c) + 1)]) /
+       (sqrt(list_sum([$v[i]::DOUBLE * $v[i]::DOUBLE
+          for i in range(1, len($v) + 1)])) *
+        sqrt(list_sum([$c[i] * $c[i] for i in range(1, len($c) + 1)])))"""
+
+  private[ops] def cosVVSql(a: String, b: String): String =
+    s"""list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+          for i in range(1, len($a) + 1)]) /
+       (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+          for i in range(1, len($a) + 1)])) *
+        sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+          for i in range(1, len($b) + 1)])))"""
+
+  /** The per-Lloyd-round centroid/assignment CTE chain (v0..rkN), shared
+    * by ivfSql and the d_semdedup oracle so both engines — and both
+    * consumers — share ONE definition of the quantizer. */
+  private[ops] def ivfRoundsSql(lloydRounds: Int): String =
     // per-round centroid CTEs: vR (k, v) -> exR -> ceR -> clR -> rkR
-    val rounds = (0 to lloydRounds).map { r =>
+    (0 to lloydRounds).map { r =>
       val src = if (r == 0)
         s"v$r AS (SELECT label AS k, embedding AS v FROM embeddings)"
       else
@@ -401,9 +406,20 @@ object Vectors {
                ORDER BY cc DESC, k ASC) AS rn
            FROM (
              SELECT e.vec_id, e.embedding AS v, cl$r.k,
-               ${cosVC("e.embedding", "cv")} AS cc
+               ${cosVCSql("e.embedding", "cv")} AS cc
              FROM embeddings e CROSS JOIN cl$r))"""
     }.mkString(",\n         ")
+
+  /** DuckDB mirror of ivfTopK — the SAME CTE chain per Lloyd round,
+    * parameterized so both engines share one definition of the quantizer
+    * and probe rule (single source of truth, like NgramSalt). cosVCSql
+    * folds float·double (vector vs centroid, matching the Spark side's
+    * zip_with cast); cosVVSql folds float·float cast to double
+    * (candidate scoring, matching fdot). */
+  private[ops] def ivfSql(nprobe: Int, lloydRounds: Int,
+      quantized: Boolean = false): String = {
+    val rounds = ivfRoundsSql(lloydRounds)
+    val cosVV = cosVVSql _
     val last = lloydRounds
     // quantized: the stored side is the v_quant int8 transform of each
     // assigned vector (as DOUBLE lists, matching the Spark cast) — the

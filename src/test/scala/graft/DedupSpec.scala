@@ -72,6 +72,44 @@ class DedupSpec extends SparkTestBase {
       s"missed=${brute -- blocked} spurious=${blocked -- brute}")
   }
 
+  test("d_semdedup: drops match within-cluster truth; global coverage " +
+      "is measured and disclosed") {
+    // SemDeDup's approximation is structural: only same-cluster pairs
+    // can be seen. Two checks: (1) the query's keep=0 set EXACTLY equals
+    // an independently-computed within-cluster truth (join semantics),
+    // (2) the fraction of GLOBAL cos>=0.4 pairs that land same-cluster
+    // is printed, not asserted — it is a property of the quantizer on
+    // this fixture, and a regenerated fixture may legitimately move it.
+    import graft.ops.{fdot, roundf}
+    val d = requireFixture("sf0.01")
+    val out = Dedup.queries("d_semdedup")(spark, d)
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val asg = graft.ops.Vectors.ivfAssign(
+      graft.etl.Tables.load(spark, d, "embeddings"), lloydRounds = 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val a = asg.select(col("vec_id").as("u"), col("v").as("vu"),
+      col("cluster").as("cu"))
+    val cosCol = roundf(fdot(col("vu"), col("v")) /
+      (sqrt(fdot(col("vu"), col("vu"))) *
+        sqrt(fdot(col("v"), col("v")))), 4)
+    val within = a.join(asg, col("u") < col("vec_id"))
+      .select(col("u"), col("vec_id"), (col("cu") === col("cluster"))
+        .as("same"), cosCol.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect()
+    val truthDropped = within.filter(r => r.getBoolean(2))
+      .map(_.getLong(1)).toSet
+    val dropped = out.filter(_._2 == 0).keySet
+    assert(dropped == truthDropped,
+      s"missed=${truthDropped -- dropped} spurious=${dropped -- truthDropped}")
+    val global = within.length
+    val covered = within.count(_.getBoolean(2))
+    assert(global > 0, "fixture has no cos>=0.4 pairs at all")
+    info(f"semdedup cluster coverage: $covered of $global global pairs " +
+      f"(${covered.toDouble / global}%.2f) visible within-cluster")
+  }
+
   test("FORCED triangle branch equals brute force, via the bp equi-join") {
     // The adaptive switch takes broadcast-NL at every test SF, so without
     // forcing, the triangle enumeration — the one shape claimed as the
