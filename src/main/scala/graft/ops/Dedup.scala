@@ -172,37 +172,60 @@ object Dedup {
     * every stage in integer math. Shared by d_minhash_idf and
     * DedupSpec's template-corpus measurement.
     */
-  private[graft] def idfBands(docs: DataFrame, maxDf: Long): DataFrame = {
+  /** IDF-weighted band keys: signatures minhash only the NON-frequent
+    * (df ≤ maxDf) shingles, so rare content dominates bucket identity.
+    *
+    * The STOP set — not the rare set — is the small side: Σ df = the
+    * corpus occurrence count, so |{h0 : df > maxDf}| ≤ Σdf / maxDf; with
+    * maxDf = |docs|/20 that is ≤ 20 × the average shingles-per-doc
+    * (~1000 entries) INDEPENDENT of corpus size.
+    *
+    * Fused path (the default): pass 1 aggregates the DF counts over
+    * 8-byte shingle hashes (the only exploded-corpus shuffle) and
+    * COLLECTS the bounded stop set; pass 2 is a plain documents scan
+    * through FilteredShingleMinHashes, which evaluates the anti-join,
+    * the 12-way min re-aggregate, and the all-stopped fallback inside
+    * one codegen'd expression — the weighting pass costs ZERO shuffles
+    * and needs no data-sized persist. The unfused chain (explode →
+    * broadcast stop anti-join → per-doc 12-MIN re-agg → fallback union)
+    * is kept as the executable spec of the semantics; DedupSpec asserts
+    * the two produce bit-identical band keys.
+    */
+  private[graft] def idfBands(docs: DataFrame, maxDf: Long,
+      fused: Boolean = true): DataFrame = {
     val M = 2147483647L
     val ex = docs.select(col("doc_id"),
         explode(shingles(col("text"), 5)).as("s"))
       .select(col("doc_id"), pmod(portableHash(col("s")), lit(M)).as("h0"))
-      // multiple consumers (DF count, stop anti-join, fallback passes)
-      // — persist so the explode + md5 pass runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = ex.groupBy("h0").agg(count(lit(1)).as("df"))
-    // The STOP set — not the rare set — is the broadcastable side:
-    // Σ df = the corpus occurrence count, so |{h0 : df > maxDf}| ≤
-    // Σdf / maxDf; with maxDf = |docs|/20 that is ≤ 20 × the average
-    // shingles-per-doc (~1000 entries) INDEPENDENT of corpus size.
-    // Filtering via a broadcast anti-join keeps the weighting pass at
-    // ONE exploded-corpus shuffle (the per-doc re-agg) — the previous
-    // DF-join-back formulation shuffled the exploded corpus twice more.
     val stop = dft.filter(col("df") > maxDf).select("h0")
-    val kept = ex.join(broadcast(stop), Seq("h0"), "left_anti")
-    // fallback: a doc whose every shingle is a stop shingle would lose
-    // its signature — such docs (rare by construction) keep their full
-    // set instead
-    val withRare = kept.select("doc_id").distinct()
-    val fallback = ex.join(withRare, Seq("doc_id"), "left_anti")
-    val keep = kept.unionByName(fallback)
-    val aggs = (0 until MinhashK).map(k =>
-      min(pmod(col("h0") * lit((k + 1) * 1299709L) + lit(k * 15485863L),
-        lit(M))).as(s"m$k"))
-    val sig = keep.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(k => col(s"m$k")): _*).as("mh"))
-    minhashBands(sig)
+    if (fused) {
+      val stopArr = stop.collect().map(_.getLong(0))
+      val sig = docs.select(col("doc_id"),
+        org.apache.spark.sql.graftshim.FilteredShingleMinHashes
+          .filteredShingleMinhashes(split(col("text"), " "), 5, MinhashK,
+            stopArr).as("mh"))
+      minhashBands(sig)
+    } else {
+      val exP = ex
+        // multiple consumers (stop anti-join, fallback passes) — persist
+        // so the explode + md5 pass runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = exP.join(broadcast(stop), Seq("h0"), "left_anti")
+      // fallback: a doc whose every shingle is a stop shingle would lose
+      // its signature — such docs (rare by construction) keep their full
+      // set instead
+      val withRare = kept.select("doc_id").distinct()
+      val fallback = exP.join(withRare, Seq("doc_id"), "left_anti")
+      val keep = kept.unionByName(fallback)
+      val aggs = (0 until MinhashK).map(k =>
+        min(pmod(col("h0") * lit((k + 1) * 1299709L) + lit(k * 15485863L),
+          lit(M))).as(s"m$k"))
+      val sig = keep.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until MinhashK).map(k => col(s"m$k")): _*).as("mh"))
+      minhashBands(sig)
+    }
   }
 
   /** (doc_id, band, bh) LSH band-bucket keys from a signature frame —
@@ -289,12 +312,12 @@ object Dedup {
     "d_minhash_idf" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val maxDf = math.max(2L, docs.count() / 20)
+      // no persist: with the fused FilteredShingleMinHashes path the
+      // weighted signature is a single codegen'd documents scan (the DF
+      // stop set is collected once at plan-build), so recomputing it for
+      // both sides of the band self-join is cheaper than materializing
+      // a cache copy — the same call the unweighted d_minhash_pairs makes
       val banded = idfBands(docs.select(col("doc_id"), col("text")), maxDf)
-        // the band self-join reads both sides — persist or the whole
-        // 3-shuffle weighted-signature chain runs twice (the fused
-        // unweighted signature is cheap enough to recompute;
-        // this one is not)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -256,6 +256,51 @@ class DedupSpec extends SparkTestBase {
         "ball bound")
   }
 
+  test("fused FilteredShingleMinHashes band keys are bit-identical to " +
+      "the unfused anti-join chain") {
+    // idfBands(fused = false) IS the executable spec of the weighting
+    // semantics (explode -> stop anti-join -> 12-MIN re-agg -> fallback
+    // union); the fused expression must reproduce it key-for-key. The
+    // natural corpus has no shingle above maxDf (max df = 3 at sf0.01),
+    // so the corpus under test is templated the way the candidate-growth
+    // test below templates it — every doc carries a shared 240-word
+    // boilerplate (stop shingles, df = n) — PLUS three pure-template
+    // docs whose every shingle is stopped, which must take the
+    // all-stopped fallback (full unfiltered signature) in both paths.
+    val d = requireFixture("sf0.01")
+    import spark.implicits._
+    val docs = graft.etl.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), col("text"))
+    val template = (1 to 240).map(i => s"tmpl$i").mkString(" ")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val pure = Seq(maxId + 1, maxId + 2, maxId + 3)
+      .map(id => (id, template)).toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"),
+      concat(col("text"), lit(" " + template)).as("text"))
+      .unionByName(pure)
+    val n = corpus.count()
+    val maxDf = math.max(2L, n / 20)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = keys(Dedup.idfBands(corpus, maxDf))
+    val unfused = keys(Dedup.idfBands(corpus, maxDf, fused = false))
+    assert(fused == unfused,
+      s"onlyFused=${(fused -- unfused).take(5)} " +
+        s"onlyUnfused=${(unfused -- fused).take(5)}")
+    // the filter is live: stop shingles exist, so the weighted keys
+    // differ from plain unweighted banding...
+    val unweighted = keys(Dedup.minhashBandsOfDocs(corpus))
+    assert(fused != unweighted,
+      "template produced no stop shingles — parity check went vacuous")
+    // ...and the pure-template docs are present via the fallback, with
+    // their UNFILTERED keys (identical to their unweighted ones)
+    val pureIds = pure.collect().map(_.getLong(0)).toSet
+    assert(fused.filter(k => pureIds(k._1)) ==
+      unweighted.filter(k => pureIds(k._1)),
+      "all-stopped fallback should emit the unfiltered signature")
+  }
+
   test("IDF-weighted banding keeps candidates content-sized on a " +
       "template-heavy corpus") {
     // The measurement d_minhash_idf exists for: append a shared

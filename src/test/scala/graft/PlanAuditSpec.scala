@@ -87,17 +87,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("d_minhash_idf: DF pass and signature minima partial-aggregate") {
-    // the IDF weighting must stay a distributed re-aggregation: the
-    // shingle-DF count and the 12 per-doc MIN aggregates both combine
-    // map-side (the exploded corpus shuffles |vocab| + |doc keys|
-    // partials, never raw exploded rows), and the band join is the
-    // only candidate generator
+  test("d_minhash_idf: weighted signatures are fused into the scan") {
+    // the IDF weighting pass must cost ZERO shuffles: the DF stop set
+    // is collected at plan-build (a bounded ~10^3-entry set, the one
+    // exploded-corpus aggregate), and the audited candidate plan then
+    // computes signatures via the fused FilteredShingleMinHashes
+    // projection directly over the documents scan — no exploded
+    // re-aggregation, no anti-join, no persist of a data-sized frame
     val p = plan("d_minhash_idf")
-    assert(p.contains("partial_count"),
-      "shingle DF must map-side combine")
-    assert(p.contains("partial_min"),
-      "signature minima must map-side combine")
+    assert(p.contains("filtered_shingle_minhashes"),
+      "weighted signature should be the fused scan expression")
+    assert(!p.contains("partial_min"),
+      "a signature MIN re-aggregate means the unfused chain leaked back")
   }
 
   test("d_incremental: corpus side is the materialized parquet band index") {
