@@ -101,6 +101,28 @@ class PlanAuditSpec extends SparkTestBase {
       "a signature MIN re-aggregate means the unfused chain leaked back")
   }
 
+  test("maintained rows consume the maintained table, not a base rescan") {
+    // the maintenance family's point is amortization: the returned
+    // frame must read what the sink maintained. rollup/hh plans scan
+    // ONLY the maintained parquet (an events.parquet scan would mean
+    // the query quietly recomputes what the sink exists to avoid);
+    // cm's verdict columns DO rescan events once — that is the exact
+    // truth being compared against — but its probe-estimate frame must
+    // broadcast and the exact counts must partial-aggregate
+    for (q <- Seq("l_rollup_maintained", "l_hh_maintained")) {
+      val p = plan(q)
+      assert(!p.contains("events.parquet"),
+        s"$q rescans base events — the maintained table should serve it")
+    }
+    val p = plan("l_cm_maintained")
+    assert(p.contains("partial_count"),
+      "cm exact-truth counts must map-side combine")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1,
+      "cm probe estimates are a driver-scalar frame — must broadcast")
+    assert(nodeCount(p, "SortMergeJoin") == 0,
+      "no maintained verdict join should sort-merge at probe scale")
+  }
+
   test("d_incremental: corpus side is the materialized parquet band index") {
     // the reuse plan: the candidate join's corpus input must be a scan
     // of the written index files, not a recomputation of corpus
