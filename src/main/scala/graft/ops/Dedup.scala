@@ -656,7 +656,14 @@ object Dedup {
     // shuffles the vector table; the pair join shuffles it once on
     // cluster.
     "d_semdedup" -> ((s, d) => {
+      // the assignment feeds THREE consumers (both sides of the pair
+      // join + the final left join); without materialization each one
+      // replays the full quantizer chain — 3 extra corpus scans and 6
+      // centroid crosses in the audited plan. localCheckpoint cuts that
+      // to one pass (the g_labelprop edge-list move; on a real cluster
+      // swap for a reliable checkpoint to survive executor loss).
       val asg = Vectors.ivfAssign(t(s, d, "embeddings"), lloydRounds = 1)
+        .localCheckpoint()
       val a = asg.select(col("vec_id").as("u"), col("v").as("vu"),
         col("cluster").as("cu"))
       val b = asg.select(col("vec_id"), col("v"), col("cluster"))

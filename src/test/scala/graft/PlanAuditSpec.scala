@@ -101,6 +101,30 @@ class PlanAuditSpec extends SparkTestBase {
       "a signature MIN re-aggregate means the unfused chain leaked back")
   }
 
+  test("t_scrub: frequency agg partial-combines on the hash; delete is " +
+      "an anti hash join") {
+    val p = plan("t_scrub")
+    assert(p.contains("partial_count"),
+      "segment frequency must map-side combine to the segment vocabulary")
+    assert(p.contains("LeftAnti"),
+      "the delete must be a left-anti join against the dup-hash set")
+    assert(nodeCount(p, "CartesianProduct") == 0 &&
+      nodeCount(p, "BroadcastNestedLoopJoin") == 0, "scrub planned all-pairs")
+  }
+
+  test("d_semdedup: centroids broadcast; pair join is cluster-keyed") {
+    val p = plan("d_semdedup")
+    // the quantizer chain runs ONCE (localCheckpoint) before this plan;
+    // the audited plan must contain no nested-loop at all — the pair
+    // join is an equi-join on cluster over the checkpointed assignment
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
+      "assignment recomputation leaked back into the pair join plan")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "within-cluster pair join must be an equi-join on cluster")
+    assert(nodeCount(p, "CartesianProduct") == 0, "semdedup planned n^2")
+  }
+
   test("maintained rows consume the maintained table, not a base rescan") {
     // the maintenance family's point is amortization: the returned
     // frame must read what the sink maintained. rollup/hh plans scan
