@@ -63,7 +63,9 @@ object SparkEntry {
       "j_bloom", "d_simhash_hamming", "l_sorted_scan", "v_ann_ivf4",
       "t_chunkpack", "j7_interval", "d_incremental", "l_zorder_scan",
       "e_rolling28", "l_bucket_join", "x_winsorize", "x_heavyhitters",
-      "t_bm25", "l_rollup_merge", "t_lmscore")
+      "t_bm25", "l_rollup_merge", "t_lmscore",
+      // round-11 headline training-pipeline ops
+      "t_scrub", "d_semdedup", "d_minhash_idf")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact
