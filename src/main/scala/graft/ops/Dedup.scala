@@ -681,6 +681,50 @@ object Dedup {
         .orderBy("vec_id")
     }),
 
+    // Incremental SemDeDup — the ingest shape d_incremental gives the
+    // minhash index, applied to the semantic index: the corpus's coarse
+    // quantizer (centroids) and inverted file (vec_id, v, cluster) are
+    // MAINTAINED as parquet; a new batch (last fifth of vec_ids, the
+    // d_incremental split) ranks against the read-back centroids —
+    // never retraining — and is checked only against the MEMBERS OF ITS
+    // OWN CELL in the read-back inverted file. At 100 TB each ingest
+    // batch pays O(batch · |cells|) assignment + matched-cell pairs;
+    // the corpus is never rescanned and never re-clustered. The oracle
+    // replays the corpus-restricted Lloyd chain (shared ivfRoundsSql)
+    // plus the batch ranking, so a drift in EITHER maintained artifact
+    // (centroids or inverted file) goes hash-red.
+    "d_semdedup_incr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val split = e.agg(max("vec_id")).head.getLong(0) * 4 / 5
+      val corpus = e.filter(col("vec_id") < split)
+      val batch = e.filter(col("vec_id") >= split)
+      val base = Replay.scratchDir("semdedup_idx", d)
+      val centPath = new java.io.File(base, "centroids").getPath
+      val idxPath = new java.io.File(base, "ivf").getPath
+      Vectors.ivfCentroids(corpus, lloydRounds = 1)
+        .write.mode("overwrite").parquet(centPath)
+      val cent = s.read.parquet(centPath)
+      Vectors.ivfAssignTo(corpus, cent)
+        .write.mode("overwrite").parquet(idxPath)
+      val corpusIdx = s.read.parquet(idxPath)
+      // two consumers (dup join + final projection) — materialize once
+      val basg = Vectors.ivfAssignTo(batch, cent).localCheckpoint()
+      val cos = roundf(fdot(col("vu"), col("v")) /
+        (sqrt(fdot(col("vu"), col("vu"))) *
+          sqrt(fdot(col("v"), col("v")))), 4)
+      val dup = corpusIdx
+        .select(col("vec_id").as("u"), col("v").as("vu"),
+          col("cluster").as("cu"))
+        .join(basg, col("cu") === col("cluster"))
+        .filter(cos >= 0.4)
+        .groupBy("vec_id").agg(min(col("u")).as("dup_of"))
+      basg.select(col("vec_id"), col("cluster"))
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          col("dup_of").isNull.cast("int").as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // Production-threshold embedding near-dup (cos ≥ 0.9): the LSH-
     // bucketed shape that is the 100 TB path once the threshold is a
     // real near-dup operating point. d_embed_pairs (0.45) had to stay
@@ -1033,6 +1077,37 @@ object Dedup {
          SELECT g.vec_id, g.cluster, dup.dup_of,
            CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
          FROM asg g LEFT JOIN dup USING (vec_id)
+         ORDER BY g.vec_id""",
+    // Corpus-restricted Lloyd chain (same shared template, trained on
+    // the corpus CTE only), then the batch ranks against the FINAL
+    // centroids and is checked against corpus cell-mates only —
+    // mirroring both maintained artifacts.
+    "d_semdedup_incr" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)),
+         batch AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id >= (SELECT MAX(vec_id) * 4 // 5 FROM embeddings)),
+         ${Vectors.ivfRoundsSql(1, table = "corpus")},
+         casg AS (SELECT vec_id, v, k AS cluster FROM rk1 WHERE rn = 1),
+         basg AS (
+           SELECT vec_id, v, k AS cluster FROM (
+             SELECT b.vec_id, b.embedding AS v, cl1.k,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY ${Vectors.cosVCSql("b.embedding", "cv")} DESC,
+                   k ASC) AS rn
+             FROM batch b CROSS JOIN cl1)
+           WHERE rn = 1),
+         dup AS (
+           SELECT b.vec_id, MIN(c.vec_id) AS dup_of
+           FROM casg c JOIN basg b ON c.cluster = b.cluster
+           WHERE floor(${Vectors.cosVVSql("c.v", "b.v")}
+             * 10000.0 + 0.5) / 10000.0 >= 0.4
+           GROUP BY b.vec_id)
+         SELECT g.vec_id, g.cluster, dup.dup_of,
+           CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+         FROM basg g LEFT JOIN dup USING (vec_id)
          ORDER BY g.vec_id""",
     // Plain quadratic truth over the SAME planted-twin corpus the query
     // synthesizes — deliberately NOT an LSH mirror, so a banding recall

@@ -169,6 +169,14 @@ object Vectors {
     ivfRanked(e, ivfCentroids(e, lloydRounds)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cl").as("cluster"))
 
+  /** Assignment against an EXISTING (cl, cv) centroid frame — e.g. one
+    * read back from a maintained parquet index. The incremental half of
+    * SemDeDup: new batches rank against the trained quantizer without
+    * retraining it. */
+  private[graft] def ivfAssignTo(e: DataFrame, cent: DataFrame): DataFrame =
+    ivfRanked(e, cent).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+
   /** IVF top-5 for every 50th vector, searching `nprobe` cells. */
   def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
       nprobe: Int, lloydRounds: Int, quantized: Boolean = false)
@@ -382,13 +390,16 @@ object Vectors {
           for i in range(1, len($b) + 1)])))"""
 
   /** The per-Lloyd-round centroid/assignment CTE chain (v0..rkN), shared
-    * by ivfSql and the d_semdedup oracle so both engines — and both
-    * consumers — share ONE definition of the quantizer. */
-  private[ops] def ivfRoundsSql(lloydRounds: Int): String =
+    * by ivfSql and the d_semdedup/d_semdedup_incr oracles so both
+    * engines — and all consumers — share ONE definition of the
+    * quantizer. `table` is the training source (a CTE name for
+    * corpus-restricted training). */
+  private[ops] def ivfRoundsSql(lloydRounds: Int,
+      table: String = "embeddings"): String =
     // per-round centroid CTEs: vR (k, v) -> exR -> ceR -> clR -> rkR
     (0 to lloydRounds).map { r =>
       val src = if (r == 0)
-        s"v$r AS (SELECT label AS k, embedding AS v FROM embeddings)"
+        s"v$r AS (SELECT label AS k, embedding AS v FROM $table)"
       else
         s"v$r AS (SELECT k, v FROM rk${r - 1} WHERE rn = 1)"
       s"""$src,
@@ -407,7 +418,7 @@ object Vectors {
            FROM (
              SELECT e.vec_id, e.embedding AS v, cl$r.k,
                ${cosVCSql("e.embedding", "cv")} AS cc
-             FROM embeddings e CROSS JOIN cl$r))"""
+             FROM $table e CROSS JOIN cl$r))"""
     }.mkString(",\n         ")
 
   /** DuckDB mirror of ivfTopK — the SAME CTE chain per Lloyd round,

@@ -125,6 +125,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0, "semdedup planned n^2")
   }
 
+  test("d_semdedup_incr: batch probes the maintained inverted file") {
+    // the reuse plan: corpus cell-mates come from the written parquet
+    // index (never a corpus re-cluster or rescan), the batch assignment
+    // ran once before the checkpoint, and the dup join is cluster-keyed
+    val p = plan("d_semdedup_incr")
+    assert(p.contains("graft_semdedup_idx"),
+      "corpus inverted file should be scanned from the maintained parquet")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0 &&
+      nodeCount(p, "CartesianProduct") == 0,
+      "assignment or pair join degenerated to a nested loop")
+  }
+
   test("maintained rows consume the maintained table, not a base rescan") {
     // the maintenance family's point is amortization: the returned
     // frame must read what the sink maintained. rollup/hh plans scan
