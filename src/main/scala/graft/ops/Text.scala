@@ -58,6 +58,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Non-overlapping 8-word segments of each document:
+    * (doc_id, pos, seg, h) with h the portable 60-bit hash — shared by
+    * t_scrub (batch frequencies) and t_scrub_maintained (streaming-
+    * maintained frequencies). Works on batch and streaming frames. */
+  private val SegK = 8
+  private def segmentsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / $SegK.0) as int) - 1),
+                      j -> array_join(slice(w, j * $SegK + 1, $SegK), ' '))""")))
+      .toDF("doc_id", "pos", "seg")
+      .withColumn("h", portableHash(col("seg")))
+
+  /** Delete every segment in `dup` (a frame with column h) from `segs`,
+    * reassemble per doc in original order, emit the verifiable shape:
+    * (doc_id, n_segs, n_kept, scrubbed_md5). */
+  private def scrubAgainst(docs: DataFrame, segs: DataFrame,
+      dup: DataFrame): DataFrame = {
+    val re = segs.join(dup, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count("*").as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(pos, seg))), x -> x.seg), ' ')").as("scrubbed"))
+    docs.select(col("doc_id"),
+        ceil(size(words(col("text"))) / lit(SegK.toDouble)).cast("long")
+          .as("n_segs"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream
@@ -357,30 +390,39 @@ object Text {
     // is one groupBy(doc_id) whose width is the document itself — the
     // same data-linear three-shuffle plan at 100 TB.
     "t_scrub" -> ((s, d) => {
-      val K = 8
-      val base = t(s, d, "documents")
-        .select(col("doc_id"), words(col("text")).as("w"))
-      val segs = base
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(0, cast(ceil(size(w) / $K.0) as int) - 1),
-                        j -> array_join(slice(w, j * $K + 1, $K), ' '))""")))
-        .toDF("doc_id", "pos", "seg")
-        .withColumn("h", portableHash(col("seg")))
+      val segs = segmentsOf(t(s, d, "documents"))
       val dup = segs.groupBy("h").agg(count("*").as("cnt"))
-        .filter(col("cnt") >= 2).select("h")
-      val re = segs.join(dup, Seq("h"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count("*").as("n_kept"),
-          expr("array_join(transform(array_sort(collect_list(" +
-            "struct(pos, seg))), x -> x.seg), ' ')").as("scrubbed"))
-      base
-        .select(col("doc_id"),
-          ceil(size(col("w")) / lit(K.toDouble)).cast("long").as("n_segs"))
-        .join(re, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segs"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          md5(coalesce(col("scrubbed"), lit(""))).as("scrubbed_md5"))
-        .orderBy("doc_id")
+        .filter(col("cnt") >= lit(2L)).select("h")
+      scrubAgainst(t(s, d, "documents"), segs, dup)
+    }),
+
+    // t_scrub with the segment-frequency table MAINTAINED BY THE
+    // STREAMING SINK: the corpus replays as two halves through
+    // segFreqMaintain (the rollupMaintain discipline keyed by the
+    // 60-bit segment hash — a |vocabulary|-sized DataFrame merge with
+    // staged-swap publish, never driver state), and the scrub then
+    // consumes the maintained counts. The ORACLE IS t_scrub's — the
+    // maintained table must reproduce the batch frequency truth
+    // exactly, or the reassembled md5s go hash-red. This is the
+    // incremental corpus-scrub shape: at 100 TB each new shard's
+    // segments merge into the maintained counts in O(|shard vocab|)
+    // and the scrub never recounts history.
+    "t_scrub_maintained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "segfreq", d,
+        graft.etl.Tables.schemas("documents"), "docs",
+        docs.filter(col("doc_id") < mid), docs.filter(col("doc_id") >= mid))
+      val statePath = new java.io.File(base, "segfreq").getPath
+      val q = graft.streaming.Streams.segFreqMaintain(
+        segmentsOf(stream).select("h"), statePath)
+      require(q.awaitTermination(600000),
+        "segment-frequency maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      val dup = s.read.parquet(statePath)
+        .filter(col("cnt") >= lit(2L)).select("h")
+      scrubAgainst(docs, segmentsOf(docs), dup)
     }),
 
     // PII detection + redaction: count and scrub email/phone patterns —
@@ -669,6 +711,35 @@ object Text {
         .orderBy("doc_id")
     }))
 
+  private val scrubSql: String =
+    """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         segl AS (
+           SELECT doc_id,
+             [array_to_string(w[j*8+1 : j*8+8], ' ')
+               for j in range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))] AS sl
+           FROM base),
+         segs AS (
+           SELECT doc_id, generate_subscripts(sl, 1) - 1 AS pos,
+             unnest(sl) AS seg
+           FROM segl),
+         hashed AS (
+           SELECT doc_id, pos, seg,
+             ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+           FROM segs),
+         dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2),
+         kept AS (SELECT * FROM hashed ANTI JOIN dup USING (h)),
+         re AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS scrubbed
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id,
+           CAST(ceil(len(b.w) / 8.0) AS BIGINT) AS n_segs,
+           CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(re.scrubbed, '')) AS scrubbed_md5
+         FROM base b LEFT JOIN re USING (doc_id)
+         ORDER BY b.doc_id"""
+
   lazy val oracles: Map[String, String] = baseOracles +
     curateOracle
 
@@ -819,34 +890,11 @@ object Text {
              * 10000.0 + 0.5) / 10000.0 < 0.5 THEN 1 ELSE 0 END AS keep
          FROM base b LEFT JOIN dup ON dup.doc_id = b.doc_id
          ORDER BY b.doc_id""",
-    "t_scrub" ->
-      """WITH base AS (
-           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         segl AS (
-           SELECT doc_id,
-             [array_to_string(w[j*8+1 : j*8+8], ' ')
-               for j in range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))] AS sl
-           FROM base),
-         segs AS (
-           SELECT doc_id, generate_subscripts(sl, 1) - 1 AS pos,
-             unnest(sl) AS seg
-           FROM segl),
-         hashed AS (
-           SELECT doc_id, pos, seg,
-             ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
-           FROM segs),
-         dup AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2),
-         kept AS (SELECT * FROM hashed ANTI JOIN dup USING (h)),
-         re AS (
-           SELECT doc_id, COUNT(*) AS n_kept,
-             string_agg(seg, ' ' ORDER BY pos) AS scrubbed
-           FROM kept GROUP BY doc_id)
-         SELECT b.doc_id,
-           CAST(ceil(len(b.w) / 8.0) AS BIGINT) AS n_segs,
-           CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
-           md5(COALESCE(re.scrubbed, '')) AS scrubbed_md5
-         FROM base b LEFT JOIN re USING (doc_id)
-         ORDER BY b.doc_id""",
+    // t_scrub_maintained shares this oracle VERBATIM: the streaming-
+    // maintained frequency table must reproduce the batch truth exactly
+    "t_scrub" -> scrubSql,
+    "t_scrub_maintained" -> scrubSql,
+
     "t_pii" ->
       """WITH inj AS (
            SELECT doc_id,

@@ -638,6 +638,34 @@ object Streams {
       .start()
   }
 
+  /** Streaming segment-frequency maintenance: a (h, cnt) table merged
+    * across micro-batches — the global-counts half of incremental corpus
+    * scrubbing (Text.t_scrub_maintained). Same discipline as
+    * rollupMaintain: per-batch partial counts (|batch vocab| rows after
+    * map-side combine), re-sum merge against the stored table, staged
+    * swap with recovery. The maintained table is |segment vocabulary|-
+    * sized and lives entirely in DataFrames — never driver state — so
+    * the sink scales to corpus-sized vocabularies. */
+  def segFreqMaintain(segs: DataFrame, statePath: String)
+      : StreamingQuery = {
+    segs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        val part = batch.groupBy("h").agg(count(lit(1)).as("cnt"))
+        recoverState(statePath)
+        val cur = new java.io.File(statePath)
+        val merged =
+          if (!cur.exists()) part
+          else sp.read.parquet(statePath).unionByName(part)
+            .groupBy("h").agg(sum("cnt").as("cnt"))
+        val staged = statePath + s"_stage$id"
+        merged.write.mode("overwrite").parquet(staged)
+        stagedSwap(staged, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming heavy-hitters: a Misra-Gries summary of a key column
     * maintained across micro-batches — the trending-keys shape. Each
     * batch computes its own k-bounded sketch DISTRIBUTED (the

@@ -112,6 +112,22 @@ class PlanAuditSpec extends SparkTestBase {
       nodeCount(p, "BroadcastNestedLoopJoin") == 0, "scrub planned all-pairs")
   }
 
+  test("t_scrub_maintained: dup set comes from the maintained frequency " +
+      "table, not a corpus recount") {
+    // the incremental-scrub point: the delete side must READ the
+    // segFreqMaintain parquet (plan() runs the 2-batch replay rig
+    // first); a second corpus-wide groupBy(h) frequency agg feeding
+    // the anti-join would mean the maintained table is decorative
+    val p = plan("t_scrub_maintained")
+    assert(p.contains("graft_segfreq"),
+      "dup hashes should scan the maintained segment-frequency parquet")
+    assert(p.contains("LeftAnti"),
+      "the delete must stay a left-anti join against the dup-hash set")
+    assert(nodeCount(p, "CartesianProduct") == 0 &&
+      nodeCount(p, "BroadcastNestedLoopJoin") == 0,
+      "maintained scrub planned all-pairs")
+  }
+
   test("d_semdedup: centroids broadcast; pair join is cluster-keyed") {
     val p = plan("d_semdedup")
     // the quantizer chain runs ONCE (localCheckpoint) before this plan;
