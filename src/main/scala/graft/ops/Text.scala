@@ -91,6 +91,37 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, word) token stream — shared by t_tfidf (batch df) and
+    * t_tfidf_maintained (streaming-maintained df). Works on batch and
+    * streaming frames. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+
+  /** TF-IDF top-3 terms per doc against the given (word, df) table —
+    * the scoring half shared by t_tfidf and t_tfidf_maintained, so both
+    * provably rank the same way. Score = tf · N/df (rational idf
+    * surrogate — no transcendental enters the hash-checked output). */
+  private def tfidfTop3(docs: DataFrame, dfreq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docTokens(docs)
+      .groupBy("doc_id", "word").agg(count("*").as("tf"))
+    // N folded into the plan as a broadcast scalar aggregate (the
+    // oracle's CROSS JOIN n, mirrored) — a driver-side docs.count()
+    // here was a whole extra Spark job per invocation
+    val nDocs = docs.agg(count("*").cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"),
+        roundf(col("tf").cast("double") * col("n_docs") /
+          col("df").cast("double"), 4).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "word", "score", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream
@@ -312,28 +343,39 @@ object Text {
     // |doc×term| and |vocab|; the df side is vocabulary-sized →
     // auto-broadcast at any corpus scale.
     "t_tfidf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(words(col("text"))).as("word"))
-      val tf = toks.groupBy("doc_id", "word").agg(count("*").as("tf"))
-      val dfreq = toks.distinct()
-        .groupBy("word").agg(count("*").as("df"))
-      // N folded into the plan as a broadcast scalar aggregate (the
-      // oracle's CROSS JOIN n, mirrored) — a driver-side docs.count()
-      // here was a whole extra Spark job per invocation
-      val nDocs = docs.agg(count("*").cast("double").as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(desc("score"), asc("word"))
-      tf.join(dfreq, "word")
-        .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("word"),
-          roundf(col("tf").cast("double") * col("n_docs") /
-            col("df").cast("double"), 4).as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("doc_id", "word", "score", "rn")
-        .orderBy("doc_id", "rn")
+      val toks = docTokens(docs)
+      tfidfTop3(docs,
+        toks.distinct().groupBy("word").agg(count("*").as("df")))
+    }),
+
+    // t_tfidf with the DOCUMENT-FREQUENCY table MAINTAINED BY THE
+    // STREAMING SINK (the t_scrub_maintained discipline applied to the
+    // second corpus-global count statistic): the corpus replays as two
+    // doc-disjoint halves through countMaintain, each micro-batch
+    // contributing its distinct (doc_id, word) pairs — valid because
+    // batches partition the doc space, so per-batch distinct counts sum
+    // to the exact global df. Scoring then consumes the maintained
+    // counts; the ORACLE IS t_tfidf's VERBATIM, so any maintained-df
+    // drift reorders the per-doc top-3 and goes hash-red. This is
+    // incremental IDF at corpus scale: each new shard's vocabulary
+    // merges in O(|shard vocab|) and the idf statistic never recounts
+    // history.
+    "t_tfidf_maintained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "dfreq", d,
+        graft.etl.Tables.schemas("documents"), "docs",
+        docs.filter(col("doc_id") < mid), docs.filter(col("doc_id") >= mid))
+      val statePath = new java.io.File(base, "dfreq").getPath
+      val q = graft.streaming.Streams.countMaintain(
+        stream, "word", statePath)(b => docTokens(b).distinct())
+      require(q.awaitTermination(600000),
+        "df maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      tfidfTop3(docs,
+        s.read.parquet(statePath).withColumnRenamed("cnt", "df"))
     }),
 
     // Cross-document span dedup (the C4/RefinedWeb "remove spans that
@@ -398,7 +440,7 @@ object Text {
 
     // t_scrub with the segment-frequency table MAINTAINED BY THE
     // STREAMING SINK: the corpus replays as two halves through
-    // segFreqMaintain (the rollupMaintain discipline keyed by the
+    // countMaintain (the rollupMaintain discipline keyed by the
     // 60-bit segment hash — a |vocabulary|-sized DataFrame merge with
     // staged-swap publish, never driver state), and the scrub then
     // consumes the maintained counts. The ORACLE IS t_scrub's — the
@@ -414,8 +456,8 @@ object Text {
         graft.etl.Tables.schemas("documents"), "docs",
         docs.filter(col("doc_id") < mid), docs.filter(col("doc_id") >= mid))
       val statePath = new java.io.File(base, "segfreq").getPath
-      val q = graft.streaming.Streams.segFreqMaintain(
-        segmentsOf(stream).select("h"), statePath)
+      val q = graft.streaming.Streams.countMaintain(
+        stream, "h", statePath)(b => segmentsOf(b).select("h"))
       require(q.awaitTermination(600000),
         "segment-frequency maintenance stream must drain (AvailableNow)")
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
@@ -710,6 +752,27 @@ object Text {
         .agg(count("*").as("n_contam"))
         .orderBy("doc_id")
     }))
+
+  private val tfidfSql: String =
+    """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT word, COUNT(*) AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM toks)
+                   GROUP BY 1),
+         n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.word,
+             floor(tf.tf::DOUBLE * n.nd / dfreq.df::DOUBLE
+               * 10000.0 + 0.5) / 10000.0 AS score
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         SELECT doc_id, word, score, rn FROM (
+           SELECT doc_id, word, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+           FROM scored)
+         WHERE rn <= 3 ORDER BY doc_id, rn"""
 
   private val scrubSql: String =
     """WITH base AS (
@@ -1038,26 +1101,10 @@ object Text {
          FROM (SELECT unnest(string_split(text, ' ')) AS word
                FROM documents)
          GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
-    "t_tfidf" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS word
-           FROM documents),
-         tf AS (SELECT doc_id, word, COUNT(*) AS tf
-                FROM toks GROUP BY 1, 2),
-         dfreq AS (SELECT word, COUNT(*) AS df
-                   FROM (SELECT DISTINCT doc_id, word FROM toks)
-                   GROUP BY 1),
-         n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
-         scored AS (
-           SELECT tf.doc_id, tf.word,
-             floor(tf.tf::DOUBLE * n.nd / dfreq.df::DOUBLE
-               * 10000.0 + 0.5) / 10000.0 AS score
-           FROM tf JOIN dfreq USING (word) CROSS JOIN n)
-         SELECT doc_id, word, score, rn FROM (
-           SELECT doc_id, word, score, row_number() OVER (
-             PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
-           FROM scored)
-         WHERE rn <= 3 ORDER BY doc_id, rn""",
+    // t_tfidf_maintained shares this oracle VERBATIM: the streaming-
+    // maintained df table must reproduce the batch truth exactly
+    "t_tfidf" -> tfidfSql,
+    "t_tfidf_maintained" -> tfidfSql,
     // 4-gram enumeration mirrors the Spark grams4 helper: i ∈
     // [1, max(len-3, 1)], short docs yield one truncated gram.
     "t_contam" ->

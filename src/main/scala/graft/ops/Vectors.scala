@@ -227,6 +227,35 @@ object Vectors {
       .orderBy("q", "rn")
   }
 
+  /** IVF top-5 probe against an EXISTING index: `stored` is the
+    * (vec_id, v, cluster) inverted file — e.g. read back from the
+    * streaming-maintained parquet — and `cent` the trained quantizer it
+    * was built against. Probes (every 50th vector of `e`) rank against
+    * the read-back centroids only; the search path is independent of
+    * how the index was BUILT, which is the point: v_ann_maintained
+    * shares v_ann_ivf's oracle verbatim, so any drift in either
+    * maintained artifact (centroids or inverted file) goes hash-red.
+    */
+  private def ivfTopKFrom(e: DataFrame, cent: DataFrame,
+      stored: DataFrame, nprobe: Int): DataFrame = {
+    val probes = ivfRanked(e, cent)
+      .filter(col("rn") <= nprobe && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"), col("v").as("vq"),
+        col("cl").as("qc"))
+    val wP = Window.partitionBy(col("q"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    probes.join(stored,
+        col("cluster") === col("qc") && col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"),
+        roundf(fdot(col("vq"), col("v")) /
+          (sqrt(fdot(col("vq"), col("vq"))) *
+            sqrt(fdot(col("v"), col("v")))), 4).as("cos"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 5)
+      .select(col("q"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy("q", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Brute-force cosine top-k: every 50th vector probes the full set.
@@ -295,6 +324,40 @@ object Vectors {
     // baseline is measured and asserted for nprobe ∈ {1, 2, 4} in
     // IvfSpec.
     "v_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = 1, lloydRounds = 1)),
+
+    // ANN search over a STREAMING-MAINTAINED index — the maintenance
+    // loop the dedup family has (d_index_maintained / d_semdedup_incr)
+    // applied to similarity SEARCH: the inverted file is built by the
+    // real appendMaintain sink over a 2-micro-batch replay of the
+    // vector corpus (each batch assigns against the frozen quantizer
+    // and lands as a batchId-keyed idempotent append — valid because
+    // assignment is per-vector, so batches partition the file), then
+    // every probe searches the READ-BACK index. The ORACLE IS
+    // v_ann_ivf's VERBATIM: the maintained index must reproduce the
+    // batch-built inverted file exactly or the top-5 lists go
+    // hash-red. At 100 TB this is the ingest shape for a living ANN
+    // index: each vector shard pays O(shard · |cells|) assignment and
+    // one append — the index is never rebuilt and never rescanned.
+    "v_ann_maintained" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "ann_idx", d,
+        graft.etl.Tables.schemas("embeddings"), "emb",
+        e.filter(col("vec_id") < mid), e.filter(col("vec_id") >= mid))
+      val centPath = new java.io.File(base, "centroids").getPath
+      ivfCentroids(e, lloydRounds = 1)
+        .write.mode("overwrite").parquet(centPath)
+      val cent = s.read.parquet(centPath)
+      val idxPath = new java.io.File(base, "ivf").getPath
+      val q = graft.streaming.Streams.appendMaintain(stream, idxPath)(
+        b => ivfAssignTo(b, cent))
+      require(q.awaitTermination(600000),
+        "inverted-file maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is untested")
+      ivfTopKFrom(e, cent,
+        graft.streaming.Streams.readMaintained(s, idxPath), nprobe = 1)
+    }),
 
     // nprobe=2: the standard recall/cost knob — each probe unions two
     // cells' candidates; same index, no extra state.
@@ -519,6 +582,10 @@ object Vectors {
            FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
          SELECT a, b, cos FROM scored WHERE cos >= 0.4 ORDER BY a, b""",
     "v_ann_ivf" -> ivfSql(nprobe = 1, lloydRounds = 1),
+    // v_ann_maintained shares v_ann_ivf's oracle VERBATIM: the
+    // streaming-maintained inverted file must reproduce the batch-built
+    // index exactly, or the per-probe top-5 lists go hash-red
+    "v_ann_maintained" -> ivfSql(nprobe = 1, lloydRounds = 1),
     "v_ann_ivf2" -> ivfSql(nprobe = 2, lloydRounds = 1),
     "v_ann_ivf4" -> ivfSql(nprobe = 4, lloydRounds = 1),
     "v_ann_ivfq" -> ivfSql(nprobe = 2, lloydRounds = 1, quantized = true),

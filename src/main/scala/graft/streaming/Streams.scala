@@ -556,6 +556,63 @@ object Streams {
         s"state recovery failed: ${old.getPath} -> $curPath")
   }
 
+  /** BatchId marker inside a committed maintained-state dir: the id of
+    * the last micro-batch merged into it. An underscore-named file (the
+    * `_SUCCESS` convention), so parquet readers never see it — and it
+    * lives INSIDE the state dir, so it renames WITH the data through
+    * [[stagedSwap]] and [[recoverState]].
+    */
+  private val BatchMarker = "_graft_last_batch"
+
+  private[graft] def lastAppliedBatch(curPath: String): Option[Long] = {
+    val f = new java.io.File(curPath, BatchMarker)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  private def markBatch(stagedPath: String, id: Long): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(stagedPath, BatchMarker).toPath,
+      id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Exactly-once guard for the MERGE sinks under foreachBatch's
+    * at-least-once redelivery: a crash AFTER [[stagedSwap]] committed
+    * but BEFORE the streaming checkpoint recorded the batch redelivers
+    * a batch whose rows the state already includes — and a re-sum merge
+    * would double-count them. (The append sink is naturally idempotent
+    * via its `batch=<id>` overwrite subdirs; the merge sinks need this
+    * marker.) The body runs only when the committed state does not
+    * already carry `id`: a crash before the swap leaves the previous
+    * marker, so the retry re-merges (correct); a crash after leaves
+    * this id, so the retry skips (correct — StreamsSpec drives both the
+    * skip and the faithful restart). BatchIds are monotone within ONE
+    * checkpoint lineage, which is the scope of the guarantee: the
+    * maintained state and its checkpoint must live and die together —
+    * restarting with a fresh checkpoint against old state restarts ids
+    * at 0, so pair a fresh statePath with any fresh checkpoint.
+    */
+  private def mergeOnce(curPath: String, id: Long)(body: => Unit): Unit = {
+    recoverState(curPath)
+    if (!lastAppliedBatch(curPath).exists(_ >= id)) body
+  }
+
+  /** foreachBatch writer shared by the maintenance sinks: AvailableNow
+    * trigger, with an optional PERSISTENT checkpoint so a restarted run
+    * continues the same batchId lineage (the pairing [[mergeOnce]]'s
+    * retry guard is scoped to). Tests and the replay rigs omit it
+    * (temporary checkpoint — one lineage per run); a production
+    * deployment pins it alongside the state path.
+    */
+  private def maintainWriter(stream: DataFrame, checkpoint: Option[String])(
+      body: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = stream.writeStream
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch(body).trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Incremental rollup maintenance as a streaming sink — the
     * `l_rollup_merge` loop run CONTINUOUSLY: every micro-batch folds
     * into a materialized (day × event_type) aggregate table by
@@ -610,10 +667,10 @@ object Streams {
   def readMaintained(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch")
 
-  def rollupMaintain(events: DataFrame, rollupPath: String)
-      : StreamingQuery = {
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+  def rollupMaintain(events: DataFrame, rollupPath: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      mergeOnce(rollupPath, id) {
         val sp = batch.sparkSession
         val part = batch
           .groupBy(date_trunc("day", col("ts")).as("day"),
@@ -621,7 +678,6 @@ object Streams {
           .agg(count(lit(1)).as("n"),
             sum(graft.ops.roundf(col("value"), 4).cast("decimal(22,4)"))
               .as("sv"))
-        recoverState(rollupPath)
         val cur = new java.io.File(rollupPath)
         val merged =
           if (!cur.exists()) part
@@ -632,38 +688,49 @@ object Streams {
         merged.write.mode("overwrite").parquet(staged)
         // the staged write MATERIALIZED the merge, so the new version
         // can swap into place (rename-aside keeps a recoverable copy)
+        markBatch(staged, id)
         stagedSwap(staged, rollupPath)
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+    }
 
-  /** Streaming segment-frequency maintenance: a (h, cnt) table merged
-    * across micro-batches — the global-counts half of incremental corpus
-    * scrubbing (Text.t_scrub_maintained). Same discipline as
+  /** Streaming key-frequency maintenance: a (keyCol, cnt) table merged
+    * across micro-batches — the corpus-global count statistic behind
+    * incremental scrubbing (Text.t_scrub_maintained counts 60-bit
+    * segment hashes) and incremental IDF (Text.t_tfidf_maintained
+    * counts per-word document frequency). Same discipline as
     * rollupMaintain: per-batch partial counts (|batch vocab| rows after
     * map-side combine), re-sum merge against the stored table, staged
-    * swap with recovery. The maintained table is |segment vocabulary|-
-    * sized and lives entirely in DataFrames — never driver state — so
-    * the sink scales to corpus-sized vocabularies. */
-  def segFreqMaintain(segs: DataFrame, statePath: String)
-      : StreamingQuery = {
-    segs.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val sp = batch.sparkSession
-        val part = batch.groupBy("h").agg(count(lit(1)).as("cnt"))
-        recoverState(statePath)
-        val cur = new java.io.File(statePath)
-        val merged =
-          if (!cur.exists()) part
-          else sp.read.parquet(statePath).unionByName(part)
-            .groupBy("h").agg(sum("cnt").as("cnt"))
-        val staged = statePath + s"_stage$id"
-        merged.write.mode("overwrite").parquet(staged)
-        stagedSwap(staged, statePath)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    * swap with recovery. `prep` shapes each micro-batch into countable
+    * rows BEFORE the count (e.g. explode to segments, or distinct
+    * (doc_id, word) pairs so each doc contributes a word at most once —
+    * valid whenever batches partition the doc space). The maintained
+    * table is |vocabulary|-sized and lives entirely in DataFrames —
+    * never driver state — so the sink scales to corpus-sized
+    * vocabularies. */
+  def countMaintain(stream: DataFrame, keyCol: String, statePath: String,
+      checkpoint: Option[String] = None)(
+      prep: DataFrame => DataFrame = identity): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      countBatch(prep(batch), keyCol, statePath, id)
+    }
+
+  /** One [[countMaintain]] batch merge, factored out so the retry
+    * path is directly testable: calling it twice with the same id must
+    * leave the counts unchanged (StreamsSpec asserts).
+    */
+  private[graft] def countBatch(batch: DataFrame, keyCol: String,
+      statePath: String, id: Long): Unit = mergeOnce(statePath, id) {
+    val sp = batch.sparkSession
+    val part = batch.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val cur = new java.io.File(statePath)
+    val merged =
+      if (!cur.exists()) part
+      else sp.read.parquet(statePath).unionByName(part)
+        .groupBy(keyCol).agg(sum("cnt").as("cnt"))
+    val staged = statePath + s"_stage$id"
+    merged.write.mode("overwrite").parquet(staged)
+    markBatch(staged, id)
+    stagedSwap(staged, statePath)
   }
 
   /** Streaming heavy-hitters: a Misra-Gries summary of a key column
@@ -682,9 +749,10 @@ object Streams {
     * with it.
     */
   def heavyHittersMaintain(events: DataFrame, keyCol: String,
-      statePath: String, k: Int): StreamingQuery = {
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      statePath: String, k: Int,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      mergeOnce(statePath, id) {
         val sp = batch.sparkSession
         import sp.implicits._
         val row = batch.agg(
@@ -694,7 +762,6 @@ object Streams {
         val batchSketch = Option(row.getMap[String, Long](0))
           .map(_.toMap).getOrElse(Map.empty[String, Long])
         val batchN = row.getLong(1)
-        recoverState(statePath)
         val cur = new java.io.File(statePath)
         val (prevSketch, prevN) =
           if (!cur.exists()) (Map.empty[String, Long], 0L)
@@ -717,11 +784,10 @@ object Streams {
         Seq((prevN + batchN, merged))
           .toDF("n", "mg")
           .coalesce(1).write.mode("overwrite").parquet(staged)
+        markBatch(staged, id)
         stagedSwap(staged, statePath)
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+    }
 
   /** Streaming count-min: the CM grid maintained across micro-batches.
     * CM's merge is an elementwise SUM, so unlike the MG summary the
@@ -733,9 +799,10 @@ object Streams {
     * O(d·w) regardless of stream size. State = one (n, grid) row.
     */
   def countMinMaintain(events: DataFrame, keyCol: String,
-      statePath: String, width: Int): StreamingQuery = {
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      statePath: String, width: Int,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      mergeOnce(statePath, id) {
         val sp = batch.sparkSession
         import sp.implicits._
         val row = batch.agg(
@@ -744,7 +811,6 @@ object Streams {
           count(lit(1)).as("n")).head()
         val batchGrid = row.getSeq[Long](0).toArray
         val batchN = row.getLong(1)
-        recoverState(statePath)
         val cur = new java.io.File(statePath)
         val (grid, n) =
           if (!cur.exists()) (batchGrid, batchN)
@@ -761,11 +827,10 @@ object Streams {
         val staged = statePath + s"_stage$id"
         Seq((n, grid)).toDF("n", "grid")
           .coalesce(1).write.mode("overwrite").parquet(staged)
+        markBatch(staged, id)
         stagedSwap(staged, statePath)
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+    }
 
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: String = "append",

@@ -115,7 +115,7 @@ class PlanAuditSpec extends SparkTestBase {
   test("t_scrub_maintained: dup set comes from the maintained frequency " +
       "table, not a corpus recount") {
     // the incremental-scrub point: the delete side must READ the
-    // segFreqMaintain parquet (plan() runs the 2-batch replay rig
+    // countMaintain parquet (plan() runs the 2-batch replay rig
     // first); a second corpus-wide groupBy(h) frequency agg feeding
     // the anti-join would mean the maintained table is decorative
     val p = plan("t_scrub_maintained")
@@ -151,6 +151,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0 &&
       nodeCount(p, "CartesianProduct") == 0,
       "assignment or pair join degenerated to a nested loop")
+  }
+
+  test("v_ann_maintained: probes search the maintained inverted file") {
+    // the ingest-shape claim: candidates must come from a scan of the
+    // appendMaintain parquet (plan() runs the 2-batch replay rig
+    // first) joined on cluster — an in-plan re-assignment of the full
+    // corpus feeding the candidate join would mean the maintained
+    // index is decorative. The centroid cross is a deliberate
+    // broadcast of |cells| rows (same as v_ann_ivf), so only a true
+    // CartesianProduct is banned here.
+    val p = plan("v_ann_maintained")
+    assert(p.contains("graft_ann_idx"),
+      "candidates should scan the maintained inverted-file parquet")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "probe→cell candidate join must be an equi-join on cluster")
+    assert(nodeCount(p, "CartesianProduct") == 0,
+      "maintained ANN probe planned all-pairs")
   }
 
   test("maintained rows consume the maintained table, not a base rescan") {

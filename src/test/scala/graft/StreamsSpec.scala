@@ -268,36 +268,41 @@ class StreamsSpec extends SparkTestBase {
     val tsSorted = raw.select("ts").orderBy("ts").collect().map(_.getLong(0))
     val cut = (tsSorted(tsSorted.length / 2) / msUnits) * msUnits
     val tmp = java.nio.file.Files.createTempDirectory("crash_stream")
-    // two SEPARATE source dirs: each run drains exactly one batch file,
-    // with the simulated crash in between
-    def writeOne(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
-      val stage = tmp.resolve(s"stage_$sub")
+    // ONE source dir + ONE persistent checkpoint: the restart after the
+    // simulated crash resumes the SAME batchId lineage (a→batch 0,
+    // b→batch 1), exactly as a production redeploy would — so this also
+    // exercises the mergeOnce marker across a real restart (a fresh
+    // lineage per drain would restart ids at 0 and the retry guard
+    // would rightly skip the second batch)
+    def landFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
       df.coalesce(1).write.parquet(stage.toString)
-      val dirP = java.nio.file.Files.createDirectories(tmp.resolve(sub))
       val it = java.nio.file.Files.list(stage).iterator()
       while (it.hasNext) {
         val f = it.next()
         if (f.getFileName.toString.endsWith(".parquet"))
-          java.nio.file.Files.copy(f, dirP.resolve("events.parquet"))
+          java.nio.file.Files.copy(f, tmp.resolve(name))
       }
     }
-    writeOne(raw.filter(col("ts") < cut), "a")
-    writeOne(raw.filter(col("ts") >= cut), "b")
     val keyed = (df: org.apache.spark.sql.DataFrame) => df.select(
       concat(lit("u"), (col("event_id") % 97).cast("string")).as("k"))
-    def drain(sub: String, statePath: String): Unit = {
+    val statePath = tmp.resolve("cm_state").toString
+    val chk = tmp.resolve("chk").toString
+    def drain(): Unit = {
       val stream = keyed(spark.readStream.schema(etl.Tables.eventsRaw)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(tmp.resolve(sub).toString))
-      val q = Streams.countMinMaintain(stream, "k", statePath, 256)
+        .option("pathGlobFilter", "*_events.parquet")
+        .parquet(tmp.toString))
+      val q = Streams.countMinMaintain(stream, "k", statePath, 256,
+        checkpoint = Some(chk))
       assert(q.awaitTermination(180000), "foreachBatch query must terminate")
     }
-    val statePath = tmp.resolve("cm_state").toString
-    drain("a", statePath)
+    landFile(raw.filter(col("ts") < cut), "a_events.parquet")
+    drain()
     // crash simulation: batch a's state went aside, new state never landed
     val curF = new java.io.File(statePath)
     assert(curF.renameTo(new java.io.File(statePath + "_old")))
-    drain("b", statePath)
+    landFile(raw.filter(col("ts") >= cut), "b_events.parquet")
+    drain()
     val (n, grid) = spark.read.parquet(statePath)
       .as[(Long, Array[Long])].head()
     val batchRow = keyed(raw).agg(
@@ -309,6 +314,37 @@ class StreamsSpec extends SparkTestBase {
     assert(n == batchRow.getLong(1))
     assert(!new java.io.File(statePath + "_old").exists(),
       "recovered _old copy must be consumed, not left to be re-merged")
+    assert(Streams.lastAppliedBatch(statePath).contains(1L),
+      "restart must have continued the batchId lineage (a=0, b=1)")
+  }
+
+  test("merge sinks skip a redelivered batch — exactly-once under " +
+      "foreachBatch retry") {
+    // The redelivery window mergeOnce closes: a crash AFTER the staged
+    // swap committed but BEFORE the checkpoint recorded the batch makes
+    // foreachBatch re-run the same (batch, id) — and a blind re-sum
+    // merge double-counts every row in it. Driven through the factored
+    // batch body so the retry is byte-exact: same frame, same id.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("retry_merge")
+    val statePath = tmp.resolve("segfreq").toString
+    val segs = Seq(11L, 11L, 22L).toDF("h")
+    Streams.countBatch(segs, "h", statePath, 0L)
+    val once = spark.read.parquet(statePath)
+      .as[(Long, Long)].collect().toMap
+    assert(once == Map(11L -> 2L, 22L -> 1L))
+    // redelivery: same batch, same id — the committed marker must make
+    // this a no-op, not a double-merge
+    Streams.countBatch(segs, "h", statePath, 0L)
+    val twice = spark.read.parquet(statePath)
+      .as[(Long, Long)].collect().toMap
+    assert(twice == once, "retried batch double-merged into the state")
+    // a genuinely new batch id still merges
+    Streams.countBatch(Seq(22L).toDF("h"), "h", statePath, 1L)
+    val after = spark.read.parquet(statePath)
+      .as[(Long, Long)].collect().toMap
+    assert(after == Map(11L -> 2L, 22L -> 2L))
+    assert(Streams.lastAppliedBatch(statePath).contains(1L))
   }
 
   test("appendMaintain over a 2-batch replay equals the batch-built bands") {
