@@ -667,6 +667,36 @@ object Streams {
   def readMaintained(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch")
 
+  /** Offline compaction of an [[appendMaintain]]-maintained table: the
+    * `batch=<id>` layout accretes one subdirectory (≥1 file) per
+    * micro-batch — at production cadence that is the classic streaming
+    * small-file problem, and scan planning degrades with file count
+    * long before data size matters. This rewrites ALL committed batch
+    * subdirs into ONE consolidated `batch=<maxId>` dir (so a restarted
+    * stream's next ids, maxId+1…, stay disjoint) behind the same
+    * staged-swap-with-recovery publish as the merge sinks: readers see
+    * either the old layout or the compacted one, never a partial.
+    * MUST run against a quiesced table (no active appendMaintain query
+    * — the offline-compaction contract): AvailableNow drains before
+    * returning, so between runs is always safe. [[readMaintained]]
+    * output is set-identical across compaction (StreamsSpec asserts),
+    * and the append idempotence contract survives — future batches
+    * overwrite their own fresh subdirs exactly as before.
+    */
+  def compactMaintained(spark: SparkSession, path: String): Unit = {
+    recoverState(path)
+    val dir = new java.io.File(path)
+    val batches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (batches.length <= 1) return
+    val maxId = batches.map(_.getName.stripPrefix("batch=").toLong).max
+    val staged = path + "_compact"
+    readMaintained(spark, path)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(staged, s"batch=$maxId").getPath)
+    stagedSwap(staged, path)
+  }
+
   def rollupMaintain(events: DataFrame, rollupPath: String,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(events, checkpoint) { (batch, id) =>

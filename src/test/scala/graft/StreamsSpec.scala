@@ -397,6 +397,25 @@ class StreamsSpec extends SparkTestBase {
       "a retried batch commit double-appended its rows")
     assert(afterRetry.exceptAll(batch).count() == 0,
       "a retried batch commit changed the maintained contents")
+    // ---- compaction: the small-file lever for the batch=<id> layout.
+    // Rewrites all committed batch subdirs into ONE consolidated
+    // batch=<maxId> dir; contents must be SET-IDENTICAL across the
+    // compaction and the layout must collapse to a single subdir whose
+    // id preserves the lineage ordering (future ids stay disjoint).
+    Streams.compactMaintained(spark, idxPath)
+    val dirs = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length == 1, s"compaction left ${dirs.length} batch dirs")
+    assert(dirs.head.getName == "batch=1",
+      "consolidated dir must carry the max committed id")
+    val compacted = Streams.readMaintained(spark, idxPath)
+    assert(compacted.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(compacted).count() == 0,
+      "compaction changed the maintained contents")
+    // idempotent: a second compaction of an already-compact table is a
+    // no-op (the <=1 early return), not a failure or a rewrite
+    Streams.compactMaintained(spark, idxPath)
+    assert(Streams.readMaintained(spark, idxPath).count() == batch.count())
   }
 
   test("legacy heavy-hitters state layout fails with a clear message") {
