@@ -851,6 +851,40 @@ object Extras {
         .orderBy("bin")
     }),
 
+    // x_histogram with the bin-count table MAINTAINED BY THE STREAMING
+    // SINK — the maintained distribution statistic (the "maintained
+    // quantile sketch" roadmap item, resolved as a fixed-resolution
+    // histogram rather than a bespoke KLL: a histogram IS quantile
+    // state at bin-width resolution, its merge is the countMaintain
+    // re-sum — elementwise, exactly-once under retry — and unlike a
+    // randomized sketch it stays engine-exact, so the row keeps the
+    // registry's every-query-exact-oracled invariant). The lineitem
+    // table replays as two order-disjoint halves; each micro-batch
+    // bins its rows and merges |bins| partial counts. The ORACLE IS
+    // x_histogram's VERBATIM: any maintained-count drift goes
+    // hash-red. At 100 TB each shard pays one map-side bin pass and a
+    // 20-row merge — the distribution statistic never rescans history.
+    "x_histogram_maintained" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val mid = li.agg(max("l_orderkey")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "histo", d,
+        graft.etl.Tables.schemas("lineitem"), "li",
+        li.filter(col("l_orderkey") < mid),
+        li.filter(col("l_orderkey") >= mid))
+      val statePath = new java.io.File(base, "histo").getPath
+      val q = graft.streaming.Streams.countMaintain(stream, "bin",
+        statePath)(b => b.select(
+          least(greatest(floor(col("l_extendedprice") / lit(6000.0)),
+            lit(0)), lit(19)).cast("long").as("bin")))
+      require(q.awaitTermination(600000),
+        "histogram maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      s.read.parquet(statePath)
+        .select(col("bin"), col("cnt").as("n"))
+        .orderBy("bin")
+    }),
+
     // Per-group mode with DETERMINISTIC tie-break (highest count, then
     // smallest value) — mode() builtins leave ties unspecified, useless
     // for reproducible pipelines. Two-phase: the first aggregation
@@ -1132,6 +1166,11 @@ object Extras {
         .orderBy("vec_id")
     }))
 
+  private val histogramSql: String =
+    """SELECT CAST(least(greatest(floor(l_extendedprice / 6000.0), 0),
+             19) AS BIGINT) AS bin, COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY bin"""
+
   val oracles: Map[String, String] = Map(
     "x_pivot" ->
       """SELECT o_orderpriority,
@@ -1150,10 +1189,10 @@ object Extras {
            SELECT l_orderkey, l_linenumber, 'l_discount' AS metric,
              l_discount AS value FROM lineitem)
          ORDER BY l_orderkey, l_linenumber, metric""",
-    "x_histogram" ->
-      """SELECT CAST(least(greatest(floor(l_extendedprice / 6000.0), 0),
-             19) AS BIGINT) AS bin, COUNT(*) AS n
-         FROM lineitem GROUP BY 1 ORDER BY bin""",
+    // x_histogram_maintained shares this oracle VERBATIM: the
+    // streaming-maintained bin counts must reproduce the batch truth
+    "x_histogram" -> histogramSql,
+    "x_histogram_maintained" -> histogramSql,
     "x_mode" ->
       """WITH c AS (
            SELECT l_returnflag, l_quantity, COUNT(*) AS n
