@@ -162,6 +162,13 @@ object Bench {
     timed.collect { case (k, (_, w)) if w >= 3.0 =>
       System.err.println(f"[skew] $k worst max/mean $w%.1fx")
     }
+    // partition-balance offenders (worst per-stage max/mean task time
+    // >= 3×) surfaced in the COMPACT artifact too, so a skew regression
+    // is machine-checkable round over round like above_min — the full
+    // per-query skew map stays in the side file
+    val skewAbove = timed.collect { case (k, (_, w)) if w >= 3.0 =>
+      f""""$k":$w%.2f"""
+    }.mkString("{", ",", "}")
     val mode = if (full) "full-surface-one-shot"
       else if (oneshot) "one-shot" else "best-of-3"
     // run-level contention self-defense: cumulative steal over the whole
@@ -208,14 +215,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode",$hostFields,""" +
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
-        s""""sf":"$sfDir"}"""
+        s""""skew_above":$skewAbove,"sf":"$sfDir"}"""
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode","passes":$allPasses,""" +
         s""""steal_sec_per_pass":$allSteal,""" +
         s""""skew_worst_ratio":$allSkew,$hostFields,""" +
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
-        s""""minima":$minimaJson,"sf":"$sfDir"}"""
+        s""""minima":$minimaJson,"skew_above":$skewAbove,"sf":"$sfDir"}"""
     System.err.println(s"[bench] passes: $allPasses")
     System.err.println(s"[bench] steal_sec_per_pass: $allSteal")
     println(json)
