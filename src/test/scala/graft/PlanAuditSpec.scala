@@ -191,6 +191,20 @@ class PlanAuditSpec extends SparkTestBase {
       "cm probe estimates are a driver-scalar frame — must broadcast")
     assert(nodeCount(p, "SortMergeJoin") == 0,
       "no maintained verdict join should sort-merge at probe scale")
+    // the countMaintain family: the maintained parquet must serve the
+    // corpus-global statistic. x_histogram_maintained's output IS the
+    // maintained table, so its base (lineitem) must not appear at all;
+    // t_tfidf_maintained rescans documents by design (tf and N are
+    // per-corpus scoring inputs) but its df side must be the dfreq
+    // parquet, never an in-plan distinct-recount of the corpus
+    val ph = plan("x_histogram_maintained")
+    assert(ph.contains("graft_histo"),
+      "histogram bins should scan the maintained count parquet")
+    assert(!ph.contains("lineitem.parquet"),
+      "x_histogram_maintained rescans lineitem — the maintained " +
+        "table should serve it")
+    assert(plan("t_tfidf_maintained").contains("graft_dfreq"),
+      "document frequencies should scan the maintained count parquet")
   }
 
   test("d_incremental: corpus side is the materialized parquet band index") {
