@@ -321,6 +321,52 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // RETRACTION-capable rollup maintenance on the oracle surface —
+    // the CDC/correction shape l_rollup_maintained cannot express:
+    // micro-batch 2 carries, besides its own new events, CORRECTIONS
+    // to batch-1 rows (every event_id % 37 == 0 first-half event gets
+    // value += 10) as Flink-style retract pairs — the old row at
+    // sign -1 and the corrected row at sign +1 — and the maintained
+    // table nets them through the same re-sum merge (Σsign counts,
+    // Σ sign·round(value) grid-decimal sums, both exact). The ORACLE
+    // is the full recompute over the NET rows (corrected values
+    // substituted in place), so a dropped retraction, a double-applied
+    // correction, or any merge drift goes hash-red. The time cut is
+    // the epoch-µs midpoint (the g_labelprop_incr discipline). At
+    // 100 TB this is how late corrections reach a materialized rollup
+    // without rescanning history: each correction costs two signed
+    // rows through a |keys|-sized merge.
+    "l_rollup_corrected" -> ((s, d) => {
+      val ev = graft.etl.Tables.load(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val firstHalf = unix_micros(col("ts")) < lit(cut)
+      val corrected = col("event_id") % 37 === 0
+      val b1 = ev.filter(firstHalf).withColumn("sign", lit(1))
+      val b2 = ev.filter(unix_micros(col("ts")) >= lit(cut))
+        .withColumn("sign", lit(1))
+        .unionByName(ev.filter(firstHalf && corrected)
+          .withColumn("sign", lit(-1)))
+        .unionByName(ev.filter(firstHalf && corrected)
+          .withColumn("value", col("value") + lit(10.0))
+          .withColumn("sign", lit(1)))
+      val (base, stream) = Replay.twoBatchStream(s, "rollup_corr", d,
+        graft.etl.Tables.events.add("sign", "int"), "ev", b1, b2)
+      val rollupPath = new java.io.File(base, "rollup").getPath
+      val q = graft.streaming.Streams.rollupSignedMaintain(
+        stream, rollupPath)
+      require(q.awaitTermination(600000),
+        "signed rollup maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the retraction path is " +
+          "untested")
+      s.read.parquet(rollupPath)
+        .select(col("day"), col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // The SECOND maintenance sink on the oracle surface, via MG's
     // exactness regime: when the summary capacity k EXCEEDS the number
     // of distinct keys, Misra-Gries never decrements, so the maintained
@@ -609,6 +655,23 @@ object Etl {
            CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
              AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the NET recompute: corrected first-half values substituted in
+    // place — a dropped retraction or double-applied correction makes
+    // the maintained sums diverge from this truth
+    "l_rollup_corrected" ->
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+                     FROM events),
+         cw AS (SELECT t0 + (t1 - t0) // 2 AS cut FROM mm),
+         net AS (
+           SELECT ts, event_type,
+             CASE WHEN event_id % 37 = 0 AND epoch_us(ts) < cw.cut
+                  THEN value + 10 ELSE value END AS value
+           FROM events, cw)
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
+             AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+         FROM net GROUP BY 1, 2 ORDER BY 1, 2""",
     // MG above capacity is exact, so the oracle is the plain GROUP BY
     // truth — any eviction, lost merge, or running-total drift in the
     // maintained sketch goes hash-red

@@ -723,6 +723,48 @@ object Streams {
       }
     }
 
+  /** Retraction-capable rollup maintenance — [[rollupMaintain]] for
+    * CDC-style SIGNED micro-batches (the Flink retract-stream model):
+    * each row carries `sign` ∈ {+1, -1}; a correction arrives as the
+    * retraction of the old row (sign -1, old value) plus the insertion
+    * of the corrected one (sign +1, new value), and the maintained
+    * (day × event_type) table nets them out through the SAME re-sum
+    * merge — counts become Σsign (integer-exact) and value sums
+    * Σ sign·round(value) (grid-decimal-exact), so after any batch
+    * split the table is bit-identical to a recompute over the NET
+    * rows. Append-only streams are the sign ≡ +1 special case of this
+    * sink. Groups whose count nets to zero are dropped from state (a
+    * fully-retracted group re-inserting later merges from absent = 0,
+    * which is correct for additive aggregates). Same staged-swap
+    * publish, crash recovery, and exactly-once retry marker as the
+    * other merge sinks.
+    */
+  def rollupSignedMaintain(events: DataFrame, rollupPath: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      mergeOnce(rollupPath, id) {
+        val sp = batch.sparkSession
+        val part = batch
+          .groupBy(date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+          .agg(sum(col("sign").cast("long")).as("n"),
+            sum((graft.ops.roundf(col("value"), 4) *
+              col("sign").cast("double")).cast("decimal(22,4)"))
+              .as("sv"))
+        val cur = new java.io.File(rollupPath)
+        val merged =
+          if (!cur.exists()) part.filter(col("n") =!= 0)
+          else sp.read.parquet(rollupPath).unionByName(part)
+            .groupBy("day", "event_type")
+            .agg(sum("n").as("n"), sum("sv").as("sv"))
+            .filter(col("n") =!= 0)
+        val staged = rollupPath + s"_stage$id"
+        merged.write.mode("overwrite").parquet(staged)
+        markBatch(staged, id)
+        stagedSwap(staged, rollupPath)
+      }
+    }
+
   /** Streaming key-frequency maintenance: a (keyCol, cnt) table merged
     * across micro-batches — the corpus-global count statistic behind
     * incremental scrubbing (Text.t_scrub_maintained counts 60-bit

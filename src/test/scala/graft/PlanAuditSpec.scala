@@ -179,7 +179,8 @@ class PlanAuditSpec extends SparkTestBase {
     // cm's verdict columns DO rescan events once — that is the exact
     // truth being compared against — but its probe-estimate frame must
     // broadcast and the exact counts must partial-aggregate
-    for (q <- Seq("l_rollup_maintained", "l_hh_maintained")) {
+    for (q <- Seq("l_rollup_maintained", "l_hh_maintained",
+        "l_rollup_corrected")) {
       val p = plan(q)
       assert(!p.contains("events.parquet"),
         s"$q rescans base events — the maintained table should serve it")
