@@ -321,6 +321,31 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // The first NON-additive maintained state on the oracle surface:
+    // newest-record-per-key (the SCD1 maintained dimension — latest
+    // event per user) kept current by Streams.latestMaintain over the
+    // 2-batch replay. The merge is an argmax under the total order
+    // (ts DESC, event_id DESC, key DESC) — associative/commutative, so
+    // any batch split reproduces the one-shot newest-per-key table,
+    // which is exactly what the oracle computes: l_latest's SQL
+    // VERBATIM. Merge input is |users| + |batch users| rows (each
+    // batch pre-collapses to its own latest), never events — the
+    // 100 TB shape for a continuously-current dimension table.
+    "l_latest_maintained" -> ((s, d) => {
+      val (base, stream) = replayEventsTwoBatches(s, d, "latest_maint")
+      val statePath = new java.io.File(base, "latest").getPath
+      val q = graft.streaming.Streams.latestMaintain(stream, statePath,
+        "user_id", "ts", tiebreak = Seq("event_id"))
+      require(q.awaitTermination(600000),
+        "latest-record maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the argmax merge is " +
+          "untested")
+      s.read.parquet(statePath)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
     // RETRACTION-capable rollup maintenance on the oracle surface —
     // the CDC/correction shape l_rollup_maintained cannot express:
     // micro-batch 2 carries, besides its own new events, CORRECTIONS
@@ -546,6 +571,14 @@ object Etl {
     (base, stream.withColumn("ts", expr(s"timestamp_micros(ts DIV $div)")))
   }
 
+  private val latestSql: String =
+    """SELECT user_id, event_id, event_type
+         FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, user_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id"""
+
   val oracles: Map[String, String] = Map(
     "s3_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -628,13 +661,10 @@ object Etl {
            SELECT *, row_number() OVER (PARTITION BY event_id
              ORDER BY ts DESC) AS rn FROM a)
          WHERE rn = 1 ORDER BY event_id""",
-    "l_latest" ->
-      """SELECT user_id, event_id, event_type
-         FROM (SELECT user_id, event_id, event_type,
-                 row_number() OVER (PARTITION BY user_id
-                   ORDER BY ts DESC, event_id DESC, user_id DESC) AS rn
-               FROM events)
-         WHERE rn = 1 ORDER BY user_id""",
+    // l_latest_maintained shares this oracle VERBATIM: the argmax
+    // merge must reproduce the one-shot newest-per-key table exactly
+    "l_latest" -> latestSql,
+    "l_latest_maintained" -> latestSql,
     "l_bucket_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

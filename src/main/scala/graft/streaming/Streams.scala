@@ -723,6 +723,40 @@ object Streams {
       }
     }
 
+  /** Keyed latest-record maintenance — the SCD1 MERGE as a streaming
+    * sink (the maintained-dimension shape: newest record per key, e.g.
+    * the latest profile per user). The first NON-additive maintained
+    * state: the merge is an argmax under the total order
+    * (modstamp DESC, tiebreak… DESC, key DESC), which is associative
+    * and commutative, so ANY batch split yields the same table as a
+    * one-shot newest-per-key over the whole stream
+    * (l_latest_maintained shares l_latest's oracle verbatim). Each
+    * batch first collapses to its own newest-per-key, so merge input
+    * is |state keys| + |batch keys| rows — keys, never events. Same
+    * staged-swap publish, crash recovery, and exactly-once retry
+    * marker as the other merge sinks.
+    */
+  def latestMaintain(stream: DataFrame, statePath: String, key: String,
+      modstamp: String, tiebreak: Seq[String] = Nil,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      mergeOnce(statePath, id) {
+        val sp = batch.sparkSession
+        val part = graft.etl.Load.latestByKey(batch, key, modstamp,
+          tiebreak)
+        val cur = new java.io.File(statePath)
+        val merged =
+          if (!cur.exists()) part
+          else graft.etl.Load.latestByKey(
+            sp.read.parquet(statePath).unionByName(part),
+            key, modstamp, tiebreak)
+        val staged = statePath + s"_stage$id"
+        merged.write.mode("overwrite").parquet(staged)
+        markBatch(staged, id)
+        stagedSwap(staged, statePath)
+      }
+    }
+
   /** Retraction-capable rollup maintenance — [[rollupMaintain]] for
     * CDC-style SIGNED micro-batches (the Flink retract-stream model):
     * each row carries `sign` ∈ {+1, -1}; a correction arrives as the
