@@ -346,6 +346,66 @@ object Etl {
         .orderBy("user_id")
     }),
 
+    // TOMBSTONE deletes through the same argmax sink — the log-
+    // compaction discipline (Kafka compacted topics, Delta MERGE
+    // DELETE): a delete is just a NEWER row with deleted = true, so
+    // latestMaintain needs no changes — argmax keeps the tombstone as
+    // the key's current record, the READER filters deleted rows, and
+    // state RETAINS tombstones so a late-arriving older row cannot
+    // resurrect a deleted key. A genuinely newer insert CAN: users
+    // % 26 == 0 get a reinsert after their tombstone and must
+    // reappear, while % 13 (but not % 26) users must vanish — both
+    // cases cross the batch boundary, and the oracle replays the same
+    // synthesized union, so a lost tombstone, a resurrection bug, or
+    // an argmax drift goes hash-red.
+    "l_latest_tombstone" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val cols = Seq("user_id", "event_id", "event_type", "ts")
+      val ev = graft.etl.Tables.load(s, d, "events")
+        .select(cols.map(col): _*).withColumn("deleted", lit(false))
+      val mx = ev.agg(max(col("ts")).as("mt"))
+      val users = ev.select("user_id").distinct()
+      def synth(pred: org.apache.spark.sql.Column, idOff: Long,
+          tag: String, hours: String, del: Boolean) =
+        users.filter(pred).crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            (-col("user_id") - lit(idOff)).as("event_id"),
+            lit(tag).as("event_type"),
+            (col("mt") + expr(s"INTERVAL $hours HOUR")).as("ts"),
+            lit(del).as("deleted"))
+      val tomb = synth(col("user_id") % 13 === 0, 1L, "tombstone",
+        "1", del = true)
+      val re = synth(col("user_id") % 26 === 0, 1000000L, "reinsert",
+        "2", del = false)
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val b1 = ev.filter(unix_micros(col("ts")) < lit(cut))
+      val b2 = ev.filter(unix_micros(col("ts")) >= lit(cut))
+        .unionByName(tomb).unionByName(re)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType),
+        StructField("deleted", BooleanType)))
+      val (base, stream) = Replay.twoBatchStream(s, "latest_tomb", d,
+        schema, "ev", b1, b2)
+      val statePath = new java.io.File(base, "latest").getPath
+      val q = graft.streaming.Streams.latestMaintain(stream, statePath,
+        "user_id", "ts", tiebreak = Seq("event_id"))
+      require(q.awaitTermination(600000),
+        "tombstone maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the tombstone merge is " +
+          "untested")
+      // state RETAINS tombstones; visibility filtering is the reader's
+      s.read.parquet(statePath)
+        .filter(!col("deleted"))
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    }),
+
     // RETRACTION-capable rollup maintenance on the oracle surface —
     // the CDC/correction shape l_rollup_maintained cannot express:
     // micro-batch 2 carries, besides its own new events, CORRECTIONS
@@ -665,6 +725,28 @@ object Etl {
     // merge must reproduce the one-shot newest-per-key table exactly
     "l_latest" -> latestSql,
     "l_latest_maintained" -> latestSql,
+    // the same synthesized union replayed: newest-per-key over
+    // base ∪ tombstones ∪ reinserts, deleted keys filtered at the end
+    "l_latest_tombstone" ->
+      """WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+         base AS (SELECT user_id, event_id, event_type, ts,
+                    FALSE AS deleted FROM events),
+         tomb AS (SELECT DISTINCT user_id, -user_id - 1 AS event_id,
+                    'tombstone' AS event_type,
+                    mx.mt + INTERVAL 1 HOUR AS ts, TRUE AS deleted
+                  FROM events, mx WHERE user_id % 13 = 0),
+         re AS (SELECT DISTINCT user_id, -user_id - 1000000 AS event_id,
+                  'reinsert' AS event_type,
+                  mx.mt + INTERVAL 2 HOUR AS ts, FALSE AS deleted
+                FROM events, mx WHERE user_id % 26 = 0),
+         allr AS (SELECT * FROM base UNION ALL
+                  SELECT * FROM tomb UNION ALL SELECT * FROM re)
+         SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type, deleted,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC, user_id DESC) AS rn
+           FROM allr)
+         WHERE rn = 1 AND NOT deleted ORDER BY user_id""",
     "l_bucket_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

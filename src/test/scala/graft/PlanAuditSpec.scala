@@ -180,7 +180,8 @@ class PlanAuditSpec extends SparkTestBase {
     // truth being compared against — but its probe-estimate frame must
     // broadcast and the exact counts must partial-aggregate
     for (q <- Seq("l_rollup_maintained", "l_hh_maintained",
-        "l_rollup_corrected", "l_latest_maintained")) {
+        "l_rollup_corrected", "l_latest_maintained",
+        "l_latest_tombstone")) {
       val p = plan(q)
       assert(!p.contains("events.parquet"),
         s"$q rescans base events — the maintained table should serve it")
