@@ -321,6 +321,37 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // Incremental SCD2 on the oracle surface: the validity-interval
+    // history maintained as a change-row LOG by Streams.scd2Maintain —
+    // per batch, change detection runs over batch rows only plus one
+    // |users|-row boundary stitch against the state's open types; the
+    // interval view (valid_from / valid_to / is_current) derives from
+    // the compact log with one lead window over |intervals| rows. The
+    // ORACLE IS l_scd2's VERBATIM (the full-history recompute), so a
+    // missed change, a spurious boundary interval, or a mis-stitched
+    // open row goes hash-red. Contract: ordered ingest per user (the
+    // CDC norm; late data needs the batch recompute — disclosed in the
+    // sink doc). At 100 TB each batch pays |batch| change detection +
+    // a |users| join — history is never rescanned.
+    "l_scd2_maintained" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (base, stream) = replayEventsTwoBatches(s, d, "scd2_maint")
+      val statePath = new java.io.File(base, "scd2").getPath
+      val q = graft.streaming.Streams.scd2Maintain(stream, statePath)
+      require(q.awaitTermination(600000),
+        "SCD2 maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the boundary stitch is " +
+          "untested")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(statePath)
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // The first NON-additive maintained state on the oracle surface:
     // newest-record-per-key (the SCD1 maintained dimension — latest
     // event per user) kept current by Streams.latestMaintain over the
@@ -820,8 +851,13 @@ object Etl {
            MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_amount,
            MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_amount
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "l_scd2" ->
-      """WITH c AS (
+    // l_scd2_maintained shares this oracle VERBATIM: the incremental
+    // change log + boundary stitch must reproduce the full history
+    "l_scd2" -> scd2Sql,
+    "l_scd2_maintained" -> scd2Sql)
+
+  private lazy val scd2Sql: String =
+    """WITH c AS (
            SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
                ORDER BY ts, event_id) AS prev
@@ -834,5 +870,5 @@ object Etl {
              ORDER BY ts, event_id) AS valid_to,
            CASE WHEN lead(ts) OVER (PARTITION BY user_id
              ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
-         FROM ch ORDER BY user_id, valid_from""")
+         FROM ch ORDER BY user_id, valid_from"""
 }

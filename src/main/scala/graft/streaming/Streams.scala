@@ -723,6 +723,62 @@ object Streams {
       }
     }
 
+  /** Incremental SCD2 history maintenance — the change-row LOG of the
+    * validity-interval table (l_scd2) kept current per micro-batch.
+    * State holds one row per (user, type-change): (user_id, event_type,
+    * ts, event_id); the interval view (valid_from/valid_to/is_current)
+    * derives from it by one lead window over |intervals| rows — the
+    * compact representation, so closing an interval never rewrites
+    * stored rows. Per batch: change detection runs over BATCH rows only
+    * (the l_scd2 lag window, |batch| work), and the single stitching
+    * rule handles the boundary — the batch's FIRST change row per user
+    * is spurious when it matches the user's current open type, and is
+    * dropped via a |users|-row join against the state's newest change
+    * rows. Under the ORDERED-INGEST contract (each user's batch rows
+    * are later than their state rows — true for event-time-ordered
+    * CDC ingest and the time-split replay), batch-wise detection plus
+    * this rule provably equals global change detection, which is
+    * exactly what the shared l_scd2 oracle recomputes. Late
+    * out-of-order data needs interval REWRITES and is out of this
+    * sink's contract (disclosed; the batch l_scd2 recompute covers it).
+    * Same staged-swap publish, recovery, and retry marker as the other
+    * merge sinks.
+    */
+  def scd2Maintain(events: DataFrame, statePath: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      mergeOnce(statePath, id) {
+        import org.apache.spark.sql.expressions.Window
+        val sp = batch.sparkSession
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val bch = batch.select("user_id", "event_type", "ts", "event_id")
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .drop("prev")
+        val cur = new java.io.File(statePath)
+        val merged =
+          if (!cur.exists()) bch
+          else {
+            val st = sp.read.parquet(statePath)
+            val wl = Window.partitionBy("user_id")
+              .orderBy(desc("ts"), desc("event_id"))
+            val open = st.withColumn("rn", row_number().over(wl))
+              .filter(col("rn") === 1)
+              .select(col("user_id"), col("event_type").as("cur_type"))
+            val keep = bch.withColumn("rn", row_number().over(w))
+              .join(open, Seq("user_id"), "left")
+              .filter(col("rn") =!= 1 || col("cur_type").isNull ||
+                col("cur_type") =!= col("event_type"))
+              .select("user_id", "event_type", "ts", "event_id")
+            st.unionByName(keep)
+          }
+        val staged = statePath + s"_stage$id"
+        merged.write.mode("overwrite").parquet(staged)
+        markBatch(staged, id)
+        stagedSwap(staged, statePath)
+      }
+    }
+
   /** Keyed latest-record maintenance — the SCD1 MERGE as a streaming
     * sink (the maintained-dimension shape: newest record per key, e.g.
     * the latest profile per user). The first NON-additive maintained
