@@ -321,6 +321,64 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // Two-sided INCREMENTAL VIEW MAINTENANCE on the oracle surface:
+    // the orders⋈customer join view maintained by Streams.ivmJoinMaintain
+    // under deltas to BOTH base tables — each replay batch carries half
+    // of orders AND half of customers (tagged union), so batch 2
+    // exercises all three IVM delta terms (ΔA⋈B_prev, A_prev⋈ΔB,
+    // ΔA⋈ΔB) including join pairs whose two sides arrived in DIFFERENT
+    // batches. The ORACLE is the plain join recompute, so a missed
+    // delta term, a double-counted ΔA⋈ΔB, or a retry duplication goes
+    // hash-red. At 100 TB this is how a materialized join view absorbs
+    // CDC appends: delta-proportional probes, never a view rebuild.
+    "l_ivm_join" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val midO = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      val midC = c.agg(max("c_custkey")).head.getLong(0) / 2
+      def tagO(df: DataFrame) = df.select(lit("o").as("side"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("string").as("c_mktsegment"))
+      def tagC(df: DataFrame) = df.select(lit("c").as("side"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val b1 = tagO(o.filter(col("o_orderkey") < midO))
+        .unionByName(tagC(c.filter(col("c_custkey") < midC)))
+      val b2 = tagO(o.filter(col("o_orderkey") >= midO))
+        .unionByName(tagC(c.filter(col("c_custkey") >= midC)))
+      val schema = StructType(Seq(
+        StructField("side", StringType),
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_mktsegment", StringType)))
+      val (base, stream) = Replay.twoBatchStream(s, "ivm_join", d,
+        schema, "rows", b1, b2)
+      val ivmBase = new java.io.File(base, "ivm").getPath
+      val q = graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
+        b => b.filter(col("side") === "o")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        b => b.filter(col("side") === "c")
+          .select("c_custkey", "c_name", "c_mktsegment"),
+        "o_custkey", "c_custkey")
+      require(q.awaitTermination(600000),
+        "IVM join maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the cross-batch delta " +
+          "terms are untested")
+      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+          "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Incremental SCD2 on the oracle surface: the validity-interval
     // history maintained as a change-row LOG by Streams.scd2Maintain —
     // per batch, change detection runs over batch rows only plus one
@@ -854,7 +912,13 @@ object Etl {
     // l_scd2_maintained shares this oracle VERBATIM: the incremental
     // change log + boundary stitch must reproduce the full history
     "l_scd2" -> scd2Sql,
-    "l_scd2_maintained" -> scd2Sql)
+    "l_scd2_maintained" -> scd2Sql,
+    // the maintained view must equal the plain join recompute exactly
+    "l_ivm_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+           o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""")
 
   private lazy val scd2Sql: String =
     """WITH c AS (

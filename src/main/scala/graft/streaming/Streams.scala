@@ -723,6 +723,54 @@ object Streams {
       }
     }
 
+  /** Two-sided incremental view maintenance for an equi-join — the
+    * classic IVM identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB run as a
+    * streaming sink over a TAGGED-UNION stream (each micro-batch may
+    * carry deltas to BOTH base tables; `leftOf`/`rightOf` extract
+    * them). State is three append-maintained tables under `basePath`
+    * (left, right, view); for append-only inputs the join view is
+    * itself append-only, so every batch lands exactly three
+    * `batch=<id>` overwrite subdir writes and the sink is idempotent
+    * under foreachBatch retry BY CONSTRUCTION — the prior-state reads
+    * EXCLUDE the current batch id, so a retried batch recomputes the
+    * identical view delta (no staged swap or marker needed; this is
+    * the append discipline, not the merge discipline). Per batch the
+    * work is ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — delta-proportional probes of the
+    * accumulated sides, never a recomputation of the view; at 100 TB
+    * the accumulated-side scans prune to the delta's join keys with
+    * the usual runtime-filter levers (j_bloom). Late deletes need the
+    * signed-row discipline (rollupSignedMaintain) on top — out of this
+    * sink's append-only contract.
+    */
+  def ivmJoinMaintain(stream: DataFrame, basePath: String,
+      leftOf: DataFrame => DataFrame, rightOf: DataFrame => DataFrame,
+      leftKey: String, rightKey: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      val sp = batch.sparkSession
+      val dA = leftOf(batch)
+      val dB = rightOf(batch)
+      def prevOf(path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+        if (new java.io.File(path).exists())
+          sp.read.parquet(path).where(col("batch") =!= id).drop("batch")
+        else sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val aPath = s"$basePath/left"
+      val bPath = s"$basePath/right"
+      val jPath = s"$basePath/view"
+      val aPrev = prevOf(aPath, dA.schema)
+      val bPrev = prevOf(bPath, dB.schema)
+      def j(l: DataFrame, r: DataFrame) =
+        l.join(r, l(leftKey) === r(rightKey))
+      val jDelta = j(dA, bPrev)
+        .unionByName(j(aPrev, dB))
+        .unionByName(j(dA, dB))
+      appendBatch(jDelta, jPath, id)
+      appendBatch(dA, aPath, id)
+      appendBatch(dB, bPath, id)
+    }
+
   /** Incremental SCD2 history maintenance — the change-row LOG of the
     * validity-interval table (l_scd2) kept current per micro-batch.
     * State holds one row per (user, type-change): (user_id, event_type,

@@ -207,6 +207,16 @@ class PlanAuditSpec extends SparkTestBase {
         "table should serve it")
     assert(plan("t_tfidf_maintained").contains("graft_dfreq"),
       "document frequencies should scan the maintained count parquet")
+    // the IVM join view: the returned frame reads the maintained view
+    // parquet only — a base-table scan would mean the query quietly
+    // recomputes the join the sink exists to maintain
+    val pj = plan("l_ivm_join")
+    assert(pj.contains("graft_ivm_join"),
+      "the join view should scan the maintained view parquet")
+    assert(!pj.contains("orders.parquet") &&
+      !pj.contains("customer.parquet"),
+      "l_ivm_join rescans a base table — the maintained view should " +
+        "serve it")
   }
 
   test("d_incremental: corpus side is the materialized parquet band index") {
