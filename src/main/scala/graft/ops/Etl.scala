@@ -332,51 +332,47 @@ object Etl {
     // hash-red. At 100 TB this is how a materialized join view absorbs
     // CDC appends: delta-proportional probes, never a view rebuild.
     "l_ivm_join" -> ((s, d) => {
+      val ivmBase = ivmJoinRig(s, d, "ivm_join")
+      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+          "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Medallion COMPOSITION of maintained artifacts: the silver join
+    // view l_ivm_join maintains is itself a replayable stream — its
+    // batch=<id> layout IS the delta log — so a downstream gold
+    // aggregate (orders per market segment) maintains itself by
+    // STREAMING FROM THE VIEW through countMaintain, never touching
+    // the base tables. This is the incremental lakehouse pipeline
+    // shape end to end: base deltas → maintained join view → maintained
+    // rollup, every hop delta-proportional. The oracle recomputes the
+    // segment counts from the raw join, so a lost view delta OR a lost
+    // downstream merge goes hash-red through two composed sinks.
+    "l_ivm_rollup" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val o = t(s, d, "orders")
-      val c = t(s, d, "customer")
-      val midO = o.agg(max("o_orderkey")).head.getLong(0) / 2
-      val midC = c.agg(max("c_custkey")).head.getLong(0) / 2
-      def tagO(df: DataFrame) = df.select(lit("o").as("side"),
-        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        lit(null).cast("long").as("c_custkey"),
-        lit(null).cast("string").as("c_name"),
-        lit(null).cast("string").as("c_mktsegment"))
-      def tagC(df: DataFrame) = df.select(lit("c").as("side"),
-        lit(null).cast("long").as("o_orderkey"),
-        lit(null).cast("long").as("o_custkey"),
-        lit(null).cast("double").as("o_totalprice"),
-        col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val b1 = tagO(o.filter(col("o_orderkey") < midO))
-        .unionByName(tagC(c.filter(col("c_custkey") < midC)))
-      val b2 = tagO(o.filter(col("o_orderkey") >= midO))
-        .unionByName(tagC(c.filter(col("c_custkey") >= midC)))
-      val schema = StructType(Seq(
-        StructField("side", StringType),
+      val ivmBase = ivmJoinRig(s, d, "ivm_rollup")
+      val viewSchema = StructType(Seq(
         StructField("o_orderkey", LongType),
         StructField("o_custkey", LongType),
         StructField("o_totalprice", DoubleType),
         StructField("c_custkey", LongType),
         StructField("c_name", StringType),
         StructField("c_mktsegment", StringType)))
-      val (base, stream) = Replay.twoBatchStream(s, "ivm_join", d,
-        schema, "rows", b1, b2)
-      val ivmBase = new java.io.File(base, "ivm").getPath
-      val q = graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
-        b => b.filter(col("side") === "o")
-          .select("o_orderkey", "o_custkey", "o_totalprice"),
-        b => b.filter(col("side") === "c")
-          .select("c_custkey", "c_name", "c_mktsegment"),
-        "o_custkey", "c_custkey")
+      val silver = s.readStream.schema(viewSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$ivmBase/view")
+      val goldPath = s"$ivmBase/gold"
+      val q = graft.streaming.Streams.countMaintain(
+        silver, "c_mktsegment", goldPath)()
       require(q.awaitTermination(600000),
-        "IVM join maintenance stream must drain (AvailableNow)")
+        "gold rollup maintenance stream must drain (AvailableNow)")
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
-        "replay must span two micro-batches or the cross-batch delta " +
-          "terms are untested")
-      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
-        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
-          "o_totalprice")
-        .orderBy("o_orderkey")
+        "view replay must span two micro-batches or the downstream " +
+          "merge is untested")
+      s.read.parquet(goldPath)
+        .select(col("c_mktsegment"), col("cnt").as("n_orders"))
+        .orderBy("c_mktsegment")
     }),
 
     // Incremental SCD2 on the oracle surface: the validity-interval
@@ -702,6 +698,59 @@ object Etl {
         .orderBy("user_id", "valid_from")
     }))
 
+  /** The l_ivm_join rig, shared with l_ivm_rollup: replay orders and
+    * customers as a 2-batch tagged-union stream (each batch carries
+    * half of BOTH tables, so all three IVM delta terms are exercised
+    * cross-batch) through Streams.ivmJoinMaintain; returns the IVM
+    * base path whose left/right/view subdirs hold the maintained
+    * state.
+    */
+  private def ivmJoinRig(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): String = {
+    import org.apache.spark.sql.types._
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    val midO = o.agg(max("o_orderkey")).head.getLong(0) / 2
+    val midC = c.agg(max("c_custkey")).head.getLong(0) / 2
+    def tagO(df: DataFrame) = df.select(lit("o").as("side"),
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      lit(null).cast("long").as("c_custkey"),
+      lit(null).cast("string").as("c_name"),
+      lit(null).cast("string").as("c_mktsegment"))
+    def tagC(df: DataFrame) = df.select(lit("c").as("side"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("long").as("o_custkey"),
+      lit(null).cast("double").as("o_totalprice"),
+      col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val b1 = tagO(o.filter(col("o_orderkey") < midO))
+      .unionByName(tagC(c.filter(col("c_custkey") < midC)))
+    val b2 = tagO(o.filter(col("o_orderkey") >= midO))
+      .unionByName(tagC(c.filter(col("c_custkey") >= midC)))
+    val schema = StructType(Seq(
+      StructField("side", StringType),
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType)))
+    val (base, stream) = Replay.twoBatchStream(s, tag, d,
+      schema, "rows", b1, b2)
+    val ivmBase = new java.io.File(base, "ivm").getPath
+    val q = graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
+      b => b.filter(col("side") === "o")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      b => b.filter(col("side") === "c")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      "o_custkey", "c_custkey")
+    require(q.awaitTermination(600000),
+      "IVM join maintenance stream must drain (AvailableNow)")
+    require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches or the cross-batch delta " +
+        "terms are untested")
+    ivmBase
+  }
+
   /** Events 2-batch replay: splits the events table at the raw
     * event-time midpoint (two footer-stat scalars, no sort/collect)
     * and hands the halves to the shared [[Replay]] rig. The a/b files
@@ -918,7 +967,13 @@ object Etl {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
            o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    // two composed sinks vs one plain recompute: the gold counts must
+    // survive view maintenance AND the downstream merge unchanged
+    "l_ivm_rollup" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""")
 
   private lazy val scd2Sql: String =
     """WITH c AS (
