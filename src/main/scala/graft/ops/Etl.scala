@@ -339,6 +339,78 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // DELETES through the IVM join — with ZERO sink changes: each
+    // side's rows carry a sign column (the rollupSignedMaintain
+    // discipline composed with the delta terms), the generic join
+    // sink propagates both signs into the view log, and the READER
+    // nets multiplicities: Σ sA·sB over copies of a pair equals
+    // (net A)·(net B), so a pair survives iff both sides net to
+    // present. Batch 2 retracts some batch-1 orders AND some batch-1
+    // customers — a deleted customer must remove ALL its joined
+    // orders from the view, the sharpest cross-side effect. The
+    // oracle joins the NET base tables, so a missed retraction
+    // propagation on either side goes hash-red.
+    "l_ivm_deletes" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val midO = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      val midC = c.agg(max("c_custkey")).head.getLong(0) / 2
+      def tagO(df: DataFrame, sign: Int) = df.select(
+        lit("o").as("side"), lit(sign).as("sign"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("string").as("c_mktsegment"))
+      def tagC(df: DataFrame, sign: Int) = df.select(
+        lit("c").as("side"), lit(sign).as("sign"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val b1 = tagO(o.filter(col("o_orderkey") < midO), 1)
+        .unionByName(tagC(c.filter(col("c_custkey") < midC), 1))
+      val b2 = tagO(o.filter(col("o_orderkey") >= midO), 1)
+        .unionByName(tagC(c.filter(col("c_custkey") >= midC), 1))
+        .unionByName(tagO(o.filter(col("o_orderkey") < midO &&
+          col("o_orderkey") % 21 === 0), -1))
+        .unionByName(tagC(c.filter(col("c_custkey") < midC &&
+          col("c_custkey") % 17 === 0), -1))
+      val schema = StructType(Seq(
+        StructField("side", StringType),
+        StructField("sign", IntegerType),
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_mktsegment", StringType)))
+      val (base, stream) = Replay.twoBatchStream(s, "ivm_del", d,
+        schema, "rows", b1, b2)
+      val ivmBase = new java.io.File(base, "ivm").getPath
+      val q = graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
+        b => b.filter(col("side") === "o")
+          .select(col("sign").as("o_sign"), col("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")),
+        b => b.filter(col("side") === "c")
+          .select(col("sign").as("c_sign"), col("c_custkey"),
+            col("c_name"), col("c_mktsegment")),
+        "o_custkey", "c_custkey")
+      require(q.awaitTermination(600000),
+        "signed IVM maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the retraction terms " +
+          "are untested")
+      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
+        .groupBy("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+          "o_totalprice")
+        .agg(sum(col("o_sign") * col("c_sign")).as("m"))
+        .filter(col("m") > 0)
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+          "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Medallion COMPOSITION of maintained artifacts: the silver join
     // view l_ivm_join maintains is itself a replayable stream — its
     // batch=<id> layout IS the delta log — so a downstream gold
@@ -973,7 +1045,21 @@ object Etl {
     "l_ivm_rollup" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+    // the NET base tables joined: first-half orders %21 and first-half
+    // customers %17 were retracted, so they (and every join pair they
+    // touched) must be absent from the netted view
+    "l_ivm_deletes" ->
+      """WITH mo AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+         mc AS (SELECT MAX(c_custkey) // 2 AS m FROM customer),
+         no_ AS (SELECT o.* FROM orders o, mo
+                 WHERE NOT (o_orderkey < mo.m AND o_orderkey % 21 = 0)),
+         nc AS (SELECT c.* FROM customer c, mc
+                WHERE NOT (c_custkey < mc.m AND c_custkey % 17 = 0))
+         SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+           o_totalprice
+         FROM no_ JOIN nc ON o_custkey = c_custkey
+         ORDER BY o_orderkey""")
 
   private lazy val scd2Sql: String =
     """WITH c AS (
