@@ -747,29 +747,41 @@ object Streams {
       leftKey: String, rightKey: String,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(stream, checkpoint) { (batch, id) =>
-      val sp = batch.sparkSession
-      val dA = leftOf(batch)
-      val dB = rightOf(batch)
-      def prevOf(path: String,
-          schema: org.apache.spark.sql.types.StructType): DataFrame =
-        if (new java.io.File(path).exists())
-          sp.read.parquet(path).where(col("batch") =!= id).drop("batch")
-        else sp.createDataFrame(
-          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      val aPath = s"$basePath/left"
-      val bPath = s"$basePath/right"
-      val jPath = s"$basePath/view"
-      val aPrev = prevOf(aPath, dA.schema)
-      val bPrev = prevOf(bPath, dB.schema)
-      def j(l: DataFrame, r: DataFrame) =
-        l.join(r, l(leftKey) === r(rightKey))
-      val jDelta = j(dA, bPrev)
-        .unionByName(j(aPrev, dB))
-        .unionByName(j(dA, dB))
-      appendBatch(jDelta, jPath, id)
-      appendBatch(dA, aPath, id)
-      appendBatch(dB, bPath, id)
+      ivmJoinBatch(leftOf(batch), rightOf(batch), basePath, id,
+        leftKey, rightKey)
     }
+
+  /** One [[ivmJoinMaintain]] batch commit, factored out so the
+    * retry-exactness claim is directly testable: calling it twice with
+    * the same (deltas, id) must leave all three tables unchanged
+    * (StreamsSpec asserts) — the prior-state reads exclude the current
+    * batch id, so a retry recomputes the identical view delta into the
+    * same overwritten subdirs.
+    */
+  private[graft] def ivmJoinBatch(dA: DataFrame, dB: DataFrame,
+      basePath: String, id: Long,
+      leftKey: String, rightKey: String): Unit = {
+    val sp = dA.sparkSession
+    def prevOf(path: String,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (new java.io.File(path).exists())
+        sp.read.parquet(path).where(col("batch") =!= id).drop("batch")
+      else sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val aPath = s"$basePath/left"
+    val bPath = s"$basePath/right"
+    val jPath = s"$basePath/view"
+    val aPrev = prevOf(aPath, dA.schema)
+    val bPrev = prevOf(bPath, dB.schema)
+    def j(l: DataFrame, r: DataFrame) =
+      l.join(r, l(leftKey) === r(rightKey))
+    val jDelta = j(dA, bPrev)
+      .unionByName(j(aPrev, dB))
+      .unionByName(j(dA, dB))
+    appendBatch(jDelta, jPath, id)
+    appendBatch(dA, aPath, id)
+    appendBatch(dB, bPath, id)
+  }
 
   /** Incremental SCD2 history maintenance — the change-row LOG of the
     * validity-interval table (l_scd2) kept current per micro-batch.

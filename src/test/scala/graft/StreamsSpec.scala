@@ -418,6 +418,38 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, idxPath).count() == batch.count())
   }
 
+  test("ivmJoinBatch: all three delta terms; retry leaves the view " +
+      "unchanged") {
+    // the IVM identity over two hand-built batches, then a byte-exact
+    // retry of the LAST batch — the by-construction idempotence claim
+    // (prior-state reads exclude the current id; all writes are
+    // batch=<id> overwrites) asserted, not just documented
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivm_retry")
+    val base = tmp.resolve("ivm").toString
+    def A(rows: (Long, Long)*) = rows.toSeq.toDF("ok", "ck")
+    def B(rows: (Long, String)*) = rows.toSeq.toDF("ck2", "nm")
+    // batch 0: order 1→cust 10, cust 10 → pair (1,10)
+    Streams.ivmJoinBatch(A((1L, 10L)), B((10L, "a")), base, 0L,
+      "ck", "ck2")
+    // batch 1: order 2→cust 10 (ΔA⋈B_prev), cust 20 with order 3
+    // (ΔA⋈ΔB), plus old cust 10 gains nothing new on the right
+    Streams.ivmJoinBatch(A((2L, 10L), (3L, 20L)), B((20L, "b")), base,
+      1L, "ck", "ck2")
+    val view = () => Streams.readMaintained(spark, s"$base/view")
+      .select("ok", "ck", "nm").as[(Long, Long, String)]
+      .collect().toSet
+    val expected = Set((1L, 10L, "a"), (2L, 10L, "a"), (3L, 20L, "b"))
+    assert(view() == expected,
+      "the three delta terms did not reconstruct the full join")
+    // byte-exact retry of batch 1: all three tables must be unchanged
+    Streams.ivmJoinBatch(A((2L, 10L), (3L, 20L)), B((20L, "b")), base,
+      1L, "ck", "ck2")
+    assert(view() == expected, "a retried batch changed the view")
+    assert(Streams.readMaintained(spark, s"$base/left").count() == 3)
+    assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
+  }
+
   test("legacy heavy-hitters state layout fails with a clear message") {
     // the state format changed from (key, est) rows + __n__ sentinel to
     // one (n, mg) row; an old statePath must produce an actionable
