@@ -609,6 +609,35 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // RETENTION on the oracle surface — the retirement step of the
+    // maintenance lifecycle: the rollup table is maintained by the
+    // real sink, then VACUUMED to the retention window (days >= the
+    // epoch-midpoint day, a derived integer both engines compute
+    // identically), and the oracle recomputes the rollup RESTRICTED to
+    // the window — so an over- or under-pruning vacuum, or one that
+    // corrupts retained rows, goes hash-red. The vacuum preserves the
+    // exactly-once batch marker (spec'd contract in vacuumMaintained).
+    "l_rollup_retained" -> ((s, d) => {
+      val (base, stream) = replayEventsTwoBatches(s, d, "rollup_ret")
+      val rollupPath = new java.io.File(base, "rollup").getPath
+      val q = graft.streaming.Streams.rollupMaintain(stream, rollupPath)
+      require(q.awaitTermination(600000),
+        "rollup maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      val ev = graft.etl.Tables.load(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val cutDay = (cut / 86400000000L) * 86400000000L
+      graft.streaming.Streams.vacuumMaintained(s, rollupPath,
+        col("day") >= expr(s"timestamp_micros(${cutDay}L)"))
+      s.read.parquet(rollupPath)
+        .select(col("day"), col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // The SECOND maintenance sink on the oracle surface, via MG's
     // exactness regime: when the summary capacity k EXCEEDS the number
     // of distinct keys, Misra-Gries never decrements, so the maintained
@@ -977,6 +1006,21 @@ object Etl {
            CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
              AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the full recompute RESTRICTED to the retention window: the
+    // vacuumed table must hold exactly the in-window rollup rows
+    "l_rollup_retained" ->
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+                     FROM events),
+         cw AS (SELECT ((t0 + (t1 - t0) // 2) // 86400000000)
+                  * 86400000000 AS cd FROM mm)
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
+             AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+         FROM events, cw
+         WHERE CAST(date_trunc('day', ts) AS TIMESTAMP)
+           >= make_timestamp(cw.cd)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // the NET recompute: corrected first-half values substituted in
     // place — a dropped retraction or double-applied correction makes
     // the maintained sums diverge from this truth

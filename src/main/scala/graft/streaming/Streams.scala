@@ -723,6 +723,31 @@ object Streams {
       }
     }
 
+  /** Retention vacuum for a merge-maintained table — the RETIREMENT
+    * step of the maintenance lifecycle (serving tables must not grow
+    * forever): rewrite state keeping only rows matching `keep`, behind
+    * the same staged-swap-with-recovery publish, preserving the
+    * exactly-once batch marker so the retry guard survives the
+    * rewrite. Offline like [[compactMaintained]] (quiesced-table
+    * contract). SEMANTIC contract: after vacuuming keys outside the
+    * retention window, the table equals the full recompute RESTRICTED
+    * to the window only while future batches never carry retired keys
+    * (the watermark discipline) — a late out-of-window event would
+    * re-open a retired group from zero, so pair the vacuum predicate
+    * with the source's watermark.
+    */
+  def vacuumMaintained(spark: SparkSession, statePath: String,
+      keep: org.apache.spark.sql.Column): Unit = {
+    recoverState(statePath)
+    if (!new java.io.File(statePath).exists()) return
+    val last = lastAppliedBatch(statePath)
+    val staged = statePath + "_vacuum"
+    spark.read.parquet(statePath).filter(keep)
+      .write.mode("overwrite").parquet(staged)
+    last.foreach(id => markBatch(staged, id))
+    stagedSwap(staged, statePath)
+  }
+
   /** Two-sided incremental view maintenance for an equi-join — the
     * classic IVM identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB run as a
     * streaming sink over a TAGGED-UNION stream (each micro-batch may

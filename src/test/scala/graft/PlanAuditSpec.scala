@@ -181,7 +181,8 @@ class PlanAuditSpec extends SparkTestBase {
     // broadcast and the exact counts must partial-aggregate
     for (q <- Seq("l_rollup_maintained", "l_hh_maintained",
         "l_rollup_corrected", "l_latest_maintained",
-        "l_latest_tombstone", "l_scd2_maintained")) {
+        "l_latest_tombstone", "l_scd2_maintained",
+        "l_rollup_retained")) {
       val p = plan(q)
       assert(!p.contains("events.parquet"),
         s"$q rescans base events — the maintained table should serve it")
