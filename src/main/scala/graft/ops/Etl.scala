@@ -767,13 +767,16 @@ object Etl {
       back
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          // widen to the engines' common max precision: Spark declares
-          // sum(decimal(18,2)) as (28,2), DuckDB as (38,2) — values are
-          // identical, the declared type must be too
-          sum("amt").cast(org.apache.spark.sql.types.DecimalType(38, 2))
-            .as("sum_amount"),
-          min("amt").as("min_amount"),
-          max("amt").as("max_amount"))
+          // the aggregation itself runs in EXACT decimal arithmetic
+          // (sum over DecimalType(18,2) — no double accumulation);
+          // only the OUTPUT surface converts to integer cents, which
+          // is lossless at scale 2 and keeps the hash surface in the
+          // int64 family (raw DECIMAL columns trip the driver hash's
+          // physical-encoding strictness — the HUGEINT/BIGINT
+          // precedent, tools/compare_oracle.py)
+          (sum("amt") * 100).cast("long").as("sum_cents"),
+          (min("amt") * 100).cast("long").as("min_cents"),
+          (max("amt") * 100).cast("long").as("max_cents"))
         .orderBy("o_orderstatus")
     }),
 
@@ -1064,15 +1067,21 @@ object Etl {
          WHERE k IN ('hot0', 'hot1', 'hot2', 'hot3', 'hot4', 'hot5',
            'hot6', 'cold5', 'cold7', 'cold9')
          GROUP BY k ORDER BY k""",
-    // exact decimal truth: DuckDB sums DECIMAL(18,2) in integer cents —
-    // any double drift or rounding-rule mismatch on the Spark side goes
-    // hash-red (o_totalprice carries 2-decimal values, so the
-    // double→decimal cast has no midpoint ambiguity in either engine)
+    // exact decimal truth: both engines aggregate in DECIMAL(18,2)
+    // (DuckDB natively sums decimals in integer cents) — any double
+    // drift or rounding-rule mismatch on the Spark side goes hash-red.
+    // The OUTPUT is integer cents (BIGINT): lossless at scale 2, and
+    // raw DECIMAL output columns are hash-type-fragile (r11 verdict —
+    // values bit-identical, hash red on the physical encoding). The
+    // outer CAST on the sum matters: DuckDB SUM(BIGINT) is HUGEINT.
     "l_decimal_mode" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_amount,
-           MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS min_amount,
-           MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_amount
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             AS BIGINT) AS max_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // l_scd2_maintained shares this oracle VERBATIM: the incremental
     // change log + boundary stitch must reproduce the full history

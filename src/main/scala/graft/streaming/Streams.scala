@@ -518,11 +518,13 @@ object Streams {
     * table format (or the Hadoop FileSystem API with an atomic rename
     * contract); this bounds the local-mode damage.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
   private def stagedSwap(stagedPath: String, curPath: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit = rmTree(f)
     val staged = new java.io.File(stagedPath)
     val cur = new java.io.File(curPath)
     val old = new java.io.File(curPath + "_old")
@@ -691,6 +693,13 @@ object Streams {
     if (batches.length <= 1) return
     val maxId = batches.map(_.getName.stripPrefix("batch=").toLong).max
     val staged = path + "_compact"
+    // clear the WHOLE staged root first: the consolidated write's
+    // overwrite target is the batch=<maxId> SUBDIR, so a prior staging
+    // attempt that crashed before the swap — after which more batches
+    // landed and maxId moved — would otherwise leave its stale
+    // batch=<oldMaxId> full copy alongside the new one, and stagedSwap
+    // would publish BOTH (silently duplicating every pre-crash row)
+    rmTree(new java.io.File(staged))
     readMaintained(spark, path)
       .write.mode("overwrite")
       .parquet(new java.io.File(staged, s"batch=$maxId").getPath)
@@ -927,12 +936,21 @@ object Streams {
               col("sign").cast("double")).cast("decimal(22,4)"))
               .as("sv"))
         val cur = new java.io.File(rollupPath)
+        // a group is dropped only when it nets to NOTHING: retract
+        // discipline says a retraction carries the old row verbatim, so
+        // n netting to 0 implies sv nets to 0 too. Keeping n=0 groups
+        // with a non-zero sv residual (instead of filtering on n alone)
+        // makes a contract-violating retraction SURFACE as a visible
+        // residual row — and hash-red against the net recompute —
+        // rather than silently discarding the mismatched sum.
+        val dead = col("n") === 0 &&
+          col("sv") === lit(0).cast("decimal(22,4)")
         val merged =
-          if (!cur.exists()) part.filter(col("n") =!= 0)
+          if (!cur.exists()) part.filter(!dead)
           else sp.read.parquet(rollupPath).unionByName(part)
             .groupBy("day", "event_type")
             .agg(sum("n").as("n"), sum("sv").as("sv"))
-            .filter(col("n") =!= 0)
+            .filter(!dead)
         val staged = rollupPath + s"_stage$id"
         merged.write.mode("overwrite").parquet(staged)
         markBatch(staged, id)

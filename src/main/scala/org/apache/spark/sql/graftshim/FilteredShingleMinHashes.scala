@@ -38,8 +38,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType,
   * the drop-in lossy replacement (false positives only drop extra
   * shingles — signatures stay valid MinHashes, recall is what moves).
   */
+// `stop` is a Seq (not Array): case-class equality on an Array field is
+// reference-based, which would defeat expression canonicalization /
+// common-subexpression recognition (e.g. the two sides of the
+// d_minhash_idf band self-join deserializing to unequal copies).
 case class FilteredShingleMinHashes(child: Expression, k: Int,
-    numHashes: Int, stop: Array[Long])
+    numHashes: Int, stop: Seq[Long])
     extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
@@ -59,7 +63,7 @@ case class FilteredShingleMinHashes(child: Expression, k: Int,
   private val affB: Array[Long] =
     Array.tabulate(numHashes)(i => i * 15485863L)
   private val stopSorted: Array[Long] = {
-    val a = stop.clone(); Arrays.sort(a); a
+    val a = stop.toArray; Arrays.sort(a); a
   }
 
   @transient private lazy val localMd: ThreadLocal[MessageDigest] =
@@ -123,5 +127,6 @@ object FilteredShingleMinHashes {
   def filteredShingleMinhashes(words: Column, k: Int, numHashes: Int,
       stop: Array[Long]): Column =
     ExpressionUtils.column(FilteredShingleMinHashes(
-      ExpressionUtils.expression(words), k, numHashes, stop))
+      ExpressionUtils.expression(words), k, numHashes,
+      stop.toIndexedSeq))
 }
