@@ -982,6 +982,65 @@ object Extras {
         .orderBy("l_returnflag")
     }),
 
+    // x_approx_pctile with the quantile state MAINTAINED BY THE
+    // STREAMING SINK — the last sketch without a maintenance row
+    // (counts/HH/CM all have one; distributions did not). A per-key
+    // KLL/MRL sketch (graft.functions.QuantileSketch) accumulates
+    // across a 2-batch lineitem replay through Streams.quantileMaintain
+    // (staged swap + exactly-once marker, the merge-sink discipline);
+    // the registered plan then SCANS the maintained parquet (a
+    // |keys|-row typed map — PlanAuditSpec pins the scan), extracts
+    // each key's median estimate and its SELF-ACCOUNTED deterministic
+    // bound B = err + maxWeight + 1 (err sums 2^level over every
+    // compaction across any merge tree — a theorem, not a probability),
+    // and verdict-checks the estimate's exact rank interval against
+    // target ± B over the full table: 2·(n_lt+1) ≤ n + 2B and
+    // 2·n_le ≥ n − 2B (doubling keeps p=0.5 integer-exact). A sketch
+    // or maintenance regression widens the true rank error past its
+    // own carried bound → boolean flips → hash-red. At 100 TB the
+    // maintenance step is O(|keys| · k·levels) scalars per batch —
+    // per-key distribution monitoring that never rescans history.
+    "x_pctile_maintained" -> ((s, d) => {
+      import graft.functions.{QSketch, QuantileSketch}
+      val li = t(s, d, "lineitem")
+      val mid = li.agg(max("l_orderkey")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "pctile", d,
+        graft.etl.Tables.schemas("lineitem"), "li",
+        li.filter(col("l_orderkey") < mid),
+        li.filter(col("l_orderkey") >= mid))
+      val statePath = new java.io.File(base, "qsk").getPath
+      val q = graft.streaming.Streams.quantileMaintain(stream,
+        "l_returnflag", "l_quantity", statePath, 1024)
+      require(q.awaitTermination(600000),
+        "quantile maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      import s.implicits._
+      // estimates derive IN-PLAN from the maintained artifact: a typed
+      // map over the |keys|-row state scan (never a driver collect)
+      val est = s.read.parquet(statePath)
+        .select("key", "qs").as[(String, QSketch)]
+        .map { case (key, qs) =>
+          (key, QuantileSketch.quantile(qs, 0.5),
+            QuantileSketch.rankErrorBound(qs))
+        }
+        .toDF("l_returnflag", "ap", "b")
+      li.join(broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          sum((col("l_quantity") < col("ap")).cast("long")).as("n_lt"),
+          sum((col("l_quantity") <= col("ap")).cast("long")).as("n_le"),
+          roundf(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
+          count(lit(1)).as("n"),
+          first(col("b")).as("b"))
+        .select(col("l_returnflag"),
+          ((col("n_lt") + 1) * 2 <= col("n") + col("b") * 2 &&
+            col("n_le") * 2 >= col("n") - col("b") * 2)
+            .as("within_bound"),
+          col("p50_exact"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Deterministic 7% hash sample: reproducible across runs, engines,
     // and partitionings; the filter pushes to the scan output (no
     // shuffle, no seed state).
@@ -1691,6 +1750,18 @@ object Extras {
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x_approx_pctile" ->
+      """SELECT l_returnflag, TRUE AS within_bound,
+           floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0
+             AS p50_exact,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // verdict-column oracle (x_approx_pctile precedent): p50_exact and
+    // n are exact truths recomputed here; within_bound is the
+    // Spark-side sketch-guarantee verdict pinned to TRUE — it holds by
+    // the deterministic compaction theorem, so FALSE means the
+    // maintained sketch's true rank error exceeded its own carried
+    // bound (a sketch or maintenance bug), and the row goes hash-red
+    "x_pctile_maintained" ->
       """SELECT l_returnflag, TRUE AS within_bound,
            floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0
              AS p50_exact,

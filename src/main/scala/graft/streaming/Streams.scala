@@ -1097,6 +1097,66 @@ object Streams {
       }
     }
 
+  /** Streaming quantile maintenance: a per-key mergeable quantile
+    * sketch (KLL/MRL compactor levels with a self-accounted
+    * deterministic rank-error bound — [[graft.functions.QuantileSketch]])
+    * maintained across micro-batches. This closes the sketch family:
+    * counts (countMaintain), frequent items (heavyHittersMaintain),
+    * point frequencies (countMinMaintain), and now DISTRIBUTIONS — the
+    * per-key latency/size/score percentile monitoring a 100 TB
+    * pipeline runs continuously. Each batch sketches DISTRIBUTED (the
+    * udaf: per-partition partial sketches, k·levels doubles each, one
+    * per-key final merge); maintenance merges the batch sketch into
+    * stored state per key — O(|keys| · k·levels) scalars regardless of
+    * stream size. By mergeability the stored sketch's error bound
+    * (carried IN the state as `err`) holds against the whole stream
+    * prefix for any batch boundaries — the bound, not the contents, is
+    * what the registered verdict checks (the MG precedent: contents
+    * are merge-order-dependent). Same staged-swap + exactly-once
+    * marker discipline as the other merge sinks.
+    */
+  def quantileMaintain(events: DataFrame, keyCol: String,
+      valueCol: String, statePath: String, k: Int,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      quantileBatch(batch, keyCol, valueCol, statePath, k, id)
+    }
+
+  /** One [[quantileMaintain]] batch merge, factored out so the retry
+    * path is directly testable: calling it twice with the same id must
+    * leave the state unchanged (the mergeOnce marker guard).
+    */
+  private[graft] def quantileBatch(batch: DataFrame, keyCol: String,
+      valueCol: String, statePath: String, k: Int,
+      id: Long): Unit = mergeOnce(statePath, id) {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    import graft.functions.{QSketch, QuantileSketch}
+    val part = batch
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(QuantileSketch.qsketchCol(col(valueCol).cast("double"), k)
+        .as("qs"))
+      .as[(String, QSketch)]
+    val cur = new java.io.File(statePath)
+    val merged =
+      if (!cur.exists()) part
+      else {
+        val prev = sp.read.parquet(statePath)
+          .select("key", "qs").as[(String, QSketch)]
+        prev.union(part)
+          .groupByKey(_._1)
+          .mapGroups { (key, it) =>
+            (key, it.map(_._2).reduce(QuantileSketch.merge))
+          }
+      }
+    val staged = statePath + s"_stage$id"
+    merged.toDF("key", "qs")
+      .write.mode("overwrite").parquet(staged)
+    markBatch(staged, id)
+    stagedSwap(staged, statePath)
+  }
+
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: String = "append",
       timeoutMs: Long = 600000): StreamingQuery = {

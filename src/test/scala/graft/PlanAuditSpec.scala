@@ -171,6 +171,25 @@ class PlanAuditSpec extends SparkTestBase {
       "maintained ANN probe planned all-pairs")
   }
 
+  test("x_pctile_maintained: estimates derive from a scan of the " +
+      "maintained sketch state") {
+    // the maintained-distribution claim: the median estimate and its
+    // bound must come from the quantileMaintain parquet via the typed
+    // in-plan map (plan() runs the 2-batch replay rig first) and enter
+    // the verdict join as a broadcast — a driver collect of the state
+    // or an in-plan re-sketch of lineitem would make the maintained
+    // table decorative. The lineitem rescan that IS present computes
+    // the exact ranks the verdict compares against (the cm precedent).
+    val p = plan("x_pctile_maintained")
+    assert(p.contains("graft_pctile"),
+      "estimates should scan the maintained quantile-sketch parquet")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1,
+      "the |keys|-row estimate table must broadcast into the rank join")
+    assert(nodeCount(p, "CartesianProduct") == 0 &&
+      nodeCount(p, "BroadcastNestedLoopJoin") == 0,
+      "pctile verdict planned all-pairs")
+  }
+
   test("maintained rows consume the maintained table, not a base rescan") {
     // the maintenance family's point is amortization: the returned
     // frame must read what the sink maintained. rollup/hh plans scan

@@ -800,6 +800,37 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("quantileBatch: cross-batch merge keeps the carried bound " +
+      "against the WHOLE prefix; retry is a marker-guarded no-op") {
+    import graft.functions.{QSketch, QuantileSketch => QS}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("qsk_maint")
+    val statePath = tmp.resolve("qsk").toString
+    val rnd = new scala.util.Random(5)
+    val all = Seq.fill(6000)(("g", rnd.nextDouble() * 100.0))
+    val (h1, h2) = all.splitAt(3000)
+    Streams.quantileBatch(h1.toDF("k", "v"), "k", "v", statePath, 64, 0L)
+    Streams.quantileBatch(h2.toDF("k", "v"), "k", "v", statePath, 64, 1L)
+    def state(): (String, QSketch) = spark.read.parquet(statePath)
+      .select("key", "qs").as[(String, QSketch)].head()
+    val (key, merged) = state()
+    assert(key == "g" && merged.n == all.length)
+    // the stored err bound must hold against the FULL stream prefix —
+    // the mergeable-summaries claim, checked by brute force
+    val xs = all.map(_._2)
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val est = QS.quantile(merged, p)
+      val b = QS.rankErrorBound(merged)
+      assert(xs.count(_ < est) + 1 <= p * xs.length + b)
+      assert(xs.count(_ <= est) >= p * xs.length - b)
+    }
+    // redelivery of the last batch: the mergeOnce marker must skip it
+    Streams.quantileBatch(h2.toDF("k", "v"), "k", "v", statePath, 64, 1L)
+    assert(state()._2 == merged,
+      "retried batch re-merged into the quantile state")
+    assert(Streams.lastAppliedBatch(statePath).contains(1L))
+  }
+
   test("bulk-job lifecycle: stop() maps to Aborted semantics") {
     val stream = Streams.eventsStream(spark, dir)
     val q = stream.writeStream.format("memory").queryName("abort_test")
