@@ -478,6 +478,37 @@ object Etl {
         .orderBy("user_id", "valid_from")
     }),
 
+    // SCD2 maintenance under LATE OUT-OF-ORDER data — the contract
+    // l_scd2_maintained discloses away, removed: the replay is
+    // deliberately time-shuffled (batch 1 = event_id % 3 != 0, batch 2
+    // = the rest — BOTH span the full time range, so nearly every
+    // batch-2 user has rows OLDER than its batch-1 watermark and takes
+    // the late path: a targeted interval rewrite over that user's full
+    // retained history, while genuinely in-order users keep the cheap
+    // boundary-stitch path). The ORACLE is l_scd2's recompute VERBATIM
+    // — a missed mid-history change resurrection (the t1:A, t2:A,
+    // late-t1.5:B case), a dropped split, or a retry duplication goes
+    // hash-red. At 100 TB: classification is one join against the
+    // |users|-row watermark table, rewrite work is proportional to
+    // touched users' histories, never the corpus.
+    "l_scd2_late" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (base, stream) = replayEventsShuffled(s, d, "scd2_late")
+      val basePath = new java.io.File(base, "scd2l").getPath
+      val q = graft.streaming.Streams.scd2LateMaintain(stream, basePath)
+      require(q.awaitTermination(600000),
+        "late-SCD2 maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the late path is untested")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$basePath/log")
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // The first NON-additive maintained state on the oracle surface:
     // newest-record-per-key (the SCD1 maintained dimension — latest
     // event per user) kept current by Streams.latestMaintain over the
@@ -873,6 +904,23 @@ object Etl {
     (base, stream.withColumn("ts", expr(s"timestamp_micros(ts DIV $div)")))
   }
 
+  /** Time-SHUFFLED 2-batch events replay for the late-data sinks: the
+    * split is on event_id (% 3), NOT time, so both batches span the
+    * full time range and batch 2 is massively out-of-order relative to
+    * batch 1 — the adversarial ingest order the ordered-contract sinks
+    * exclude.
+    */
+  private[ops] def replayEventsShuffled(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): (java.io.File, DataFrame) = {
+    val (raw, div) = graft.etl.Tables.eventsRawScan(s, d)
+    val (base, stream) = Replay.twoBatchStream(s, tag, d,
+      graft.etl.Tables.eventsRaw, "events",
+      raw.filter(col("event_id") % 3 =!= 0),
+      raw.filter(col("event_id") % 3 === 0))
+    (base, stream.withColumn("ts", expr(s"timestamp_micros(ts DIV $div)")))
+  }
+
   private val latestSql: String =
     """SELECT user_id, event_id, event_type
          FROM (SELECT user_id, event_id, event_type,
@@ -1083,10 +1131,13 @@ object Etl {
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100
              AS BIGINT) AS max_cents
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    // l_scd2_maintained shares this oracle VERBATIM: the incremental
-    // change log + boundary stitch must reproduce the full history
+    // l_scd2_maintained AND l_scd2_late share this oracle VERBATIM:
+    // the incremental change log (boundary stitch for in-order ingest;
+    // targeted per-user rewrites under the time-shuffled replay) must
+    // reproduce the full-history recompute exactly
     "l_scd2" -> scd2Sql,
     "l_scd2_maintained" -> scd2Sql,
+    "l_scd2_late" -> scd2Sql,
     // the maintained view must equal the plain join recompute exactly
     "l_ivm_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,

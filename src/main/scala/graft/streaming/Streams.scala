@@ -833,8 +833,9 @@ object Streams {
     * CDC ingest and the time-split replay), batch-wise detection plus
     * this rule provably equals global change detection, which is
     * exactly what the shared l_scd2 oracle recomputes. Late
-    * out-of-order data needs interval REWRITES and is out of this
-    * sink's contract (disclosed; the batch l_scd2 recompute covers it).
+    * out-of-order data needs interval REWRITES — that is
+    * [[scd2LateMaintain]], which keeps this sink's fast path for
+    * in-order users and rewrites only the touched users' histories.
     * Same staged-swap publish, recovery, and retry marker as the other
     * merge sinks.
     */
@@ -872,6 +873,134 @@ object Streams {
         stagedSwap(staged, statePath)
       }
     }
+
+  /** [[scd2Maintain]] WITHOUT the ordered-ingest contract: SCD2 history
+    * maintenance that stays exact under arbitrarily late, out-of-order
+    * batches, via targeted interval rewrites bounded to the touched
+    * users. Why the change-row log alone cannot do this: a late event
+    * inserted mid-history can resurrect a change at a later NON-change
+    * event (history t1:A, t2:A keeps only (t1,A); a late t1.5:B makes
+    * t2:A a change again), and non-change events are exactly what the
+    * log discards — exactness under late data REQUIRES the full event
+    * history. So state under `basePath` is three tables:
+    *
+    *   - `events`: the full feed, append-maintained (batch=<id>
+    *     overwrite subdirs — idempotent). At production scale this is
+    *     the bronze table the lake retains anyway (partitioned/bucketed
+    *     by user), not new cost introduced by the sink.
+    *   - `marks`: per-user newest (ts, event_id) ingest watermark —
+    *     an argmax merge over |users| + |batch users| rows.
+    *   - `log`: the change-row log (the queryable SCD2 state, same
+    *     schema and read-side interval derivation as scd2Maintain).
+    *
+    * Per batch: rows of users whose earliest batch row is strictly
+    * after their watermark take the IN-ORDER path — |batch| change
+    * detection + the boundary stitch, the scd2Maintain fast path,
+    * provably exact because the watermark covers every prior event,
+    * change or not. Users with any row at-or-before their watermark
+    * are LATE: their entire log slice is rewritten by re-running
+    * change detection over their full history (events semi-joined to
+    * the late-user set — work proportional to the TOUCHED users'
+    * histories, never the corpus; the one interval-split/merge rule
+    * that is exact in every case). Classification costs one join
+    * against the |users|-row marks table — delta-proportional.
+    *
+    * Retry safety: the body is mergeOnce-guarded on the log (written
+    * LAST); on a crash-retry before the log committed, the events
+    * re-append overwrites its own subdir, the marks argmax re-merge is
+    * idempotent (max is), and a user whose marks already absorbed the
+    * batch classifies as late — falling back to the always-exact
+    * rewrite path. StreamsSpec drives the double-apply.
+    */
+  def scd2LateMaintain(events: DataFrame, basePath: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      scd2LateBatch(batch, basePath, id)
+    }
+
+  /** One [[scd2LateMaintain]] batch commit, factored for the retry
+    * spec: calling it twice with the same (batch, id) must leave all
+    * three tables semantically unchanged.
+    */
+  private[graft] def scd2LateBatch(batch: DataFrame, basePath: String,
+      id: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    val eventsPath = s"$basePath/events"
+    val marksPath = s"$basePath/marks"
+    val logPath = s"$basePath/log"
+    mergeOnce(logPath, id) {
+      val b = batch.select("user_id", "event_type", "ts", "event_id")
+      appendBatch(b, eventsPath, id)
+      recoverState(marksPath)
+      val priorMarks =
+        if (!new java.io.File(marksPath).exists()) None
+        else Some(sp.read.parquet(marksPath))
+      val bAgg = b.groupBy("user_id").agg(
+        min(struct(col("ts"), col("event_id"))).as("bmin"),
+        max(struct(col("ts"), col("event_id"))).as("bmax"))
+      // late = any batch row at-or-before the user's prior watermark
+      // (<= not <: equality cannot happen with unique event ids, but
+      // the exact rewrite path is the safe side of any tie)
+      // eager localCheckpoint: lateUsers is consumed AFTER the marks
+      // staged-swap below replaces the files its lazy scan points at
+      val lateUsers = priorMarks match {
+        case None => bAgg.select("user_id").limit(0)
+        case Some(m) => bAgg.join(m, "user_id")
+          .filter(col("bmin") <= col("mark"))
+          .select("user_id")
+          .localCheckpoint(true)
+      }
+      // marks merge FIRST (argmax — idempotent under retry); the log,
+      // whose marker carries the exactly-once guard, commits last
+      val marksMerged = priorMarks match {
+        case None => bAgg.select(col("user_id"), col("bmax").as("mark"))
+        case Some(m) => m.unionByName(
+            bAgg.select(col("user_id"), col("bmax").as("mark")))
+          .groupBy("user_id").agg(max("mark").as("mark"))
+      }
+      val mStaged = marksPath + s"_stage$id"
+      marksMerged.write.mode("overwrite").parquet(mStaged)
+      stagedSwap(mStaged, marksPath)
+
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      def changes(df: DataFrame): DataFrame =
+        df.withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .drop("prev")
+      recoverState(logPath)
+      val cur = new java.io.File(logPath)
+      val merged =
+        if (!cur.exists()) changes(b)
+        else {
+          val st = sp.read.parquet(logPath)
+          // in-order users: the scd2Maintain fast path
+          val ib = b.join(lateUsers, Seq("user_id"), "left_anti")
+          val wl = Window.partitionBy("user_id")
+            .orderBy(desc("ts"), desc("event_id"))
+          val open = st.withColumn("rn", row_number().over(wl))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("event_type").as("cur_type"))
+          val inKeep = changes(ib)
+            .withColumn("rn", row_number().over(w))
+            .join(open, Seq("user_id"), "left")
+            .filter(col("rn") =!= 1 || col("cur_type").isNull ||
+              col("cur_type") =!= col("event_type"))
+            .select("user_id", "event_type", "ts", "event_id")
+          // late users: targeted rewrite over their FULL history (the
+          // current batch is already appended, so one scan sees all)
+          val hist = sp.read.parquet(eventsPath).drop("batch")
+            .join(lateUsers, Seq("user_id"), "left_semi")
+          st.join(lateUsers, Seq("user_id"), "left_anti")
+            .unionByName(inKeep)
+            .unionByName(changes(hist))
+        }
+      val staged = logPath + s"_stage$id"
+      merged.write.mode("overwrite").parquet(staged)
+      markBatch(staged, id)
+      stagedSwap(staged, logPath)
+    }
+  }
 
   /** Keyed latest-record maintenance — the SCD1 MERGE as a streaming
     * sink (the maintained-dimension shape: newest record per key, e.g.

@@ -800,6 +800,57 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("scd2LateBatch: a late event resurrects the change at a later " +
+      "non-change event; retry of the last batch is exact") {
+    // THE case the change-row log alone cannot handle (why the sink
+    // keeps the full event history): history t1:A, t2:A retains only
+    // (t1,A) — a late t1.5:B must both insert ITS change and resurrect
+    // (t2,A), which was a non-change before. Also covers: late row
+    // that is NOT a change (t0.5:A before t1:A... after), and an
+    // in-order user flowing through the fast path in the same batch.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd2_late")
+    val basePath = tmp.resolve("scd2l").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def df(rows: (Long, String, Int, Long)*) = rows
+      .map { case (u, t, m, id) => (u, t, ts(m), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    // batch 0: user 1 = t1:A, t2:A (non-change retained only in
+    // events); user 2 = in-order control
+    Streams.scd2LateBatch(
+      df((1L, "A", 10, 100L), (1L, "A", 20, 101L),
+        (2L, "X", 10, 200L)), basePath, 0L)
+    def log() = spark.read.parquet(s"$basePath/log")
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(log() == Set((1L, "A", 100L), (2L, "X", 200L)))
+    // batch 1: user 1 gets the LATE t1.5:B (late path: split +
+    // resurrect); user 2 gets an in-order change (fast path)
+    val b1 = df((1L, "B", 15, 102L), (2L, "Y", 20, 201L))
+    Streams.scd2LateBatch(b1, basePath, 1L)
+    val expected = Set((1L, "A", 100L), (1L, "B", 102L),
+      (1L, "A", 101L), // the resurrected change at the non-change event
+      (2L, "X", 200L), (2L, "Y", 201L))
+    assert(log() == expected)
+    // foreachBatch redelivery of the same (batch, id): the mergeOnce
+    // marker on the log must make the whole body a no-op
+    Streams.scd2LateBatch(b1, basePath, 1L)
+    assert(log() == expected, "retried late batch changed the log")
+    assert(Streams.lastAppliedBatch(s"$basePath/log").contains(1L))
+    // the late rewrite must equal the global batch recompute — the
+    // oracle identity, asserted here structurally on the full log
+    val all = df((1L, "A", 10, 100L), (1L, "A", 20, 101L),
+      (2L, "X", 10, 200L), (1L, "B", 15, 102L), (2L, "Y", 20, 201L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val recompute = all
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(log() == recompute)
+  }
+
   test("quantileBatch: cross-batch merge keeps the carried bound " +
       "against the WHOLE prefix; retry is a marker-guarded no-op") {
     import graft.functions.{QSketch, QuantileSketch => QS}
