@@ -706,6 +706,111 @@ object Streams {
     stagedSwap(staged, path)
   }
 
+  /** Horizon-aware ONLINE compaction of an [[appendMaintain]] table —
+    * [[compactMaintained]] without the quiesced-table contract: safe to
+    * run CONCURRENTLY with an active appendMaintain stream, because it
+    * only ever touches batch subdirs with id ≤ `horizon` and the
+    * stream only ever (re)writes ids above it. `horizon` MUST be a
+    * checkpoint-COMMITTED batch id (e.g. the previous run's last
+    * progress): committed subdirs are immutable — a foreachBatch retry
+    * only rewrites the CURRENT, uncommitted id — so the compaction's
+    * inputs cannot change under it, and a retried append can never
+    * resurrect a consumed subdir.
+    *
+    * Publish protocol (no whole-root swap — that is what made the old
+    * contract necessary, a concurrent append's new subdir would vanish
+    * in the swap): the consolidated copy stages OUTSIDE the table with
+    * its source-subdir list riding INSIDE it as an underscore intent
+    * file (invisible to parquet, renames with the data); one atomic
+    * rename brings it in as `batch=-<maxAbs>` (negative = compacted
+    * segment — appendMaintain ids are checkpoint batchIds ≥ 0, so the
+    * namespaces never collide, and maxAbs strictly grows so successive
+    * compactions don't either); then each consumed source renames into
+    * an underscore-prefixed trash dir (ignored by readers) and the
+    * trash drops. Concurrent appends are never lost at ANY
+    * interleaving; a crash at any point is repaired by
+    * [[recoverCompaction]] (replay the intent: retire surviving
+    * sources, clear trash and staging) — run it before the next
+    * compaction or read after an unclean stop. Local-FS honesty: a
+    * reader overlapping the publish window can transiently see
+    * pre-compaction rows twice (consolidated + not-yet-retired source)
+    * — bounded to the retire loop; at production scale this protocol
+    * is a transactional table format's REPLACE commit, same as the
+    * other sinks' disclosure.
+    */
+  def compactMaintainedBelow(spark: SparkSession, path: String,
+      horizon: Long): Unit = {
+    recoverCompaction(path)
+    val dir = new java.io.File(path)
+    val batches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong <= horizon)
+    if (batches.length <= 1) return
+    val maxAbs = batches
+      .map(f => math.abs(f.getName.stripPrefix("batch=").toLong)).max
+    val staged = new java.io.File(path + "_compact")
+    rmTree(staged)
+    val data = new java.io.File(staged, "data")
+    spark.read.parquet(batches.map(_.getPath).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(data.getPath)
+    java.nio.file.Files.write(
+      new java.io.File(data, CompactSources).toPath,
+      batches.map(_.getName).sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val target = new java.io.File(dir, s"batch=-$maxAbs")
+    require(!target.exists(),
+      s"compaction target $target already exists — horizon reuse?")
+    require(data.renameTo(target),
+      s"compaction publish failed: $data -> $target")
+    retireCompacted(dir, target)
+    rmTree(staged)
+  }
+
+  /** Intent file inside a consolidated segment: the batch subdirs it
+    * replaced. Underscore-named so parquet readers never see it, and it
+    * renames WITH the segment — which is what makes the publish
+    * crash-recoverable at any point.
+    */
+  private val CompactSources = "_graft_compact_sources"
+
+  private def retireCompacted(dir: java.io.File,
+      consolidated: java.io.File): Unit = {
+    val intent = new java.io.File(consolidated, CompactSources)
+    if (!intent.exists()) return
+    val names = new String(
+      java.nio.file.Files.readAllBytes(intent.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty)
+    val trash = new java.io.File(dir, "_graft_retired")
+    trash.mkdirs()
+    names.filter(_ != consolidated.getName).foreach { n =>
+      val src = new java.io.File(dir, n)
+      if (src.exists())
+        require(src.renameTo(new java.io.File(trash, n)),
+          s"retiring compacted source failed: $src")
+    }
+    rmTree(trash)
+    intent.delete()
+    ()
+  }
+
+  /** Crash recovery for [[compactMaintainedBelow]]: any published
+    * segment still carrying its intent file has its surviving sources
+    * retired (idempotent — the duplicate-visibility window ends here);
+    * leftover trash and a staged-but-unpublished copy are dropped
+    * (the intent rode the data, so an unpublished staging dir holds
+    * nothing the table needs).
+    */
+  def recoverCompaction(path: String): Unit = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        new java.io.File(f, CompactSources).exists())
+      .foreach(f => retireCompacted(dir, f))
+    rmTree(new java.io.File(dir, "_graft_retired"))
+    rmTree(new java.io.File(path + "_compact"))
+  }
+
   def rollupMaintain(events: DataFrame, rollupPath: String,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(events, checkpoint) { (batch, id) =>

@@ -800,6 +800,109 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("compactMaintainedBelow: online compaction with interleaved " +
+      "appends — set identity at every step; crash publish recovers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("compact_online")
+    val path = tmp.resolve("tbl").toString
+    def bdf(vs: Long*) = vs.toSeq.toDF("v")
+    def contents() = Streams.readMaintained(spark, path)
+      .as[Long].collect().toSet
+    def dirs() = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    Streams.appendBatch(bdf(1L, 2L), path, 0L)
+    Streams.appendBatch(bdf(3L), path, 1L)
+    // a batch BEYOND the horizon has landed concurrently — the online
+    // contract: compaction must consolidate {0,1} and leave it alone
+    Streams.appendBatch(bdf(4L), path, 2L)
+    Streams.compactMaintainedBelow(spark, path, horizon = 1L)
+    assert(contents() == Set(1L, 2L, 3L, 4L))
+    assert(dirs() == Set("batch=-1", "batch=2"),
+      s"expected consolidated prefix + untouched live batch, got ${dirs()}")
+    // appends continue against the compacted layout
+    Streams.appendBatch(bdf(5L), path, 3L)
+    assert(contents() == Set(1L, 2L, 3L, 4L, 5L))
+    // second round consolidates the prior segment too (maxAbs grows)
+    Streams.compactMaintainedBelow(spark, path, horizon = 3L)
+    assert(contents() == Set(1L, 2L, 3L, 4L, 5L))
+    assert(dirs() == Set("batch=-3"), s"got ${dirs()}")
+    // crash mid-publish: consolidated segment landed, one source not
+    // yet retired — readers see duplicates until recovery replays the
+    // intent file that rode inside the segment
+    Streams.appendBatch(bdf(6L), path, 4L)
+    Streams.appendBatch(bdf(7L), path, 5L)
+    Streams.compactMaintainedBelow(spark, path, horizon = 5L)
+    assert(dirs() == Set("batch=-5"))
+    val seg = new java.io.File(path, "batch=-5")
+    val resurrect = new java.io.File(path, "batch=4")
+    // simulate the crash window by recreating a consumed source and
+    // re-arming the intent (the file was cleared on clean completion)
+    Streams.appendBatch(bdf(6L), path, 4L)
+    java.nio.file.Files.write(
+      new java.io.File(seg, "_graft_compact_sources").toPath,
+      "batch=-3\nbatch=4\nbatch=5\nbatch=-5".getBytes("UTF-8"))
+    assert(resurrect.exists())
+    Streams.recoverCompaction(path)
+    assert(dirs() == Set("batch=-5"),
+      "recovery must retire the surviving consumed source")
+    assert(contents() == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // no-op guards: single-dir table and empty-horizon both return
+    Streams.compactMaintainedBelow(spark, path, horizon = 100L)
+    assert(contents() == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("compactMaintainedBelow: concurrent with a LIVE appendMaintain " +
+      "stream — final contents set-identical to the batch build") {
+    // the genuinely-concurrent smoke: compaction fires from the test
+    // thread while the 2-batch replay stream is appending; whatever
+    // the interleaving, no append is lost and no row duplicates,
+    // because compaction only touches ids <= the horizon observed
+    // BEFORE the stream started its next batch
+    import spark.implicits._
+    val docs = etl.Tables.load(spark, dir, "documents")
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val cut = maxId / 2
+    val tmp = java.nio.file.Files.createTempDirectory("compact_live")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name").toString
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, tmp.resolve(name))
+      ()
+    }
+    writeOne(docs.filter(col("doc_id") < cut), "a_docs.parquet")
+    writeOne(docs.filter(col("doc_id") >= cut), "b_docs.parquet")
+    val stream = spark.readStream.schema(etl.Tables.documents)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_docs.parquet")
+      .parquet(tmp.toString)
+    val idxPath = tmp.resolve("idx").toString
+    val q = Streams.appendMaintain(stream, idxPath)(
+      b => b.select("doc_id", "lang"))
+    // poke compaction while the stream runs: horizon = whatever id a
+    // COMPLETED progress event has reported so far (committed by the
+    // time the next batch starts; AvailableNow drains fast, so most
+    // calls see <=1 eligible dir and no-op — the race-freedom, not the
+    // compaction yield, is what this test is for)
+    while (q.isActive) {
+      val committed = q.recentProgress.map(_.batchId)
+      if (committed.nonEmpty)
+        Streams.compactMaintainedBelow(spark, idxPath, committed.max - 1)
+      Thread.sleep(50)
+    }
+    assert(q.awaitTermination(180000), "append sink must drain")
+    // and one final offline pass for determinism of the layout check
+    Streams.compactMaintainedBelow(spark, idxPath, Long.MaxValue)
+    val got = Streams.readMaintained(spark, idxPath)
+    val want = docs.select("doc_id", "lang")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "online compaction lost or duplicated an appended row")
+  }
+
   test("scd2LateBatch: a late event resurrects the change at a later " +
       "non-change event; retry of the last batch is exact") {
     // THE case the change-row log alone cannot handle (why the sink
