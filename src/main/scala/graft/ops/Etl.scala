@@ -339,6 +339,75 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // LEFT OUTER view maintenance — the second IVM view shape, the one
+    // an append-only view log CANNOT express: when batch 2 delivers
+    // the first customer for an order published null-padded in batch
+    // 1, the view must RETRACT the null row. Streams.ivmLeftJoinMaintain
+    // signs the view log (+1 inner pairs and fresh null rows, −1
+    // retraction of a previously-unmatched left row) and the reader
+    // nets Σsign per row. The rig withholds every c_custkey % 7 == 0
+    // customer entirely, so ~1/7 of orders keep PERSISTENT null rows —
+    // proving null-padding survives netting — while batch-1 orders
+    // referencing batch-2 customers exercise the retract term. The
+    // oracle is the plain LEFT JOIN recompute against the withheld-
+    // customer table: a missed retraction leaves a phantom null row
+    // (hash-red), a lost null-pad drops an order (rows-red).
+    "l_ivm_leftjoin" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").filter(col("c_custkey") % 7 =!= 0)
+      val midO = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      val midC = c.agg(max("c_custkey")).head.getLong(0) / 2
+      def tagO(df: DataFrame) = df.select(lit("o").as("side"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("string").as("c_mktsegment"))
+      def tagC(df: DataFrame) = df.select(lit("c").as("side"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val b1 = tagO(o.filter(col("o_orderkey") < midO))
+        .unionByName(tagC(c.filter(col("c_custkey") < midC)))
+      val b2 = tagO(o.filter(col("o_orderkey") >= midO))
+        .unionByName(tagC(c.filter(col("c_custkey") >= midC)))
+      val schema = StructType(Seq(
+        StructField("side", StringType),
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_mktsegment", StringType)))
+      val (base, stream) = Replay.twoBatchStream(s, "ivm_lj", d,
+        schema, "rows", b1, b2)
+      val ivmBase = new java.io.File(base, "ivm").getPath
+      val q = graft.streaming.Streams.ivmLeftJoinMaintain(stream,
+        ivmBase,
+        b => b.filter(col("side") === "o")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        b => b.filter(col("side") === "c")
+          .select("c_custkey", "c_name", "c_mktsegment"),
+        "o_custkey", "c_custkey")
+      require(q.awaitTermination(600000),
+        "left-outer IVM maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the retract term is " +
+          "untested")
+      // the retract-stream reader: net multiplicity per row; the net
+      // is 0 (retracted null pad) or 1 here because o_orderkey is
+      // unique — the general n>1 case would explode n copies
+      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
+        .groupBy("o_orderkey", "o_custkey", "c_custkey", "c_name",
+          "c_mktsegment", "o_totalprice")
+        .agg(sum("sign").as("m"))
+        .filter(col("m") > 0)
+        .select("o_orderkey", "o_custkey", "c_custkey", "c_name",
+          "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // DELETES through the IVM join — with ZERO sink changes: each
     // side's rows carry a sign column (the rollupSignedMaintain
     // discipline composed with the delta terms), the generic join
@@ -1138,6 +1207,15 @@ object Etl {
     "l_scd2" -> scd2Sql,
     "l_scd2_maintained" -> scd2Sql,
     "l_scd2_late" -> scd2Sql,
+    // the netted outer view must equal the plain LEFT JOIN recompute
+    // against the withheld-customer table: phantom un-retracted null
+    // rows or lost null pads cannot hash-match
+    "l_ivm_leftjoin" ->
+      """WITH nc AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0)
+         SELECT o_orderkey, o_custkey, c_custkey, c_name, c_mktsegment,
+           o_totalprice
+         FROM orders LEFT JOIN nc ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
     // the maintained view must equal the plain join recompute exactly
     "l_ivm_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,

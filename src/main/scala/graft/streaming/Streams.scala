@@ -922,6 +922,82 @@ object Streams {
     appendBatch(dB, bPath, id)
   }
 
+  /** Two-sided incremental view maintenance for a LEFT OUTER join —
+    * the second IVM view shape, and the one that REQUIRES the signed
+    * discipline even for append-only inputs: when a batch delivers the
+    * FIRST right-side match for an already-published left row, the
+    * outer view must RETRACT that row's null-padded form (an
+    * append-only log cannot un-publish it). The view log therefore
+    * carries `sign`: inner pairs and fresh null-padded rows land +1,
+    * and the retraction of a previously-unmatched left row lands −1;
+    * readers net Σsign per row (Flink's retract-stream model applied
+    * to view maintenance). Per batch:
+    *
+    *   inner   = ΔA⋈B_prev ∪ A_prev⋈ΔB ∪ ΔA⋈ΔB           [+1]
+    *   nullpad = ΔA ⋉̸ (B_prev ∪ ΔB), B columns null        [+1]
+    *   retract = (A_prev ⋉ ΔB) ⋉̸ B_prev, B columns null    [−1]
+    *
+    * — retract is exactly the left rows whose first match just
+    * arrived: they match ΔB but matched nothing before. All probes are
+    * delta-proportional (ΔB drives the semi; the anti against the
+    * accumulated side is the same probe shape as [[ivmJoinMaintain]],
+    * with the same runtime-filter lever at 100 TB). State writes are
+    * batchId-keyed overwrites with current-id-excluding prior reads,
+    * so the sink is retry-idempotent BY CONSTRUCTION like the inner
+    * sink — StreamsSpec drives the double-apply.
+    */
+  def ivmLeftJoinMaintain(stream: DataFrame, basePath: String,
+      leftOf: DataFrame => DataFrame, rightOf: DataFrame => DataFrame,
+      leftKey: String, rightKey: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      ivmLeftJoinBatch(leftOf(batch), rightOf(batch), basePath, id,
+        leftKey, rightKey)
+    }
+
+  /** One [[ivmLeftJoinMaintain]] batch commit, factored for the
+    * retry-exactness spec (same contract as [[ivmJoinBatch]]).
+    */
+  private[graft] def ivmLeftJoinBatch(dA: DataFrame, dB: DataFrame,
+      basePath: String, id: Long,
+      leftKey: String, rightKey: String): Unit = {
+    val sp = dA.sparkSession
+    def prevOf(path: String,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (new java.io.File(path).exists())
+        sp.read.parquet(path).where(col("batch") =!= id).drop("batch")
+      else sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val aPath = s"$basePath/left"
+    val bPath = s"$basePath/right"
+    val vPath = s"$basePath/view"
+    val aPrev = prevOf(aPath, dA.schema)
+    val bPrev = prevOf(bPath, dB.schema)
+    def j(l: DataFrame, r: DataFrame) =
+      l.join(r, l(leftKey) === r(rightKey))
+    // null-padding must be SHAPE-IDENTICAL between the insert and its
+    // later retraction or the reader's netting cannot cancel them
+    def padded(a: DataFrame): DataFrame =
+      a.select(a.columns.map(col) ++ dB.schema.fields.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    val inner = j(dA, bPrev)
+      .unionByName(j(aPrev, dB))
+      .unionByName(j(dA, dB))
+      .withColumn("sign", lit(1))
+    val bFull = bPrev.unionByName(dB)
+    val newNull = padded(
+      dA.join(bFull, dA(leftKey) === bFull(rightKey), "left_anti"))
+      .withColumn("sign", lit(1))
+    val retract = padded(
+      aPrev.join(dB, aPrev(leftKey) === dB(rightKey), "left_semi")
+        .join(bPrev, col(leftKey) === bPrev(rightKey), "left_anti"))
+      .withColumn("sign", lit(-1))
+    appendBatch(inner.unionByName(newNull).unionByName(retract),
+      vPath, id)
+    appendBatch(dA, aPath, id)
+    appendBatch(dB, bPath, id)
+  }
+
   /** Incremental SCD2 history maintenance — the change-row LOG of the
     * validity-interval table (l_scd2) kept current per micro-batch.
     * State holds one row per (user, type-change): (user_id, event_type,

@@ -800,6 +800,51 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("ivmLeftJoinBatch: first-match retraction of a null-padded row; " +
+      "persistent nulls survive; retry leaves the view unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivm_left")
+    val base = tmp.resolve("ivml").toString
+    def A(rows: (Long, Long)*) = rows.toSeq.toDF("ok", "ck")
+    def B(rows: (Long, String)*) = rows.toSeq.toDF("ck2", "nm")
+    // batch 0: order 1→cust 10 matched; order 2→cust 20 UNMATCHED
+    // (null-padded); order 3→cust 30 unmatched FOREVER (persistent)
+    Streams.ivmLeftJoinBatch(A((1L, 10L), (2L, 20L), (3L, 30L)),
+      B((10L, "a")), base, 0L, "ck", "ck2")
+    def view() = Streams.readMaintained(spark, s"$base/view")
+      .groupBy("ok", "ck", "ck2", "nm").agg(sum("sign").as("m"))
+      .filter(col("m") > 0)
+      .select("ok", "ck", "ck2", "nm")
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSet
+    assert(view() == Set(
+      (1L, 10L, Some(10L), Some("a")),
+      (2L, 20L, None, None),
+      (3L, 30L, None, None)))
+    // batch 1: cust 20 ARRIVES — order 2's null row must retract and
+    // its inner pair appear; order 4→cust 20 is ΔA⋈ΔB; order 3 stays
+    // null-padded (no batch ever brings cust 30)
+    val b1a = A((4L, 20L))
+    val b1b = B((20L, "b"))
+    Streams.ivmLeftJoinBatch(b1a, b1b, base, 1L, "ck", "ck2")
+    val expected = Set(
+      (1L, 10L, Some(10L), Some("a")),
+      (2L, 20L, Some(20L), Some("b")),
+      (4L, 20L, Some(20L), Some("b")),
+      (3L, 30L, None, None))
+    assert(view() == expected,
+      "first-match retraction or a delta term failed")
+    // the raw log must actually CONTAIN the signed retraction (not
+    // reach the right answer some other way)
+    val raw = Streams.readMaintained(spark, s"$base/view")
+      .as[(Long, Long, Option[Long], Option[String], Int)]
+      .collect().toSet
+    assert(raw.contains((2L, 20L, None, None, -1)),
+      "expected an explicit -1 retraction of order 2's null pad")
+    // byte-exact retry of batch 1: all three tables unchanged
+    Streams.ivmLeftJoinBatch(b1a, b1b, base, 1L, "ck", "ck2")
+    assert(view() == expected, "retried batch changed the netted view")
+  }
+
   test("compactMaintainedBelow: online compaction with interleaved " +
       "appends — set identity at every step; crash publish recovers") {
     import spark.implicits._
