@@ -65,7 +65,9 @@ object SparkEntry {
       "e_rolling28", "l_bucket_join", "x_winsorize", "x_heavyhitters",
       "t_bm25", "l_rollup_merge", "t_lmscore",
       // round-11 headline training-pipeline ops
-      "t_scrub", "d_semdedup", "d_minhash_idf")
+      "t_scrub", "d_semdedup", "d_minhash_idf",
+      // round-12 headline maintenance ops
+      "x_pctile_maintained", "l_scd2_late", "l_ivm_leftjoin")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

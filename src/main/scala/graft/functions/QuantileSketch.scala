@@ -49,7 +49,12 @@ object QuantileSketch {
     val l0 = v :: asList(s.levels.head)
     val grown = s.copy(n = s.n + 1,
       levels = l0 +: s.levels.tail)
-    if (l0.length >= s.k) compactAll(grown) else grown
+    // List.length is O(len), and it dominated the per-row cost at
+    // k=1024: checking every 32nd insert cuts that 32× and merely lets
+    // level 0 overshoot to k+31 — capacity slack is harmless to the
+    // error accounting (compactions still log their exact 2^h)
+    if ((grown.n & 31L) == 0L && l0.length >= s.k) compactAll(grown)
+    else grown
   }
 
   /** Compact every over-capacity level, cascading upward. Each

@@ -441,6 +441,70 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // DELETES from the maintained near-dup index — the
+    // right-to-be-forgotten pass every production corpus index needs,
+    // through the UNCHANGED append sink (the l_ivm_deletes discipline
+    // applied to the dedup family): a removal arrives as the doc's
+    // band rows recomputed with sign −1 (band keys are deterministic,
+    // so the retraction matches the original insert exactly), and the
+    // READER nets Σsign per (doc, band, bh) — a deleted doc's rows
+    // cancel and it can never again surface as a candidate. The
+    // deletes land in a LATER batch than the docs they remove, so the
+    // netting is genuinely cross-batch. Oracle = the incremental-pairs
+    // truth with the deleted docs EXCLUDED from the corpus side: a
+    // phantom candidate from a deleted doc (missed retraction) or a
+    // lost live doc (over-deletion) goes hash-red.
+    "d_index_deletes" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, d, "documents")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      val splitId = maxId * 4 / 5
+      val corpusCut = maxId * 2 / 5
+      def tag(df: DataFrame, sign: Int) = df.select(col("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"),
+        lit(sign).as("sign"))
+      val b1 = tag(docs.filter(col("doc_id") < corpusCut), 1)
+      val b2 = tag(docs.filter(col("doc_id") >= corpusCut &&
+          col("doc_id") < splitId), 1)
+        .unionByName(tag(docs.filter(col("doc_id") < corpusCut &&
+          col("doc_id") % 9 === 0), -1))
+      val schema = graft.etl.Tables.documents.add("sign", IntegerType)
+      val (base, stream) = Replay.twoBatchStream(s, "minhash_del", d,
+        schema, "docs", b1, b2)
+      val idxPath = new java.io.File(base, "band_index").getPath
+      val q = graft.streaming.Streams.appendMaintain(stream, idxPath)(
+        b => minhashBandsOfDocs(b)
+          .join(b.select("doc_id", "sign"), "doc_id"))
+      require(q.awaitTermination(600000),
+        "signed index maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the cross-batch netting " +
+          "is untested")
+      val idx = graft.streaming.Streams.readMaintained(s, idxPath)
+        .groupBy("doc_id", "band", "bh").agg(sum("sign").as("m"))
+        .filter(col("m") > 0)
+      val batch = minhashBands(
+        minhashSig(s, d).filter(col("doc_id") >= splitId))
+      val cand = idx.as("x").join(batch.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = cand.select(explode(array(col("a"), col("b")))
+        .as("doc_id")).distinct()
+      val shCand = docs.join(candIds, "doc_id")
+        .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double")
+      cand
+        .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+        .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }),
+
     // Near-dup clustering: TRUE connected components over the verified
     // pair graph (pointer-doubling label propagation to a checked
     // fixpoint — see connectedComponents; a bounded unrolling would
@@ -859,6 +923,10 @@ object Dedup {
     // identical truth: the maintained index must yield exactly the
     // corpus×batch pairs the batch-built index yields
     "d_index_maintained" -> incrementalPairsSql,
+    // the netted index must equal an index over the corpus MINUS the
+    // deleted docs: the candidate clause excludes them from the corpus
+    // side, everything downstream is the shared verify chain
+    "d_index_deletes" -> indexDeletesSql,
     // TRUE components, as a recursive reachability closure (UNION
     // deduplicates, so the iteration terminates): min reachable node id
     // == the Spark fixpoint's min component label.
@@ -925,6 +993,20 @@ object Dedup {
          ON x.band = y.band AND x.bh = y.bh
        CROSS JOIN spl
        WHERE x.doc_id < spl.v AND y.doc_id >= spl.v""")
+
+  /** The deletes mirror: the corpus side excludes the retracted docs
+    * (doc_id % 9 == 0 within the first corpus micro-batch — max·2//5
+    * mirrors the Scala Long floor division).
+    */
+  private lazy val indexDeletesSql: String = minhashPairsSqlCand(
+    """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       FROM bands x JOIN bands y
+         ON x.band = y.band AND x.bh = y.bh
+       CROSS JOIN spl
+       WHERE x.doc_id < spl.v AND y.doc_id >= spl.v
+         AND NOT (x.doc_id <
+                    (SELECT max(doc_id) * 2 // 5 FROM documents)
+                  AND x.doc_id % 9 = 0)""")
 
   /** The IDF-weighted mirror: same shingle/hash/band/verify stages as
     * minhashPairsSqlCand, with the DF pass, rare filter (df ≤

@@ -1041,6 +1041,46 @@ object Extras {
         .orderBy("l_returnflag")
     }),
 
+    // a3_approx with the DISTINCT-CARDINALITY state MAINTAINED BY THE
+    // STREAMING SINK — the statistic countMaintain cannot express
+    // (distinct counts are not additive: a customer ordering in both
+    // replay halves must count ONCE, so the cross-batch merge is the
+    // HLL UNION of two KB blobs, never a re-sum). Streams.hllMaintain
+    // unions a Datasketches sketch across the 2-batch orders replay
+    // through the merge-sink discipline; the estimate derives in-plan
+    // from the maintained state scan and verdict-checks against the
+    // exact recompute at the a3_approx bound. With this row every
+    // summary statistic a 100 TB pipeline monitors continuously —
+    // counts, frequent items, point frequencies, distributions, and
+    // now distinct cardinality — has a maintained, exactly-once,
+    // oracle-checked form.
+    "x_hll_maintained" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mid = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "hll", d,
+        graft.etl.Tables.schemas("orders"), "ord",
+        o.filter(col("o_orderkey") < mid),
+        o.filter(col("o_orderkey") >= mid))
+      val statePath = new java.io.File(base, "hll").getPath
+      val q = graft.streaming.Streams.hllMaintain(stream, "o_custkey",
+        statePath)
+      require(q.awaitTermination(600000),
+        "HLL maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the union path is untested")
+      val est = s.read.parquet(statePath)
+        .select(hll_sketch_estimate(col("hll")).as("approx"),
+          col("n").as("n_seen"))
+      o.agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          count("*").as("n"))
+        .crossJoin(broadcast(est))
+        .select(
+          (abs(col("approx") - col("exact_custs")).cast("double") /
+            col("exact_custs") <= 0.05 &&
+            col("n_seen") === col("n")).as("within_bound"),
+          col("exact_custs"), col("n"))
+    }),
+
     // Deterministic 7% hash sample: reproducible across runs, engines,
     // and partitionings; the filter pushes to the scan output (no
     // shuffle, no seed state).
@@ -1755,6 +1795,15 @@ object Extras {
              AS p50_exact,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // a3_approx's verdict shape over the MAINTAINED sketch: the union
+    // estimate must meet the same bound a one-shot sketch meets, plus
+    // the maintained row-count must equal the recount (a dropped or
+    // double-merged batch breaks one of the two)
+    "x_hll_maintained" ->
+      """SELECT TRUE AS within_bound,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           COUNT(*) AS n
+         FROM orders""",
     // verdict-column oracle (x_approx_pctile precedent): p50_exact and
     // n are exact truths recomputed here; within_bound is the
     // Spark-side sketch-guarantee verdict pinned to TRUE — it holds by

@@ -1407,6 +1407,58 @@ object Streams {
       }
     }
 
+  /** Streaming distinct-cardinality maintenance: a Datasketches HLL
+    * sketch of a key column maintained across micro-batches — the
+    * statistic countMaintain CANNOT give: distinct counts are not
+    * additive (the same key in two batches must count once), so the
+    * merge is the HLL UNION, not a re-sum. Each batch sketches
+    * DISTRIBUTED (`hll_sketch_agg`: per-partition sketches, one KB
+    * final merge); maintenance unions two KB blobs — O(2^lgK)
+    * regardless of stream size — through the same staged-swap +
+    * exactly-once marker discipline. State = one (n, hll binary) row;
+    * the union estimate carries the same relative-error guarantee as a
+    * one-shot sketch over the whole prefix (mergeability is the
+    * datasketches design point), which is what the registered verdict
+    * checks against the exact distinct count.
+    */
+  def hllMaintain(events: DataFrame, keyCol: String, statePath: String,
+      lgConfigK: Int = 12,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      hllBatch(batch, keyCol, statePath, lgConfigK, id)
+    }
+
+  /** One [[hllMaintain]] batch merge, factored for the retry spec. */
+  private[graft] def hllBatch(batch: DataFrame, keyCol: String,
+      statePath: String, lgConfigK: Int, id: Long): Unit =
+    mergeOnce(statePath, id) {
+      val sp = batch.sparkSession
+      import sp.implicits._
+      val row = batch.agg(
+        hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("hll"),
+        count(lit(1)).as("n")).head()
+      val batchSketch = row.getAs[Array[Byte]](0)
+      val batchN = row.getLong(1)
+      val cur = new java.io.File(statePath)
+      val (merged, n) =
+        if (!cur.exists()) (batchSketch, batchN)
+        else {
+          val st = sp.read.parquet(statePath)
+            .as[(Long, Array[Byte])].head()
+          // the union runs engine-side (same datasketches build both
+          // times) over two KB blobs — one 1-row job, never a rescan
+          val u = Seq((st._2, batchSketch)).toDF("a", "b")
+            .select(hll_union(col("a"), col("b")).as("u"))
+            .head().getAs[Array[Byte]](0)
+          (u, st._1 + batchN)
+        }
+      val staged = statePath + s"_stage$id"
+      Seq((n, merged)).toDF("n", "hll")
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      markBatch(staged, id)
+      stagedSwap(staged, statePath)
+    }
+
   /** Streaming quantile maintenance: a per-key mergeable quantile
     * sketch (KLL/MRL compactor levels with a self-accounted
     * deterministic rank-error bound — [[graft.functions.QuantileSketch]])

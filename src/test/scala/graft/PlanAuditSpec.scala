@@ -79,7 +79,8 @@ class PlanAuditSpec extends SparkTestBase {
     // MAINTAINED index, which must stay a band equi-join like the rest
     for (q <- Seq("d_minhash_pairs", "d_minhash_idf", "d_ngram_jaccard",
         "v_ann_lsh", "j_fuzzy_blocked", "d_embed_lsh", "d_embed_lsh2",
-        "d_simhash_hamming", "d_incremental", "d_index_maintained")) {
+        "d_simhash_hamming", "d_incremental", "d_index_maintained",
+        "d_index_deletes")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,

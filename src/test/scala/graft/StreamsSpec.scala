@@ -948,6 +948,34 @@ class StreamsSpec extends SparkTestBase {
       "online compaction lost or duplicated an appended row")
   }
 
+  test("hllBatch: cross-batch union counts overlapping keys ONCE; " +
+      "retry is a marker-guarded no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hll_maint")
+    val statePath = tmp.resolve("hll").toString
+    // 600 distinct keys, every batch carries HALF the keyspace with a
+    // 200-key OVERLAP — a re-sum merge would report ~800, the union
+    // must stay within the sketch bound of 600 (the non-additivity
+    // point of the sink)
+    val b1 = (1 to 400).map(i => s"k$i").toDF("k")
+    val b2 = (201 to 600).map(i => s"k$i").toDF("k")
+    Streams.hllBatch(b1, "k", statePath, 12, 0L)
+    Streams.hllBatch(b2, "k", statePath, 12, 1L)
+    def state() = spark.read.parquet(statePath)
+      .select(col("n"), hll_sketch_estimate(col("hll")).as("est"))
+      .as[(Long, Long)].head()
+    val (n, est) = state()
+    assert(n == 800L, "n tracks ROWS seen (additive), not distincts")
+    assert(math.abs(est - 600L) <= 0.05 * 600,
+      s"union estimate $est outside 5% of 600 true distincts")
+    // redelivery of the last batch: the committed marker must skip it
+    // (a blind re-union would be harmless for the sketch but n would
+    // double-count — the marker protects both)
+    Streams.hllBatch(b2, "k", statePath, 12, 1L)
+    assert(state() == ((n, est)), "retried batch changed the HLL state")
+    assert(Streams.lastAppliedBatch(statePath).contains(1L))
+  }
+
   test("scd2LateBatch: a late event resurrects the change at a later " +
       "non-change event; retry of the last batch is exact") {
     // THE case the change-row log alone cannot handle (why the sink

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Normalize a Verify plans dir into committable snapshots, so plan
+regressions (lost pushdown, a broadcast flipping to a shuffle, a new
+exchange) show up as a plain `git diff plans/` between rounds —
+machine-visible to reviewer and builder alike instead of needing a
+fresh hand audit.
+
+Normalization strips what legitimately churns run-to-run while keeping
+everything structural:
+  - expression ids        (#12345 / #12345L)        -> #N / #NL
+  - plan ids              [plan_id=98765]           -> [plan_id=N]
+  - scratch paths         /tmp/graft_*, tempdirs    -> TMP
+  - subquery result ids   subquery#123              -> subquery#N
+  - cache/checkpoint rdds (LocalTableScan ids etc. are already absent
+    from FormattedMode)
+
+Usage: plan_snapshot.py PLANS_DIR OUT_DIR
+  e.g.: plan_snapshot.py /tmp/verify_out.plans plans/
+"""
+import os
+import re
+import sys
+
+
+def normalize(text: str) -> str:
+    text = re.sub(r"#\d+", "#N", text)
+    text = re.sub(r"\[plan_id=\d+\]", "[plan_id=N]", text)
+    text = re.sub(r"/tmp/graft_[^\s,\]\)]*", "TMP", text)
+    text = re.sub(r"/tmp/[A-Za-z0-9_.-]*(spark|temporary|checkpoint)"
+                  r"[^\s,\]\)]*", "TMP", text, flags=re.I)
+    text = re.sub(r"file:/tmp/[^\s,\]\)]*", "file:TMP", text)
+    # parquet part files and write-job UUIDs
+    text = re.sub(r"part-\d{5}-[0-9a-f-]+", "part-N", text)
+    text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
+                  r"[0-9a-f]{12}", "UUID", text)
+    return text
+
+
+def main() -> None:
+    plans_dir, out_dir = sys.argv[1], sys.argv[2]
+    os.makedirs(out_dir, exist_ok=True)
+    names = sorted(n for n in os.listdir(plans_dir) if n.endswith(".txt"))
+    for n in names:
+        with open(os.path.join(plans_dir, n)) as f:
+            norm = normalize(f.read())
+        with open(os.path.join(out_dir, n), "w") as f:
+            f.write(norm)
+    print(f"snapshotted {len(names)} plans -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
