@@ -141,6 +141,42 @@ object Windows {
         .orderBy("o_orderstatus", "rn")
     }),
 
+    // w4_topk_group with the leaderboard MAINTAINED BY THE STREAMING
+    // SINK — the continuously-current top-k, the second non-additive
+    // maintained state (latestMaintain's argmax generalized from k=1):
+    // top-k under a total order is a semilattice, so merging per-batch
+    // top-ks is EXACTLY the one-shot top-k over the whole stream —
+    // which is why this row shares w4_topk_group's oracle VERBATIM.
+    // Per batch the merge window sees ≤ 2k rows per group no matter
+    // how much the stream has seen; at 100 TB the leaderboard never
+    // rescans history. The read side re-derives rn over |groups|·k
+    // state rows.
+    "l_topk_maintained" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mid = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "topk", d,
+        graft.etl.Tables.schemas("orders"), "ord",
+        o.filter(col("o_orderkey") < mid),
+        o.filter(col("o_orderkey") >= mid))
+      val statePath = new java.io.File(base, "topk").getPath
+      val q = graft.streaming.Streams.topkMaintain(stream, statePath,
+        "o_orderstatus", 3,
+        Seq(desc("o_totalprice"), asc("o_orderkey")))
+      require(q.awaitTermination(600000),
+        "top-k maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the semilattice merge " +
+          "is untested")
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      s.read.parquet(statePath)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+
     // W6: distribution windows — cume_dist / percent_rank per customer.
     // The tie-break column is INSIDE the ORDER BY, so every frame is a
     // total order: each row is its own peer group and both functions
@@ -179,6 +215,16 @@ object Windows {
         .orderBy("quartile")
     }))
 
+  private lazy val topkSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice, rn
+         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn"""
+
   val oracles: Map[String, String] = Map(
     "w1_rank" ->
       """SELECT o_custkey, o_orderkey, rn, rnk, drnk FROM (
@@ -211,15 +257,10 @@ object Windows {
              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
          FROM events ORDER BY user_id, event_id""",
-    "w4_topk_group" ->
-      """SELECT o_orderstatus, o_orderkey,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-             AS o_totalprice, rn
-         FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderstatus
-               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-           FROM orders)
-         WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+    "w4_topk_group" -> topkSql,
+    // the maintained leaderboard must equal the one-shot top-k — the
+    // semilattice identity, checked with w4's oracle VERBATIM
+    "l_topk_maintained" -> topkSql,
     "w6_cume" ->
       """SELECT o_custkey, o_orderkey,
            cume_dist() OVER w AS cd,

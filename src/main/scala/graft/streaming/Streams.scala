@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
@@ -1406,6 +1406,46 @@ object Streams {
         stagedSwap(staged, statePath)
       }
     }
+
+  /** Streaming top-k-per-group maintenance — the continuously-current
+    * LEADERBOARD: the second NON-additive maintained state after
+    * latestMaintain's argmax, and like it exact by algebra, not
+    * approximation: top-k under a TOTAL order (tiebreak included) is a
+    * semilattice — topk(A ∪ topk(B)) = topk(A ∪ B) — so merging
+    * per-batch top-ks reproduces the one-shot top-k over the whole
+    * stream for ANY batch split. Each batch first collapses to its own
+    * per-group top-k (|batch| window work), then merges against state:
+    * ≤ 2k rows per group enter the merge window regardless of stream
+    * size. Same staged-swap + exactly-once marker as the other merge
+    * sinks.
+    */
+  def topkMaintain(stream: DataFrame, statePath: String,
+      groupCol: String, k: Int, order: Seq[Column],
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      topkBatch(batch, statePath, groupCol, k, order, id)
+    }
+
+  /** One [[topkMaintain]] batch merge, factored for the retry spec. */
+  private[graft] def topkBatch(batch: DataFrame, statePath: String,
+      groupCol: String, k: Int, order: Seq[Column],
+      id: Long): Unit = mergeOnce(statePath, id) {
+    import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    def topOf(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(groupCol).orderBy(order: _*)))
+        .filter(col("__rn") <= k).drop("__rn")
+    val part = topOf(batch)
+    val cur = new java.io.File(statePath)
+    val merged =
+      if (!cur.exists()) part
+      else topOf(sp.read.parquet(statePath).unionByName(part))
+    val staged = statePath + s"_stage$id"
+    merged.write.mode("overwrite").parquet(staged)
+    markBatch(staged, id)
+    stagedSwap(staged, statePath)
+  }
 
   /** Streaming distinct-cardinality maintenance: a Datasketches HLL
     * sketch of a key column maintained across micro-batches — the

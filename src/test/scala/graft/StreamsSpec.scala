@@ -948,6 +948,40 @@ class StreamsSpec extends SparkTestBase {
       "online compaction lost or duplicated an appended row")
   }
 
+  test("topkBatch: semilattice merge equals the one-shot top-k for " +
+      "any split; retry is a marker-guarded no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("topk_maint")
+    val statePath = tmp.resolve("topk").toString
+    val order = Seq(desc("v"), asc("id"))
+    // group A's final top-2 straddles the batches; group B's batch-2
+    // rows all lose — the merge must both ADMIT and REJECT across state
+    val b1 = Seq(("A", 10, 1L), ("A", 8, 2L), ("A", 7, 3L),
+      ("B", 5, 4L), ("B", 4, 5L)).toDF("g", "v", "id")
+    val b2 = Seq(("A", 9, 6L), ("B", 1, 7L), ("B", 2, 8L))
+      .toDF("g", "v", "id")
+    Streams.topkBatch(b1, statePath, "g", 2, order, 0L)
+    Streams.topkBatch(b2, statePath, "g", 2, order, 1L)
+    def state() = spark.read.parquet(statePath)
+      .as[(String, Int, Long)].collect().toSet
+    val expected = Set(("A", 10, 1L), ("A", 9, 6L),
+      ("B", 5, 4L), ("B", 4, 5L))
+    assert(state() == expected,
+      "maintained top-k diverged from the one-shot top-k")
+    // tie on v must break on id ASC — the total order the semilattice
+    // identity depends on
+    Streams.topkBatch(Seq(("B", 5, 3L)).toDF("g", "v", "id"),
+      statePath, "g", 2, order, 2L)
+    assert(state() == Set(("A", 10, 1L), ("A", 9, 6L),
+      ("B", 5, 3L), ("B", 5, 4L)))
+    // redelivery: the committed marker must skip the duplicate
+    Streams.topkBatch(Seq(("B", 5, 3L)).toDF("g", "v", "id"),
+      statePath, "g", 2, order, 2L)
+    assert(state() == Set(("A", 10, 1L), ("A", 9, 6L),
+      ("B", 5, 3L), ("B", 5, 4L)))
+    assert(Streams.lastAppliedBatch(statePath).contains(2L))
+  }
+
   test("hllBatch: cross-batch union counts overlapping keys ONCE; " +
       "retry is a marker-guarded no-op") {
     import spark.implicits._
