@@ -106,6 +106,11 @@ object Vectors {
 
   // ---- IVF machinery (shared by v_ann_ivf*; parameterized for specs) --
 
+  /** Round cap for the v_kmeans_conv fixpoint loop — a loud-failure
+    * guard, not a truncation (the require refuses non-fixpoints).
+    */
+  private[graft] val KmeansMaxRounds = 32
+
   /** Exact fixed-point per-cell centroids over (`k`, `embedding`) rows —
     * the same grid-snap as v_centroid: components floor(x·1e6+0.5)
     * BEFORE an integer (order-independent) sum, so every engine and
@@ -325,6 +330,52 @@ object Vectors {
     // IvfSpec.
     "v_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = 1, lloydRounds = 1)),
 
+    // K-means run to a CHECKED FIXPOINT — the iterate-to-convergence
+    // discipline (d_clusters / g_labelprop_conv) on a numeric op: Lloyd
+    // rounds repeat until the assignment is STABLE (zero changed rows —
+    // one driver count per round, each round's assignment
+    // localCheckpointed like the other loops), require-capped so an
+    // oscillating fixture fails LOUDLY. The oracle is exact despite the
+    // unknown round count because a k-means fixpoint is absorbing under
+    // the shared grid-rounded arithmetic: once assignments repeat,
+    // every further round recomputes identical centroids and identical
+    // assignments — so DuckDB just unrolls the SAME CTE chain to the
+    // CAP and reads the assignment there (flat cost: the chain is
+    // MATERIALIZED, see ivfRoundsSql). Measured convergence: round 17
+    // at sf0.01 (500 -> 80 -> 41 -> ... -> 0), round 22 at sf0.1 —
+    // the cap leaves ~1.5x headroom.
+    "v_kmeans_conv" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cap = KmeansMaxRounds
+      var cent = fxCentroids(
+        e.select(col("label").as("k"), col("embedding")))
+      var prev: DataFrame = null
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0 && rounds < cap) {
+        val asg = ivfRanked(e, cent).filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+          .localCheckpoint(true)
+        changed =
+          if (prev == null) asg.count()
+          else asg.as("a").join(prev.as("p"), "vec_id")
+            .filter(col("a.cluster") =!= col("p.cluster")).count()
+        if (changed > 0)
+          cent = fxCentroids(asg.select(col("cluster").as("k"),
+            col("v").as("embedding")))
+        prev = asg
+        rounds += 1
+        // the d_clusters attribution discipline: per-round progress on
+        // stderr so convergence behavior is visible in any run log
+        System.err.println(s"[v_kmeans_conv] round=$rounds changed=$changed")
+      }
+      require(changed == 0,
+        s"k-means did not converge within $cap rounds (oscillating " +
+          "fixture?) — refusing to return a non-fixpoint")
+      prev.select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // ANN search over a STREAMING-MAINTAINED index — the maintenance
     // loop the dedup family has (d_index_maintained / d_semdedup_incr)
     // applied to similarity SEARCH: the inverted file is built by the
@@ -459,22 +510,27 @@ object Vectors {
     * corpus-restricted training). */
   private[ops] def ivfRoundsSql(lloydRounds: Int,
       table: String = "embeddings"): String =
-    // per-round centroid CTEs: vR (k, v) -> exR -> ceR -> clR -> rkR
+    // per-round centroid CTEs: vR (k, v) -> exR -> ceR -> clR -> rkR.
+    // MATERIALIZED matters: DuckDB inlines plain CTEs, and on a chained
+    // recurrence the re-evaluation compounds ~1.35× PER ROUND (measured
+    // — the 24-round v_kmeans_conv chain extrapolates to ~10^3 s
+    // inlined vs a flat 1.6 s materialized; harmless at lloydRounds=1)
     (0 to lloydRounds).map { r =>
       val src = if (r == 0)
-        s"v$r AS (SELECT label AS k, embedding AS v FROM $table)"
+        s"v$r AS MATERIALIZED (SELECT label AS k, embedding AS v " +
+          s"FROM $table)"
       else
-        s"v$r AS (SELECT k, v FROM rk${r - 1} WHERE rn = 1)"
+        s"v$r AS MATERIALIZED (SELECT k, v FROM rk${r - 1} WHERE rn = 1)"
       s"""$src,
-         ex$r AS (SELECT k, unnest(v) AS x,
+         ex$r AS MATERIALIZED (SELECT k, unnest(v) AS x,
              generate_subscripts(v, 1) AS dim FROM v$r),
-         ce$r AS (SELECT k, dim,
+         ce$r AS MATERIALIZED (SELECT k, dim,
              CAST(SUM(CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT))
                AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
            FROM ex$r GROUP BY k, dim),
-         cl$r AS (SELECT k, list(c ORDER BY dim) AS cv
+         cl$r AS MATERIALIZED (SELECT k, list(c ORDER BY dim) AS cv
            FROM ce$r GROUP BY k),
-         rk$r AS (
+         rk$r AS MATERIALIZED (
            SELECT vec_id, v, k, cc,
              row_number() OVER (PARTITION BY vec_id
                ORDER BY cc DESC, k ASC) AS rn
@@ -582,6 +638,14 @@ object Vectors {
            FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b)
          SELECT a, b, cos FROM scored WHERE cos >= 0.4 ORDER BY a, b""",
     "v_ann_ivf" -> ivfSql(nprobe = 1, lloydRounds = 1),
+    // the fixpoint is absorbing (see the query comment), so unrolling
+    // the SAME shared CTE chain to the Spark-side round CAP reads the
+    // identical converged assignment regardless of where inside the
+    // cap convergence happened
+    "v_kmeans_conv" ->
+      s"""WITH ${ivfRoundsSql(KmeansMaxRounds)}
+         SELECT vec_id, k AS cluster FROM rk$KmeansMaxRounds
+         WHERE rn = 1 ORDER BY vec_id""",
     // v_ann_maintained shares v_ann_ivf's oracle VERBATIM: the
     // streaming-maintained inverted file must reproduce the batch-built
     // index exactly, or the per-probe top-5 lists go hash-red
