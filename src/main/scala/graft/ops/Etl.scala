@@ -121,6 +121,40 @@ object Etl {
         .orderBy("o_orderstatus")
     }),
 
+    // SCHEMA EVOLUTION through the maintained-table append sink —
+    // e_union_evolve's maintenance twin: a redeployed pipeline widens
+    // its schema and CONTINUES appending to the same maintained table
+    // (batch 0 lands the narrow extract, batch 1 the widened one with
+    // o_orderstatus added). Driven through the factored appendBatch
+    // body because one file-source stream cannot change schema
+    // mid-flight — at production the redeployed job continues the same
+    // checkpoint lineage, which is exactly the continued batch-id
+    // sequence used here. The reader is readMaintainedEvolving
+    // (mergeSchema): pre-widening rows surface the new column as NULL.
+    // A plain readMaintained would pick ONE footer's schema and
+    // silently drop or fabricate the column — the failure mode this
+    // row pins down. Oracle = the full table with o_orderstatus
+    // nulled out below the widening point.
+    "l_evolve_maintained" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val mid = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      val path = new java.io.File(
+        Replay.scratchDir("evolve", d), "tbl").getPath
+      graft.streaming.Streams.appendBatch(
+        o.filter(col("o_orderkey") < mid)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, 0L)
+      graft.streaming.Streams.appendBatch(
+        o.filter(col("o_orderkey") >= mid)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus"),
+        path, 1L)
+      graft.streaming.Streams.readMaintainedEvolving(s, path)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // S6+layout: sorted-layout scan registered end-to-end — write events
     // range-partitioned AND sorted on ts (Load.writeSorted), read back
     // with a narrow time-range predicate (8 h of a 30-day table, ~1%).
@@ -1002,6 +1036,15 @@ object Etl {
     "s3_csv_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
+    // the merged-schema read must equal the full table with the added
+    // column NULL below the widening point — a dropped or fabricated
+    // column (the plain reader's failure modes) cannot match
+    "l_evolve_maintained" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey >= (SELECT MAX(o_orderkey) // 2
+                                    FROM orders)
+                THEN o_orderstatus ELSE NULL END AS o_orderstatus
          FROM orders ORDER BY o_orderkey""",
     "e_union_evolve" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

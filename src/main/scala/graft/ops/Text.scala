@@ -682,6 +682,85 @@ object Text {
         .limit(10)
     }),
 
+    // t_bm25 with the SEARCH INDEX MAINTAINED BY THE STREAMING SINKS —
+    // the maintained-search-index shape: two appendMaintain tables
+    // (per-doc lengths and the query-term postings; valid appends
+    // because each is a pure function of its own document) accumulate
+    // across the 2-batch documents replay, and the score runs WITHOUT
+    // EVER RESCANNING THE CORPUS: df, avgdl, and N are index-sized
+    // aggregates of the maintained tables (postings for the 3 query
+    // terms + |docs| length rows), so at 100 TB a query costs the
+    // index, not the text. Shares t_bm25's oracle VERBATIM — a missed
+    // batch, a double-appended posting, or a drifted length shifts a
+    // score and goes hash-red.
+    "t_bm25_maintained" -> ((s, d) => {
+      val qterms = Seq("join", "scan", "window")
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "bm25", d,
+        graft.etl.Tables.schemas("documents"), "docs",
+        docs.filter(col("doc_id") < mid),
+        docs.filter(col("doc_id") >= mid))
+      // state lands in SIBLINGS of the replay dir, not inside it: the
+      // second stream starts after the first sink's batch=<id> subdirs
+      // exist, and file-source partition discovery refuses the mixed
+      // layout (stale siblings are wiped — scratchDir only wipes base)
+      def sibling(name: String): String = {
+        val f = new java.io.File(base.getPath + "_" + name)
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+        f.getPath
+      }
+      val statsPath = sibling("docstats")
+      val postPath = sibling("posting")
+      val q1 = graft.streaming.Streams.appendMaintain(stream, statsPath)(
+        b => b.select(col("doc_id"), explode(words(col("text")))
+            .as("word"))
+          .groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl")))
+      require(q1.awaitTermination(600000),
+        "doc-stats maintenance stream must drain (AvailableNow)")
+      require(q1.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is " +
+          "untested")
+      val q2 = graft.streaming.Streams.appendMaintain(stream, postPath)(
+        b => b.select(col("doc_id"), explode(words(col("text")))
+            .as("word"))
+          .filter(col("word").isin(qterms: _*))
+          .groupBy("doc_id", "word")
+          .agg(count(lit(1)).cast("double").as("tf")))
+      require(q2.awaitTermination(600000),
+        "posting maintenance stream must drain (AvailableNow)")
+      val dl = graft.streaming.Streams.readMaintained(s, statsPath)
+      val tf = graft.streaming.Streams.readMaintained(s, postPath)
+      // index statistics derive from the maintained tables: df is a
+      // per-word count of posting rows (a posting row exists iff the
+      // doc contains the word), avgdl/N fold the |docs| length table
+      val avg = dl.agg((sum("dl") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+      val nDocs = dl.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dfreq = tf.groupBy("word")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val score = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(avg))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), roundf(score, 4).as("comp"), col("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("comp").cast("decimal(22,4)")).cast("double")
+            .as("bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(10)
+    }),
+
     "t_colloc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = words(col("text"))
@@ -806,6 +885,34 @@ object Text {
   lazy val oracles: Map[String, String] = baseOracles +
     curateOracle
 
+  private lazy val bm25Sql: String =
+    """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl
+                FROM toks GROUP BY 1),
+         a AS (SELECT SUM(dl) / COUNT(*)::DOUBLE AS avgdl FROM dl),
+         n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         qt AS (SELECT doc_id, word FROM toks
+                WHERE word IN ('join', 'scan', 'window')),
+         tf AS (SELECT doc_id, word, COUNT(*)::DOUBLE AS tf
+                FROM qt GROUP BY 1, 2),
+         dfreq AS (SELECT word, COUNT(*)::DOUBLE AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM qt)
+                   GROUP BY 1),
+         comp AS (
+           SELECT tf.doc_id,
+             floor((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl))
+               * 10000.0 + 0.5) / 10000.0 AS comp
+           FROM tf JOIN dfreq USING (word)
+                   JOIN dl ON tf.doc_id = dl.doc_id, a, n)
+         SELECT doc_id, COUNT(*) AS n_terms,
+           CAST(SUM(CAST(comp AS DECIMAL(22,4))) AS DOUBLE) AS bm25
+         FROM comp GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
+
   private lazy val baseOracles: Map[String, String] = Map(
     "t_lmscore3" ->
       """WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS sid FROM documents),
@@ -879,33 +986,10 @@ object Text {
            floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
              < 0.02 AS flag_improbable
          FROM ag ORDER BY doc_id""",
-    "t_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS word
-           FROM documents),
-         dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl
-                FROM toks GROUP BY 1),
-         a AS (SELECT SUM(dl) / COUNT(*)::DOUBLE AS avgdl FROM dl),
-         n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
-         qt AS (SELECT doc_id, word FROM toks
-                WHERE word IN ('join', 'scan', 'window')),
-         tf AS (SELECT doc_id, word, COUNT(*)::DOUBLE AS tf
-                FROM qt GROUP BY 1, 2),
-         dfreq AS (SELECT word, COUNT(*)::DOUBLE AS df
-                   FROM (SELECT DISTINCT doc_id, word FROM qt)
-                   GROUP BY 1),
-         comp AS (
-           SELECT tf.doc_id,
-             floor((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl))
-               * 10000.0 + 0.5) / 10000.0 AS comp
-           FROM tf JOIN dfreq USING (word)
-                   JOIN dl ON tf.doc_id = dl.doc_id, a, n)
-         SELECT doc_id, COUNT(*) AS n_terms,
-           CAST(SUM(CAST(comp AS DECIMAL(22,4))) AS DOUBLE) AS bm25
-         FROM comp GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+    "t_bm25" -> bm25Sql,
+    // the maintained index must score identically to the corpus-built
+    // one — t_bm25's oracle VERBATIM
+    "t_bm25_maintained" -> bm25Sql,
     "t_colloc" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS wd FROM documents),

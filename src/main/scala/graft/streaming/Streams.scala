@@ -669,6 +669,19 @@ object Streams {
   def readMaintained(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch")
 
+  /** [[readMaintained]] for a table whose schema EVOLVED across batches
+    * (a redeployed pipeline widened its extract and kept appending):
+    * mergeSchema unions every footer's schema and pre-widening rows
+    * surface the added columns as NULL. The plain reader would pick
+    * ONE footer's schema and silently drop the column — use this
+    * variant whenever batch schemas may differ. Cost: one footer read
+    * per file at planning (why it is opt-in, not the default); at
+    * production scale a transactional format's schema log replaces the
+    * footer sweep.
+    */
+  def readMaintainedEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path).drop("batch")
+
   /** Offline compaction of an [[appendMaintain]]-maintained table: the
     * `batch=<id>` layout accretes one subdirectory (≥1 file) per
     * micro-batch — at production cadence that is the classic streaming

@@ -191,6 +191,21 @@ class PlanAuditSpec extends SparkTestBase {
       "pctile verdict planned all-pairs")
   }
 
+  test("t_bm25_maintained: scoring never rescans the corpus — index " +
+      "tables only") {
+    // the maintained-search-index claim: df/avgdl/N and the score all
+    // derive from the appendMaintain parquets (plan() runs the replay
+    // rig first); a documents scan in the scoring plan would mean the
+    // index is decorative and every query pays the corpus
+    val p = plan("t_bm25_maintained")
+    assert(p.contains("graft_bm25"),
+      "score inputs should scan the maintained index parquets")
+    assert(!p.contains("documents.parquet"),
+      "scoring plan must not rescan the corpus text")
+    assert(nodeCount(p, "CartesianProduct") == 0,
+      "bm25 scoring planned all-pairs (the scalar crossJoins broadcast)")
+  }
+
   test("maintained rows consume the maintained table, not a base rescan") {
     // the maintenance family's point is amortization: the returned
     // frame must read what the sink maintained. rollup/hh plans scan
