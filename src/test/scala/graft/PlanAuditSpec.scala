@@ -217,11 +217,29 @@ class PlanAuditSpec extends SparkTestBase {
     for (q <- Seq("l_rollup_maintained", "l_hh_maintained",
         "l_rollup_corrected", "l_latest_maintained",
         "l_latest_tombstone", "l_scd2_maintained",
-        "l_rollup_retained")) {
+        "l_rollup_retained", "l_scd2_late")) {
       val p = plan(q)
       assert(!p.contains("events.parquet"),
         s"$q rescans base events — the maintained table should serve it")
     }
+    // round-12 maintained rows: each must read its maintained artifact
+    assert(plan("l_scd2_late").contains("graft_scd2_late"),
+      "late-SCD2 intervals should derive from the maintained change log")
+    val plj = plan("l_ivm_leftjoin")
+    assert(plj.contains("graft_ivm_lj"),
+      "the netted outer view should scan the maintained view log")
+    assert(!plj.contains("a_rows.parquet") && !plj.contains("b_rows.parquet"),
+      "l_ivm_leftjoin rescans the replay inputs — the view should serve it")
+    val ptk = plan("l_topk_maintained")
+    assert(ptk.contains("graft_topk"),
+      "the leaderboard should scan the maintained top-k state")
+    assert(!ptk.contains("a_ord.parquet") && !ptk.contains("b_ord.parquet"),
+      "l_topk_maintained rescans the replay inputs")
+    assert(plan("x_hll_maintained").contains("graft_hll"),
+      "the distinct estimate should scan the maintained HLL state")
+    val pidx = plan("d_index_deletes")
+    assert(pidx.contains("graft_minhash_del"),
+      "netted candidates should scan the maintained band index")
     val p = plan("l_cm_maintained")
     assert(p.contains("partial_count"),
       "cm exact-truth counts must map-side combine")
