@@ -521,6 +521,25 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // The DEDUPLICATED CORPUS itself — the capstone the whole near-dup
+    // chain exists to produce: verified pairs → connected components →
+    // keep ONE canonical doc per cluster (the min doc_id — the same
+    // deterministic keep rule every production dedup needs for
+    // reproducible training sets), drop the rest, pass untouched docs
+    // through. The drop set is |clustered docs| rows — a left-anti
+    // hash join against the corpus, never a rescan of the similarity
+    // work. Oracle recomputes the keep rule over the recursive-CC
+    // truth, so a wrong component, a dropped canonical, or a surviving
+    // duplicate goes hash-red.
+    "d_dedup_apply" -> ((s, d) => {
+      val cl = queries("d_clusters")(s, d)
+      t(s, d, "documents")
+        .join(cl.filter(col("is_canonical") === 0).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // SimHash: 60-bit binary-weight fingerprint over the distinct word set
     // (bit b set iff more than half the words hash with bit b set) —
     // near-identical docs get identical fingerprints, so near-dup grouping
@@ -940,7 +959,22 @@ object Dedup {
            SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m)
          SELECT node AS doc_id, min(m) AS cluster_id,
            CASE WHEN node = min(m) THEN 1 ELSE 0 END AS is_canonical
-         FROM r GROUP BY node ORDER BY doc_id""") ++ moreOracles
+         FROM r GROUP BY node ORDER BY doc_id""",
+    // the kept corpus = everything except clustered non-canonical docs
+    // (same recursive-CC truth, same min-id keep rule)
+    "d_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
+         edges AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+         r(node, m) AS (
+           SELECT a AS node, a AS m FROM edges
+           UNION
+           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m),
+         dropped AS (SELECT node FROM r GROUP BY node
+                     HAVING node != min(m))
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM dropped)
+         ORDER BY doc_id""") ++ moreOracles
 
   /** The MinHash pipeline CTEs with a pluggable candidate-pair clause —
     * the self-join oracle and the incremental (corpus×batch) oracle
