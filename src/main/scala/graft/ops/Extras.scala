@@ -679,6 +679,62 @@ object Extras {
         .orderBy("user_id")
     }),
 
+    // Triangle counting over the co-activity graph — the fourth graph
+    // primitive (the cohesion/clustering-coefficient precursor; vs the
+    // reference, an [EXT] like the rest of the graph family). The
+    // scale-critical trick is DEGREE ORIENTATION (Suri &
+    // Vassilvitskii, "Counting Triangles and the Curse of the Last
+    // Reducer", WWW 2011): orient every undirected edge from the
+    // endpoint with the smaller (degree, id) rank toward the larger,
+    // which bounds every node's OUT-degree by O(√m) — the hub that
+    // would otherwise host deg² wedge pairs hosts none, because hubs
+    // rank last and receive their edges inbound. Wedges are then
+    // out-neighbor pairs of each host, and a wedge (b, c) with
+    // rank(b) < rank(c) closes iff the ORIENTED edge (b, c) exists —
+    // by construction the closing edge can only be oriented that way —
+    // so the close check is a plain equi-join on (b, c). Three hash
+    // joins total, no cartesian anywhere; every triangle is found
+    // exactly once (at its minimum-rank corner). Output = per-node
+    // triangle participation (each triangle credits all three
+    // corners). The oracle recomputes the triangle set with plain
+    // id-ordering a<b<c — a different orientation, the SAME triangle
+    // set — so a lost or phantom triangle goes hash-red.
+    "g_triangles" -> ((s, d) => {
+      val und = coactivityEdges(t(s, d, "events"))
+        .filter(col("u") < col("v")).select("u", "v")
+      val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val withDeg = und
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      // rank = (degree, id) lexicographic, carried as an orderable
+      // struct so ties between equal-degree nodes stay deterministic
+      def rk(dg: Column, id: Column) =
+        struct(dg.as("d"), id.as("i"))
+      val oriented = withDeg.select(
+          when(rk(col("du"), col("u")) < rk(col("dv"), col("v")),
+            struct(col("u").as("a"), col("v").as("b"),
+              rk(col("dv"), col("v")).as("rb")))
+          .otherwise(
+            struct(col("v").as("a"), col("u").as("b"),
+              rk(col("du"), col("u")).as("rb"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.rb").as("rb"))
+        // three consumers (two wedge legs + the close probe) — without
+        // truncation each would recompute the hour-band pair join
+        .localCheckpoint()
+      val wedges = oriented
+        .join(oriented.select(col("a").as("a2"), col("b").as("c"),
+          col("rb").as("rc")),
+          col("a") === col("a2") && col("rb") < col("rc"))
+        .select(col("a"), col("b"), col("c"))
+      val tri = wedges.join(
+        oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c")))
+          .as("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_tri"))
+        .orderBy("user_id")
+    }),
+
     // Sequential (group-sequential) A/B monitoring — x_abtest with an
     // interim look: Welch's z at the mid-experiment checkpoint and at
     // the end, each tested against the Pocock two-look critical value
@@ -1302,6 +1358,30 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    // Triangle set via plain id-ordering a<b<c — orientation-free
+    // truth: pairs already has u<v, so e1=(a,b), e2=(b,c), e3=(a,c)
+    // enumerates each triangle exactly once.
+    "g_triangles" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         e AS (SELECT u, v FROM pairs),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1
+           JOIN e e2 ON e2.u = e1.v
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (
+           SELECT a AS user_id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         SELECT user_id, COUNT(*) AS n_tri FROM corners
+         GROUP BY 1 ORDER BY 1""",
     "g_wpagerank" ->
       """WITH act AS (
            SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
