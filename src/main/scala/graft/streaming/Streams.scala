@@ -875,6 +875,46 @@ object Streams {
     stagedSwap(staged, statePath)
   }
 
+  /** Serialized bloom sketch of `delta`'s join keys, for prefiltering
+    * an accumulated-side probe (the j_bloom runtime-filter lever
+    * applied to IVM): KB-sized, built driver-side over the delta — the
+    * SMALL side by construction — so at 100 TB the accumulated-side
+    * scan drops non-joining rows inside whole-stage codegen BEFORE any
+    * exchange, keeping per-batch probe cost delta-proportional instead
+    * of accumulated-proportional. No false negatives (sketch property),
+    * so the exact joins downstream are unchanged — the maintained-view
+    * oracles prove it. None for non-integral keys (the sketch hashes
+    * longs); callers then probe unfiltered, same correctness.
+    */
+  private[graft] def deltaKeyBloom(delta: DataFrame,
+      key: String): Option[Array[Byte]] = {
+    import org.apache.spark.sql.types._
+    delta.schema(key).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val keyed = delta.select(col(key).cast("long").as("k"))
+        // size from the true delta count (one scalar job over the
+        // in-memory micro-batch); floor 1000 keeps fpp honest
+        val n = keyed.count()
+        val bf = keyed.stat.bloomFilter("k", math.max(n, 1000L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Some(bos.toByteArray)
+      case _ => None
+    }
+  }
+
+  /** Apply a [[deltaKeyBloom]] sketch to an accumulated side. Safe on
+    * JOIN probes (false positives are removed by the exact join) AND
+    * as the right side of an ANTI/SEMI whose probe keys are a subset
+    * of the sketched delta keys: a row that would match is definitely
+    * retained, so the anti result is unchanged.
+    */
+  private def bloomProbe(bloom: Option[Array[Byte]], acc: DataFrame,
+      accKey: String): DataFrame =
+    bloom.fold(acc)(b => acc.filter(
+      org.apache.spark.sql.graftshim.BloomFilters
+        .mightContain(b, col(accKey).cast("long"))))
+
   /** Two-sided incremental view maintenance for an equi-join — the
     * classic IVM identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB run as a
     * streaming sink over a TAGGED-UNION stream (each micro-batch may
@@ -888,9 +928,10 @@ object Streams {
     * identical view delta (no staged swap or marker needed; this is
     * the append discipline, not the merge discipline). Per batch the
     * work is ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — delta-proportional probes of the
-    * accumulated sides, never a recomputation of the view; at 100 TB
-    * the accumulated-side scans prune to the delta's join keys with
-    * the usual runtime-filter levers (j_bloom). Late deletes need the
+    * accumulated sides, never a recomputation of the view, and the
+    * runtime-filter lever is APPLIED, not just named: each accumulated
+    * side is prefiltered by a [[deltaKeyBloom]] sketch of the opposite
+    * delta's keys before the join. Late deletes need the
     * signed-row discipline (rollupSignedMaintain) on top — out of this
     * sink's append-only contract.
     */
@@ -927,8 +968,14 @@ object Streams {
     val bPrev = prevOf(bPath, dB.schema)
     def j(l: DataFrame, r: DataFrame) =
       l.join(r, l(leftKey) === r(rightKey))
-    val jDelta = j(dA, bPrev)
-      .unionByName(j(aPrev, dB))
+    // runtime-filter lever: each accumulated side is prefiltered by a
+    // bloom of the OPPOSITE delta's keys, so the probes stay
+    // delta-proportional at any accumulated size (no false negatives —
+    // the exact equi-joins below are unchanged)
+    val bP = bloomProbe(deltaKeyBloom(dA, leftKey), bPrev, rightKey)
+    val aP = bloomProbe(deltaKeyBloom(dB, rightKey), aPrev, leftKey)
+    val jDelta = j(dA, bP)
+      .unionByName(j(aP, dB))
       .unionByName(j(dA, dB))
     appendBatch(jDelta, jPath, id)
     appendBatch(dA, aPath, id)
@@ -954,7 +1001,10 @@ object Streams {
     * arrived: they match ΔB but matched nothing before. All probes are
     * delta-proportional (ΔB drives the semi; the anti against the
     * accumulated side is the same probe shape as [[ivmJoinMaintain]],
-    * with the same runtime-filter lever at 100 TB). State writes are
+    * and every accumulated-side touch — join, semi, AND anti — carries
+    * the [[deltaKeyBloom]] prefilter, sound for anti/semi because the
+    * probe keys are subsets of the sketched delta keys). State writes
+    * are
     * batchId-keyed overwrites with current-id-excluding prior reads,
     * so the sink is retry-idempotent BY CONSTRUCTION like the inner
     * sink — StreamsSpec drives the double-apply.
@@ -993,17 +1043,29 @@ object Streams {
     def padded(a: DataFrame): DataFrame =
       a.select(a.columns.map(col) ++ dB.schema.fields.map(f =>
         lit(null).cast(f.dataType).as(f.name)): _*)
-    val inner = j(dA, bPrev)
-      .unionByName(j(aPrev, dB))
+    // runtime-filter lever (see ivmJoinBatch): every accumulated-side
+    // touch is bloom-prefiltered by the relevant delta's keys. The
+    // anti/semi uses are safe because their probe keys are subsets of
+    // the sketched delta keys — a matching row is always retained.
+    val aBloom = deltaKeyBloom(dA, leftKey)
+    val bBloom = deltaKeyBloom(dB, rightKey)
+    val bP = bloomProbe(aBloom, bPrev, rightKey)
+    val aP = bloomProbe(bBloom, aPrev, leftKey)
+    val inner = j(dA, bP)
+      .unionByName(j(aP, dB))
       .unionByName(j(dA, dB))
       .withColumn("sign", lit(1))
-    val bFull = bPrev.unionByName(dB)
+    // ΔA's anti probes bFull on ΔA's own keys → prefilter by aBloom
+    val bFull = bP.unionByName(dB)
     val newNull = padded(
       dA.join(bFull, dA(leftKey) === bFull(rightKey), "left_anti"))
       .withColumn("sign", lit(1))
+    // retract's semi-survivors carry keys ⊆ ΔB's keys, so both the
+    // accumulated semi side (aP) and the anti side prefilter by bBloom
+    val bAnti = bloomProbe(bBloom, bPrev, rightKey)
     val retract = padded(
-      aPrev.join(dB, aPrev(leftKey) === dB(rightKey), "left_semi")
-        .join(bPrev, col(leftKey) === bPrev(rightKey), "left_anti"))
+      aP.join(dB, aP(leftKey) === dB(rightKey), "left_semi")
+        .join(bAnti, col(leftKey) === bAnti(rightKey), "left_anti"))
       .withColumn("sign", lit(-1))
     appendBatch(inner.unionByName(newNull).unionByName(retract),
       vPath, id)

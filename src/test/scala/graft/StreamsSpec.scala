@@ -450,6 +450,34 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
   }
 
+  test("deltaKeyBloom: no false negatives, real pruning, and a " +
+      "non-integral key opts out") {
+    // the IVM runtime-filter lever's soundness contract: every
+    // accumulated row whose key appears in the delta MUST survive the
+    // prefilter (false negatives would silently drop view rows), and
+    // on a disjoint-heavy accumulated side the 1% fpp sketch must
+    // prune the overwhelming majority (the lever's entire point)
+    import spark.implicits._
+    val delta = (0L until 50L).map(i => i * 1000L).toDF("k")
+    val bloom = Streams.deltaKeyBloom(delta, "k")
+    assert(bloom.isDefined)
+    val acc = (0L until 100000L).toDF("k")
+    val kept = acc.filter(
+      org.apache.spark.sql.graftshim.BloomFilters
+        .mightContain(bloom.get, col("k"))).as[Long].collect().toSet
+    val deltaKeys = (0L until 50L).map(_ * 1000L)
+      .filter(_ < 100000L).toSet
+    assert(deltaKeys.subsetOf(kept), "bloom dropped a true join key")
+    // 100k candidates, 50 true keys, fpp 1% → expect ~1k kept; assert
+    // a loose 5% bound so the test never flakes on sketch variance
+    assert(kept.size < 5000,
+      s"bloom pruned nothing: kept ${kept.size} of 100000")
+    // string keys: the sketch hashes longs only — the lever must opt
+    // out (None), leaving the probe unfiltered rather than wrong
+    assert(Streams.deltaKeyBloom(
+      Seq("a", "b").toDF("k"), "k").isEmpty)
+  }
+
   test("legacy heavy-hitters state layout fails with a clear message") {
     // the state format changed from (key, est) rows + __n__ sentinel to
     // one (n, mg) row; an old statePath must produce an actionable
