@@ -212,9 +212,112 @@ object Events {
         .agg(count("*").as("n"), min(col("ts")).as("first_ts"),
           max(col("ts")).as("last_ts"))
         .orderBy("event_type")
+    }),
+
+    // Multi-touch attribution — first-touch, last-touch, and linear
+    // credit per channel for every conversion (purchase), over the
+    // user's click/view touchpoints in a 7-day lookback. The join is
+    // EQUI on user_id with the time range as a residual predicate —
+    // one hash exchange on the natural key, per-user touch lists stay
+    // local, no banded self-join needed because conversions and
+    // touches co-partition. First/last resolve via min/max over
+    // (ts, event_id, channel) structs — two partial-agg'd hash aggs,
+    // no per-conversion sort (the lpaArgmax discipline); linear
+    // credit is cnt/n grid-rounded to 1e-9 then summed as exact
+    // decimals, and the revenue split (value·cnt/n) to 1e-4 — the
+    // wpagerank determinism discipline, so both engines agree
+    // bit-for-bit on fractional credit. Conversions with zero
+    // in-window touches drop out of every model consistently.
+    "e_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("cts"), col("value"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("tid"), col("user_id"),
+          col("ts").as("tts"), col("event_type").as("channel"))
+      val tj = conv.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("cts") &&
+          col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+      val per = tj.groupBy("conv_id").agg(
+        count(lit(1)).as("n"),
+        min(struct(col("tts"), col("tid"), col("channel"))).as("f"),
+        max(struct(col("tts"), col("tid"), col("channel"))).as("l"),
+        min(col("value")).as("value"))
+      val perCh = tj.groupBy("conv_id", "channel")
+        .agg(count(lit(1)).as("cnt"))
+      val linear = perCh
+        .join(per.select("conv_id", "n", "value"), "conv_id")
+        .select(col("channel"),
+          roundf(col("cnt") / col("n"), 9).as("lc"),
+          roundf(col("value") * col("cnt") / col("n"), 4).as("lv"))
+        .groupBy("channel").agg(
+          roundf(sum(col("lc").cast("decimal(38,9)")).cast("double"), 6)
+            .as("linear_conversions"),
+          sum(col("lv").cast("decimal(22,4)")).cast("double")
+            .as("linear_value"))
+      val firstT = per.groupBy(col("f.channel").as("channel"))
+        .agg(count(lit(1)).as("n_first"))
+      val lastT = per.groupBy(col("l.channel").as("channel"))
+        .agg(count(lit(1)).as("n_last"))
+      linear.join(firstT, Seq("channel"), "left")
+        .join(lastT, Seq("channel"), "left")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          col("linear_conversions"), col("linear_value"))
+        .orderBy("channel")
     }))
 
   val oracles: Map[String, String] = Map(
+    // first/last via row_number windows — a different evaluation of
+    // the same (ts, event_id) total order the Spark struct-min uses
+    "e_attribution" ->
+      """WITH conv AS (
+           SELECT event_id AS conv_id, user_id, ts AS cts, value
+           FROM events WHERE event_type = 'purchase'),
+         touch AS (
+           SELECT event_id AS tid, user_id, ts AS tts,
+             event_type AS channel
+           FROM events WHERE event_type IN ('click', 'view')),
+         tj AS (
+           SELECT c.conv_id, c.value, t.channel, t.tts, t.tid
+           FROM conv c JOIN touch t ON t.user_id = c.user_id
+            AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+         ranked AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY tts, tid) AS rf,
+             row_number() OVER (PARTITION BY conv_id
+               ORDER BY tts DESC, tid DESC) AS rl,
+             count(*) OVER (PARTITION BY conv_id) AS n
+           FROM tj),
+         firstt AS (SELECT channel, count(*) AS n_first
+                    FROM ranked WHERE rf = 1 GROUP BY 1),
+         lastt AS (SELECT channel, count(*) AS n_last
+                   FROM ranked WHERE rl = 1 GROUP BY 1),
+         lin AS (
+           SELECT conv_id, channel, count(*) AS cnt, min(n) AS n,
+             min(value) AS value
+           FROM ranked GROUP BY 1, 2),
+         linagg AS (
+           SELECT channel,
+             floor(CAST(SUM(CAST(
+                 floor(cnt / n * 1000000000.0 + 0.5) / 1000000000.0
+                 AS DECIMAL(38,9))) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS linear_conversions,
+             CAST(SUM(CAST(
+                 floor(value * cnt / n * 10000.0 + 0.5) / 10000.0
+                 AS DECIMAL(22,4))) AS DOUBLE) AS linear_value
+           FROM lin GROUP BY 1)
+         SELECT l.channel,
+           COALESCE(f.n_first, 0) AS n_first,
+           COALESCE(t.n_last, 0) AS n_last,
+           l.linear_conversions, l.linear_value
+         FROM linagg l
+         LEFT JOIN firstt f USING (channel)
+         LEFT JOIN lastt t USING (channel)
+         ORDER BY channel""",
     "e_transitions" ->
       """WITH tr AS (
            SELECT user_id, event_type,
