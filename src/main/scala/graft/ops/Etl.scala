@@ -442,6 +442,52 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // DISTINCT view maintenance — the third IVM view shape, needing
+    // MULTIPLICITY COUNTS even over one base table: a second insert of
+    // a present key must not re-publish it, deleting one of two
+    // supporting rows must not retract it, and only the 0↔positive
+    // transitions reach the signed view log (Gupta & Mumick's counting
+    // algorithm — see Streams.ivmDistinctMaintain). The rig replays
+    // orders as (o_custkey, o_orderpriority, sign) rows in two
+    // batches; batch 2 retracts every batch-1 row of customers with
+    // custkey % 13 == 0, so keys whose support was entirely in batch 1
+    // make the positive→0 transition (a real −1 in the log), keys with
+    // batch-2 support survive the partial retraction (no log row — the
+    // count absorbs it), and fresh batch-2 keys make 0→positive. The
+    // oracle is DISTINCT over the NET rows: a phantom retraction, a
+    // re-published duplicate, or a double-counted retry goes hash-red.
+    "l_ivm_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val o = t(s, d, "orders")
+      val mid = o.agg(max("o_orderkey")).head.getLong(0) / 2
+      def tag(df: DataFrame, sign: Int) = df.select(
+        col("o_custkey"), col("o_orderpriority"), lit(sign).as("sign"))
+      val b1 = tag(o.filter(col("o_orderkey") < mid), 1)
+      val b2 = tag(o.filter(col("o_orderkey") >= mid), 1)
+        .unionByName(tag(o.filter(col("o_orderkey") < mid &&
+          col("o_custkey") % 13 === 0), -1))
+      val schema = StructType(Seq(
+        StructField("o_custkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("sign", IntegerType)))
+      val (base, stream) = Replay.twoBatchStream(s, "ivm_dist", d,
+        schema, "rows", b1, b2)
+      val ivmBase = new java.io.File(base, "ivm").getPath
+      val q = graft.streaming.Streams.ivmDistinctMaintain(stream,
+        ivmBase, Seq("o_custkey", "o_orderpriority"), "sign")
+      require(q.awaitTermination(600000),
+        "distinct IVM maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the transition log is " +
+          "untested")
+      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(sum("sign").as("m"))
+        .filter(col("m") > 0)
+        .select("o_custkey", "o_orderpriority")
+        .orderBy("o_custkey", "o_orderpriority")
+    }),
+
     // DELETES through the IVM join — with ZERO sink changes: each
     // side's rows carry a sign column (the rollupSignedMaintain
     // discipline composed with the delta terms), the generic join
@@ -1259,6 +1305,20 @@ object Etl {
            o_totalprice
          FROM orders LEFT JOIN nc ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    // DISTINCT over the NET rows (counting semantics): a key is
+    // present iff its inserts minus retractions stay positive
+    "l_ivm_distinct" ->
+      """WITH mo AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+         u AS (
+           SELECT o_custkey, o_orderpriority, 1 AS sign FROM orders
+           UNION ALL
+           SELECT o_custkey, o_orderpriority, -1 FROM orders, mo
+           WHERE o_orderkey < mo.m AND o_custkey % 13 = 0),
+         net AS (
+           SELECT o_custkey, o_orderpriority, SUM(sign) AS n
+           FROM u GROUP BY 1, 2)
+         SELECT o_custkey, o_orderpriority FROM net WHERE n > 0
+         ORDER BY o_custkey, o_orderpriority""",
     // the maintained view must equal the plain join recompute exactly
     "l_ivm_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,

@@ -1073,6 +1073,74 @@ object Streams {
     appendBatch(dB, bPath, id)
   }
 
+  /** DISTINCT view maintenance — the third IVM view shape, and the one
+    * that needs MULTIPLICITY COUNTS even over a single base table:
+    * DISTINCT is not distributive over deltas (a second insert of a
+    * present key must NOT re-publish it; deleting one of two supporting
+    * rows must NOT retract it). This is classical counting IVM
+    * (Gupta & Mumick's count algorithm): state = per-key multiset
+    * counts under `basePath/counts`, and the signed view log under
+    * `basePath/view` emits +1 only on a key's 0→positive transition
+    * and −1 only on positive→0 — readers net Σsign. Per batch the
+    * dataflow is |batch keys|-proportional: the batch pre-aggregates
+    * to per-key delta counts (map-side combine), the transition check
+    * probes the count state through the [[deltaKeyBloom]] prefilter,
+    * and the merge is countMaintain's re-sum (n=0 rows dropped;
+    * negative residuals RETAINED so out-of-order delete-before-insert
+    * nets correctly once the insert lands). Exactly-once: the view
+    * append is a batchId-keyed overwrite computed from the PRE-swap
+    * counts and both writes sit inside the counts marker guard, so a
+    * crash between them replays to the identical bytes and a
+    * fully-committed batch is skipped whole.
+    */
+  def ivmDistinctMaintain(stream: DataFrame, basePath: String,
+      keys: Seq[String], signCol: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      ivmDistinctBatch(batch, basePath, id, keys, signCol)
+    }
+
+  /** One [[ivmDistinctMaintain]] batch commit, factored for the
+    * retry-exactness and transition-semantics specs.
+    */
+  private[graft] def ivmDistinctBatch(batch: DataFrame, basePath: String,
+      id: Long, keys: Seq[String], signCol: String): Unit = {
+    val cPath = s"$basePath/counts"
+    val vPath = s"$basePath/view"
+    mergeOnce(cPath, id) {
+      val sp = batch.sparkSession
+      val kc = keys.map(col)
+      val d = batch.groupBy(kc: _*)
+        .agg(sum(col(signCol).cast("long")).as("dn"))
+      val cur = new java.io.File(cPath)
+      val prev =
+        if (cur.exists()) sp.read.parquet(cPath)
+        else sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(d.schema.fields.map(f =>
+            if (f.name == "dn") f.copy(name = "n") else f)))
+      val probe = bloomProbe(deltaKeyBloom(d, keys.head), prev, keys.head)
+        .withColumnRenamed("n", "pn")
+      val pj = d.join(probe, keys, "left")
+        .select(kc ++ Seq(coalesce(col("pn"), lit(0L)).as("pn"),
+          col("dn")): _*)
+        .withColumn("nn", col("pn") + col("dn"))
+      val viewDelta = pj
+        .filter((col("pn") <= 0 && col("nn") > 0) ||
+          (col("pn") > 0 && col("nn") <= 0))
+        .select(kc :+
+          when(col("nn") > 0, lit(1)).otherwise(lit(-1)).as("sign"): _*)
+      appendBatch(viewDelta, vPath, id)
+      val merged = prev.unionByName(d.withColumnRenamed("dn", "n"))
+        .groupBy(kc: _*).agg(sum("n").as("n"))
+        .filter(col("n") =!= 0)
+      val staged = cPath + s"_stage$id"
+      merged.write.mode("overwrite").parquet(staged)
+      markBatch(staged, id)
+      stagedSwap(staged, cPath)
+    }
+  }
+
   /** Incremental SCD2 history maintenance — the change-row LOG of the
     * validity-interval table (l_scd2) kept current per micro-batch.
     * State holds one row per (user, type-change): (user_id, event_type,

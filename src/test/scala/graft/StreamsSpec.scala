@@ -450,6 +450,47 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
   }
 
+  test("ivmDistinctBatch: only 0-positive transitions reach the log; " +
+      "partial retraction absorbed; retry leaves both tables unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivm_dist")
+    val base = tmp.resolve("ivm").toString
+    def B(rows: (Long, Int)*) = rows.toSeq.toDF("k", "sign")
+    def view() = Streams.readMaintained(spark, s"$base/view")
+      .groupBy("k").agg(sum("sign").as("m")).filter(col("m") > 0)
+      .select("k").as[Long].collect().toSet
+    def rawLog() = Streams.readMaintained(spark, s"$base/view")
+      .select("k", "sign").as[(Long, Int)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // batch 0: key 1 twice, key 2 once → view {1, 2}, ONE +1 per key
+    // (the duplicate insert must not re-publish)
+    Streams.ivmDistinctBatch(B((1L, 1), (1L, 1), (2L, 1)), base, 0L,
+      Seq("k"), "sign")
+    assert(view() == Set(1L, 2L))
+    assert(rawLog() == Map((1L, 1) -> 1, (2L, 1) -> 1),
+      "a duplicate insert re-published its key")
+    // batch 1: retract ONE of key 1's two copies → count absorbs it,
+    // no log row; key 3 arrives → +1
+    Streams.ivmDistinctBatch(B((1L, -1), (3L, 1)), base, 1L,
+      Seq("k"), "sign")
+    assert(view() == Set(1L, 2L, 3L))
+    assert(!rawLog().contains((1L, -1)),
+      "a partial retraction leaked into the view log")
+    // batch 2: retract key 1's LAST copy → a real −1
+    Streams.ivmDistinctBatch(B((1L, -1)), base, 2L, Seq("k"), "sign")
+    assert(view() == Set(2L, 3L))
+    assert(rawLog()((1L, -1)) == 1)
+    // byte-exact retry of batch 2: marker-guarded skip — the −1 must
+    // not double and the counts must not re-merge
+    Streams.ivmDistinctBatch(B((1L, -1)), base, 2L, Seq("k"), "sign")
+    assert(view() == Set(2L, 3L), "a retried batch changed the view")
+    assert(rawLog()((1L, -1)) == 1, "a retried batch duplicated a log row")
+    // batch 3: key 1 returns → 0→positive again, a fresh +1
+    Streams.ivmDistinctBatch(B((1L, 1)), base, 3L, Seq("k"), "sign")
+    assert(view() == Set(1L, 2L, 3L))
+    assert(rawLog()((1L, 1)) == 2, "re-publication after retraction lost")
+  }
+
   test("deltaKeyBloom: no false negatives, real pruning, and a " +
       "non-integral key opts out") {
     // the IVM runtime-filter lever's soundness contract: every
