@@ -442,6 +442,70 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // INTERVAL/BAND view maintenance — the IVM join sink generalized
+    // past equi conditions: the view is the attribution touch join
+    // (every click→purchase pair of the same user within a 7-day
+    // window — e_attribution's join, MAINTAINED), and the sink is the
+    // UNCHANGED ivmJoinMaintain with the band as a residual predicate:
+    // the IVM identity Δ(A⋈θB) = ΔA⋈θB ∪ A⋈θΔB ∪ ΔA⋈θΔB holds for any
+    // θ because joins are additive over row sets, the equi component
+    // (user_id) still carries the exchange AND the deltaKeyBloom
+    // lever, and the band evaluates as a residual inside the hash
+    // join. The replay splits events at the time midpoint, so 605
+    // pairs (sf0.01) straddle the batches — a click published in
+    // batch 1 finding its purchase in batch 2 exercises A_prev⋈θΔB
+    // with a genuinely non-equi θ. Oracle = the plain band-join
+    // recompute: a missed straddling pair or a band boundary
+    // off-by-one goes hash-red.
+    "l_ivm_interval" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      def tag(df: DataFrame) = df.select(
+        col("event_type").as("side"),
+        when(col("event_type") === "click", col("user_id")).as("user_id"),
+        when(col("event_type") === "click", col("event_id"))
+          .as("click_id"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"),
+        when(col("event_type") === "purchase", col("user_id"))
+          .as("p_user"),
+        when(col("event_type") === "purchase", col("event_id"))
+          .as("p_id"),
+        when(col("event_type") === "purchase", col("ts")).as("p_ts"))
+      val b1 = tag(ev.filter(unix_micros(col("ts")) < cut))
+      val b2 = tag(ev.filter(unix_micros(col("ts")) >= cut))
+      val schema = StructType(Seq(
+        StructField("side", StringType),
+        StructField("user_id", LongType),
+        StructField("click_id", LongType),
+        StructField("click_ts", TimestampType),
+        StructField("p_user", LongType),
+        StructField("p_id", LongType),
+        StructField("p_ts", TimestampType)))
+      val (base, stream) = Replay.twoBatchStream(s, "ivm_iv", d,
+        schema, "rows", b1, b2)
+      val ivmBase = new java.io.File(base, "ivm").getPath
+      val q = graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
+        b => b.filter(col("side") === "click")
+          .select("user_id", "click_id", "click_ts"),
+        b => b.filter(col("side") === "purchase")
+          .select("p_user", "p_id", "p_ts"),
+        "user_id", "p_user",
+        residual = (l, r) => r("p_ts") >= l("click_ts") &&
+          r("p_ts") < l("click_ts") + expr("INTERVAL 7 DAYS"))
+      require(q.awaitTermination(600000),
+        "interval IVM maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the straddling band " +
+          "pairs are untested")
+      graft.streaming.Streams.readMaintained(s, s"$ivmBase/view")
+        .select("click_id", "p_id", "user_id", "click_ts", "p_ts")
+        .orderBy("click_id", "p_id")
+    }),
+
     // DISTINCT view maintenance — the third IVM view shape, needing
     // MULTIPLICITY COUNTS even over one base table: a second insert of
     // a present key must not re-publish it, deleting one of two
@@ -1305,6 +1369,15 @@ object Etl {
            o_totalprice
          FROM orders LEFT JOIN nc ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    // the maintained band view must equal the plain band-join
+    // recompute — boundary semantics [ts, ts+7d) exactly
+    "l_ivm_interval" ->
+      """SELECT c.event_id AS click_id, p.event_id AS p_id,
+           c.user_id, c.ts AS click_ts, p.ts AS p_ts
+         FROM events c JOIN events p ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 7 DAY
+         ORDER BY click_id, p_id""",
     // DISTINCT over the NET rows (counting semantics): a key is
     // present iff its inserts minus retractions stay positive
     "l_ivm_distinct" ->

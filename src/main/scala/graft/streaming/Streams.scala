@@ -938,10 +938,12 @@ object Streams {
   def ivmJoinMaintain(stream: DataFrame, basePath: String,
       leftOf: DataFrame => DataFrame, rightOf: DataFrame => DataFrame,
       leftKey: String, rightKey: String,
-      checkpoint: Option[String] = None): StreamingQuery =
+      checkpoint: Option[String] = None,
+      residual: (DataFrame, DataFrame) => Column =
+        (_, _) => lit(true)): StreamingQuery =
     maintainWriter(stream, checkpoint) { (batch, id) =>
       ivmJoinBatch(leftOf(batch), rightOf(batch), basePath, id,
-        leftKey, rightKey)
+        leftKey, rightKey, residual)
     }
 
   /** One [[ivmJoinMaintain]] batch commit, factored out so the
@@ -953,7 +955,9 @@ object Streams {
     */
   private[graft] def ivmJoinBatch(dA: DataFrame, dB: DataFrame,
       basePath: String, id: Long,
-      leftKey: String, rightKey: String): Unit = {
+      leftKey: String, rightKey: String,
+      residual: (DataFrame, DataFrame) => Column =
+        (_, _) => lit(true)): Unit = {
     val sp = dA.sparkSession
     def prevOf(path: String,
         schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -966,8 +970,13 @@ object Streams {
     val jPath = s"$basePath/view"
     val aPrev = prevOf(aPath, dA.schema)
     val bPrev = prevOf(bPath, dB.schema)
+    // the join is equi on (leftKey, rightKey) with an optional RESIDUAL
+    // predicate — band/interval conditions ride on top of the equi
+    // exchange (the IVM identity Δ(A⋈θB) = ΔA⋈θB ∪ A⋈θΔB ∪ ΔA⋈θΔB
+    // holds for ANY θ: joins are additive over row sets), and the
+    // bloom lever keys on the equi component unchanged
     def j(l: DataFrame, r: DataFrame) =
-      l.join(r, l(leftKey) === r(rightKey))
+      l.join(r, l(leftKey) === r(rightKey) && residual(l, r))
     // runtime-filter lever: each accumulated side is prefiltered by a
     // bloom of the OPPOSITE delta's keys, so the probes stay
     // delta-proportional at any accumulated size (no false negatives —
