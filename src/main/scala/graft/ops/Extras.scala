@@ -101,6 +101,19 @@ object Extras {
     * the two stay in lockstep by construction. */
   private[graft] val LpaMaxRounds = 8
 
+  /** g_kcore's parameters, shared with its oracle (the LpaMaxRounds
+    * lockstep discipline). The peel runs on a SPARSIFIED co-activity
+    * graph — edge weight ≥ KcoreW (12 shared hours), not the LPA
+    * family's 3 — because the w≥3 graph is a near-clique at every
+    * scale (min degree 118 of 150 at sf0.01): nothing peels and the
+    * fixpoint is vacuous. At w≥12 the peel genuinely cascades:
+    * measured 5 rounds → 33-node core at sf0.01, 3 rounds → 1378 at
+    * sf0.1. The cap leaves ≥2× headroom; the require refuses a
+    * non-fixpoint. */
+  private[graft] val KcoreK = 3
+  private[graft] val KcoreW = 12
+  private[graft] val KcoreMaxRounds = 12
+
   /** x_shuffle's shard fanout: max(floor, input file count). The
     * global permutation sorts ONE shard per task, so the fanout must
     * grow with the corpus — at the 100 TB design point, file count
@@ -676,6 +689,56 @@ object Extras {
         .join(str, "u")
         .select(col("u").as("user_id"), col("s").as("strength"),
           roundf(col("pr"), 6).as("pagerank"))
+        .orderBy("user_id")
+    }),
+
+    // k-core decomposition (k=3) by iterative peeling — the fifth
+    // graph primitive: repeatedly remove nodes whose degree within the
+    // surviving subgraph falls below k, to a require-checked fixpoint
+    // (the d_clusters / g_labelprop_conv / v_kmeans_conv discipline:
+    // one driver count per round, per-round localCheckpoint so lineage
+    // stays O(1), loud failure past the cap). Per round the work is
+    // two alive-set semi-joins + one partial-agg'd degree count — the
+    // peel never rescans removed structure, and the alive set only
+    // shrinks. The oracle unrolls the SAME recurrence to the cap
+    // depth: a peeling fixpoint is ABSORBING (removing nothing changes
+    // nothing), so extra unrolled rounds are identities and the oracle
+    // never needs to know the discovered depth. Output = each core
+    // member with its within-core degree.
+    "g_kcore" -> ((s, d) => {
+      val act = capHourBand(t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct())
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= KcoreW)
+      val edges = pairs.select(col("u"), col("v"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      var alive = edges.select("u").distinct().localCheckpoint()
+      var deg: DataFrame = null
+      var prevN = alive.count()
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0 && rounds < KcoreMaxRounds) {
+        deg = edges
+          .join(alive, "u")
+          .join(alive.select(col("u").as("v")), "v")
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK)
+          .localCheckpoint()
+        val n = deg.count()
+        changed = prevN - n
+        prevN = n
+        alive = deg.select("u")
+        rounds += 1
+        System.err.println(s"[g_kcore] round=$rounds survivors=$n")
+      }
+      require(changed == 0,
+        s"k-core peel did not converge within $KcoreMaxRounds rounds " +
+          "— refusing to return a non-fixpoint")
+      deg.select(col("u").as("user_id"), col("deg").as("core_deg"))
         .orderBy("user_id")
     }),
 
@@ -1358,6 +1421,32 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    // The peel recurrence unrolled to the cap — identical rounds past
+    // the fixpoint are identities (absorbing), the LPA oracle trick.
+    "g_kcore" -> {
+      val rounds = (1 to KcoreMaxRounds).map { r =>
+        val prev = if (r == 1) "a0" else s"a${r - 1}"
+        s"""a$r AS MATERIALIZED (
+           SELECT e.u, COUNT(*) AS deg
+           FROM edges e JOIN $prev x ON e.u = x.u
+           JOIN $prev y ON e.v = y.u
+           GROUP BY e.u HAVING COUNT(*) >= $KcoreK)"""
+      }.mkString(",\n         ")
+      s"""WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= $KcoreW),
+         edges AS (SELECT u, v FROM pairs
+                   UNION ALL SELECT v, u FROM pairs),
+         a0 AS MATERIALIZED (SELECT DISTINCT u FROM edges),
+         $rounds
+         SELECT u AS user_id, deg AS core_deg FROM a$KcoreMaxRounds
+         ORDER BY user_id"""
+    },
     // Triangle set via plain id-ordering a<b<c — orientation-free
     // truth: pairs already has u<v, so e1=(a,b), e2=(b,c), e3=(a,c)
     // enumerates each triangle exactly once.

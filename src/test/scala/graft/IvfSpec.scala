@@ -82,6 +82,25 @@ class IvfSpec extends SparkTestBase {
     assert(agree >= 0.9, f"quantization moved too many results: $agree%.2f")
   }
 
+  test("PQ/ADC recall@5 is disclosed and holds its floor") {
+    // v_pq stores 8 bytes per vector (M=8 codes into K=64 codebooks)
+    // and scores by table lookups only — the recall it buys at that
+    // 64× compression is the honest number for this weak-similarity
+    // corpus (measured 0.34; cf. IVF nprobe=1 at 0.30 with full floats)
+    val d = requireFixture("sf0.01")
+    val exact = bruteTop5(d)
+    val got = Vectors.queries("v_pq")(spark, d)
+      .select("q", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+        want.size
+    }.sum / exact.size
+    info(f"PQ ADC recall@5 = $recall%.2f (8 bytes/vector)")
+    assert(recall >= 0.25, f"PQ recall collapsed: $recall%.2f")
+  }
+
   test("one Lloyd round does not degrade recall vs the raw label seeds") {
     val d = requireFixture("sf0.01")
     val exact = bruteTop5(d)
