@@ -258,6 +258,52 @@ object Vectors {
     cent
   }
 
+  /** ADC top-5 for every 50th vector of `e` against a PQ index given
+    * as (cent = (m, cl, cv) codebooks, codes = (vec_id, m, code)) —
+    * the search path shared by v_pq (batch-built codes) and
+    * v_pq_maintained (streaming-maintained codes): per query one M·K
+    * dot-product table, per candidate M lookups; M-term sums
+    * grid-rounded then decimal-summed for order-independence. */
+  private def pqTopK(e: DataFrame, cent: DataFrame,
+      codes: DataFrame): DataFrame = {
+    val cn2 = cent.select(col("m"), col("cl"),
+      aggregate(transform(col("cv"), x => x * x), lit(0.0),
+        (a, b) => a + b).as("cn2"))
+    val vnrm = codes.join(broadcast(cn2),
+        codes("m") === cn2("m") && codes("code") === cn2("cl"))
+      .groupBy(codes("vec_id").as("vec_id"))
+      .agg(sqrt(sum(roundf(col("cn2"), 9).cast("decimal(38,9)"))
+        .cast("double")).as("vnrm"))
+    val qs = pqSubs(e).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"), col("m"), col("sv").as("qs"))
+    val qnrm = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"),
+        sqrt(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")), lit(0.0),
+          (a, b) => a + b)).as("qnrm"))
+    val tab = qs.join(broadcast(cent), "m")
+      .select(col("q"), col("m"), col("cl"),
+        aggregate(zip_with(col("qs"), col("cv"),
+          (x, y) => x.cast("double") * y), lit(0.0),
+          (a, b) => a + b).as("pdot"))
+    val adc = codes.join(tab,
+        codes("m") === tab("m") && codes("code") === tab("cl") &&
+        codes("vec_id") =!= tab("q"))
+      .groupBy(col("q"), codes("vec_id").as("vec_id"))
+      .agg(sum(roundf(col("pdot"), 9).cast("decimal(38,9)"))
+        .cast("double").as("adot"))
+    val wP = Window.partitionBy(col("q"))
+      .orderBy(desc("acos"), asc("vec_id"))
+    adc.join(vnrm, "vec_id").join(broadcast(qnrm), "q")
+      .select(col("q"), col("vec_id"),
+        roundf(col("adot") / (col("qnrm") * col("vnrm")), 4)
+          .as("acos"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 5)
+      .select(col("q"), col("vec_id"), col("acos"), col("rn"))
+      .orderBy("q", "rn")
+  }
+
   /** IVF top-5 for every 50th vector, searching `nprobe` cells. */
   def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
       nprobe: Int, lloydRounds: Int, quantized: Boolean = false)
@@ -526,46 +572,44 @@ object Vectors {
     // lookup goes hash-red.
     "v_pq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val subs = pqSubs(e)
       val cent = pqCodebooks(e, lloydRounds = 1)
-      val codes = pqRanked(subs, cent).filter(col("rn") === 1)
+      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("cl").as("code"))
-      val cn2 = cent.select(col("m"), col("cl"),
-        aggregate(transform(col("cv"), x => x * x), lit(0.0),
-          (a, b) => a + b).as("cn2"))
-      val vnrm = codes.join(broadcast(cn2),
-          codes("m") === cn2("m") && codes("code") === cn2("cl"))
-        .groupBy(codes("vec_id").as("vec_id"))
-        .agg(sqrt(sum(roundf(col("cn2"), 9).cast("decimal(38,9)"))
-          .cast("double")).as("vnrm"))
-      val qs = subs.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q"), col("m"), col("sv").as("qs"))
-      val qnrm = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q"),
-          sqrt(aggregate(transform(col("embedding"),
-            x => x.cast("double") * x.cast("double")), lit(0.0),
-            (a, b) => a + b)).as("qnrm"))
-      val tab = qs.join(broadcast(cent), "m")
-        .select(col("q"), col("m"), col("cl"),
-          aggregate(zip_with(col("qs"), col("cv"),
-            (x, y) => x.cast("double") * y), lit(0.0),
-            (a, b) => a + b).as("pdot"))
-      val adc = codes.join(tab,
-          codes("m") === tab("m") && codes("code") === tab("cl") &&
-          codes("vec_id") =!= tab("q"))
-        .groupBy(col("q"), codes("vec_id").as("vec_id"))
-        .agg(sum(roundf(col("pdot"), 9).cast("decimal(38,9)"))
-          .cast("double").as("adot"))
-      val wP = Window.partitionBy(col("q"))
-        .orderBy(desc("acos"), asc("vec_id"))
-      adc.join(vnrm, "vec_id").join(broadcast(qnrm), "q")
-        .select(col("q"), col("vec_id"),
-          roundf(col("adot") / (col("qnrm") * col("vnrm")), 4)
-            .as("acos"))
-        .withColumn("rn", row_number().over(wP))
-        .filter(col("rn") <= 5)
-        .select(col("q"), col("vec_id"), col("acos"), col("rn"))
-        .orderBy("q", "rn")
+      pqTopK(e, cent, codes)
+    }),
+
+    // PQ search over a STREAMING-MAINTAINED code index — the
+    // v_ann_maintained ingest shape applied to the compressed index:
+    // codebooks are trained once and FROZEN (a maintained parquet),
+    // each replay batch encodes its own vectors against the read-back
+    // codebooks (a vector's codes depend on that vector alone, so the
+    // batchId-keyed append IS the merge — the d_index_maintained
+    // argument), and every ADC probe scores against the READ-BACK
+    // maintained codes. Oracle = v_pq's VERBATIM: a lost batch, a
+    // double append, or codebook drift between build and search makes
+    // the top-5 lists hash-red. At 100 TB this is the living
+    // compressed-index shape: each vector shard pays O(shard · M·K)
+    // encoding and one append — codes are never rebuilt.
+    "v_pq_maintained" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "pq_idx", d,
+        graft.etl.Tables.schemas("embeddings"), "emb",
+        e.filter(col("vec_id") < mid), e.filter(col("vec_id") >= mid))
+      val cbPath = new java.io.File(base, "codebooks").getPath
+      pqCodebooks(e, lloydRounds = 1)
+        .write.mode("overwrite").parquet(cbPath)
+      val cent = s.read.parquet(cbPath)
+      val codesPath = new java.io.File(base, "codes").getPath
+      val q = graft.streaming.Streams.appendMaintain(stream, codesPath)(
+        b => pqRanked(pqSubs(b), cent).filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cl").as("code")))
+      require(q.awaitTermination(600000),
+        "PQ code maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is untested")
+      pqTopK(e, cent,
+        graft.streaming.Streams.readMaintained(s, codesPath))
     }),
 
     // Per-label centroid, long format (label, dim, exact fixed-point sum +
@@ -812,6 +856,9 @@ object Vectors {
 
   val oracles: Map[String, String] = Map(
     "v_pq" -> pqSql(lloydRounds = 1),
+    // identical truth: the maintained code index must reproduce the
+    // batch-built codes exactly
+    "v_pq_maintained" -> pqSql(lloydRounds = 1),
     "v_knn_brute" ->
       """WITH e AS (
            SELECT vec_id, embedding AS v,
