@@ -846,6 +846,59 @@ object Extras {
       look(1, "1").unionByName(look(2, "2")).orderBy("look")
     }),
 
+    // Poisson bootstrap — the ONE-PASS bootstrap (the massive-data
+    // formulation, after Chamandy et al., "Estimating Uncertainty for
+    // Massive Data Streams", 2012): classical resampling draws B
+    // corpus-sized samples (B passes or a B× shuffle); the Poisson
+    // approximation gives every (row, replica) an independent
+    // Poisson(1) weight, so ALL B = 32 replica statistics accumulate
+    // in ONE scan with map-side combine — at 100 TB the marginal cost
+    // over a plain mean is B counters per group. Determinism: the
+    // weight is the inverse-CDF bucket of a 60-bit md5 hash of
+    // (event_id, replica) against INTEGER thresholds (the Poisson(1)
+    // CDF scaled by 1e6 — fixed table constants, no transcendental at
+    // runtime), and every weighted sum is exact decimal arithmetic
+    // (grid-rounded value × integer weight). Output per event_type:
+    // the exact mean plus the [2nd, 31st] order statistics of the 32
+    // replica means — a ~90% percentile-bootstrap CI with fully
+    // deterministic rank selection (ties break on replica id).
+    "x_bootstrap" -> ((s, d) => {
+      val B = 32
+      // P(Poisson(1) ≤ k) · 1e6 for k = 0..5; bucket 6 is the tail
+      val th = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          roundf(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val u = pmod(Text.portableHash(
+        concat(col("event_id"), lit("|"), col("b"))), lit(1000000L))
+      val rep = ev
+        .select(col("event_id"), col("event_type"), col("v"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("w",
+          when(u < th(0), 0).when(u < th(1), 1).when(u < th(2), 2)
+            .when(u < th(3), 3).when(u < th(4), 4).when(u < th(5), 5)
+            .otherwise(6))
+      val repMeans = rep.groupBy("event_type", "b")
+        .agg(sum(col("w")).as("sw"), sum(col("v") * col("w")).as("swv"))
+        .filter(col("sw") > 0)
+        .select(col("event_type"), col("b"),
+          roundf(col("swv").cast("double") / col("sw").cast("double"), 6)
+            .as("rm"))
+      val wA = Window.partitionBy("event_type")
+        .orderBy(asc("rm"), asc("b"))
+      val ci = repMeans.withColumn("rn", row_number().over(wA))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === 2, col("rm"))).as("ci_lo"),
+          max(when(col("rn") === B - 1, col("rm"))).as("ci_hi"))
+      val pt = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          roundf(sum(col("v")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_value"))
+      pt.join(ci, "event_type")
+        .select("event_type", "n", "mean_value", "ci_lo", "ci_hi")
+        .orderBy("event_type")
+    }),
+
     // Count-min point queries over the same constructed-skew domain —
     // the complement of x_heavyhitters: MG answers "which keys are
     // big", CM answers "how big is THIS key" for ANY key in O(d·w)
@@ -1421,6 +1474,49 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    // The same hash→Poisson-bucket→weighted-mean chain; rank selection
+    // mirrors the (rm, b) tie-break exactly.
+    "x_bootstrap" ->
+      """WITH ev AS (
+           SELECT event_id, event_type,
+             CAST(floor(value * 10000.0 + 0.5) / 10000.0
+               AS DECIMAL(18,4)) AS v
+           FROM events),
+         rep AS (
+           SELECT event_id, event_type, v, t.b,
+             ('0x' || substr(md5(event_id || '|' || t.b), 1, 15))::BIGINT
+               % 1000000 AS u
+           FROM ev, range(0, 32) t(b)),
+         wt AS (
+           SELECT event_type, b, v,
+             CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                  WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                  ELSE 6 END AS w
+           FROM rep),
+         rm AS (
+           SELECT event_type, b,
+             floor(CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS rm
+           FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
+         rk AS (
+           SELECT event_type, b, rm,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY rm, b) AS rn
+           FROM rm),
+         ci AS (
+           SELECT event_type,
+             MAX(CASE WHEN rn = 2 THEN rm END) AS ci_lo,
+             MAX(CASE WHEN rn = 31 THEN rm END) AS ci_hi
+           FROM rk GROUP BY 1),
+         pt AS (
+           SELECT event_type, COUNT(*) AS n,
+             floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+           FROM ev GROUP BY 1)
+         SELECT p.event_type, p.n, p.mean_value, c.ci_lo, c.ci_hi
+         FROM pt p JOIN ci c USING (event_type)
+         ORDER BY event_type""",
     // The peel recurrence unrolled to the cap — identical rounds past
     // the fixpoint are identities (absorbing), the LPA oracle trick.
     "g_kcore" -> {
