@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core (SURVEY §2.2 P*, §2.3 J*, §2.4 A*, §2.6 O*).
@@ -560,6 +561,44 @@ object Relational {
         .select("l_returnflag", "l_linestatus")
         .distinct()
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // [EXT] Skyline / Pareto frontier — "orders not dominated on
+    // (price, recency)": no other order has ≥ price AND ≥ date with at
+    // least one strict. The naive plan is the O(n²) dominance
+    // self-join; 2-D skylines have an O(n log n) SORT-based algorithm
+    // instead: over distinct points sorted (price DESC, date DESC),
+    // a point is dominated iff the running max of date over PRECEDING
+    // rows reaches its own date (preceding ⇔ higher price, or equal
+    // price + later date — exactly the dominator set once duplicates
+    // are collapsed). A single global window is the classic
+    // one-partition scale trap, so the plan is TWO-PHASE: local
+    // skylines per hash bucket first (skyline is union-composable —
+    // a point dominated within any subset is dominated globally, so
+    // bucket pruning is safe), then the exact global pass over the
+    // few bucket survivors. The oracle is the quadratic NOT EXISTS
+    // truth — a frontier point lost to bucket pruning or a dominated
+    // survivor goes hash-red.
+    "o_skyline" -> ((s, d) => {
+      val pts = t(s, d, "orders")
+        .select(col("o_totalprice").as("price"),
+          col("o_orderdate").as("odate"))
+        .distinct()
+      val wLocal = Window.partitionBy("bk")
+        .orderBy(desc("price"), desc("odate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = pts
+        .withColumn("bk",
+          pmod(xxhash64(col("price"), col("odate")), lit(32)))
+        .withColumn("dmax", max("odate").over(wLocal))
+        .filter(col("dmax").isNull || col("dmax") < col("odate"))
+      val wG = Window.orderBy(desc("price"), desc("odate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      local.select("price", "odate")
+        .withColumn("dmax", max("odate").over(wG))
+        .filter(col("dmax").isNull || col("dmax") < col("odate"))
+        .select(col("price"), col("odate"))
+        .orderBy(desc("price"), desc("odate"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -748,5 +787,16 @@ object Relational {
          ORDER BY o_custkey""",
     "o6_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-         ORDER BY l_returnflag, l_linestatus""")
+         ORDER BY l_returnflag, l_linestatus""",
+    // the quadratic dominance truth the sort-based plan must equal
+    "o_skyline" ->
+      """WITH pts AS (
+           SELECT DISTINCT o_totalprice AS price, o_orderdate AS odate
+           FROM orders)
+         SELECT price, odate FROM pts o
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts x
+           WHERE x.price >= o.price AND x.odate >= o.odate
+             AND (x.price > o.price OR x.odate > o.odate))
+         ORDER BY price DESC, odate DESC""")
 }
