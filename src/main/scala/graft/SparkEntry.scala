@@ -67,7 +67,10 @@ object SparkEntry {
       // round-11 headline training-pipeline ops
       "t_scrub", "d_semdedup", "d_minhash_idf",
       // round-12 headline maintenance ops
-      "x_pctile_maintained", "l_scd2_late", "l_ivm_leftjoin")
+      "x_pctile_maintained", "l_scd2_late", "l_ivm_leftjoin",
+      // round-12 second-wave headliners: graph, compressed ANN,
+      // attribution
+      "g_triangles", "v_pq", "e_attribution")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

@@ -846,6 +846,80 @@ object Extras {
       look(1, "1").unionByName(look(2, "2")).orderBy("look")
     }),
 
+    // Closed-form simple linear regression per group — the moments
+    // pattern (x_abtest's discipline): ONE conditional-agg pass
+    // accumulates the five exact-decimal moments (n, Σx, Σy, Σxy,
+    // Σx²{,Σy²}), slope/intercept/r² evaluate in the final projection
+    // as IEEE arithmetic over decimal-exact operands — bit-identical
+    // in any engine at any parallelism, no per-group iteration, no
+    // shuffle beyond the groupBy. Regresses discounted price on
+    // quantity per return flag.
+    "x_linreg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      // narrow decimal widths so PRODUCTS stay inside DECIMAL(38) in
+      // BOTH engines (DuckDB silently falls back to DOUBLE past 38
+      // combined width, losing the exactness this pattern exists for)
+      val x = col("l_quantity").cast("decimal(9,2)")
+      val y = roundf(col("l_extendedprice") * (lit(1.0) -
+        col("l_discount")), 4).cast("decimal(13,4)")
+      val st = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,6)")).as("sxy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("syy"))
+      val nd = col("n").cast("double")
+      val dx = (c: Column) => c.cast("double")
+      val cov = nd * dx(col("sxy")) - dx(col("sx")) * dx(col("sy"))
+      val varx = nd * dx(col("sxx")) - dx(col("sx")) * dx(col("sx"))
+      val vary = nd * dx(col("syy")) - dx(col("sy")) * dx(col("sy"))
+      st.select(col("l_returnflag"), col("n"),
+          roundf(cov / varx, 6).as("slope"),
+          roundf((dx(col("sy")) - cov / varx * dx(col("sx"))) / nd, 6)
+            .as("intercept"),
+          roundf(cov * cov / (varx * vary), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Chi-squared independence test over a contingency table
+    // (status × priority): all counts from ONE hash-agg pass over the
+    // |cells|-sized table, expected counts and the statistic as IEEE
+    // arithmetic over exact integer counts, the df=8 α=0.05 critical
+    // value 15.5073 as a FIXED table constant (the Pocock/x_abtest_seq
+    // discipline — no transcendental reaches the hash surface).
+    // Output: per-cell observed/expected/contribution plus the
+    // verdict columns on every row.
+    "x_chisq" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val cells = o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("obs"))
+      val rows = o.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("rt"))
+      val cols = o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("ct"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      val contrib = cells.join(rows, "o_orderstatus")
+        .join(cols, "o_orderpriority")
+        .crossJoin(broadcast(tot))
+        .withColumn("exp",
+          col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double"))
+        .withColumn("chi",
+          (col("obs").cast("double") - col("exp")) *
+            (col("obs").cast("double") - col("exp")) / col("exp"))
+      val stat = contrib.agg(
+        sum(roundf(col("chi"), 9).cast("decimal(38,9)")).cast("double")
+          .as("chi2raw"))
+        .select(roundf(col("chi2raw"), 6).as("chi2"))
+      contrib.crossJoin(broadcast(stat))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("obs"), roundf(col("exp"), 4).as("expected"),
+          roundf(col("chi"), 6).as("contrib"),
+          col("chi2"), lit(8).as("df"),
+          (col("chi2") > lit(15.5073)).as("reject_independence"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // Poisson bootstrap — the ONE-PASS bootstrap (the massive-data
     // formulation, after Chamandy et al., "Estimating Uncertainty for
     // Massive Data Streams", 2012): classical resampling draws B
@@ -1474,6 +1548,70 @@ object Extras {
            FROM c)
          SELECT l_returnflag, l_quantity AS mode_qty, n
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+    // The same five decimal moments; slope/intercept/r² evaluated as
+    // the identical IEEE expression trees over decimal-exact operands.
+    "x_linreg" -> {
+      val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+      val varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+      val vary = "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)"
+      s"""WITH b AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(9,2)) AS x,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) / 10000.0 AS DECIMAL(13,4)) AS y
+           FROM lineitem),
+         st AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+             -- widen one operand: DuckDB's int64 multiply path
+             -- overflows on DECIMAL(13,4)² at this magnitude; the
+             -- wider cast forces int128 (the product is exact either
+             -- way, so the Spark side needs no change)
+             SUM(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(38,8)))
+               AS syy
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+           floor($cov / $varx * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((sy::DOUBLE - $cov / $varx * sx::DOUBLE) / n::DOUBLE
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+           floor($cov * $cov / ($varx * $vary) * 1000000.0 + 0.5)
+             / 1000000.0 AS r2
+         FROM st ORDER BY l_returnflag"""
+    },
+    // identical two-stage evaluation: expected once, then the
+    // statistic over the SAME exp values; critical value is the fixed
+    // df=8 α=0.05 constant on both sides
+    "x_chisq" ->
+      """WITH cells AS (
+           SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+           FROM orders GROUP BY 1, 2),
+         rt_ AS (SELECT o_orderstatus, COUNT(*) AS rt
+                 FROM orders GROUP BY 1),
+         ct_ AS (SELECT o_orderpriority, COUNT(*) AS ct
+                 FROM orders GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM orders),
+         e1 AS (
+           SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
+             r.rt::DOUBLE * l.ct::DOUBLE / t.n::DOUBLE AS exp
+           FROM cells c
+           JOIN rt_ r USING (o_orderstatus)
+           JOIN ct_ l USING (o_orderpriority), tot t),
+         e2 AS (
+           SELECT *, (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp
+             AS chi
+           FROM e1),
+         stat AS (
+           SELECT floor(CAST(SUM(CAST(floor(chi * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS chi2
+           FROM e2)
+         SELECT o_orderstatus, o_orderpriority, obs,
+           floor(exp * 10000.0 + 0.5) / 10000.0 AS expected,
+           floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+           chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
+         FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
     // The same hash→Poisson-bucket→weighted-mean chain; rank selection
     // mirrors the (rm, b) tie-break exactly.
     "x_bootstrap" ->
