@@ -114,6 +114,16 @@ object Extras {
   private[graft] val KcoreW = 12
   private[graft] val KcoreMaxRounds = 12
 
+  /** g_triangles' edge-weight threshold, shared with its oracle. The
+    * w≥3 graph is a NEAR-CLIQUE at every scale, and triangle counting
+    * on a near-clique is inherently cubic — C(1500,3) ≈ 4.4e8
+    * triangles at sf0.1 (measured: 205 s Spark, 181 s DuckDB — the
+    * algorithm was fine, the substrate was wrong). At w≥10 the graph
+    * has genuine structure: 479 triangles over 74 nodes at sf0.01,
+    * 409k over 1393 nodes at sf0.1, and the degree orientation does
+    * its real job. */
+  private[graft] val TriW = 10
+
   /** x_shuffle's shard fanout: max(floor, input file count). The
     * global permutation sorts ONE shard per task, so the fanout must
     * grow with the corpus — at the 100 TB design point, file count
@@ -763,8 +773,17 @@ object Extras {
     // id-ordering a<b<c — a different orientation, the SAME triangle
     // set — so a lost or phantom triangle goes hash-red.
     "g_triangles" -> ((s, d) => {
-      val und = coactivityEdges(t(s, d, "events"))
-        .filter(col("u") < col("v")).select("u", "v")
+      val act = capHourBand(t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct())
+      val und = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= TriW)
+        .select("u", "v")
+        // two consumers (degree count + orientation join) — truncate
+        // so the hour-band pair join runs once
+        .localCheckpoint()
       val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val withDeg = und
@@ -1685,14 +1704,14 @@ object Extras {
     // truth: pairs already has u<v, so e1=(a,b), e2=(b,c), e3=(a,c)
     // enumerates each triangle exactly once.
     "g_triangles" ->
-      """WITH act AS (
+      s"""WITH act AS (
            SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
            FROM events),
          pairs AS (
            SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
            FROM act a JOIN act b USING (h)
            WHERE a.user_id < b.user_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           GROUP BY 1, 2 HAVING COUNT(*) >= $TriW),
          e AS (SELECT u, v FROM pairs),
          tri AS (
            SELECT e1.u AS a, e1.v AS b, e2.v AS c

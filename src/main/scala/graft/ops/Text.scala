@@ -122,6 +122,39 @@ object Text {
       .orderBy("doc_id", "rn")
   }
 
+  /** (doc_id, w1, w2) bigram instances. */
+  private def docBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = words(col("text"))
+    docs.where(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+  }
+
+  /** Per-doc mean conditional bigram probability from a (w1, w2, c12)
+    * count table — the scoring tail shared by t_lmscore (corpus-built
+    * counts) and t_lmscore_maintained (streaming-maintained counts);
+    * the w1-prefix totals re-derive from c12 by an exact re-sum. */
+  private def lmScoreFrom(bi: org.apache.spark.sql.DataFrame,
+      c12: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val p = roundf(col("c12").cast("double") / col("c1").cast("double"), 6)
+    val lm = roundf(col("sp").cast("double") / col("nb").cast("double"), 6)
+    bi.join(c12.join(c1, "w1"), Seq("w1", "w2"))
+      .select(col("doc_id"), p.as("p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p").cast("decimal(24,6)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col("doc_id"), col("n_bigrams"), lm.as("lm_score"),
+        (lm < lit(0.02)).as("flag_improbable"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream
@@ -523,14 +556,7 @@ object Text {
     // aggregate. The flag threshold lands on grid values, so the
     // verdict boolean is deterministic.
     "t_lmscore" -> ((s, d) => {
-      val w = words(col("text"))
-      val bi = t(s, d, "documents")
-        .where(size(w) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(w) - 1), i =>
-            struct(element_at(w, i).as("w1"),
-              element_at(w, i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val bi = docBigrams(t(s, d, "documents"))
       // This corpus's bigram vocabulary (31² types) broadcasts, so the
       // instance-level probability join plans ZERO wide ops over the
       // bigram stream: explode → BroadcastHashJoin → map-side partial
@@ -544,19 +570,41 @@ object Text {
       // collapsed counts, and fold Σ k·p — identical result (k·decimal
       // is exact), one bounded exchange instead of an instance-sized
       // shuffle join.
-      val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-      val p = roundf(col("c12").cast("double") / col("c1").cast("double"), 6)
-      val lm = roundf(col("sp").cast("double") / col("nb").cast("double"), 6)
-      bi.join(c12.join(c1, "w1"), Seq("w1", "w2"))
-        .select(col("doc_id"), p.as("p"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("p").cast("decimal(24,6)")).as("sp"),
-          count(lit(1)).as("nb"))
-        .select(col("doc_id"), col("n_bigrams"), lm.as("lm_score"),
-          (lm < lit(0.02)).as("flag_improbable"))
-        .orderBy("doc_id")
+      lmScoreFrom(bi,
+        bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    }),
+
+    // t_lmscore with the bigram count table MAINTAINED by the
+    // streaming countMaintain sink over a 2-batch documents replay —
+    // valid because bigram instances partition by document, so the
+    // per-batch partial counts re-sum to the corpus counts EXACTLY
+    // (the t_tfidf_maintained argument). Scoring consumes the
+    // read-back maintained parquet; the w1-prefix totals re-derive
+    // from the maintained c12 by an exact re-sum, so nothing else
+    // needs maintaining. Oracle = t_lmscore's VERBATIM: a lost batch,
+    // a double merge, or count drift moves per-doc probabilities and
+    // goes hash-red.
+    "t_lmscore_maintained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "lm_counts", d,
+        graft.etl.Tables.documents, "docs",
+        docs.filter(col("doc_id") < mid),
+        docs.filter(col("doc_id") >= mid))
+      val cPath = new java.io.File(base, "bigram_counts").getPath
+      val q = graft.streaming.Streams.countMaintain(stream, "bg", cPath)(
+        b => docBigrams(b).select(
+          concat(col("w1"), lit("\u0001"), col("w2")).as("bg")))
+      require(q.awaitTermination(600000),
+        "bigram count maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the re-sum merge is " +
+          "untested")
+      val c12 = s.read.parquet(cPath)
+        .select(substring_index(col("bg"), "\u0001", 1).as("w1"),
+          substring_index(col("bg"), "\u0001", -1).as("w2"),
+          col("cnt").as("c12"))
+      lmScoreFrom(docBigrams(docs), c12)
     }),
 
     // Trigram stupid-backoff LM scoring of HELD-OUT documents — the
@@ -885,6 +933,30 @@ object Text {
   lazy val oracles: Map[String, String] = baseOracles +
     curateOracle
 
+  private lazy val lmScoreSql: String =
+    """WITH bi AS (
+           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+                LATERAL (SELECT unnest(range(1, len(w))) AS i)),
+         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+         sc AS (
+           SELECT bi.doc_id,
+             floor(c12.c12::DOUBLE / c1.c1::DOUBLE * 1000000.0 + 0.5)
+               / 1000000.0 AS p
+           FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON bi.w1 = c1.w1),
+         ag AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(p AS DECIMAL(24,6))) AS sp, COUNT(*) AS nb
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+             AS lm_score,
+           floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+             < 0.02 AS flag_improbable
+         FROM ag ORDER BY doc_id"""
+
   private lazy val bm25Sql: String =
     """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -963,29 +1035,10 @@ object Text {
              AS sb_score,
            CAST(SUM(bk) AS BIGINT) AS n_backoff
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
-    "t_lmscore" ->
-      """WITH bi AS (
-           SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-           FROM (SELECT doc_id, string_split(text, ' ') AS w
-                 FROM documents),
-                LATERAL (SELECT unnest(range(1, len(w))) AS i)),
-         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
-         c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
-         sc AS (
-           SELECT bi.doc_id,
-             floor(c12.c12::DOUBLE / c1.c1::DOUBLE * 1000000.0 + 0.5)
-               / 1000000.0 AS p
-           FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON bi.w1 = c1.w1),
-         ag AS (
-           SELECT doc_id, COUNT(*) AS n_bigrams,
-             SUM(CAST(p AS DECIMAL(24,6))) AS sp, COUNT(*) AS nb
-           FROM sc GROUP BY doc_id)
-         SELECT doc_id, n_bigrams,
-           floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
-             AS lm_score,
-           floor(sp::DOUBLE / nb::DOUBLE * 1000000.0 + 0.5) / 1000000.0
-             < 0.02 AS flag_improbable
-         FROM ag ORDER BY doc_id""",
+    "t_lmscore" -> lmScoreSql,
+    // the maintained count table must score identically to the
+    // corpus-built one — t_lmscore's oracle VERBATIM
+    "t_lmscore_maintained" -> lmScoreSql,
     "t_bm25" -> bm25Sql,
     // the maintained index must score identically to the corpus-built
     // one — t_bm25's oracle VERBATIM
