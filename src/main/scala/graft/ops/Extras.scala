@@ -939,6 +939,49 @@ object Extras {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Distribution-drift monitor — the chi-squared two-sample
+    // homogeneity test between the stream's early and late halves
+    // (time midpoint from two footer-stat scalars, embedded as a
+    // literal): the categorical-drift check every production pipeline
+    // runs before trusting a window of new data. Same determinism
+    // discipline as x_chisq — expected counts and the statistic as
+    // IEEE arithmetic over exact integer counts, df = |types|−1 = 4
+    // critical value 9.4877 a fixed constant. Per-type observed
+    // early/late counts + contribution columns localize WHICH
+    // category drifted; the verdict rides every row.
+    "x_drift" -> ((s, d) => {
+      val ev0 = t(s, d, "events")
+      val mm = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val ev = ev0.withColumn("late",
+        (unix_micros(col("ts")) >= lit(cut)).cast("int"))
+      val cells = ev.groupBy("event_type", "late")
+        .agg(count(lit(1)).as("obs"))
+      val rows = ev.groupBy("event_type").agg(count(lit(1)).as("rt"))
+      val cols = ev.groupBy("late").agg(count(lit(1)).as("ct"))
+      val tot = ev.agg(count(lit(1)).as("n"))
+      val contrib = cells.join(rows, "event_type").join(cols, "late")
+        .crossJoin(broadcast(tot))
+        .withColumn("exp",
+          col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double"))
+        .withColumn("chi",
+          (col("obs").cast("double") - col("exp")) *
+            (col("obs").cast("double") - col("exp")) / col("exp"))
+      val stat = contrib.agg(
+        sum(roundf(col("chi"), 9).cast("decimal(38,9)")).cast("double")
+          .as("c2raw"))
+        .select(roundf(col("c2raw"), 6).as("chi2"))
+      contrib.crossJoin(broadcast(stat))
+        .select(col("event_type"), col("late"), col("obs"),
+          roundf(col("exp"), 4).as("expected"),
+          roundf(col("chi"), 6).as("contrib"),
+          col("chi2"), lit(4).as("df"),
+          (col("chi2") > lit(9.4877)).as("drift_detected"))
+        .orderBy("event_type", "late")
+    }),
+
     // Poisson bootstrap — the ONE-PASS bootstrap (the massive-data
     // formulation, after Chamandy et al., "Estimating Uncertainty for
     // Massive Data Streams", 2012): classical resampling draws B
@@ -1631,6 +1674,43 @@ object Extras {
            floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
            chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
          FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
+    // same two-stage evaluation as x_chisq over the time-split
+    // contingency; the µs midpoint mirrors the Scala floor division
+    "x_drift" ->
+      """WITH mm AS (
+           SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+           FROM events),
+         ev AS (
+           SELECT event_type,
+             CASE WHEN epoch_us(ts) >=
+               (SELECT lo + (hi - lo) // 2 FROM mm) THEN 1 ELSE 0 END
+               AS late
+           FROM events),
+         cells AS (SELECT event_type, late, COUNT(*) AS obs
+                   FROM ev GROUP BY 1, 2),
+         rt_ AS (SELECT event_type, COUNT(*) AS rt FROM ev GROUP BY 1),
+         ct_ AS (SELECT late, COUNT(*) AS ct FROM ev GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM ev),
+         e1 AS (
+           SELECT c.event_type, c.late, c.obs,
+             r.rt::DOUBLE * l.ct::DOUBLE / t.n::DOUBLE AS exp
+           FROM cells c
+           JOIN rt_ r USING (event_type)
+           JOIN ct_ l USING (late), tot t),
+         e2 AS (
+           SELECT *, (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp
+             AS chi
+           FROM e1),
+         stat AS (
+           SELECT floor(CAST(SUM(CAST(floor(chi * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS chi2
+           FROM e2)
+         SELECT event_type, late, obs,
+           floor(exp * 10000.0 + 0.5) / 10000.0 AS expected,
+           floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+           chi2, 4 AS df, chi2 > 9.4877 AS drift_detected
+         FROM e2, stat ORDER BY event_type, late""",
     // The same hash→Poisson-bucket→weighted-mean chain; rank selection
     // mirrors the (rm, b) tie-break exactly.
     "x_bootstrap" ->

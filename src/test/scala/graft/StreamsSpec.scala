@@ -450,6 +450,46 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
   }
 
+  test("native watermarked stream-stream interval join equals the " +
+      "batch band join") {
+    // Spark's OWN stream-stream join operator (the complement of the
+    // foreachBatch IVM family): both sides watermarked, condition =
+    // equi on user + an event-time band — the watermark plus the band
+    // is what lets the engine EVICT buffered state, which is the whole
+    // point of the operator at scale. Drained with AvailableNow, the
+    // append-mode result must equal the batch band join exactly.
+    val clicks = Streams.eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("cid"))
+      .withWatermark("cts", "1 hour")
+    val purchases = Streams.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("cu = pu AND pts >= cts AND pts < cts + interval 1 day"))
+      .select("cid", "pid")
+    val q = Streams.runAvailableNow(joined, "ssj_test")
+    assert(!q.isActive)
+    val got = spark.table("ssj_test")
+    val ev = graft.etl.Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val want = c.join(p,
+      expr("cu = pu AND pts >= cts AND pts < cts + interval 1 day"))
+      .select("cid", "pid")
+    assert(want.count() > 0, "fixture has no band pairs — vacuous test")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("ivmDistinctBatch: only 0-positive transitions reach the log; " +
       "partial retraction absorbed; retry leaves both tables unchanged") {
     import spark.implicits._
