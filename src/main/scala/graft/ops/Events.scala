@@ -214,6 +214,46 @@ object Events {
         .orderBy("event_type")
     }),
 
+    // RFM segmentation — the classic customer-value triage (recency /
+    // frequency / monetary quartiles): one groupBy builds the three
+    // per-customer metrics (recency in whole days off the corpus max
+    // date — one footer-stat scalar embedded as a literal; monetary as
+    // an exact decimal sum), then each metric is quartiled with
+    // Windows.ntileBySketch — the TWO-JOB exact equal-frequency
+    // bucketing (approx cut points bound each sketch bucket, global
+    // rank = bucket offset + within-bucket row_number), so no
+    // customer-cardinality window ever runs on one partition. Ties
+    // break on customer id, making all three tile columns and the
+    // concatenated segment label deterministic. Oracle = plain SQL
+    // ntile(4) over the identical total orders — the exact-tiling
+    // equivalence w5_ntile already pins.
+    "e_rfm" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val maxMic = o.agg(max(unix_micros(col("o_orderdate"))))
+        .head.getLong(0)
+      val per = o.groupBy("o_custkey").agg(
+          max(unix_micros(col("o_orderdate"))).as("lastmic"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("monetary"))
+        .withColumn("recency_days",
+          expr(s"($maxMic - lastmic) DIV 86400000000"))
+        .drop("lastmic")
+      val tiled = Windows.ntileBySketch(
+        Windows.ntileBySketch(
+          Windows.ntileBySketch(per, "recency_days", Seq("o_custkey"),
+            4, out = "r_tile"),
+          "frequency", Seq("o_custkey"), 4, out = "f_tile"),
+        "monetary", Seq("o_custkey"), 4, out = "m_tile")
+      tiled.select(col("o_custkey"), col("recency_days"),
+          col("frequency"), col("monetary"),
+          col("r_tile"), col("f_tile"), col("m_tile"),
+          concat(col("r_tile").cast("string"),
+            col("f_tile").cast("string"),
+            col("m_tile").cast("string")).as("rfm"))
+        .orderBy("o_custkey")
+    }),
+
     // Multi-touch attribution — first-touch, last-touch, and linear
     // credit per channel for every conversion (purchase), over the
     // user's click/view touchpoints in a 7-day lookback. The join is
@@ -270,6 +310,30 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    // plain ntile(4) over the identical (metric, custkey) total
+    // orders — equal to the sketch-bucketed exact tiling by the
+    // boundary formula both implementations share
+    "e_rfm" ->
+      """WITH mx AS (SELECT epoch_us(MAX(o_orderdate)) AS mm
+                     FROM orders),
+         per AS (
+           SELECT o_custkey,
+             ((SELECT mm FROM mx) - epoch_us(MAX(o_orderdate)))
+               // 86400000000 AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+           FROM orders GROUP BY 1),
+         t AS (
+           SELECT *,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_tile,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_tile
+           FROM per)
+         SELECT o_custkey, recency_days, frequency, monetary,
+           r_tile, f_tile, m_tile,
+           r_tile::VARCHAR || f_tile::VARCHAR || m_tile::VARCHAR AS rfm
+         FROM t ORDER BY o_custkey""",
     // first/last via row_number windows — a different evaluation of
     // the same (ts, event_id) total order the Spark struct-min uses
     "e_attribution" ->

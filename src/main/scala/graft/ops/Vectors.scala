@@ -612,6 +612,55 @@ object Vectors {
         graft.streaming.Streams.readMaintained(s, codesPath))
     }),
 
+    // Maximum-inner-product search via the NORM-AUGMENTATION reduction
+    // (Bachrach et al., RecSys 2014 — the recommender-retrieval
+    // workhorse: user·item dot products, where cosine ANN is the wrong
+    // objective because item norms carry signal): append one dimension
+    // sqrt(M² − |v|²) to every stored vector (M = corpus max norm), so
+    // ALL stored vectors have norm exactly M and cosine against an
+    // augmented query [q, 0] becomes q·v / (|q|·M) — MONOTONE in the
+    // inner product. MIPS then rides the UNCHANGED cosine-IVF
+    // machinery: the coarse quantizer trains on augmented vectors,
+    // probes search nprobe=2 cells, and only the final scoring joins
+    // back to the raw vectors to emit true inner products. The oracle
+    // mirrors the augmented training chain (ivfRoundsSql with the aug
+    // CTE as its table — one shared definition) and the raw-dot
+    // re-rank, so a drifted augmentation or a wrong cell assignment
+    // goes hash-red.
+    "v_mips" -> ((s, d) => {
+      val e0 = t(s, d, "embeddings")
+      val n2 = aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0),
+        (a, b) => a + b)
+      val base = e0.select(col("vec_id"), col("label"),
+        col("embedding"), n2.as("n2"))
+      val m2 = base.agg(max("n2")).head.getDouble(0)
+      val aug = base.select(col("vec_id"), col("label"),
+        concat(transform(col("embedding"), x => x.cast("double")),
+          array(sqrt(lit(m2) - col("n2")))).as("embedding"))
+      val cent = ivfCentroids(aug, lloydRounds = 1)
+      val ranked = ivfRanked(aug, cent)
+      val stored = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("cluster"))
+        .join(e0.select(col("vec_id"), col("embedding").as("v")),
+          "vec_id")
+      val probes = ranked
+        .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q"), col("cl").as("qc"))
+        .join(e0.select(col("vec_id").as("q"),
+          col("embedding").as("vq")), "q")
+      val wP = Window.partitionBy(col("q"))
+        .orderBy(desc("dot"), asc("vec_id"))
+      probes.join(stored,
+          col("cluster") === col("qc") && col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          roundf(fdot(col("vq"), col("v")), 4).as("dot"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= 5)
+        .select(col("q"), col("vec_id"), col("dot"), col("rn"))
+        .orderBy("q", "rn")
+    }),
+
     // Per-label centroid, long format (label, dim, exact fixed-point sum +
     // count; mean ≈ sum_x_e6/1e6/n). Components are grid-snapped with pure
     // IEEE ops (floor(x·1e6+0.5) — identical in every engine) BEFORE the
@@ -855,6 +904,38 @@ object Vectors {
   }
 
   val oracles: Map[String, String] = Map(
+    // the augmented training chain (ivfRoundsSql over the aug CTE) +
+    // raw-inner-product re-rank — one shared quantizer definition
+    "v_mips" ->
+      s"""WITH base AS MATERIALIZED (
+           SELECT vec_id, label, embedding,
+             list_sum([x::DOUBLE * x::DOUBLE for x in embedding]) AS n2
+           FROM embeddings),
+         mx2 AS (SELECT MAX(n2) AS m2 FROM base),
+         aug AS MATERIALIZED (
+           SELECT vec_id, label,
+             [x::DOUBLE for x in embedding] ||
+               [sqrt((SELECT m2 FROM mx2) - n2)] AS embedding
+           FROM base),
+         ${ivfRoundsSql(1, table = "aug")},
+         stored AS (
+           SELECT rk1.vec_id, rk1.k AS cluster, e.embedding AS v
+           FROM rk1 JOIN embeddings e USING (vec_id) WHERE rn = 1),
+         pr AS (
+           SELECT rk1.vec_id AS q, rk1.k AS qc, e.embedding AS vq
+           FROM rk1 JOIN embeddings e USING (vec_id)
+           WHERE rn <= 2 AND rk1.vec_id % 50 = 0),
+         cand AS (
+           SELECT pr.q, s.vec_id,
+             floor(list_sum([pr.vq[i]::DOUBLE * s.v[i]::DOUBLE
+                 for i in range(1, len(pr.vq) + 1)]) * 10000.0 + 0.5)
+               / 10000.0 AS dot
+           FROM pr JOIN stored s ON s.cluster = pr.qc
+            AND s.vec_id <> pr.q)
+         SELECT q, vec_id, dot, rn FROM (
+           SELECT q, vec_id, dot, row_number() OVER (PARTITION BY q
+             ORDER BY dot DESC, vec_id ASC) AS rn FROM cand)
+         WHERE rn <= 5 ORDER BY q, rn""",
     "v_pq" -> pqSql(lloydRounds = 1),
     // identical truth: the maintained code index must reproduce the
     // batch-built codes exactly
