@@ -339,6 +339,46 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // CONTAINMENT near-dup — the asymmetric complement of
+    // d_minhash_pairs' symmetric Jaccard: containment(A⊂B) =
+    // |A∩B|/|A| catches a small document embedded inside a larger one
+    // (quote-and-extend, boilerplate wrappers), which Jaccard
+    // dilutes toward 0 as the size ratio grows. Candidates are the
+    // SAME minhash band buckets (shared signatures, no extra scan);
+    // the verify stage emits BOTH directed containments and keeps
+    // pairs where either reaches 0.7. Honest scope disclosure:
+    // Jaccard-tuned banding under-recalls extreme-ratio containment
+    // pairs (a 10-shingle doc inside a 1000-shingle one rarely shares
+    // a band) — the production lever is size-stratified re-banding or
+    // seq-bucket indexes; the ORACLE mirrors the same candidate
+    // generation, so the implemented semantics (candidate-restricted
+    // containment) is checked exactly.
+    "d_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val banded = minhashBands(minhashSig(s, d))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = cand.select(explode(array(col("a"), col("b")))
+        .as("doc_id")).distinct()
+      val shCand = docs.join(candIds, "doc_id")
+        .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val cab = roundf(inter.cast("double") /
+        size(col("sa")).cast("double"), 4)
+      val cba = roundf(inter.cast("double") /
+        size(col("sb")).cast("double"), 4)
+      cand
+        .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+        .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+        .select(col("a"), col("b"), cab.as("cont_ab"), cba.as("cont_ba"))
+        .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.7)
+        .orderBy("a", "b")
+    }),
+
     // Incremental (new-batch vs corpus) near-dup dedup — the shape every
     // PRODUCTION ingest actually runs: the corpus is already indexed;
     // only the new batch is fingerprinted, and the asymmetric band join
@@ -1169,7 +1209,53 @@ object Dedup {
        FROM j WHERE floor(jac * 10000.0 + 0.5) / 10000.0 >= 0.5
        ORDER BY a, b"""
 
+  /** Containment mirror: same shingle/minhash/band stages as
+    * minhashPairsSqlCand's self-join, verify = the two directed
+    * containments with an either-direction 0.7 keep rule. */
+  private lazy val containmentSql: String =
+    s"""WITH sh AS (
+         SELECT doc_id, $shingleSql AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents)),
+       mh AS (
+         SELECT doc_id, sh,
+           [list_aggregate([(h * ((k+1)*1299709) + k*15485863)
+              % 2147483647 for h in h0s], 'min')
+            for k in range(0, 12)] AS mh
+         FROM (SELECT doc_id, sh,
+                 [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647
+                  for x in sh] AS h0s
+               FROM sh)),
+       bands AS (
+         SELECT doc_id,
+           t.b AS band,
+           ('0x' || substr(md5(t.b || '|' ||
+             array_to_string(mh[t.b*3+1:t.b*3+3], ',')), 1, 15))::BIGINT
+             AS bh
+         FROM mh, range(0, 4) t(b)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       j AS (
+         SELECT a, b,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sa.sh)
+             AS cab,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(sb.sh)
+             AS cba
+         FROM cand
+           JOIN sh sa ON sa.doc_id = a
+           JOIN sh sb ON sb.doc_id = b)
+       SELECT a, b,
+         floor(cab * 10000.0 + 0.5) / 10000.0 AS cont_ab,
+         floor(cba * 10000.0 + 0.5) / 10000.0 AS cont_ba
+       FROM j
+       WHERE greatest(floor(cab * 10000.0 + 0.5) / 10000.0,
+         floor(cba * 10000.0 + 0.5) / 10000.0) >= 0.7
+       ORDER BY a, b"""
+
   private val moreOracles: Map[String, String] = Map(
+    "d_containment" -> containmentSql,
     "d_simhash" ->
       """SELECT doc_id,
            CAST(list_sum([CASE WHEN 2 * len(list_filter(dw, x ->

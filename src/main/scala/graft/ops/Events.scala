@@ -214,6 +214,31 @@ object Events {
         .orderBy("event_type")
     }),
 
+    // Top behavioral paths — the e_transitions idea extended to
+    // 3-step sequences (the product-analytics "what do users do
+    // before X" query): per-user event streams ordered by
+    // (ts, event_id), consecutive type trigrams via two lead windows
+    // over ONE user-partitioned sort (the same single natural-key
+    // shuffle as e_transitions — no self-joins), trigram counts
+    // partial-aggregate map-side to ≤ |types|³ rows, and the top-20
+    // resolves with a deterministic (count DESC, path ASC) tie-break
+    // so LIMIT is stable in both engines.
+    "e_pathing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"),
+          col("t3")).as("path"))
+      tri.groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("path"))
+        .limit(20)
+    }),
+
     // RFM segmentation — the classic customer-value triage (recency /
     // frequency / monetary quartiles): one groupBy builds the three
     // per-customer metrics (recency in whole days off the corpus max
@@ -310,6 +335,18 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    "e_pathing" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         paths AS (
+           SELECT event_type || '>' || t2 || '>' || t3 AS path
+           FROM seq WHERE t3 IS NOT NULL)
+         SELECT path, COUNT(*) AS n FROM paths
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
     // plain ntile(4) over the identical (metric, custkey) total
     // orders — equal to the sketch-bucketed exact tiling by the
     // boundary formula both implementations share
