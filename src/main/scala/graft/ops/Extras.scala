@@ -939,6 +939,90 @@ object Extras {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // One-way ANOVA — does the value distribution differ across the
+    // five event types? F = (SSB/(k−1)) / (SSW/(n−k)), all from the
+    // same one-pass exact-decimal moments discipline (per-group n, Σv,
+    // Σv²): SSB and SSW derive in the final projection as IEEE
+    // arithmetic over decimal-exact sums, and the df=(4, n−5) α=0.05
+    // critical value ships as a fixed constant for THIS fixture's
+    // group count (large-denominator F(4,∞) = 2.3719), so no
+    // transcendental reaches the hash surface. Per-group means ride
+    // along to localize the driving group.
+    "x_anova" -> ((s, d) => {
+      val dv = roundf(col("value"), 4).cast("decimal(18,4)")
+      val g = t(s, d, "events").groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(dv).as("sv"),
+        sum((dv.cast("decimal(19,4)") * dv).cast("decimal(38,8)"))
+          .as("svv"))
+      val tot = g.agg(sum("n").as("nt"), sum("sv").as("svt"),
+        sum("svv").as("svvt"), count(lit(1)).as("k"))
+      val joined = g.crossJoin(broadcast(tot))
+      val dx = (c: String) => col(c).cast("double")
+      // SSW_g = Σv² − (Σv)²/n; SSB_g = n·(mean − grand)²
+      val grand = dx("svt") / dx("nt")
+      val ssw = sum(roundf(dx("svv") - dx("sv") * dx("sv") / dx("n"), 6)
+        .cast("decimal(38,6)")).cast("double")
+      val ssb = sum(roundf(dx("n") *
+          (dx("sv") / dx("n") - grand) * (dx("sv") / dx("n") - grand), 6)
+        .cast("decimal(38,6)")).cast("double")
+      val st = joined.groupBy("nt", "k")
+        .agg(ssw.as("ssw"), ssb.as("ssb"))
+        .select(col("nt"), col("k"),
+          roundf((col("ssb") / (col("k") - lit(1)).cast("double")) /
+            (col("ssw") / (col("nt") - col("k")).cast("double")), 6)
+            .as("f_stat"))
+      g.select(col("event_type"), col("n"),
+          roundf(col("sv").cast("double") / col("n").cast("double"), 6)
+            .as("mean_value"))
+        .crossJoin(broadcast(st))
+        .select(col("event_type"), col("n"), col("mean_value"),
+          col("f_stat"), (col("f_stat") > lit(2.3719)).as("reject_equal"))
+        .orderBy("event_type")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov between the stream's early and
+    // late halves — the NUMERIC complement of x_drift's categorical
+    // test: D = max |ECDF₁ − ECDF₂|. The scale move: values bin to a
+    // 0.01 grid FIRST (pure IEEE floor — the statistic computed is
+    // exactly the KS of the binned distributions, disclosed), so the
+    // ECDF cumsum window runs over ≤ |bins| rows — bounded by the
+    // value range, never data-sized, sidestepping the global-window
+    // trap. Verdict vs the α=0.05 large-sample critical value
+    // 1.358·sqrt((n1+n2)/(n1·n2)) — the 1.358 is a fixed table
+    // constant; sqrt is correctly-rounded IEEE in both engines.
+    "x_ks" -> ((s, d) => {
+      val ev0 = t(s, d, "events")
+      val mm = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val ev = ev0.select(
+        floor(col("value") * lit(100.0)).cast("long").as("bin"),
+        (unix_micros(col("ts")) >= lit(cut)).cast("int").as("late"))
+      val cells = ev.groupBy("bin").agg(
+        sum(when(col("late") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("late") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ecdf = cells
+        .withColumn("k1", sum("c1").over(w))
+        .withColumn("k2", sum("c2").over(w))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("k1").cast("double") / col("n1").cast("double") -
+          col("k2").cast("double") / col("n2").cast("double")).as("dd"),
+          col("n1"), col("n2"))
+      ecdf.groupBy("n1", "n2")
+        .agg(roundf(max(col("dd")), 6).as("ks_d"))
+        .select(col("n1"), col("n2"), col("ks_d"),
+          roundf(lit(1.358) * sqrt(
+            (col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double")), 6).as("crit"),
+          (col("ks_d") > roundf(lit(1.358) * sqrt(
+            (col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double")), 6))
+            .as("drift_detected"))
+    }),
+
     // Distribution-drift monitor — the chi-squared two-sample
     // homogeneity test between the stream's early and late halves
     // (time midpoint from two footer-stat scalars, embedded as a
@@ -1674,6 +1758,80 @@ object Extras {
            floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
            chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
          FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
+    // same one-pass moments; SSW/SSB/F as identical IEEE expression
+    // trees over decimal-exact sums
+    "x_anova" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(floor(value * 10000.0 + 0.5) / 10000.0
+               AS DECIMAL(18,4)) AS v
+           FROM events),
+         g AS (
+           SELECT event_type, COUNT(*) AS n, SUM(v) AS sv,
+             SUM(CAST(CAST(v AS DECIMAL(19,4)) * v AS DECIMAL(38,8)))
+               AS svv
+           FROM b GROUP BY 1),
+         tot AS (SELECT SUM(n) AS nt, SUM(sv) AS svt,
+                 COUNT(*) AS k FROM g),
+         parts AS (
+           SELECT
+             CAST(SUM(CAST(floor((g.svv::DOUBLE
+                 - g.sv::DOUBLE * g.sv::DOUBLE / g.n::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)))
+               AS DOUBLE) AS ssw,
+             CAST(SUM(CAST(floor(g.n::DOUBLE
+                 * (g.sv::DOUBLE / g.n::DOUBLE
+                    - t.svt::DOUBLE / t.nt::DOUBLE)
+                 * (g.sv::DOUBLE / g.n::DOUBLE
+                    - t.svt::DOUBLE / t.nt::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)))
+               AS DOUBLE) AS ssb,
+             MIN(t.nt) AS nt, MIN(t.k) AS k
+           FROM g, tot t),
+         st AS (
+           SELECT floor((ssb / (k - 1)::DOUBLE)
+               / (ssw / (nt - k)::DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS f_stat
+           FROM parts)
+         SELECT g.event_type, g.n,
+           floor(g.sv::DOUBLE / g.n::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_value,
+           st.f_stat, st.f_stat > 2.3719 AS reject_equal
+         FROM g, st ORDER BY event_type""",
+    // the binned-ECDF running sums mirror the bounded window exactly
+    "x_ks" ->
+      """WITH mm AS (
+           SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+           FROM events),
+         ev AS (
+           SELECT CAST(floor(value * 100.0) AS BIGINT) AS bin,
+             CASE WHEN epoch_us(ts) >=
+               (SELECT lo + (hi - lo) // 2 FROM mm) THEN 1 ELSE 0 END
+               AS late
+           FROM events),
+         cells AS (
+           SELECT bin,
+             SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS c2
+           FROM ev GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM cells),
+         ecdf AS (
+           SELECT
+             abs(SUM(c1) OVER wo ::DOUBLE / t.n1::DOUBLE
+               - SUM(c2) OVER wo ::DOUBLE / t.n2::DOUBLE) AS dd,
+             t.n1, t.n2
+           FROM cells, tot t
+           WINDOW wo AS (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT n1, n2,
+           floor(MAX(dd) * 1000000.0 + 0.5) / 1000000.0 AS ks_d,
+           floor(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS crit,
+           floor(MAX(dd) * 1000000.0 + 0.5) / 1000000.0 >
+             floor(1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)::DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS drift_detected
+         FROM ecdf GROUP BY n1, n2""",
     // same two-stage evaluation as x_chisq over the time-split
     // contingency; the µs midpoint mirrors the Scala floor division
     "x_drift" ->
