@@ -298,6 +298,44 @@ class PlanAuditSpec extends SparkTestBase {
       "the single exchange must be the output ordering")
   }
 
+  test("round-12 additions never plan a cartesian") {
+    // g_triangles: degree orientation makes wedge + close plain equi
+    // hash joins; d_containment shares the band-join discipline;
+    // d_clusters_incr relabels via a broadcast mapping join over the
+    // streamed labeling; v_pq/v_mips candidates are codebook/cell
+    // keyed; o_skyline is windows-only; e_attribution/e_rfm are
+    // natural-key equi joins. (BroadcastNestedLoopJoin is NOT banned
+    // here — several of these use 1-row scalar crossJoins by design.)
+    for (q <- Seq("g_triangles", "d_containment", "d_clusters_incr",
+        "v_pq", "v_mips", "o_skyline", "e_attribution", "e_rfm",
+        "e_pathing", "g_kcore")) {
+      val p = plan(q)
+      assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
+    }
+  }
+
+  test("v_pq: codebooks, norms, and query tables all broadcast") {
+    // ADC's point is that candidate scoring is lookups against
+    // KB-sized broadcast state — a codebook that stops broadcasting
+    // turns every probe into a shuffle join
+    val p = plan("v_pq")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 3, p)
+  }
+
+  test("o_skyline: local bucket phase is real (partitioned window " +
+      "before the global pass)") {
+    val p = plan("o_skyline")
+    assert(p.contains("hashpartitioning(bk"),
+      "bucket-local skyline phase lost — the global window would see " +
+        "the full point set")
+  }
+
+  test("e_rfm: every quartile window is bucket-partitioned") {
+    val p = plan("e_rfm")
+    assert(!"(?<![a-zA-Z_])ntile\\(".r.findFirstIn(p).isDefined,
+      "a global ntile crept into the RFM tiling")
+  }
+
   test("o1_sort: global sort is a distributed range partition") {
     assert(plan("o1_sort").contains("rangepartitioning(o_orderstatus"))
   }
