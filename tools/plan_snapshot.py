@@ -31,6 +31,22 @@ def normalize(text: str) -> str:
     text = re.sub(r"file:/tmp/[^\s,\]\)]*", "file:TMP", text)
     # parquet part files and write-job UUIDs
     text = re.sub(r"part-\d{5}-[0-9a-f-]+", "part-N", text)
+    # default shuffle parallelism (spark.sql.shuffle.partitions — a
+    # session setting, not a plan property): the ENSURE_REQUIREMENTS
+    # suffix marks derived counts; explicit repartition()/shard counts
+    # keep their literal (they ARE plan properties)
+    text = re.sub(r", \d+\), ENSURE_REQUIREMENTS",
+                  ", P), ENSURE_REQUIREMENTS", text)
+    # lambda-variable and checkpoint-RDD ids churn with session state
+    text = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", text)
+    text = re.sub(r"MapPartitionsRDD\[\d+\]", "MapPartitionsRDD[N]", text)
+    # JVM lambda object identities and session-derived repartition
+    # counts (decodeFeatures uses defaultParallelism)
+    text = re.sub(r"\$\$Lambda\$\d+/0x[0-9a-f]+@[0-9a-f]+",
+                  "$$Lambda$N", text)
+    text = re.sub(r"\$\$anon\$(\d+)@[0-9a-f]+", r"$$anon$\1@N", text)
+    text = re.sub(r", \d+\), REPARTITION_BY_NUM",
+                  ", P), REPARTITION_BY_NUM", text)
     text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
                   r"[0-9a-f]{12}", "UUID", text)
     return text
