@@ -250,6 +250,47 @@ object Extras {
     lab
   }
 
+  /** The five OLS sufficient statistics per return flag — shared by
+    * x_linreg (one pass) and x_linreg_maintained (streaming re-sum).
+    * Narrow operand widths keep PRODUCTS inside DECIMAL(38) in BOTH
+    * engines (DuckDB falls back to DOUBLE past 38 combined width);
+    * sums then cast to FIXED wide types so the maintained state schema
+    * cannot drift as Spark widens sum precision across merges. */
+  private def linregMoments(li: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(9,2)")
+    val y = roundf(col("l_extendedprice") * (lit(1.0) -
+      col("l_discount")), 4).cast("decimal(13,4)")
+    li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,6)")).as("sxy"),
+        sum((x * x).cast("decimal(38,4)")).as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        col("sx").cast("decimal(38,2)").as("sx"),
+        col("sy").cast("decimal(38,4)").as("sy"),
+        col("sxy").cast("decimal(38,6)").as("sxy"),
+        col("sxx").cast("decimal(38,4)").as("sxx"),
+        col("syy").cast("decimal(38,8)").as("syy"))
+  }
+
+  /** Closed-form OLS from a (group, n, sx, sy, sxy, sxx, syy) moments
+    * frame — slope/intercept/r² as IEEE arithmetic over decimal-exact
+    * operands. */
+  private def olsOf(st: DataFrame): DataFrame = {
+    val nd = col("n").cast("double")
+    val dx = (c: Column) => c.cast("double")
+    val cov = nd * dx(col("sxy")) - dx(col("sx")) * dx(col("sy"))
+    val varx = nd * dx(col("sxx")) - dx(col("sx")) * dx(col("sx"))
+    val vary = nd * dx(col("syy")) - dx(col("sy")) * dx(col("sy"))
+    st.select(col("l_returnflag"), col("n"),
+        roundf(cov / varx, 6).as("slope"),
+        roundf((dx(col("sy")) - cov / varx * dx(col("sx"))) / nd, 6)
+          .as("intercept"),
+        roundf(cov * cov / (varx * vary), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Pivot with explicit status values: one wide row per priority.
@@ -873,31 +914,35 @@ object Extras {
     // in any engine at any parallelism, no per-group iteration, no
     // shuffle beyond the groupBy. Regresses discounted price on
     // quantity per return flag.
-    "x_linreg" -> ((s, d) => {
+    "x_linreg" -> ((s, d) =>
+      olsOf(linregMoments(t(s, d, "lineitem")))),
+
+    // x_linreg with the sufficient statistics MAINTAINED by the
+    // generic additive-merge sink (Streams.sumsMaintain) over a
+    // 2-batch replay — ONLINE model fitting: the five OLS moments are
+    // additive, so per-batch partials re-sum to the corpus moments
+    // EXACTLY (decimal addition is associative), the maintained state
+    // is |groups| rows of wide decimals, and fitting reads the state
+    // parquet — the training data is never rescanned. Oracle =
+    // x_linreg's VERBATIM: a lost batch, a double merge, or sum-width
+    // drift moves the coefficients and goes hash-red.
+    "x_linreg_maintained" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      // narrow decimal widths so PRODUCTS stay inside DECIMAL(38) in
-      // BOTH engines (DuckDB silently falls back to DOUBLE past 38
-      // combined width, losing the exactness this pattern exists for)
-      val x = col("l_quantity").cast("decimal(9,2)")
-      val y = roundf(col("l_extendedprice") * (lit(1.0) -
-        col("l_discount")), 4).cast("decimal(13,4)")
-      val st = li.groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum((x * y).cast("decimal(38,6)")).as("sxy"),
-        sum((x * x).cast("decimal(38,4)")).as("sxx"),
-        sum((y * y).cast("decimal(38,8)")).as("syy"))
-      val nd = col("n").cast("double")
-      val dx = (c: Column) => c.cast("double")
-      val cov = nd * dx(col("sxy")) - dx(col("sx")) * dx(col("sy"))
-      val varx = nd * dx(col("sxx")) - dx(col("sx")) * dx(col("sx"))
-      val vary = nd * dx(col("syy")) - dx(col("sy")) * dx(col("sy"))
-      st.select(col("l_returnflag"), col("n"),
-          roundf(cov / varx, 6).as("slope"),
-          roundf((dx(col("sy")) - cov / varx * dx(col("sx"))) / nd, 6)
-            .as("intercept"),
-          roundf(cov * cov / (varx * vary), 6).as("r2"))
-        .orderBy("l_returnflag")
+      val mid = li.agg(max("l_orderkey")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "linreg_mom", d,
+        graft.etl.Tables.schemas("lineitem"), "li",
+        li.filter(col("l_orderkey") < mid),
+        li.filter(col("l_orderkey") >= mid))
+      val mPath = new java.io.File(base, "moments").getPath
+      val q = graft.streaming.Streams.sumsMaintain(stream,
+        Seq("l_returnflag"), Seq("n", "sx", "sy", "sxy", "sxx", "syy"),
+        mPath)(linregMoments)
+      require(q.awaitTermination(600000),
+        "moments maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the re-sum merge is " +
+          "untested")
+      olsOf(s.read.parquet(mPath))
     }),
 
     // Chi-squared independence test over a contingency table
@@ -1662,6 +1707,37 @@ object Extras {
              19) AS BIGINT) AS bin, COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY bin"""
 
+  private lazy val linregSql: String = {
+      val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+      val varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+      val vary = "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)"
+      s"""WITH b AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(9,2)) AS x,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) / 10000.0 AS DECIMAL(13,4)) AS y
+           FROM lineitem),
+         st AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+             -- widen one operand: DuckDB's int64 multiply path
+             -- overflows on DECIMAL(13,4)² at this magnitude; the
+             -- wider cast forces int128 (the product is exact either
+             -- way, so the Spark side needs no change)
+             SUM(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(38,8)))
+               AS syy
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+           floor($cov / $varx * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((sy::DOUBLE - $cov / $varx * sx::DOUBLE) / n::DOUBLE
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+           floor($cov * $cov / ($varx * $vary) * 1000000.0 + 0.5)
+             / 1000000.0 AS r2
+         FROM st ORDER BY l_returnflag"""
+    }
+
   val oracles: Map[String, String] = Map(
     "x_pivot" ->
       """SELECT o_orderpriority,
@@ -1696,36 +1772,12 @@ object Extras {
          FROM r WHERE rn = 1 ORDER BY l_returnflag""",
     // The same five decimal moments; slope/intercept/r² evaluated as
     // the identical IEEE expression trees over decimal-exact operands.
-    "x_linreg" -> {
-      val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
-      val varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
-      val vary = "(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)"
-      s"""WITH b AS (
-           SELECT l_returnflag,
-             CAST(l_quantity AS DECIMAL(9,2)) AS x,
-             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
-               + 0.5) / 10000.0 AS DECIMAL(13,4)) AS y
-           FROM lineitem),
-         st AS (
-           SELECT l_returnflag, COUNT(*) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
-             SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
-             -- widen one operand: DuckDB's int64 multiply path
-             -- overflows on DECIMAL(13,4)² at this magnitude; the
-             -- wider cast forces int128 (the product is exact either
-             -- way, so the Spark side needs no change)
-             SUM(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(38,8)))
-               AS syy
-           FROM b GROUP BY 1)
-         SELECT l_returnflag, n,
-           floor($cov / $varx * 1000000.0 + 0.5) / 1000000.0 AS slope,
-           floor((sy::DOUBLE - $cov / $varx * sx::DOUBLE) / n::DOUBLE
-             * 1000000.0 + 0.5) / 1000000.0 AS intercept,
-           floor($cov * $cov / ($varx * $vary) * 1000000.0 + 0.5)
-             / 1000000.0 AS r2
-         FROM st ORDER BY l_returnflag"""
-    },
+    // The maintained row shares it VERBATIM — additive moments re-sum
+    // to the one-pass values exactly.
+    // the maintained moments must fit identical coefficients —
+    // x_linreg's oracle VERBATIM (additive moments re-sum exactly)
+    "x_linreg_maintained" -> linregSql,
+    "x_linreg" -> linregSql,
     // identical two-stage evaluation: expected once, then the
     // statistic over the SAME exp values; critical value is the fixed
     // df=8 α=0.05 constant on both sides

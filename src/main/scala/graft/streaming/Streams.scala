@@ -1460,6 +1460,47 @@ object Streams {
     stagedSwap(staged, statePath)
   }
 
+  /** Generic grouped ADDITIVE-statistics maintenance: state =
+    * (keys..., sum columns...) merged across micro-batches by exact
+    * re-sum — the discipline countMaintain special-cases to counts,
+    * generalized so any family of sufficient statistics whose merge is
+    * addition (counts, decimal sums, sums of squares/products — i.e.
+    * the moments behind means, variances, regressions) can be
+    * maintained without a bespoke sink. `prep` shapes each micro-batch
+    * into (keys, partial-sum) rows — typically its own groupBy, so the
+    * merge input is |batch keys| + |state keys| rows, never raw data.
+    * Callers should cast sum columns to FIXED wide types in `prep`
+    * (e.g. DECIMAL(38,2)) so the state schema cannot drift as Spark
+    * widens sum precision across merges. Same staged-swap + recovery +
+    * exactly-once marker as the other merge sinks.
+    */
+  def sumsMaintain(stream: DataFrame, keys: Seq[String],
+      sums: Seq[String], statePath: String,
+      checkpoint: Option[String] = None)(
+      prep: DataFrame => DataFrame): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      sumsBatch(prep(batch), keys, sums, statePath, id)
+    }
+
+  /** One [[sumsMaintain]] batch merge, factored for the retry spec. */
+  private[graft] def sumsBatch(part: DataFrame, keys: Seq[String],
+      sums: Seq[String], statePath: String, id: Long): Unit =
+    mergeOnce(statePath, id) {
+      val sp = part.sparkSession
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy(keys.map(col): _*)
+          .agg(sum(sums.head).as(sums.head),
+            sums.tail.map(c => sum(c).as(c)): _*)
+      val cur = new java.io.File(statePath)
+      val merged =
+        if (!cur.exists()) agg(part)
+        else agg(sp.read.parquet(statePath).unionByName(part))
+      val staged = statePath + s"_stage$id"
+      merged.write.mode("overwrite").parquet(staged)
+      markBatch(staged, id)
+      stagedSwap(staged, statePath)
+    }
+
   /** Streaming heavy-hitters: a Misra-Gries summary of a key column
     * maintained across micro-batches — the trending-keys shape. Each
     * batch computes its own k-bounded sketch DISTRIBUTED (the

@@ -450,6 +450,33 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
   }
 
+  test("sumsBatch: additive re-sum merge; marker-guarded retry leaves " +
+      "the moments unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sums_retry")
+    val path = tmp.resolve("moments").toString
+    def B(rows: (String, Long, java.math.BigDecimal)*) =
+      rows.toSeq.toDF("g", "n", "sv")
+        .select(col("g"), col("n"), col("sv").cast("decimal(38,2)")
+          .as("sv"))
+    def bd(v: String) = new java.math.BigDecimal(v)
+    def state() = Streams.readMaintained(spark, path)
+      .select("g", "n", "sv").as[(String, Long, java.math.BigDecimal)]
+      .collect().map { case (g, n, sv) => g -> ((n, sv)) }.toMap
+    Streams.sumsBatch(B(("a", 2L, bd("10.50")), ("b", 1L, bd("3.00"))),
+      Seq("g"), Seq("n", "sv"), path, 0L)
+    Streams.sumsBatch(B(("a", 3L, bd("4.50"))),
+      Seq("g"), Seq("n", "sv"), path, 1L)
+    val want = Map("a" -> ((5L, bd("15.00"))), "b" -> ((1L, bd("3.00"))))
+    def norm(m: Map[String, (Long, java.math.BigDecimal)]) =
+      m.map { case (g, (n, sv)) => (g, n, sv.stripTrailingZeros) }.toSet
+    assert(norm(state()) == norm(want))
+    // marker-guarded retry: re-applying batch 1 must not double-sum
+    Streams.sumsBatch(B(("a", 3L, bd("4.50"))),
+      Seq("g"), Seq("n", "sv"), path, 1L)
+    assert(norm(state()) == norm(want), "a retried batch re-merged")
+  }
+
   test("native watermarked stream-stream interval join equals the " +
       "batch band join") {
     // Spark's OWN stream-stream join operator (the complement of the
