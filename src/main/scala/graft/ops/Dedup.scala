@@ -339,6 +339,51 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // INCREMENTAL exact dedup — d_exact's hash-groupBy turned into the
+    // ingest shape: the corpus hash index (md5 → min doc_id) is
+    // MAINTAINED by the streaming append sink (a doc's hash row
+    // depends on that doc alone, so the batchId-keyed append IS the
+    // merge; the reader min-collapses in case later corpora carry
+    // internal dups), and a new batch — fresh docs plus a re-ingested
+    // corpus slice under offset ids, the double-extract trigger —
+    // probes the READ-BACK index with one hash equi-join: |batch|
+    // probe rows against the living index, the corpus text never
+    // rescanned. The 1e6 id offset is require-guarded like
+    // embedLshCorpus. Oracle = the corpus×batch hash-match truth:
+    // a lost append or a phantom hash goes hash-red.
+    "d_exact_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      require(maxId < 1000000L,
+        s"d_exact_incr offset collides: max(doc_id)=$maxId >= 1e6 — " +
+          "raise the offset here AND in the oracle")
+      val splitId = maxId * 4 / 5
+      val corpus = docs.filter(col("doc_id") < splitId)
+      val corpusCut = maxId * 2 / 5
+      val (base, stream) = Replay.twoBatchStream(s, "exact_idx", d,
+        graft.etl.Tables.documents, "docs",
+        corpus.filter(col("doc_id") < corpusCut),
+        corpus.filter(col("doc_id") >= corpusCut))
+      val idxPath = new java.io.File(base, "hash_index").getPath
+      val q = graft.streaming.Streams.appendMaintain(stream, idxPath)(
+        b => b.select(md5(col("text")).as("h"), col("doc_id")))
+      require(q.awaitTermination(600000),
+        "hash index maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is untested")
+      val idx = graft.streaming.Streams.readMaintained(s, idxPath)
+        .groupBy("h").agg(min("doc_id").as("keep_id"))
+      val batch = docs.filter(col("doc_id") < splitId &&
+          col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") >= splitId)
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id").as("dup_id"), md5(col("text")).as("h"))
+      batch.join(idx, "h")
+        .select(col("dup_id"), col("keep_id"))
+        .orderBy("dup_id")
+    }),
+
     // CONTAINMENT near-dup — the asymmetric complement of
     // d_minhash_pairs' symmetric Jaccard: containment(A⊂B) =
     // |A∩B|/|A| catches a small document embedded inside a larger one
@@ -1256,6 +1301,22 @@ object Dedup {
 
   private val moreOracles: Map[String, String] = Map(
     "d_containment" -> containmentSql,
+    // corpus×batch hash-match truth (spl mirrors Long floor division)
+    "d_exact_incr" ->
+      """WITH spl AS (SELECT max(doc_id) * 4 // 5 AS v FROM documents),
+         corpus AS (
+           SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+           FROM documents, spl WHERE doc_id < spl.v GROUP BY 1),
+         batch AS (
+           SELECT doc_id + 1000000 AS dup_id, md5(text) AS h
+           FROM documents, spl
+           WHERE doc_id < spl.v AND doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, md5(text) FROM documents, spl
+           WHERE doc_id >= spl.v)
+         SELECT b.dup_id, c.keep_id
+         FROM batch b JOIN corpus c USING (h)
+         ORDER BY dup_id""",
     "d_simhash" ->
       """SELECT doc_id,
            CAST(list_sum([CASE WHEN 2 * len(list_filter(dw, x ->
