@@ -271,6 +271,35 @@ class PlanAuditSpec extends SparkTestBase {
       !pj.contains("customer.parquet"),
       "l_ivm_join rescans a base table — the maintained view should " +
         "serve it")
+    // round-12 second wave: each new maintained row reads its artifact
+    val pdi = plan("l_ivm_distinct")
+    assert(pdi.contains("graft_ivm_dist"),
+      "the DISTINCT view should net the maintained signed log")
+    assert(!pdi.contains("orders.parquet"),
+      "l_ivm_distinct rescans orders — the view log should serve it")
+    val piv = plan("l_ivm_interval")
+    assert(piv.contains("graft_ivm_iv"),
+      "the band view should scan the maintained view log")
+    assert(!piv.contains("events.parquet"),
+      "l_ivm_interval rescans events — the view log should serve it")
+    val ppq = plan("v_pq_maintained")
+    assert(ppq.contains("graft_pq_idx"),
+      "ADC should score the maintained code index")
+    val plm = plan("t_lmscore_maintained")
+    assert(plm.contains("graft_lm_counts"),
+      "LM scoring should read the maintained bigram counts")
+    val plr = plan("x_linreg_maintained")
+    assert(plr.contains("graft_linreg_mom"),
+      "OLS should fit from the maintained moments state")
+    assert(!plr.contains("lineitem.parquet"),
+      "x_linreg_maintained rescans lineitem — the moments state " +
+        "should serve it")
+    val pei = plan("d_exact_incr")
+    assert(pei.contains("graft_exact_idx"),
+      "hash probes should hit the maintained md5 index")
+    val pci = plan("d_clusters_incr")
+    assert(pci.contains("graft_cc_incr"),
+      "relabeling should read the maintained labeling parquet")
   }
 
   test("d_incremental: corpus side is the materialized parquet band index") {
