@@ -984,6 +984,44 @@ object Extras {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Market-basket association rules — support / confidence / lift
+    // for part pairs co-occurring in an order (the retail-analytics
+    // classic, Agrawal-Srikant's measures without the Apriori loop:
+    // one co-occurrence self-join IS the k=2 lattice level). Scale
+    // shape: the self-join is keyed on l_orderkey and order width is
+    // bounded (≤7 lineitems), so per-order pair fan-out is ≤ C(7,2) —
+    // LINEAR in the table, never quadratic in parts; pair counts
+    // partial-aggregate; the min-support filter (n_ab ≥ 3) bounds the
+    // rule table before the per-part marginals join. All three
+    // measures are integer-count ratios evaluated identically in both
+    // engines; top-20 by (lift DESC, a, b) is a deterministic LIMIT.
+    "x_basket" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = li.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val pc = li.groupBy("pk").agg(count(lit(1)).as("n_p"))
+      pairs
+        .join(pc.select(col("pk").as("a"), col("n_p").as("n_a")), "a")
+        .join(pc.select(col("pk").as("b"), col("n_p").as("n_b")), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("n_ab"),
+          roundf(col("n_ab").cast("double") /
+            col("n_orders").cast("double"), 6).as("support"),
+          roundf(col("n_ab").cast("double") /
+            col("n_a").cast("double"), 6).as("confidence"),
+          roundf((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy(desc("lift"), asc("a"), asc("b"))
+        .limit(20)
+    }),
+
     // One-way ANOVA — does the value distribution differ across the
     // five event types? F = (SSB/(k−1)) / (SSW/(n−k)), all from the
     // same one-pass exact-decimal moments discipline (per-group n, Σv,
@@ -1810,6 +1848,30 @@ object Extras {
            floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
            chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
          FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
+    // the same integer-count ratios; the deterministic LIMIT mirrors
+    // the (lift DESC, a, b) tie-break
+    "x_basket" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+         pairs AS (
+           SELECT x.pk AS a, y.pk AS b, COUNT(*) AS n_ab
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         pc AS (SELECT pk, COUNT(*) AS n_p FROM li GROUP BY 1)
+         SELECT p.a, p.b, p.n_ab,
+           floor(p.n_ab::DOUBLE / t.n_orders::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS support,
+           floor(p.n_ab::DOUBLE / ca.n_p::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS confidence,
+           floor((p.n_ab * t.n_orders)::DOUBLE
+             / (ca.n_p * cb.n_p)::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS lift
+         FROM pairs p
+         JOIN pc ca ON ca.pk = p.a
+         JOIN pc cb ON cb.pk = p.b, tot t
+         ORDER BY lift DESC, a, b LIMIT 20""",
     // same one-pass moments; SSW/SSB/F as identical IEEE expression
     // trees over decimal-exact sums
     "x_anova" ->
