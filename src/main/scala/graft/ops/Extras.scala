@@ -984,6 +984,41 @@ object Extras {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Lag-1 autocorrelation of the daily event-count series — the
+    // time-series health diagnostic (is today's volume predictive of
+    // tomorrow's?). The raw table collapses to ONE row per day first
+    // (map-side combined counts — the series is bounded by the
+    // calendar, not the data), the lag pairs come from a self-join on
+    // day+1 (no window needed, and the series is small enough that
+    // the join broadcasts), and r evaluates from integer-count
+    // moments as IEEE arithmetic — the x_corr formula over the
+    // (c_t, c_{t+1}) pairs. Per event_type, so the output localizes
+    // which stream is bursty vs mean-reverting.
+    "x_autocorr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = daily.as("x").join(daily.as("y"),
+          col("x.event_type") === col("y.event_type") &&
+          col("y.day") === col("x.day") + expr("INTERVAL 1 DAY"))
+        .select(col("x.event_type").as("event_type"),
+          col("x.c").as("c0"), col("y.c").as("c1"))
+      val m = pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("c0").as("s0"), sum("c1").as("s1"),
+        sum(col("c0") * col("c1")).as("s01"),
+        sum(col("c0") * col("c0")).as("s00"),
+        sum(col("c1") * col("c1")).as("s11"))
+      val dx = (c: String) => col(c).cast("double")
+      val cov = dx("n") * dx("s01") - dx("s0") * dx("s1")
+      val v0 = dx("n") * dx("s00") - dx("s0") * dx("s0")
+      val v1 = dx("n") * dx("s11") - dx("s1") * dx("s1")
+      m.select(col("event_type"), col("n"),
+          roundf(cov / sqrt(v0 * v1), 6).as("r1"))
+        .orderBy("event_type")
+    }),
+
     // Market-basket association rules — support / confidence / lift
     // for part pairs co-occurring in an order (the retail-analytics
     // classic, Agrawal-Srikant's measures without the Apriori loop:
@@ -1848,6 +1883,29 @@ object Extras {
            floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
            chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
          FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
+    // identical moment arithmetic over the day+1 self-joined series
+    "x_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT x.event_type, x.c AS c0, y.c AS c1
+           FROM daily x JOIN daily y
+             ON x.event_type = y.event_type
+            AND y.day = x.day + INTERVAL 1 DAY),
+         m AS (
+           SELECT event_type, COUNT(*) AS n,
+             SUM(c0) AS s0, SUM(c1) AS s1,
+             SUM(c0 * c1) AS s01, SUM(c0 * c0) AS s00,
+             SUM(c1 * c1) AS s11
+           FROM pairs GROUP BY 1)
+         SELECT event_type, n,
+           floor((n::DOUBLE * s01::DOUBLE - s0::DOUBLE * s1::DOUBLE)
+             / sqrt((n::DOUBLE * s00::DOUBLE - s0::DOUBLE * s0::DOUBLE)
+               * (n::DOUBLE * s11::DOUBLE - s1::DOUBLE * s1::DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS r1
+         FROM m ORDER BY event_type""",
     // the same integer-count ratios; the deterministic LIMIT mirrors
     // the (lift DESC, a, b) tie-break
     "x_basket" ->
