@@ -984,6 +984,49 @@ object Extras {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // CUSUM changepoint detection on the daily count series — where
+    // did the level shift? S_t = Σ_{i≤t} (c_i − mean) over the
+    // calendar-bounded daily series; the changepoint estimate is
+    // argmax |S_t| (the classic offline CUSUM estimator). All
+    // arithmetic is integer counts and one exact mean (decimal-exact
+    // sum / count), the cumsum window runs over ≤ |days| rows, and
+    // the argmax tie-breaks on the earlier day — deterministic end to
+    // end. Output per event_type: the estimated changepoint day, its
+    // |S| magnitude, and the before/after daily means that quantify
+    // the shift.
+    "x_changepoint" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.groupBy("event_type").agg(
+        sum("c").as("sc"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wr = Window.partitionBy("event_type").orderBy("day")
+      val cum = daily.join(tot, "event_type")
+        .withColumn("mean", col("sc").cast("double") /
+          col("nd").cast("double"))
+        // integer running count + row_number keep the cumsum exact;
+        // doubles enter only in the final S_t expression
+        .withColumn("cs", sum("c").over(w))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("s", col("cs").cast("double") -
+          col("mean") * col("rn").cast("double"))
+      val wP = Window.partitionBy("event_type")
+        .orderBy(desc("abs_s"), asc("day"))
+      cum.withColumn("abs_s", abs(col("s")))
+        .withColumn("pick", row_number().over(wP))
+        .filter(col("pick") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          roundf(col("abs_s"), 6).as("cusum"),
+          roundf(col("cs").cast("double") / col("rn").cast("double"), 6)
+            .as("mean_before"),
+          roundf((col("sc") - col("cs")).cast("double") /
+            (col("nd") - col("rn")).cast("double"), 6).as("mean_after"))
+        .orderBy("event_type")
+    }),
+
     // Lag-1 autocorrelation of the daily event-count series — the
     // time-series health diagnostic (is today's volume predictive of
     // tomorrow's?). The raw table collapses to ONE row per day first
@@ -1883,6 +1926,38 @@ object Extras {
            floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
            chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
          FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
+    // same integer cumsum + exact mean; argmax ties to the earlier day
+    "x_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, SUM(c) AS sc, COUNT(*) AS nd
+           FROM daily GROUP BY 1),
+         cum AS (
+           SELECT d.event_type, d.day, t.sc, t.nd,
+             t.sc::DOUBLE / t.nd::DOUBLE AS mean,
+             SUM(d.c) OVER wo AS cs,
+             row_number() OVER wr AS rn
+           FROM daily d JOIN tot t USING (event_type)
+           WINDOW wo AS (PARTITION BY d.event_type ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wr AS (PARTITION BY d.event_type ORDER BY d.day)),
+         scored AS (
+           SELECT *,
+             abs(cs::DOUBLE - mean * rn::DOUBLE) AS abs_s,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cs::DOUBLE - mean * rn::DOUBLE) DESC,
+                 day ASC) AS pick
+           FROM cum)
+         SELECT event_type, CAST(day AS TIMESTAMP) AS change_day,
+           floor(abs_s * 1000000.0 + 0.5) / 1000000.0 AS cusum,
+           floor(cs::DOUBLE / rn::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_before,
+           floor((sc - cs)::DOUBLE / (nd - rn)::DOUBLE
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_after
+         FROM scored WHERE pick = 1 ORDER BY event_type""",
     // identical moment arithmetic over the day+1 self-joined series
     "x_autocorr" ->
       """WITH daily AS (
