@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over `documents` (SURVEY §2.4 A6 + north-star text ops):
@@ -273,6 +274,48 @@ object Text {
           when(size(w) >= 8, array_min(shingleHashes))
             .otherwise(portableHash(col("text"))).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    // the MOSS algorithm): from every window of w=4 consecutive 5-gram
+    // hashes select the MINIMUM, rightmost on ties — the paper's
+    // guarantee is that any shared run of ≥ w+k−1 = 8 words shares a
+    // fingerprint, with expected density 2/(w+1) — a position-robust
+    // local fingerprint t_fingerprint's global min cannot give.
+    // Execution shape: positional gram hashes via one codegen'd
+    // transform (no explode of TEXT — the shuffle carries 8-byte
+    // hashes), the per-window rightmost-min via ONE frame aggregate
+    // min(struct(h, −pos)) over a (doc, pos) window — lexicographic
+    // struct ordering gives (min hash, max pos) with no second pass —
+    // and pair detection is a fingerprint equi-join with the shared
+    // count thresholded. At 100 TB, hot boilerplate fingerprints get
+    // the d_minhash_idf stop-set treatment (frequency-cap the join
+    // key) — same lever, disclosed not implemented here.
+    "t_winnow" -> ((s, d) => {
+      val Wn = 4
+      val wds = words(col("text"))
+      val grams = transform(
+        sequence(lit(1), greatest(size(wds) - lit(4), lit(1))),
+        i => portableHash(concat_ws(" ", slice(wds, i, lit(5)))))
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      val wDoc = Window.partitionBy("doc_id")
+      val wFrame = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, Wn - 1)
+      val sel = g.withColumn("ng", count(lit(1)).over(wDoc))
+        .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
+          .over(wFrame))
+        .filter(col("pos") <= col("ng") - lit(Wn) + 1)
+        .select(col("doc_id"), col("m.h").as("fh"))
+        .distinct()
+      sel.as("x").join(sel.as("y"),
+          col("x.fh") === col("y.fh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 4)
+        .orderBy("a", "b")
     }),
 
     // Repetition signals (the Gopher-rule family): fraction of duplicated
@@ -1184,6 +1227,31 @@ object Text {
                 WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
            COUNT(*) AS n
          FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""",
+    // the same rightmost-min selection via list comprehensions: per
+    // window start i, m = min of gs[i..i+3], selected index = i-1 +
+    // the LARGEST j with gs[i+j-1] = m
+    "t_winnow" ->
+      """WITH wd AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),
+                 1, 15))::BIGINT
+              for i in range(1, greatest(len(w) - 4, 1) + 1)] AS gs
+           FROM wd),
+         sel AS (
+           SELECT DISTINCT doc_id, fh FROM (
+             SELECT doc_id, unnest([
+                 gs[i - 1 + list_max([j for j in range(1, 5)
+                   if gs[i + j - 1] = list_min(gs[i : i + 3])])]
+               for i in range(1, len(gs) - 4 + 2)]) AS fh
+             FROM g WHERE len(gs) >= 4)),
+         pr AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+           FROM sel x JOIN sel y
+             ON x.fh = y.fh AND x.doc_id < y.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+         SELECT a, b, n_shared FROM pr ORDER BY a, b""",
     "t_fingerprint" ->
       """WITH w AS (
            SELECT doc_id, text, string_split(text, ' ') AS words
