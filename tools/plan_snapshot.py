@@ -45,6 +45,8 @@ def normalize(text: str) -> str:
     text = re.sub(r"\$\$Lambda\$\d+/0x[0-9a-f]+@[0-9a-f]+",
                   "$$Lambda$N", text)
     text = re.sub(r"\$\$anon\$(\d+)@[0-9a-f]+", r"$$anon$\1@N", text)
+    # checkpoint call-site line numbers shift with unrelated edits
+    text = re.sub(r"at ([A-Za-z]+\.scala):\d+", r"at \1:N", text)
     text = re.sub(r", \d+\), REPARTITION_BY_NUM",
                   ", P), REPARTITION_BY_NUM", text)
     text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
