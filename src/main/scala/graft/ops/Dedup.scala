@@ -339,6 +339,28 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // CANONICALIZED exact dedup — the normalization stage every real
+    // exact-dedup pass runs before hashing (case folding + whitespace
+    // collapse + trim): raw byte-equality misses trivially-reformatted
+    // re-crawls. The rig re-ingests a deterministic slice UPPERCASED
+    // with padded whitespace — byte-distinct, canonically identical —
+    // and groups on md5 OF THE CANONICAL FORM, so the dup groups
+    // reappear only if the normalization actually ran. Same 32-byte-
+    // key shuffle discipline as d_exact.
+    "d_exact_canon" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val noisy = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(lit("  "), upper(col("text")),
+          lit("   ")))
+      val canon = md5(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")))
+      docs.unionByName(noisy)
+        .groupBy(canon.as("canon_hash"))
+        .agg(min("doc_id").as("keep_id"), count("*").as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .orderBy("keep_id")
+    }),
+
     // INCREMENTAL exact dedup — d_exact's hash-groupBy turned into the
     // ingest shape: the corpus hash index (md5 → min doc_id) is
     // MAINTAINED by the streaming append sink (a doc's hash row
@@ -1301,6 +1323,17 @@ object Dedup {
 
   private val moreOracles: Map[String, String] = Map(
     "d_containment" -> containmentSql,
+    // same canonical form: lower → collapse whitespace → trim → md5
+    "d_exact_canon" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id, '  ' || upper(text) || '   '
+           FROM documents WHERE doc_id % 7 = 0)
+         SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS canon_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM u GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""",
     // corpus×batch hash-match truth (spl mirrors Long floor division)
     "d_exact_incr" ->
       """WITH spl AS (SELECT max(doc_id) * 4 // 5 AS v FROM documents),

@@ -984,6 +984,42 @@ object Extras {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Benford's-law conformance — the fraud/data-quality screen:
+    // does the first significant digit of order totals follow
+    // log10(1+1/d)? The expected frequencies are NINE FIXED CONSTANTS
+    // (the only place a log appears is in deriving the table, done
+    // once on paper), the digit extracts via integer-string rendering
+    // (floor → BIGINT → first char — identical text in both engines,
+    // no float formatting and no runtime log), and the chi-squared
+    // statistic follows the x_chisq discipline with the df=8 critical
+    // value. Per-digit contributions localize the deviation.
+    "x_benford" -> ((s, d) => {
+      val pd = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757)
+      val o = t(s, d, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val cells = o.groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = o.agg(count(lit(1)).as("n"))
+      val pCol = element_at(
+        array(pd.map(lit): _*), col("digit"))
+      val contrib = cells.crossJoin(broadcast(tot))
+        .withColumn("exp", col("n").cast("double") * pCol)
+        .withColumn("chi",
+          (col("obs").cast("double") - col("exp")) *
+            (col("obs").cast("double") - col("exp")) / col("exp"))
+      val stat = contrib.agg(
+        sum(roundf(col("chi"), 9).cast("decimal(38,9)")).cast("double")
+          .as("c2raw"))
+        .select(roundf(col("c2raw"), 6).as("chi2"))
+      contrib.crossJoin(broadcast(stat))
+        .select(col("digit"), col("obs"),
+          roundf(col("exp"), 4).as("expected"),
+          roundf(col("chi"), 6).as("contrib"),
+          col("chi2"), (col("chi2") > lit(15.5073)).as("reject_benford"))
+        .orderBy("digit")
+    }),
+
     // CUSUM changepoint detection on the daily count series — where
     // did the level shift? S_t = Σ_{i≤t} (c_i − mean) over the
     // calendar-bounded daily series; the changepoint estimate is
@@ -1926,6 +1962,35 @@ object Extras {
            floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
            chi2, 8 AS df, chi2 > 15.5073 AS reject_independence
          FROM e2, stat ORDER BY o_orderstatus, o_orderpriority""",
+    // same integer-string digit extraction and fixed Benford table
+    "x_benford" ->
+      """WITH o AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders),
+         cells AS (SELECT digit, COUNT(*) AS obs FROM o GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n FROM o),
+         pt AS (SELECT unnest(range(1, 10)) AS digit,
+                unnest([0.301030, 0.176091, 0.124939, 0.096910,
+                  0.079181, 0.066947, 0.057992, 0.051153, 0.045757])
+                  AS p),
+         e1 AS (
+           SELECT c.digit, c.obs, t.n::DOUBLE * pt.p::DOUBLE AS exp
+           FROM cells c JOIN pt USING (digit), tot t),
+         e2 AS (
+           SELECT *, (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp
+             AS chi
+           FROM e1),
+         stat AS (
+           SELECT floor(CAST(SUM(CAST(floor(chi * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS chi2
+           FROM e2)
+         SELECT digit, obs,
+           floor(exp * 10000.0 + 0.5) / 10000.0 AS expected,
+           floor(chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+           chi2, chi2 > 15.5073 AS reject_benford
+         FROM e2, stat ORDER BY digit""",
     // same integer cumsum + exact mean; argmax ties to the earlier day
     "x_changepoint" ->
       """WITH daily AS (

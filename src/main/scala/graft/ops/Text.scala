@@ -156,6 +156,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprint set per doc: rightmost-minimum 5-gram hash
+    * of every w=4 window (Schleimer/Wilkerson/Aiken) — (doc_id, fh)
+    * distinct. Factored so DedupSpec can assert the paper's guarantee
+    * (any shared ≥ w+k−1 = 8-word run shares a fingerprint). */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val Wn = 4
+    val wds = words(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(wds) - lit(4), lit(1))),
+      i => portableHash(concat_ws(" ", slice(wds, i, lit(5)))))
+    val g = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wFrame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, Wn - 1)
+    g.withColumn("ng", count(lit(1)).over(wDoc))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(wFrame))
+      .filter(col("pos") <= col("ng") - lit(Wn) + 1)
+      .select(col("doc_id"), col("m.h").as("fh"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream
@@ -292,23 +316,7 @@ object Text {
     // the d_minhash_idf stop-set treatment (frequency-cap the join
     // key) — same lever, disclosed not implemented here.
     "t_winnow" -> ((s, d) => {
-      val Wn = 4
-      val wds = words(col("text"))
-      val grams = transform(
-        sequence(lit(1), greatest(size(wds) - lit(4), lit(1))),
-        i => portableHash(concat_ws(" ", slice(wds, i, lit(5)))))
-      val g = t(s, d, "documents")
-        .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-      val wDoc = Window.partitionBy("doc_id")
-      val wFrame = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, Wn - 1)
-      val sel = g.withColumn("ng", count(lit(1)).over(wDoc))
-        .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
-          .over(wFrame))
-        .filter(col("pos") <= col("ng") - lit(Wn) + 1)
-        .select(col("doc_id"), col("m.h").as("fh"))
-        .distinct()
+      val sel = winnowFingerprints(t(s, d, "documents"))
       sel.as("x").join(sel.as("y"),
           col("x.fh") === col("y.fh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -16,6 +16,35 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("winnowing guarantee: any shared 8-word run shares a " +
+      "fingerprint; disjoint docs share none") {
+    // the Schleimer/Wilkerson/Aiken theorem made executable: with
+    // k=5-gram hashes and w=4 windows, a match of length ≥ w+k−1 = 8
+    // words contains a full window of shared grams, and that window's
+    // (rightmost-)minimum is selected in BOTH documents — so the
+    // fingerprint sets must intersect. Docs with disjoint vocabulary
+    // can share nothing.
+    import spark.implicits._
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 words
+    val doc1 = s"one two three $run four five six seven"
+    val doc2 = s"red blue green yellow purple $run orange pink"
+    val doc3 = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val fp = graft.ops.Text.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "docs sharing an 8-word run must share a fingerprint (theorem)")
+    assert(fp(1L).intersect(fp(3L)).isEmpty &&
+      fp(2L).intersect(fp(3L)).isEmpty,
+      "disjoint-vocabulary docs cannot share fingerprints")
+    // density sanity: expected 2/(w+1) of gram positions selected —
+    // each doc here has ~12-15 grams, so 2-8 fingerprints, never all
+    assert(fp.values.forall(s => s.size >= 2 && s.size <= 8),
+      s"implausible fingerprint density: ${fp.view.mapValues(_.size).toMap}")
+  }
+
   test("path graph of diameter 9 converges to one component") {
     // 10-2=8 edges chained: 1-2-3-...-10 (diameter 9 > any fixed bound)
     val path = (1L until 10L).map(i => (i, i + 1))
