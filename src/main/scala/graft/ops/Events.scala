@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time analytics (SURVEY §2.9) in their batch-equivalent,
@@ -214,6 +215,81 @@ object Events {
         .orderBy("event_type")
     }),
 
+    // Day-of-week seasonality profile — the third time-series
+    // diagnostic (autocorrelation, changepoint, now seasonality): per
+    // event type, the weekday distribution plus a chi-squared
+    // uniformity verdict whose expected count is n/7 — a RATIO of the
+    // group's own total, so the only constants are the df=6 critical
+    // value (12.5916) and the calendar. One |types × 7|-row aggregate;
+    // the x_chisq two-stage evaluation keeps the statistic
+    // deterministic.
+    "e_dow_profile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      val cells = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("obs"))
+      val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val contrib = cells.join(tot, "event_type")
+        .withColumn("exp", col("n").cast("double") / lit(7.0))
+        .withColumn("chi",
+          (col("obs").cast("double") - col("exp")) *
+            (col("obs").cast("double") - col("exp")) / col("exp"))
+      val stat = contrib.groupBy("event_type")
+        .agg(roundf(sum(roundf(col("chi"), 9).cast("decimal(38,9)"))
+          .cast("double"), 6).as("chi2"))
+      contrib.join(stat, "event_type")
+        .select(col("event_type"), col("dow"), col("obs"),
+          roundf(col("exp"), 4).as("expected"),
+          roundf(col("chi"), 6).as("contrib"), col("chi2"),
+          (col("chi2") > lit(12.5916)).as("reject_uniform"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Funnel stage latency — how long do conversions take? For every
+    // user completing view → click → purchase (e_funnel's sequential
+    // mins), the stage deltas in µs, summarized per stage pair by
+    // EXACT rank-selected median and p90: rank r = the element at
+    // position ceil(q·n) under the (delta, user_id) total order — a
+    // deterministic order statistic, not an interpolation, so both
+    // engines agree bit-for-bit. The rank window runs over
+    // |converted users| rows (funnels only narrow — bounded), never
+    // the event stream.
+    "e_funnel_time" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      val full = v.join(c, "user_id").join(p, "user_id")
+      val stages = full.select(col("user_id"),
+          explode(array(
+            struct(lit("1_view_to_click").as("stage"),
+              (unix_micros(col("t_click")) -
+                unix_micros(col("t_view"))).as("delta_us")),
+            struct(lit("2_click_to_purchase").as("stage"),
+              (unix_micros(col("t_purchase")) -
+                unix_micros(col("t_click"))).as("delta_us")))).as("e"))
+        .select(col("user_id"), col("e.stage"), col("e.delta_us"))
+      val w = Window.partitionBy("stage")
+        .orderBy(asc("delta_us"), asc("user_id"))
+      val ranked = stages
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("stage")))
+      ranked.groupBy("stage", "n").agg(
+          max(when(col("rk") === ceil(col("n") * lit(0.5)),
+            col("delta_us"))).as("median_us"),
+          max(when(col("rk") === ceil(col("n") * lit(0.9)),
+            col("delta_us"))).as("p90_us"))
+        .select(col("stage"), col("n"), col("median_us"), col("p90_us"))
+        .orderBy("stage")
+    }),
+
     // Top behavioral paths — the e_transitions idea extended to
     // 3-step sequences (the product-analytics "what do users do
     // before X" query): per-user event streams ordered by
@@ -224,7 +300,6 @@ object Events {
     // resolves with a deterministic (count DESC, path ASC) tie-break
     // so LIMIT is stable in both engines.
     "e_pathing" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val tri = t(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -335,6 +410,68 @@ object Events {
     }))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB dayofweek is 0=Sunday; Spark is 1=Sunday — the +1 aligns
+    "e_dow_profile" ->
+      """WITH ev AS (
+           SELECT event_type, dayofweek(ts) + 1 AS dow FROM events),
+         cells AS (SELECT event_type, dow, COUNT(*) AS obs
+                   FROM ev GROUP BY 1, 2),
+         tot AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1),
+         e1 AS (
+           SELECT c.event_type, c.dow, c.obs, t.n::DOUBLE / 7.0 AS exp
+           FROM cells c JOIN tot t USING (event_type)),
+         e2 AS (
+           SELECT *, (obs::DOUBLE - exp) * (obs::DOUBLE - exp) / exp
+             AS chi
+           FROM e1),
+         stat AS (
+           SELECT event_type,
+             floor(CAST(SUM(CAST(floor(chi * 1000000000.0 + 0.5)
+               / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS chi2
+           FROM e2 GROUP BY 1)
+         SELECT e2.event_type, e2.dow, e2.obs,
+           floor(e2.exp * 10000.0 + 0.5) / 10000.0 AS expected,
+           floor(e2.chi * 1000000.0 + 0.5) / 1000000.0 AS contrib,
+           st.chi2, st.chi2 > 12.5916 AS reject_uniform
+         FROM e2 JOIN stat st USING (event_type)
+         ORDER BY event_type, dow""",
+    // exact rank-selected order statistics over the same total order
+    "e_funnel_time" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+         v AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+               FROM ev e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view
+               GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+               FROM ev e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+               GROUP BY 1),
+         full_ AS (
+           SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+           FROM v JOIN c USING (user_id) JOIN p USING (user_id)),
+         stages AS (
+           SELECT user_id, '1_view_to_click' AS stage,
+             epoch_us(t_click) - epoch_us(t_view) AS delta_us
+           FROM full_
+           UNION ALL
+           SELECT user_id, '2_click_to_purchase',
+             epoch_us(t_purchase) - epoch_us(t_click)
+           FROM full_),
+         ranked AS (
+           SELECT stage, user_id, delta_us,
+             row_number() OVER (PARTITION BY stage
+               ORDER BY delta_us, user_id) AS rk,
+             COUNT(*) OVER (PARTITION BY stage) AS n
+           FROM stages)
+         SELECT stage, n,
+           MAX(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+             THEN delta_us END) AS median_us,
+           MAX(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+             THEN delta_us END) AS p90_us
+         FROM ranked GROUP BY stage, n ORDER BY stage""",
     "e_pathing" ->
       """WITH seq AS (
            SELECT user_id, event_type,

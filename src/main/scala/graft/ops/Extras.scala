@@ -743,6 +743,38 @@ object Extras {
         .orderBy("user_id")
     }),
 
+    // Degree distribution — the graph-profiling primitive that
+    // justified the substrate decisions above (the near-clique
+    // diagnosis behind KcoreW and TriW is readable straight off this
+    // output): per-node degrees of BOTH the w≥3 graph and its w≥12
+    // sparsification from ONE pair aggregation (the second degree is
+    // a conditional sum over the same rows), collapsed to
+    // (graph, degree, n_nodes) histogram rows — |degrees| output,
+    // partial-agg'd everywhere.
+    "g_degree_dist" -> ((s, d) => {
+      val act = capHourBand(t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct())
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+      val sym = pairs.select(col("u"), col("w"))
+        .unionByName(pairs.select(col("v").as("u"), col("w")))
+      val deg = sym.groupBy("u").agg(
+        count(lit(1)).as("deg3"),
+        sum(when(col("w") >= KcoreW, 1L).otherwise(0L)).as("deg12"))
+      deg.groupBy(col("deg3").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit("w3").as("graph"), col("degree"), col("n_nodes"))
+        .unionByName(deg.filter(col("deg12") > 0)
+          .groupBy(col("deg12").as("degree"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit("w12").as("graph"), col("degree"),
+            col("n_nodes")))
+        .orderBy("graph", "degree")
+    }),
+
     // k-core decomposition (k=3) by iterative peeling — the fifth
     // graph primitive: repeatedly remove nodes whose degree within the
     // surviving subgraph falls below k, to a require-checked fixpoint
@@ -2224,6 +2256,29 @@ object Extras {
          SELECT p.event_type, p.n, p.mean_value, c.ci_lo, c.ci_hi
          FROM pt p JOIN ci c USING (event_type)
          ORDER BY event_type""",
+    // one pair aggregation, two degree columns, two histogram stanzas
+    "g_degree_dist" ->
+      s"""WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         sym AS (SELECT u, w FROM pairs
+                 UNION ALL SELECT v, w FROM pairs),
+         deg AS (
+           SELECT u, COUNT(*) AS deg3,
+             CAST(SUM(CASE WHEN w >= $KcoreW THEN 1 ELSE 0 END)
+               AS BIGINT) AS deg12
+           FROM sym GROUP BY 1)
+         SELECT 'w3' AS graph, deg3 AS degree, COUNT(*) AS n_nodes
+         FROM deg GROUP BY 2
+         UNION ALL
+         SELECT 'w12', deg12, COUNT(*) FROM deg WHERE deg12 > 0
+         GROUP BY 2
+         ORDER BY graph, degree""",
     // The peel recurrence unrolled to the cap — identical rounds past
     // the fixpoint are identities (absorbing), the LPA oracle trick.
     "g_kcore" -> {
