@@ -337,7 +337,14 @@ class PlanAuditSpec extends SparkTestBase {
     // here — several of these use 1-row scalar crossJoins by design.)
     for (q <- Seq("g_triangles", "d_containment", "d_clusters_incr",
         "v_pq", "v_mips", "o_skyline", "e_attribution", "e_rfm",
-        "e_pathing", "g_kcore")) {
+        "e_pathing", "g_kcore",
+        // second wave: stats/monitoring/profiling batch queries (the
+        // maintained rows are covered by the maintained-artifact pin,
+        // which already builds their rigs once)
+        "x_basket", "x_autocorr", "x_changepoint", "t_winnow",
+        "d_exact_canon", "x_benford", "e_dow_profile", "e_funnel_time",
+        "g_degree_dist", "x_bootstrap", "x_linreg", "x_chisq",
+        "x_anova", "x_drift", "x_ks")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }
