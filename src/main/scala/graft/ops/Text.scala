@@ -180,6 +180,32 @@ object Text {
       .distinct()
   }
 
+  /** [[winnowFingerprints]] keeping the SELECTED gram position —
+    * (doc_id, fh, posn) distinct — so matches can be LOCALIZED
+    * (t_winnow_spans): the selected position is the rightmost-min's
+    * own index, recovered from the same struct aggregate. */
+  private[graft] def winnowFingerprintPositions(
+      docs: DataFrame): DataFrame = {
+    val Wn = 4
+    val wds = words(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(wds) - lit(4), lit(1))),
+      i => portableHash(concat_ws(" ", slice(wds, i, lit(5)))))
+    val g = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wFrame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, Wn - 1)
+    g.withColumn("ng", count(lit(1)).over(wDoc))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(wFrame))
+      .filter(col("pos") <= col("ng") - lit(Wn) + 1)
+      .select(col("doc_id"), col("m.h").as("fh"),
+        (-col("m.np")).as("posn"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex token stream
@@ -322,6 +348,32 @@ object Text {
           col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 4)
+        .orderBy("a", "b")
+    }),
+
+    // Span LOCALIZATION from the winnowing anchors — t_winnow tells
+    // you WHICH documents share content; this tells you WHERE: the
+    // selected fingerprint positions (computed by the same window
+    // aggregate, otherwise discarded) join across each detected pair
+    // into (pos_a, pos_b) anchors, and the per-pair position extents
+    // estimate the shared run's span in both documents. Same
+    // ≥4-distinct-fingerprint detection threshold as t_winnow, so the
+    // pair set is identical by construction; the anchor join is the
+    // same fingerprint equi-join carrying two extra ints.
+    "t_winnow_spans" -> ((s, d) => {
+      val fp = winnowFingerprintPositions(t(s, d, "documents"))
+      val anchors = fp.as("x").join(fp.as("y"),
+          col("x.fh") === col("y.fh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.fh").as("fh"), col("x.posn").as("pa"),
+          col("y.posn").as("pb"))
+      anchors.groupBy("a", "b").agg(
+          countDistinct(col("fh")).as("n_shared"),
+          count(lit(1)).as("n_anchors"),
+          min("pa").as("a_lo"), max("pa").as("a_hi"),
+          min("pb").as("b_lo"), max("pb").as("b_hi"))
         .filter(col("n_shared") >= 4)
         .orderBy("a", "b")
     }),
@@ -1235,6 +1287,37 @@ object Text {
                 WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted,
            COUNT(*) AS n
          FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""",
+    // position-keeping selection: the selected INDEX is recovered
+    // first, then fh = gs[idx]
+    "t_winnow_spans" ->
+      """WITH wd AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+             [('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),
+                 1, 15))::BIGINT
+              for i in range(1, greatest(len(w) - 4, 1) + 1)] AS gs
+           FROM wd),
+         selp AS (
+           SELECT DISTINCT doc_id, gs[idx] AS fh, idx AS posn FROM (
+             SELECT doc_id, gs, unnest([
+                 i - 1 + list_max([j for j in range(1, 5)
+                   if gs[i + j - 1] = list_min(gs[i : i + 3])])
+               for i in range(1, len(gs) - 4 + 2)]) AS idx
+             FROM g WHERE len(gs) >= 4)),
+         an AS (
+           SELECT x.doc_id AS a, y.doc_id AS b, x.fh,
+             x.posn AS pa, y.posn AS pb
+           FROM selp x JOIN selp y
+             ON x.fh = y.fh AND x.doc_id < y.doc_id),
+         pr AS (
+           SELECT a, b, COUNT(DISTINCT fh) AS n_shared,
+             COUNT(*) AS n_anchors,
+             MIN(pa) AS a_lo, MAX(pa) AS a_hi,
+             MIN(pb) AS b_lo, MAX(pb) AS b_hi
+           FROM an GROUP BY 1, 2 HAVING COUNT(DISTINCT fh) >= 4)
+         SELECT a, b, n_shared, n_anchors, a_lo, a_hi, b_lo, b_hi
+         FROM pr ORDER BY a, b""",
     // the same rightmost-min selection via list comprehensions: per
     // window start i, m = min of gs[i..i+3], selected index = i-1 +
     // the LARGEST j with gs[i+j-1] = m
