@@ -558,6 +558,38 @@ class StreamsSpec extends SparkTestBase {
     assert(rawLog()((1L, 1)) == 2, "re-publication after retraction lost")
   }
 
+  test("ivmDistinctBatch: delete-before-insert retains the negative " +
+      "residual and nets correctly once the insert lands") {
+    // the out-of-order CDC contract the sink documents: a retraction
+    // arriving BEFORE its insert leaves count −1 (retained, not
+    // dropped — dropping would make the late insert re-publish a key
+    // that should net to absent), emits NO view row (0→negative is
+    // not a 0→positive transition), and two later inserts net the key
+    // to +1 with exactly ONE +1 in the log
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivm_dist_ooo")
+    val base = tmp.resolve("ivm").toString
+    def B(rows: (Long, Int)*) = rows.toSeq.toDF("k", "sign")
+    def view() = Streams.readMaintained(spark, s"$base/view")
+      .groupBy("k").agg(sum("sign").as("m")).filter(col("m") > 0)
+      .select("k").as[Long].collect().toSet
+    def counts() = Streams.readMaintained(spark, s"$base/counts")
+      .select("k", "n").as[(Long, Long)].collect().toMap
+    Streams.ivmDistinctBatch(B((9L, -1)), base, 0L, Seq("k"), "sign")
+    assert(view() == Set.empty, "a premature delete published a key")
+    assert(counts() == Map(9L -> -1L),
+      "the negative residual must be RETAINED for the late insert")
+    Streams.ivmDistinctBatch(B((9L, 1), (9L, 1)), base, 1L,
+      Seq("k"), "sign")
+    assert(view() == Set(9L))
+    assert(counts() == Map(9L -> 1L),
+      "−1 + 2 inserts must net to exactly 1")
+    val log = Streams.readMaintained(spark, s"$base/view")
+      .select("k", "sign").as[(Long, Int)].collect().toSeq
+    assert(log == Seq((9L, 1)),
+      s"exactly one +1 expected after the residual netted: $log")
+  }
+
   test("deltaKeyBloom: no false negatives, real pruning, and a " +
       "non-integral key opts out") {
     // the IVM runtime-filter lever's soundness contract: every
