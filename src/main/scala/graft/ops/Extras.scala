@@ -1090,8 +1090,14 @@ object Extras {
           roundf(col("abs_s"), 6).as("cusum"),
           roundf(col("cs").cast("double") / col("rn").cast("double"), 6)
             .as("mean_before"),
-          roundf((col("sc") - col("cs")).cast("double") /
-            (col("nd") - col("rn")).cast("double"), 6).as("mean_after"))
+          // degenerate series (argmax on the last day ⇒ nd = rn): the
+          // "after" segment is empty — emit NULL explicitly rather than
+          // relying on engine-specific 0/0 semantics (Spark non-ANSI
+          // NULL vs DuckDB NaN/Inf)
+          when(col("nd") === col("rn"), lit(null).cast("double"))
+            .otherwise(roundf((col("sc") - col("cs")).cast("double") /
+              (col("nd") - col("rn")).cast("double"), 6))
+            .as("mean_after"))
         .orderBy("event_type")
     }),
 
@@ -2052,8 +2058,9 @@ object Extras {
            floor(abs_s * 1000000.0 + 0.5) / 1000000.0 AS cusum,
            floor(cs::DOUBLE / rn::DOUBLE * 1000000.0 + 0.5)
              / 1000000.0 AS mean_before,
-           floor((sc - cs)::DOUBLE / (nd - rn)::DOUBLE
-             * 1000000.0 + 0.5) / 1000000.0 AS mean_after
+           CASE WHEN nd = rn THEN NULL
+             ELSE floor((sc - cs)::DOUBLE / (nd - rn)::DOUBLE
+               * 1000000.0 + 0.5) / 1000000.0 END AS mean_after
          FROM scored WHERE pick = 1 ORDER BY event_type""",
     // identical moment arithmetic over the day+1 self-joined series
     "x_autocorr" ->

@@ -884,6 +884,9 @@ object Text {
           .agg(count(lit(1)).cast("double").as("tf")))
       require(q2.awaitTermination(600000),
         "posting maintenance stream must drain (AvailableNow)")
+      require(q2.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is " +
+          "untested")
       val dl = graft.streaming.Streams.readMaintained(s, statsPath)
       val tf = graft.streaming.Streams.readMaintained(s, postPath)
       // index statistics derive from the maintained tables: df is a

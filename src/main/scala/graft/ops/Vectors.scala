@@ -184,7 +184,7 @@ object Vectors {
 
   // ---- Product quantization (v_pq; Jégou/Douze/Schmid, PAMI 2011) ----
 
-  /** Sub-space count: 64 dims → 4 sub-vectors of 16. */
+  /** Sub-space count: 64 dims → 8 sub-vectors of 8. */
   private[graft] val PqM = 8
   private def pqSubLen = Dims / PqM
 
@@ -552,11 +552,11 @@ object Vectors {
 
     // Product quantization with ADC scoring (Jégou/Douze/Schmid, PAMI
     // 2011) — the third storage point on the compression ladder
-    // (float → int8 → PQ codes): each vector is 4 sub-vectors, each
+    // (float → int8 → PQ codes): each vector is M=8 sub-vectors, each
     // encoded as its nearest sub-space centroid id, so storage is
-    // 4 SMALL INTS per vector (vs 64 floats — 64×) and candidate
+    // 8 SMALL INTS per vector (vs 64 floats — 32×) and candidate
     // scoring is Asymmetric Distance Computation: the query computes
-    // one |codebook|-sized dot-product TABLE per sub-space (M·K = 40
+    // one |codebook|-sized dot-product TABLE per sub-space (M·K = 512
     // dots), then every candidate costs M table LOOKUPS instead of a
     // 64-dim fold — at 100 TB this is what makes exhaustive
     // re-ranking of a billion candidates memory-bound, not

@@ -190,4 +190,29 @@ class GraphIncrSpec extends SparkTestBase {
       s"seeding from the maintained labeling must not add rounds: " +
         s"seeded=$rSeeded > scratch=$rScratch")
   }
+
+  test("co-activity hour cap never binds at fixture scale") {
+    // The graph oracles added in round 12 (g_degree_dist, g_kcore,
+    // g_triangles) mirror coactivityEdges WITHOUT the capHourBand
+    // 512-per-hour truncation — sound only while the cap is a no-op on
+    // the fixtures. If a regenerated fixture ever packs more distinct
+    // actives into one hour, this assertion names the cause instead of
+    // leaving a bare hash-red row.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"$testdataRoot/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val maxPerHour = graft.etl.Tables.load(spark, dir, "events")
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .distinct()
+          .groupBy("h").agg(count(lit(1)).as("n"))
+          .agg(max("n")).head().getLong(0)
+        assert(maxPerHour < graft.ops.Extras.CoActivityHourCapK,
+          s"$sf: $maxPerHour actives in the densest hour ≥ cap " +
+            s"${graft.ops.Extras.CoActivityHourCapK} — the uncapped " +
+            "graph oracles (g_degree_dist/g_kcore/g_triangles) no " +
+            "longer mirror capHourBand; mirror the hash-rank cap in " +
+            "their SQL or raise CoActivityHourCapK")
+      }
+    }
+  }
 }
