@@ -853,6 +853,71 @@ object Etl {
         .orderBy("day", "event_type")
     }),
 
+    // MIN/MAX view maintenance under deletions — the aggregate family
+    // Σsign state CANNOT maintain (deleting the current minimum needs
+    // the runner-up, which additive state never kept; ROADMAP r13 #3):
+    // per-(day × event_type) k-survivor state through
+    // Streams.minmaxMaintain (k = 8) over the signed 2-batch replay.
+    // Batch 2 deletes, besides the event_id % 37 bulk rows, EVERY
+    // group's batch-1 argmin AND argmax rows — so each group's MIN and
+    // MAX must rewind to a survivor, exercising the covered-prefix
+    // invariant in all first-half groups (StreamsSpec pins the dlo/dhi
+    // debits, retry idempotence, and the loud contract-exhaustion
+    // path). The oracle recomputes count/min/max over the NET rows, so
+    // a lost delete, a wrong survivor pick, or a stale counter goes
+    // hash-red. MIN/MAX of doubles are exact picks of original values
+    // — no decimal grid needed, unlike every sum on this surface.
+    "l_ivm_minmax" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.etl.Tables.load(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val b1raw = ev.filter(unix_micros(col("ts")) < lit(cut))
+      val wG = Window.partitionBy(date_trunc("day", col("ts")),
+        col("event_type"))
+      val extremes = b1raw
+        .withColumn("rlo", row_number().over(
+          wG.orderBy(col("value").asc, col("event_id").asc)))
+        .withColumn("rhi", row_number().over(
+          wG.orderBy(col("value").desc, col("event_id").desc)))
+        .filter(col("rlo") === 1 || col("rhi") === 1)
+        .drop("rlo", "rhi")
+      val bulk = b1raw.filter(col("event_id") % 37 === 0)
+      // duplicates across the two delete reasons are identical source
+      // rows, so the dedup is deterministic
+      val dels = extremes.unionByName(bulk).dropDuplicates("event_id")
+      val b1 = b1raw.withColumn("sign", lit(1))
+      val b2 = ev.filter(unix_micros(col("ts")) >= lit(cut))
+        .withColumn("sign", lit(1))
+        .unionByName(dels.withColumn("sign", lit(-1)))
+      val (base, stream) = Replay.twoBatchStream(s, "minmax", d,
+        graft.etl.Tables.events.add("sign", "int"), "ev", b1, b2)
+      val statePath = new java.io.File(base, "mm").getPath
+      val prepped = stream.select(
+        date_trunc("day", col("ts")).as("day"), col("event_type"),
+        col("value"), col("event_id"), col("sign"))
+      val q = graft.streaming.Streams.minmaxMaintain(prepped, statePath,
+        Seq("day", "event_type"), "value", "event_id", k = 8)
+      require(q.awaitTermination(600000),
+        "minmax maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the survivor-rewind " +
+          "path is untested")
+      // the argmin/argmax deletions must actually have debited covered
+      // prefixes — otherwise this row silently stops testing the
+      // rewind path (fixture-shape guard, scale-independent)
+      require(s.read.parquet(statePath)
+          .filter(col("dlo") >= 1 && col("dhi") >= 1).count() > 0,
+        "no group exercised the survivor-rewind path")
+      s.read.parquet(statePath)
+        .select(col("day"), col("event_type"), col("n"),
+          element_at(col("lo"), 1).getField("v").as("min_value"),
+          element_at(col("hi"), size(col("hi"))).getField("v")
+            .as("max_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // RETENTION on the oracle surface — the retirement step of the
     // maintenance lifecycle: the rollup table is maintained by the
     // real sink, then VACUUMED to the retention window (days >= the
@@ -1310,6 +1375,33 @@ object Etl {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(floor(value * 10000.0 + 0.5) / 10000.0
              AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+         FROM net GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the NET recompute over surviving rows: deletes are each
+    // first-half group's argmin/argmax (the same (value, event_id)
+    // total order as the fixture) plus the %37 bulk rows — a lost
+    // delete, a wrong survivor pick, or a stale net count diverges
+    "l_ivm_minmax" ->
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+                     FROM events),
+         cw AS (SELECT t0 + (t1 - t0) // 2 AS cut FROM mm),
+         b1 AS (SELECT * FROM events, cw WHERE epoch_us(ts) < cut),
+         ranked AS (
+           SELECT event_id,
+             row_number() OVER (PARTITION BY date_trunc('day', ts),
+               event_type ORDER BY value ASC, event_id ASC) AS rlo,
+             row_number() OVER (PARTITION BY date_trunc('day', ts),
+               event_type ORDER BY value DESC, event_id DESC) AS rhi
+           FROM b1),
+         dels AS (
+           SELECT event_id FROM ranked WHERE rlo = 1 OR rhi = 1
+           UNION
+           SELECT event_id FROM b1 WHERE event_id % 37 = 0),
+         net AS (
+           SELECT * FROM events
+           WHERE event_id NOT IN (SELECT event_id FROM dels))
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
          FROM net GROUP BY 1, 2 ORDER BY 1, 2""",
     // MG above capacity is exact, so the oracle is the plain GROUP BY
     // truth — any eviction, lost merge, or running-total drift in the

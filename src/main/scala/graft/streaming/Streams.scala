@@ -1420,6 +1420,134 @@ object Streams {
       }
     }
 
+  /** MIN/MAX view maintenance under deletions — the ONE aggregate
+    * family signed deltas cannot maintain (ROADMAP r13 #3): deleting
+    * the current minimum needs the runner-up, which Σsign state never
+    * kept. State per group = the k smallest live rows (`lo`) and the k
+    * largest (`hi`) as (value, rowKey) survivor arrays, plus
+    * survivor-deletion counters `dlo`/`dhi` and the net count `n`.
+    *
+    * Correctness rests on the COVERED-PREFIX invariant: after any
+    * batch sequence, the first (k − dlo) entries of `lo` are exactly
+    * the (k − dlo) smallest live rows. Induction: every row absent
+    * from the survivor list is ≥ the list's covered threshold (it was
+    * truncated past it, or inserted above it), a batch's deletes
+    * remove at most their survivor-matched count `dm` from the covered
+    * prefix (non-survivor deletes can't touch it — they were already ≥
+    * the threshold), and merging the batch's inserts (fully known)
+    * into the list can only push covered entries right, never displace
+    * them. So MIN is exact while dlo < k — the DISCLOSED k-deep
+    * deletion contract: at most k−1 survivor deletions per group per
+    * side between refreshes, enforced by a per-batch require (a 100 TB
+    * deployment sizes k to its CDC delete rate, or schedules a
+    * refresh). The counters RESET to 0 whenever a side's candidate set
+    * provably equals the whole live group (candidate count == n —
+    * possible only when every historical truncation victim has since
+    * been deleted), so small groups self-heal to full knowledge.
+    * Symmetric argument for MAX over `hi`. Per batch the merge touches
+    * O(|groups|·k + |batch|) rows — never history. Same staged-swap +
+    * exactly-once marker discipline as the other merge sinks; deletes
+    * follow the CDC contract (sign −1 rows reference live rowKeys).
+    */
+  def minmaxMaintain(stream: DataFrame, statePath: String,
+      groupCols: Seq[String], valueCol: String, rowKeyCol: String,
+      k: Int, checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      minmaxBatch(batch, statePath, groupCols, valueCol, rowKeyCol, k, id)
+    }
+
+  /** One [[minmaxMaintain]] batch merge, factored for the retry spec. */
+  private[graft] def minmaxBatch(batch: DataFrame, statePath: String,
+      groupCols: Seq[String], valueCol: String, rowKeyCol: String,
+      k: Int, id: Long): Unit = mergeOnce(statePath, id) {
+    import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    val g = groupCols.map(col)
+    val ins = batch.filter(col("sign") === 1)
+      .select(g :+ col(valueCol).cast("double").as("v")
+        :+ col(rowKeyCol).cast("long").as("rk"): _*)
+    val del = batch.filter(col("sign") === -1)
+      .select(g :+ col(rowKeyCol).cast("long").as("rk"): _*)
+    val cur = new java.io.File(statePath)
+    val prev: Option[DataFrame] =
+      if (cur.exists()) Some(sp.read.parquet(statePath)) else None
+    def prevExpl(side: String): DataFrame = prev match {
+      case Some(p) => p.select(g :+ explode(col(side)).as("s"): _*)
+        .select(g :+ col("s.v").as("v") :+ col("s.rk").as("rk"): _*)
+      case None => ins.limit(0)
+    }
+    // per side: surviving candidates (state survivors ∪ inserts, minus
+    // deletes), the kept top-k array, the pre-truncation candidate
+    // count (the full-knowledge reset test), and the survivor-matched
+    // delete count (the covered-prefix debit)
+    def side(name: String, asc: Boolean) = {
+      val pe = prevExpl(name)
+      val cand = pe.unionByName(ins)
+        .join(del, groupCols :+ "rk", "left_anti")
+      val ord = if (asc) Seq(col("v").asc, col("rk").asc)
+        else Seq(col("v").desc, col("rk").desc)
+      val kept = cand.withColumn("__rn", row_number().over(
+          Window.partitionBy(g: _*).orderBy(ord: _*)))
+        .filter(col("__rn") <= k).drop("__rn")
+      val arr = kept.groupBy(g: _*)
+        .agg(array_sort(collect_list(struct(col("v"), col("rk"))))
+          .as(name))
+      val cc = cand.groupBy(g: _*)
+        .agg(count(lit(1)).as(s"cc_$name"))
+      val dm = pe.join(del, groupCols :+ "rk", "left_semi")
+        .groupBy(g: _*).agg(count(lit(1)).as(s"dm_$name"))
+      (arr, cc, dm)
+    }
+    val (loA, loCc, loDm) = side("lo", asc = true)
+    val (hiA, hiCc, hiDm) = side("hi", asc = false)
+    val insCnt = ins.groupBy(g: _*).agg(count(lit(1)).as("ic"))
+    val delCnt = del.groupBy(g: _*).agg(count(lit(1)).as("dc"))
+    val prevCnt = prev
+      .map(_.select(g :+ col("dlo").as("pdlo") :+ col("dhi").as("pdhi")
+        :+ col("n").as("pn"): _*))
+      .getOrElse(ins.limit(0).select(g: _*)
+        .withColumn("pdlo", lit(0L)).withColumn("pdhi", lit(0L))
+        .withColumn("pn", lit(0L)))
+    val groups = prevCnt.select(g: _*)
+      .unionByName(ins.select(g: _*)).unionByName(del.select(g: _*))
+      .distinct()
+    val z = lit(0L)
+    val n2 = coalesce(col("pn"), z) + coalesce(col("ic"), z) -
+      coalesce(col("dc"), z)
+    def dNew(pd: String, dm: String, cc: String) =
+      when(n2 === coalesce(col(cc), z), z)
+        .otherwise(coalesce(col(pd), z) + coalesce(col(dm), z))
+    val emptyArr = array().cast("array<struct<v:double,rk:bigint>>")
+    val st = groups
+      .join(loA, groupCols, "left").join(hiA, groupCols, "left")
+      .join(loCc, groupCols, "left").join(hiCc, groupCols, "left")
+      .join(loDm, groupCols, "left").join(hiDm, groupCols, "left")
+      .join(insCnt, groupCols, "left").join(delCnt, groupCols, "left")
+      .join(prevCnt, groupCols, "left")
+      .select(g ++ Seq(
+        coalesce(col("lo"), emptyArr).as("lo"),
+        coalesce(col("hi"), emptyArr).as("hi"),
+        dNew("pdlo", "dm_lo", "cc_lo").as("dlo"),
+        dNew("pdhi", "dm_hi", "cc_hi").as("dhi"),
+        n2.as("n")): _*)
+      .localCheckpoint()
+    // the disclosed contract, enforced LOUDLY: an exhausted survivor
+    // window (or a delete against a never-inserted group) must fail
+    // the batch, not publish a wrong MIN/MAX
+    val viol = st.filter(col("dlo") >= k || col("dhi") >= k ||
+      col("n") < 0).count()
+    require(viol == 0,
+      s"minmaxMaintain: $viol group(s) exhausted the k=$k survivor " +
+        "window (≥ k survivor deletions since the last refresh) or " +
+        "went count-negative — refusing to publish an unknowable " +
+        "MIN/MAX; raise k or refresh the view")
+    val staged = statePath + s"_stage$id"
+    st.filter(col("n") > 0)
+      .write.mode("overwrite").parquet(staged)
+    markBatch(staged, id)
+    stagedSwap(staged, statePath)
+  }
+
   /** Streaming key-frequency maintenance: a (keyCol, cnt) table merged
     * across micro-batches — the corpus-global count statistic behind
     * incremental scrubbing (Text.t_scrub_maintained counts 60-bit

@@ -217,11 +217,15 @@ class PlanAuditSpec extends SparkTestBase {
     for (q <- Seq("l_rollup_maintained", "l_hh_maintained",
         "l_rollup_corrected", "l_latest_maintained",
         "l_latest_tombstone", "l_scd2_maintained",
-        "l_rollup_retained", "l_scd2_late")) {
+        "l_rollup_retained", "l_scd2_late", "l_ivm_minmax")) {
       val p = plan(q)
       assert(!p.contains("events.parquet"),
         s"$q rescans base events — the maintained table should serve it")
     }
+    // round-13: MIN/MAX must come from the k-survivor state, not a
+    // recompute over the net rows
+    assert(plan("l_ivm_minmax").contains("graft_minmax"),
+      "min/max should derive from the maintained survivor arrays")
     // round-12 maintained rows: each must read its maintained artifact
     assert(plan("l_scd2_late").contains("graft_scd2_late"),
       "late-SCD2 intervals should derive from the maintained change log")

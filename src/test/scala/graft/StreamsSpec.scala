@@ -1150,6 +1150,71 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.lastAppliedBatch(statePath).contains(2L))
   }
 
+  test("minmaxBatch: survivor rewind under extreme deletions; " +
+      "non-survivor deletes don't debit; retry no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("minmax_maint")
+    val statePath = tmp.resolve("mm").toString
+    def batch(rows: Seq[(String, Double, Long, Int)], id: Long): Unit =
+      Streams.minmaxBatch(rows.toDF("g", "v", "id", "sign"), statePath,
+        Seq("g"), "v", "id", k = 3, id)
+    def state() = spark.read.parquet(statePath)
+      .select(col("g"), element_at(col("lo"), 1).getField("v"),
+        element_at(col("hi"), size(col("hi"))).getField("v"),
+        col("dlo"), col("dhi"), col("n"))
+      .as[(String, Double, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    batch((1 to 10).map(i => ("A", i.toDouble, i.toLong, 1)), 0L)
+    assert(state()("A") == (1.0, 10.0, 0L, 0L, 10L))
+    // delete the current MIN and MAX (both survivors) while inserting
+    // new extremes — both sides must rewind through the survivor lists
+    batch(Seq(("A", 1.0, 1L, -1), ("A", 10.0, 10L, -1),
+      ("A", 0.5, 11L, 1), ("A", 20.0, 12L, 1)), 1L)
+    assert(state()("A") == (0.5, 20.0, 1L, 1L, 10L),
+      "extreme deletion must debit the covered prefix exactly once " +
+        "per matched survivor")
+    // a delete OUTSIDE both survivor windows (value 5, rank 4 from
+    // either end at k=3) decrements n but debits neither counter
+    batch(Seq(("A", 5.0, 5L, -1)), 2L)
+    assert(state()("A") == (0.5, 20.0, 1L, 1L, 9L))
+    // redelivery: the committed marker must skip the duplicate
+    batch(Seq(("A", 5.0, 5L, -1)), 2L)
+    assert(state()("A") == (0.5, 20.0, 1L, 1L, 9L))
+    assert(Streams.lastAppliedBatch(statePath).contains(2L))
+  }
+
+  test("minmaxBatch: full-knowledge reset self-heals one side; " +
+      "exhausting the k-window fails loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("minmax_reset")
+    val statePath = tmp.resolve("mm").toString
+    def batch(rows: Seq[(String, Double, Long, Int)], id: Long): Unit =
+      Streams.minmaxBatch(rows.toDF("g", "v", "id", "sign"), statePath,
+        Seq("g"), "v", "id", k = 3, id)
+    batch((1 to 5).map(i => ("A", i.toDouble, i.toLong, 1)), 0L)
+    batch(Seq(("A", 1.0, 1L, -1)), 1L)            // dlo -> 1
+    // deleting 4 and 5 shrinks the group to {2,3}: the lo candidate
+    // set now EQUALS the live group (cc == n), so dlo resets to 0 —
+    // while the hi side (candidates {3} ⊂ {2,3}) keeps its debit of 2.
+    // The per-side independence is the point: resets are provable full
+    // knowledge, never a blanket amnesty.
+    batch(Seq(("A", 4.0, 4L, -1), ("A", 5.0, 5L, -1)), 2L)
+    val st = spark.read.parquet(statePath)
+      .select(col("dlo"), col("dhi"), col("n"),
+        element_at(col("lo"), 1).getField("v"),
+        element_at(col("hi"), size(col("hi"))).getField("v"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(st == (0L, 2L, 2L, 2.0, 3.0),
+      s"expected lo reset + hi debit, got $st")
+    // a third hi-survivor deletion would make dhi = 3 = k with live
+    // rows the state cannot see — the disclosed contract must refuse
+    val ex = intercept[IllegalArgumentException] {
+      batch(Seq(("A", 3.0, 3L, -1)), 3L)
+    }
+    assert(ex.getMessage.contains("survivor window"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("hllBatch: cross-batch union counts overlapping keys ONCE; " +
       "retry is a marker-guarded no-op") {
     import spark.implicits._
