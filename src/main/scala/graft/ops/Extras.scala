@@ -1668,6 +1668,61 @@ object Extras {
         .orderBy("l_returnflag")
     }),
 
+    // The SECOND maintained distribution summary — t-digest centroids
+    // (Dunning & Ertl) next to x_pctile_maintained's KLL (ROADMAP r13
+    // #1): same 2-batch replay discipline, same verdict pattern,
+    // different accuracy contract. KLL carries a worst-case
+    // self-accounted rank-error theorem; the t-digest carries
+    // δ-bounded centroid counts with relative (tail) accuracy, and its
+    // deterministic check is the min/max rank BRACKET each centroid's
+    // exact lo/hi bookkeeping provides: the median estimate's true
+    // rank must sit within target ± (straddle weight + max cluster
+    // weight + 1). Over events.value (continuous, so the straddle
+    // stays sharp — heavy ties would widen it honestly) a scrambled
+    // merge, drifted means, or broken min/max bookkeeping flips the
+    // boolean → hash-red. TDigestSpec runs the rank-error-per-byte
+    // head-to-head against KLL on the same replay.
+    "x_tdigest_maintained" -> ((s, d) => {
+      import graft.functions.{TDig, TDigest}
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "tdig", d,
+        graft.etl.Tables.events, "ev",
+        ev.filter(unix_micros(col("ts")) < lit(cut)),
+        ev.filter(unix_micros(col("ts")) >= lit(cut)))
+      val statePath = new java.io.File(base, "td").getPath
+      val q = graft.streaming.Streams.tdigestMaintain(stream,
+        "event_type", "value", statePath, 200)
+      require(q.awaitTermination(600000),
+        "t-digest maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      import s.implicits._
+      val est = s.read.parquet(statePath)
+        .select("key", "td").as[(String, TDig)]
+        .map { case (key, td) =>
+          val e = TDigest.quantile(td, 0.5)
+          (key, e, TDigest.rankErrorBound(td, e))
+        }
+        .toDF("event_type", "ap", "b")
+      ev.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+          sum((col("value") < col("ap")).cast("long")).as("n_lt"),
+          sum((col("value") <= col("ap")).cast("long")).as("n_le"),
+          roundf(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          count(lit(1)).as("n"),
+          first(col("b")).as("b"))
+        .select(col("event_type"),
+          ((col("n_lt") + 1) * 2 <= col("n") + col("b") * 2 &&
+            col("n_le") * 2 >= col("n") - col("b") * 2)
+            .as("within_bound"),
+          col("p50_exact"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // a3_approx with the DISTINCT-CARDINALITY state MAINTAINED BY THE
     // STREAMING SINK — the statistic countMaintain cannot express
     // (distinct counts are not additive: a customer ordering in both
@@ -2850,6 +2905,15 @@ object Extras {
              AS p50_exact,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // verdict-column oracle: the exact median and count are recomputed
+    // here; within_bound is the Spark-side digest-bracket verdict
+    // pinned to its expected constant
+    "x_tdigest_maintained" ->
+      """SELECT event_type, TRUE AS within_bound,
+           floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0
+             AS p50_exact,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x_profile" ->
       """WITH p AS (
            SELECT 'o_custkey' AS col_name, COUNT(*) AS n,

@@ -189,6 +189,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0 &&
       nodeCount(p, "BroadcastNestedLoopJoin") == 0,
       "pctile verdict planned all-pairs")
+    // its round-13 t-digest twin obeys the same shape
+    val pt = plan("x_tdigest_maintained")
+    assert(pt.contains("graft_tdig"),
+      "estimates should scan the maintained t-digest parquet")
+    assert(nodeCount(pt, "BroadcastHashJoin") >= 1 &&
+      nodeCount(pt, "CartesianProduct") == 0 &&
+      nodeCount(pt, "BroadcastNestedLoopJoin") == 0,
+      "tdigest verdict should broadcast the estimate table")
   }
 
   test("t_bm25_maintained: scoring never rescans the corpus — index " +
