@@ -248,10 +248,25 @@ object Vectors {
   /** Per-sub-space codebooks: label-seeded fixed-point centroids
     * refined by `lloydRounds` L2 Lloyd iterations. (m, cl, cv). */
   private[graft] def pqCodebooks(e: DataFrame,
-      lloydRounds: Int): DataFrame = {
-    val subs = pqSubs(e)
+      lloydRounds: Int): DataFrame =
+    pqCodebooksK(e, lloydRounds, PqK, None)
+
+  /** [[pqCodebooks]] generalized to an arbitrary codebook size K and an
+    * optional TRAINING predicate (ROADMAP r13 #2 — the production
+    * operating point): seeds and every Lloyd refinement see only the
+    * sampled sub-vectors, so training cost scales with the sample while
+    * the final code assignment (the caller's pqRanked over ALL subs)
+    * still covers the corpus. The sample must be a deterministic hash
+    * predicate (the x_sample discipline) so the oracle mirrors it
+    * exactly — sampled K-means with a random sample would be
+    * unreproducible across engines. Sampling can leave some of the K
+    * seed ids empty; both engines drop them identically. */
+  private[graft] def pqCodebooksK(e: DataFrame, lloydRounds: Int,
+      k: Int, train: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val subs0 = pqSubs(e)
+    val subs = train.fold(subs0)(subs0.filter)
     var cent = pqFxCentroids(subs.select(col("m"),
-      pmod(col("vec_id"), lit(PqK.toLong)).as("k"), col("sv")))
+      pmod(col("vec_id"), lit(k.toLong)).as("k"), col("sv")))
     for (_ <- 1 to lloydRounds)
       cent = pqFxCentroids(pqRanked(subs, cent).filter(col("rn") === 1)
         .select(col("m"), col("cl").as("k"), col("sv")))
@@ -578,6 +593,30 @@ object Vectors {
       pqTopK(e, cent, codes)
     }),
 
+    // The PRODUCTION PQ operating point (ROADMAP r13 #2): K=256
+    // codebooks (one byte per sub-space code — the canonical PQ cell
+    // budget) trained on a DETERMINISTIC 25% hash sample of the
+    // corpus. At 100 TB full-corpus K-means is the wrong cost shape —
+    // training needs only enough vectors to place K centroids (256
+    // needs thousands, not billions), so seeds + Lloyd refinement rank
+    // the sample while the final encoding pass covers every vector.
+    // The sample is the x_sample discipline (salted md5-hash
+    // predicate), so the oracle replays the exact same training set —
+    // a random sample would be unreproducible across engines. Recall
+    // ladder next to IVF's, measured in IvfSpec: 0.34 (M=8, K=64,
+    // full training) → 0.50 at this point (M=8, K=256, 25% training)
+    // — 4× the cells buys finer sub-space resolution even off a
+    // quarter of the data, at the same 8 bytes/vector.
+    "v_pq256" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val train = graft.ops.Text.portableHash(concat(lit("pqs:"),
+        col("vec_id").cast("string"))) % 4 === 0
+      val cent = pqCodebooksK(e, lloydRounds = 1, k = 256, Some(train))
+      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cl").as("code"))
+      pqTopK(e, cent, codes)
+    }),
+
     // PQ search over a STREAMING-MAINTAINED code index — the
     // v_ann_maintained ingest shape applied to the compressed index:
     // codebooks are trained once and FROZEN (a maintained parquet),
@@ -828,15 +867,22 @@ object Vectors {
     * Lloyd rounds, MATERIALIZED like ivfRoundsSql), codes, ADC tables,
     * grid-rounded decimal sums. One definition of every constant (PqM,
     * sub length, probe rule) shared with the Spark side. */
-  private[ops] def pqSql(lloydRounds: Int): String = {
+  private[ops] def pqSql(lloydRounds: Int, k: Int = PqK,
+      trainPred: Option[String] = None): String = {
     val L = pqSubLen
     val subsSql = (0 until PqM).map(m =>
       s"SELECT vec_id, label, $m AS m, " +
         s"embedding[${m * L + 1}:${m * L + L}] AS sv FROM embeddings")
       .mkString(" UNION ALL ")
+    // sampled-training mode: seeds and Lloyd refinement rank only the
+    // sampled sub-vectors (tsubs); codes then come from one extra
+    // final ranking over ALL subs — mirroring pqCodebooksK + pqRanked
+    val trainTable = if (trainPred.isEmpty) "subs" else "tsubs"
+    val tsubsCte = trainPred.fold("")(p =>
+      s"tsubs AS MATERIALIZED (SELECT * FROM subs WHERE $p),\n         ")
     val rounds = (0 to lloydRounds).map { r =>
       val src = if (r == 0)
-        s"SELECT m, vec_id % $PqK AS k, sv FROM subs"
+        s"SELECT m, vec_id % $k AS k, sv FROM $trainTable"
       else s"SELECT m, k, sv FROM pr${r - 1} WHERE rn = 1"
       s"""pv$r AS MATERIALIZED ($src),
          px$r AS MATERIALIZED (SELECT m, k, unnest(sv) AS x,
@@ -856,13 +902,27 @@ object Vectors {
                list_sum([(s.sv[i]::DOUBLE - cv[i]) *
                    (s.sv[i]::DOUBLE - cv[i])
                  for i in range(1, len(cv) + 1)]) AS dd
-             FROM subs s JOIN pl$r ON s.m = pl$r.m))"""
+             FROM $trainTable s JOIN pl$r ON s.m = pl$r.m))"""
     }.mkString(",\n         ")
     val last = lloydRounds
+    val codesCte = if (trainPred.isEmpty)
+      s"""codes AS (SELECT vec_id, m, k AS code FROM pr$last
+                   WHERE rn = 1)"""
+    else
+      s"""prf AS MATERIALIZED (
+           SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY dd ASC, k ASC) AS rn
+           FROM (
+             SELECT s.vec_id, s.m, pl$last.k,
+               list_sum([(s.sv[i]::DOUBLE - cv[i]) *
+                   (s.sv[i]::DOUBLE - cv[i])
+                 for i in range(1, len(cv) + 1)]) AS dd
+             FROM subs s JOIN pl$last ON s.m = pl$last.m)),
+         codes AS (SELECT vec_id, m, k AS code FROM prf WHERE rn = 1)"""
     s"""WITH subs AS MATERIALIZED ($subsSql),
-         $rounds,
-         codes AS (SELECT vec_id, m, k AS code FROM pr$last
-                   WHERE rn = 1),
+         $tsubsCte$rounds,
+         $codesCte,
          cn2 AS (SELECT m, k,
              list_sum([cv[i] * cv[i]
                for i in range(1, len(cv) + 1)]) AS cn2
@@ -937,6 +997,11 @@ object Vectors {
              ORDER BY dot DESC, vec_id ASC) AS rn FROM cand)
          WHERE rn <= 5 ORDER BY q, rn""",
     "v_pq" -> pqSql(lloydRounds = 1),
+    // K=256 with the sampled-training chain: tsubs is the same salted
+    // hash sample, codes come from the final full ranking (prf)
+    "v_pq256" -> pqSql(lloydRounds = 1, k = 256,
+      trainPred = Some("('0x' || substr(md5('pqs:' || vec_id), 1, 15))" +
+        "::BIGINT % 4 = 0")),
     // identical truth: the maintained code index must reproduce the
     // batch-built codes exactly
     "v_pq_maintained" -> pqSql(lloydRounds = 1),

@@ -101,6 +101,32 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.25, f"PQ recall collapsed: $recall%.2f")
   }
 
+  test("K=256 sampled-training PQ: the production point on the ladder") {
+    // v_pq256 trains 256-cell codebooks on a 25% deterministic hash
+    // sample (the 100 TB cost shape — training needs enough vectors to
+    // place K centroids, not the corpus) and must NOT lose recall vs
+    // the full-training K=64 point: 4× the cells buys finer sub-space
+    // resolution even off a quarter of the data. Still 8 bytes/vector.
+    val d = requireFixture("sf0.01")
+    val exact = bruteTop5(d)
+    def recallOfQuery(q: String): Double = {
+      val got = Vectors.queries(q)(spark, d)
+        .select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qq, want) =>
+        got.getOrElse(qq, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / exact.size
+    }
+    val r64 = recallOfQuery("v_pq")
+    val r256 = recallOfQuery("v_pq256")
+    info(f"PQ recall ladder: K=64 full-train $r64%.2f -> " +
+      f"K=256 25%%-sample $r256%.2f (both 8 B/vector)")
+    assert(r256 >= r64 - 0.02,
+      f"sampled K=256 lost recall vs full K=64: $r256%.2f < $r64%.2f")
+  }
+
   test("one Lloyd round does not degrade recall vs the raw label seeds") {
     val d = requireFixture("sf0.01")
     val exact = bruteTop5(d)
