@@ -1700,7 +1700,8 @@ object Extras {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the merge path is untested")
       import s.implicits._
-      val est = s.read.parquet(statePath)
+      // generation-layout read: resolve the pointer, scan that gen only
+      val est = graft.streaming.Streams.readGenMaintained(s, statePath)
         .select("key", "td").as[(String, TDig)]
         .map { case (key, td) =>
           val e = TDigest.quantile(td, 0.5)

@@ -1880,6 +1880,78 @@ object Streams {
     stagedSwap(staged, statePath)
   }
 
+  // ---- Generation-pointer state layout (ROADMAP r13 #6) ----
+  //
+  // The staged-swap publish renames the whole state dir twice per
+  // batch and briefly double-materializes it; on an object store
+  // (no atomic dir rename) that is copy-sized. The generation layout
+  // makes publishing O(1) AT ANY STATE SIZE: state lives in
+  // `statePath/gen=N/` subdirs, and the only mutation that commits a
+  // batch is an atomic one-file rename of the `_graft_current` pointer
+  // (tmp-write + rename — the POSIX/HDFS atomicity primitive; on S3,
+  // a single small PUT). Each gen dir carries its own batch marker, so
+  // the exactly-once retry guard reads through the pointer. Crash
+  // windows: before the flip, the old pointer stands and the retry
+  // overwrites the orphan gen; after the flip, the new state is live
+  // and any stale gens are garbage. GC keeps the current AND previous
+  // generation (a reader that resolved the pointer just before a flip
+  // still has its files — the grace window stagedSwap never had) and
+  // deletes older ones best-effort.
+
+  private val CurrentMarker = "_graft_current"
+
+  private[graft] def currentGen(statePath: String): Option[Long] = {
+    val f = new java.io.File(statePath, CurrentMarker)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+  }
+
+  private[graft] def currentGenPath(statePath: String): Option[String] =
+    currentGen(statePath).map(g => s"$statePath/gen=$g")
+
+  /** Read a generation-layout maintained table: resolve the pointer,
+    * scan that generation only. */
+  def readGenMaintained(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(currentGenPath(statePath).getOrElse(
+      sys.error(s"no committed generation under $statePath")))
+
+  /** Batch marker of the CURRENT generation — [[lastAppliedBatch]]
+    * through the pointer. */
+  private[graft] def lastAppliedBatchGen(statePath: String): Option[Long] =
+    currentGenPath(statePath).flatMap(lastAppliedBatch)
+
+  private def mergeOnceGen(statePath: String, id: Long)(
+      body: => Unit): Unit =
+    if (!lastAppliedBatchGen(statePath).exists(_ >= id)) body
+
+  /** Commit one batch under the generation layout: `write` lands the
+    * new state into the next gen dir (a plain overwrite parquet write
+    * — an interrupted attempt is re-overwritten on retry), the batch
+    * marker lands inside it, and the POINTER FLIP is the single
+    * atomic commit point. Then GC everything older than the previous
+    * generation. */
+  private[graft] def publishGen(statePath: String, id: Long)(
+      write: String => Unit): Unit = {
+    val next = currentGen(statePath).map(_ + 1).getOrElse(0L)
+    val dir = s"$statePath/gen=$next"
+    write(dir)
+    markBatch(dir, id)
+    val tmp = new java.io.File(statePath, CurrentMarker + "_tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(tmp.renameTo(new java.io.File(statePath, CurrentMarker)),
+      s"generation pointer flip failed under $statePath")
+    Option(new java.io.File(statePath).listFiles())
+      .getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith("gen=") &&
+          scala.util.Try(f.getName.stripPrefix("gen=").toLong)
+            .toOption.exists(_ < next - 1)
+      }
+      .foreach(rmTree)
+  }
+
   /** Streaming t-digest maintenance: [[quantileMaintain]]'s discipline
     * with [[graft.functions.TDigest]] state — the OTHER mergeable
     * distribution summary (ROADMAP r13 #1): KLL gives uniform rank
@@ -1889,6 +1961,12 @@ object Streams {
     * the same verdict pattern is what makes the TDigestSpec
     * rank-error-per-byte head-to-head honest: same replay, same merge
     * discipline, same exactly-once marker.
+    *
+    * This sink is the generation-layout PIONEER: it publishes through
+    * [[publishGen]] (pointer flip, no data renames) instead of
+    * [[stagedSwap]], and its reader is [[readGenMaintained]]. The
+    * other merge sinks migrate mechanically — same mergeOnce guard,
+    * same marker, only the publish step changes.
     */
   def tdigestMaintain(events: DataFrame, keyCol: String,
       valueCol: String, statePath: String, delta: Int,
@@ -1900,7 +1978,7 @@ object Streams {
   /** One [[tdigestMaintain]] batch merge, factored for the retry spec. */
   private[graft] def tdigestBatch(batch: DataFrame, keyCol: String,
       valueCol: String, statePath: String, delta: Int,
-      id: Long): Unit = mergeOnce(statePath, id) {
+      id: Long): Unit = mergeOnceGen(statePath, id) {
     val sp = batch.sparkSession
     import sp.implicits._
     import graft.functions.{TDig, TDigest}
@@ -1910,23 +1988,20 @@ object Streams {
       .agg(TDigest.tdigestCol(col(valueCol).cast("double"), delta)
         .as("td"))
       .as[(String, TDig)]
-    val cur = new java.io.File(statePath)
-    val merged =
-      if (!cur.exists()) part
-      else {
-        val prev = sp.read.parquet(statePath)
+    val merged = currentGenPath(statePath) match {
+      case None => part
+      case Some(p) =>
+        val prev = sp.read.parquet(p)
           .select("key", "td").as[(String, TDig)]
         prev.union(part)
           .groupByKey(_._1)
           .mapGroups { (key, it) =>
             (key, it.map(_._2).reduce(TDigest.merge))
           }
-      }
-    val staged = statePath + s"_stage$id"
-    merged.toDF("key", "td")
-      .write.mode("overwrite").parquet(staged)
-    markBatch(staged, id)
-    stagedSwap(staged, statePath)
+    }
+    publishGen(statePath, id) { dir =>
+      merged.toDF("key", "td").write.mode("overwrite").parquet(dir)
+    }
   }
 
   def runAvailableNow(df: DataFrame, name: String,

@@ -89,8 +89,9 @@ class TDigestSpec extends SparkTestBase {
     val (h1, h2) = all.splitAt(3000)
     Streams.tdigestBatch(h1.toDF("k", "v"), "k", "v", statePath, 200, 0L)
     Streams.tdigestBatch(h2.toDF("k", "v"), "k", "v", statePath, 200, 1L)
-    def state(): (String, TDig) = spark.read.parquet(statePath)
-      .select("key", "td").as[(String, TDig)].head()
+    def state(): (String, TDig) =
+      Streams.readGenMaintained(spark, statePath)
+        .select("key", "td").as[(String, TDig)].head()
     val (key, merged) = state()
     assert(key == "g" && merged.n == all.length)
     val xs = all.map(_._2)
@@ -103,7 +104,60 @@ class TDigestSpec extends SparkTestBase {
     Streams.tdigestBatch(h2.toDF("k", "v"), "k", "v", statePath, 200, 1L)
     assert(state()._2 == merged,
       "retried batch re-merged into the t-digest state")
-    assert(Streams.lastAppliedBatch(statePath).contains(1L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(1L))
+  }
+
+  test("generation-pointer publish: O(1) pointer flip, grace gen " +
+      "retained, older GC'd, crash windows recover") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("td_gen")
+    val statePath = tmp.resolve("td").toString
+    def gens(): Set[Long] =
+      Option(new java.io.File(statePath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong).toSet
+    def batch(vs: Seq[Double], id: Long): Unit =
+      Streams.tdigestBatch(vs.map(("g", _)).toDF("k", "v"),
+        "k", "v", statePath, 200, id)
+    batch(Seq(1.0, 2.0), 0L)
+    assert(Streams.currentGen(statePath).contains(0L) &&
+      gens() == Set(0L))
+    batch(Seq(3.0), 1L)
+    // previous generation survives as the reader grace window
+    assert(Streams.currentGen(statePath).contains(1L) &&
+      gens() == Set(0L, 1L))
+    batch(Seq(4.0), 2L)
+    // gen 0 is now older than the grace window — GC'd
+    assert(Streams.currentGen(statePath).contains(2L) &&
+      gens() == Set(1L, 2L))
+    def n(): Long = Streams.readGenMaintained(spark, statePath)
+      .select("key", "td").as[(String, graft.functions.TDig)]
+      .head()._2.n
+    assert(n() == 4L)
+    // crash window A: a gen dir written but the pointer never flipped
+    // — the stale orphan must be invisible to readers and simply be
+    // overwritten by the retry
+    val orphan = new java.io.File(s"$statePath/gen=3")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "junk.txt").toPath, "stale".getBytes)
+    assert(n() == 4L, "reader followed an uncommitted generation")
+    batch(Seq(5.0), 3L)
+    assert(Streams.currentGen(statePath).contains(3L) && n() == 5L,
+      "retry must overwrite the orphan generation and commit")
+    // crash window B: pointer flipped but old-gen GC never ran — the
+    // next publish must clean up without touching the live state
+    val stale = new java.io.File(s"$statePath/gen=0")
+    stale.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(stale, "junk.txt").toPath, "stale".getBytes)
+    batch(Seq(6.0), 4L)
+    assert(gens() == Set(3L, 4L) && n() == 6L)
+    // retry of a committed batch: marker read through the pointer
+    batch(Seq(99.0), 4L)
+    assert(n() == 6L && Streams.currentGen(statePath).contains(4L),
+      "redelivered batch must be a pointer-guarded no-op")
   }
 
   test("head-to-head vs KLL: rank-error-per-byte on a heavy tail") {
