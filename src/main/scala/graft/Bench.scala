@@ -58,16 +58,28 @@ object Bench {
     * the script: artifacts whose telemetry says contended:true are
     * never a minimum source; missing telemetry is trusted.
     */
-  private def benchMinima(root: java.io.File): Map[String, Double] = {
+  /** Normalize an artifact's `sf` field ("0.1" from the driver,
+    * "/root/testdata/sf0.1" from local runs) to its scale token so
+    * history never mixes scale factors — an sf0.01 artifact landing in
+    * the repo root would otherwise set unbeatable minima and corrupt
+    * the variance model for every sf0.1 run. */
+  private def sfToken(sf: String): String = {
+    val base = sf.stripSuffix("/").split('/').last
+    if (base.startsWith("sf")) base.stripPrefix("sf") else base
+  }
+
+  private def benchHistory(root: java.io.File,
+      sf: String): Map[String, Vector[Double]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val files = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("BENCH") &&
         f.getName.endsWith(".json"))
       .sortBy(_.getName)
-    files.foldLeft(Map.empty[String, Double]) { (acc, f) =>
+    files.foldLeft(Map.empty[String, Vector[Double]]) { (acc, f) =>
       try {
         val node = mapper.readTree(f)
         if (node.path("contended").asBoolean(false)) acc
+        else if (sfToken(node.path("sf").asText("")) != sfToken(sf)) acc
         else {
           val qs = node.path("queries")
           var m = acc
@@ -78,7 +90,7 @@ object Bench {
               val v = e.getValue.asDouble(-1.0)
               if (v >= 0)
                 m = m.updated(e.getKey,
-                  math.min(m.getOrElse(e.getKey, v), v))
+                  m.getOrElse(e.getKey, Vector.empty) :+ v)
             }
           }
           m
@@ -86,6 +98,37 @@ object Bench {
       } catch { case _: Throwable => acc }
     }
   }
+
+  private def benchMinima(hist: Map[String, Vector[Double]])
+      : Map[String, Double] =
+    hist.view.mapValues(_.min).toMap
+
+  private def median(xs: Vector[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Per-query variance model over the clean-artifact history (ROADMAP
+    * r13 #4): robust location = median, robust scale = 1.4826·MAD
+    * (the normal-consistency constant), floored at 5% of the median
+    * and 50 ms so a historically flat query can't produce an
+    * infinitely tight envelope. The artifact then self-reports a
+    * COMPUTED per-query confidence statement — `var_z` is how many
+    * robust standard deviations this run sits above its own history —
+    * instead of the one-size 1.5× minima heuristic (which stays, as
+    * the fallback for queries with < 4 clean observations). A flag
+    * needs z > 3 AND > 0.5 s absolute so sub-second queries don't
+    * flag on scheduler jitter.
+    */
+  private def varModel(hist: Map[String, Vector[Double]])
+      : Map[String, (Double, Double, Int)] =
+    hist.collect { case (k, xs) if xs.length >= 4 =>
+      val med = median(xs)
+      val mad = median(xs.map(x => math.abs(x - med)))
+      val scale = math.max(1.4826 * mad, math.max(0.05 * med, 0.05))
+      k -> ((med, scale, xs.length))
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,8 +238,9 @@ object Bench {
     // report; on a clean run a non-empty list is a real regression
     // candidate. Compact line carries only the offenders (the stdout
     // tail is size-bounded); the side file carries the full minima map.
-    val minima = benchMinima(new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")))
+    val hist = benchHistory(new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")), sfDir)
+    val minima = benchMinima(hist)
     val aboveMin = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       minima.get(k).collect {
         case m if m > 0 && v > m * 1.5 && v - m > 0.5 =>
@@ -206,6 +250,21 @@ object Bench {
     val aboveMinJson = aboveMin.mkString("{", ",", "}")
     val minimaJson = minima.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // variance-model verdicts: a computed per-query confidence
+    // statement (robust z vs own history) — see varModel
+    val model = varModel(hist)
+    val varFlagged = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      model.get(k).collect {
+        case (med, s, n) if (v - med) / s > 3.0 && v - med > 0.5 =>
+          f""""$k":{"sec":$v%.2f,"med":$med%.2f,""" +
+            f""""z":${(v - med) / s}%.1f,"n":$n}"""
+      }
+    }
+    val varFlaggedJson = varFlagged.mkString("{", ",", "}")
+    val varModelJson = model.toSeq.sortBy(_._1)
+      .map { case (k, (med, s, n)) =>
+        f""""$k":{"med":$med%.3f,"scale":$s%.3f,"n":$n}"""
+      }.mkString("{", ",", "}")
     // stdout gets a COMPACT line: the driver keeps only a ~2000-char tail
     // of the run's output, and the full line with per-pass detail (~3 KB)
     // overflowed it every round (BENCH_r04/r05 "parsed": null — the
@@ -215,6 +274,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode",$hostFields,""" +
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
+        s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
         s""""skew_above":$skewAbove,"sf":"$sfDir"}"""
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -222,6 +282,8 @@ object Bench {
         s""""steal_sec_per_pass":$allSteal,""" +
         s""""skew_worst_ratio":$allSkew,$hostFields,""" +
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
+        s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
+        s""""var_model":$varModelJson,""" +
         s""""minima":$minimaJson,"skew_above":$skewAbove,"sf":"$sfDir"}"""
     System.err.println(s"[bench] passes: $allPasses")
     System.err.println(s"[bench] steal_sec_per_pass: $allSteal")

@@ -15,14 +15,24 @@ host weather. Stdlib-only; run: python3 tools/bench_minima.py
 import glob
 import json
 import os
+import statistics
 import sys
+
+
+def sf_token(sf: str) -> str:
+    base = sf.rstrip("/").split("/")[-1]
+    return base[2:] if base.startswith("sf") else base
 
 
 def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # scale filter (mirrors graft.Bench.sfToken): history never mixes
+    # scale factors. First arg may be an sf token (default 0.1).
+    args = sys.argv[1:]
+    sf = args.pop(0) if args and not args[0].endswith(".json") else "0.1"
     paths = sorted(glob.glob(os.path.join(root, "BENCH*.json")))
-    paths += sys.argv[1:]
-    minima, used = {}, []
+    paths += args
+    hist, used = {}, []
     for p in paths:
         try:
             with open(p) as f:
@@ -31,15 +41,32 @@ def main() -> None:
             continue
         if d.get("contended") is True:
             continue  # self-reported dirty capture: never a minimum source
+        if sf_token(str(d.get("sf", ""))) != sf_token(sf):
+            continue
         qs = d.get("queries")
         if not isinstance(qs, dict) or not qs:
             continue
         used.append(os.path.basename(p))
         for k, v in qs.items():
             if isinstance(v, (int, float)) and v >= 0:
-                minima[k] = min(minima.get(k, v), v)
+                hist.setdefault(k, []).append(v)
+    # variance model (mirrors graft.Bench.varModel): robust location =
+    # median, robust scale = 1.4826*MAD floored at 5% of median and
+    # 50 ms; queries with < 4 clean observations fall back to the
+    # minima envelope only
+    model = {}
+    for k, xs in hist.items():
+        if len(xs) >= 4:
+            med = statistics.median(xs)
+            mad = statistics.median(abs(x - med) for x in xs)
+            model[k] = {
+                "med": round(med, 3),
+                "scale": round(max(1.4826 * mad, 0.05 * med, 0.05), 3),
+                "n": len(xs),
+            }
     print(json.dumps({
-        "queries": {k: round(v, 3) for k, v in sorted(minima.items())},
+        "queries": {k: round(min(v), 3) for k, v in sorted(hist.items())},
+        "var_model": {k: model[k] for k in sorted(model)},
         "n_artifacts": len(used),
         "artifacts": used,
     }))
