@@ -70,7 +70,10 @@ object SparkEntry {
       "x_pctile_maintained", "l_scd2_late", "l_ivm_leftjoin",
       // round-12 second-wave headliners: graph, compressed ANN,
       // attribution
-      "g_triangles", "v_pq", "e_attribution")
+      "g_triangles", "v_pq", "e_attribution",
+      // round-13 headliners: MIN/MAX IVM, sampled-training PQ,
+      // gen-layout t-digest maintenance
+      "l_ivm_minmax", "v_pq256", "x_tdigest_maintained")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

@@ -84,6 +84,35 @@ object Events {
         .orderBy("event_type", "h")
     }),
 
+    // Daily-count anomaly report — e_burst's batch-offline twin at day
+    // grain: for each event_type, the daily series' sample mean and
+    // std derive from three INTEGER moments (nd, Σc, Σc²) so the only
+    // doubles are one sqrt and one division, and each day's z-score
+    // flags |z| ≥ 2 — the monitoring query a pipeline runs over its
+    // own rollup table. z = (c·nd − Σc) / (nd·std): the numerator is
+    // exact integer arithmetic, the comparison runs on the same
+    // grid-rounded value both engines emit, so boundary days cannot
+    // diverge. One pass over |days × types| rows; stats broadcast.
+    "e_anomaly" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .filter(col("nd") >= 2)
+      val std = sqrt((col("nd") * col("sc2") - col("sc") * col("sc"))
+        .cast("double") /
+        (col("nd") * (col("nd") - 1)).cast("double"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day"), col("c"),
+          roundf((col("c") * col("nd") - col("sc")).cast("double") /
+            (col("nd").cast("double") * std), 4).as("z"))
+        .filter(abs(col("z")) >= 2.0)
+        .orderBy("event_type", "day")
+    }),
+
     // Cohort retention matrix: users keyed by first-active day, counted
     // on each later active day — the standard product-analytics view.
     // Shape: one distinct on (user, day), one per-user min, one
@@ -638,6 +667,26 @@ object Events {
            CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
          FROM trailed WHERE cnt24 >= 12
          ORDER BY event_type, h""",
+    // identical integer moments; z rounds on both sides before the
+    // |z| >= 2 gate so boundary days cannot diverge
+    "e_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, COUNT(*) AS nd, SUM(c) AS sc,
+             SUM(c * c) AS sc2
+           FROM daily GROUP BY 1 HAVING COUNT(*) >= 2),
+         z AS (
+           SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.c,
+             floor((d.c * st.nd - st.sc)::DOUBLE /
+               (st.nd::DOUBLE * sqrt((st.nd * st.sc2 - st.sc * st.sc)
+                 ::DOUBLE / (st.nd * (st.nd - 1))::DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS z
+           FROM daily d JOIN st USING (event_type))
+         SELECT event_type, day, c, z FROM z
+         WHERE abs(z) >= 2.0 ORDER BY event_type, day""",
     "e_tumble" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

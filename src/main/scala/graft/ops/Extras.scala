@@ -1572,6 +1572,58 @@ object Extras {
         .orderBy("l_returnflag")
     }),
 
+    // Daily event-mix concentration: the Herfindahl–Hirschman index
+    // HHI = Σ (cᵢ/T)² = Σcᵢ²/T² per day over event_type shares, plus
+    // the effective category count 1/HHI — the drift statistic a
+    // pipeline watches for a collapsing source mix, chosen over
+    // Shannon entropy DELIBERATELY: entropy needs log (a libm
+    // transcendental the oracle convention bans — t_tfidf's precedent)
+    // while HHI is exact integer arithmetic up to one final division.
+    // A uniform 5-type day reads 0.2 / 5.0; a day where one type
+    // swallows the mix drifts toward 1.0 / 1.0.
+    "x_hhi" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy("day")
+        .agg(sum("c").as("t"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("n_types"))
+        .select(col("day"), col("t").as("total"), col("n_types"),
+          roundf(col("s2").cast("double") /
+            (col("t") * col("t")).cast("double"), 6).as("hhi"),
+          roundf((col("t") * col("t")).cast("double") /
+            col("s2").cast("double"), 4).as("eff_types"))
+        .orderBy("day")
+    }),
+
+    // Tukey IQR-fence outlier census per group — the standard
+    // distribution-profiling gate (flag rows beyond Q1/Q3 ± 1.5·IQR)
+    // every load pipeline runs before training-data acceptance. The
+    // fences derive from the same exact interpolated percentile both
+    // engines implement identically (the x_percentile parity), fence
+    // arithmetic is fixed-order IEEE, and the census is one
+    // conditional-count pass against the broadcast 3-row fence table —
+    // scan-bound, no sort beyond the percentile's own.
+    "x_outlier_iqr" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val q = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("q1"),
+          expr("percentile(l_extendedprice, 0.75)").as("q3"))
+        .select(col("l_returnflag"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      li.join(broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi")).cast("long"))
+            .as("n_outliers"),
+          roundf(min(col("lo")), 4).as("fence_lo"),
+          roundf(min(col("hi")), 4).as("fence_hi"))
+        .orderBy("l_returnflag")
+    }),
+
     // Approximate percentile — the 100 TB form of x_percentile (KLL/GK
     // sketch, bounded memory, single pass; exact percentile must
     // materialize sorted groups). Like a3_approx, the sketch value is
@@ -1762,6 +1814,48 @@ object Extras {
             col("exact_custs") <= 0.05 &&
             col("n_seen") === col("n")).as("within_bound"),
           col("exact_custs"), col("n"))
+    }),
+
+    // PER-KEY distinct cardinality MAINTAINED — the GROUP BY form of
+    // x_hll_maintained (distinct users per event type, the per-segment
+    // monitoring statistic): a (key → HLL, n) table merged by per-key
+    // UNION through a full-outer join across the 2-batch time-split
+    // replay, published through the GENERATION layout (second adopter).
+    // The time split guarantees cross-batch user overlap within every
+    // event type, so a re-sum regression (double-counting repeats)
+    // breaks the 5% verdict immediately. Estimates derive in-plan from
+    // the maintained state scan; the exact per-key recompute is the
+    // oracle truth.
+    "x_hll_bykey" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "hll_bykey", d,
+        graft.etl.Tables.events, "ev",
+        ev.filter(unix_micros(col("ts")) < lit(cut)),
+        ev.filter(unix_micros(col("ts")) >= lit(cut)))
+      val statePath = new java.io.File(base, "hk").getPath
+      val q = graft.streaming.Streams.hllByKeyMaintain(stream,
+        "event_type", "user_id", statePath)
+      require(q.awaitTermination(600000),
+        "per-key HLL maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the union path is untested")
+      val est = graft.streaming.Streams.readGenMaintained(s, statePath)
+        .select(col("key").as("event_type"),
+          hll_sketch_estimate(col("hll")).as("approx"),
+          col("n").as("n_seen"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .join(broadcast(est), "event_type")
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05 &&
+            col("n_seen") === col("n")).as("within_bound"),
+          col("exact_users"), col("n"))
+        .orderBy("event_type")
     }),
 
     // Deterministic 7% hash sample: reproducible across runs, engines,
@@ -2906,6 +3000,43 @@ object Extras {
              AS p50_exact,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // identical integer moments, one final division each
+    "x_hhi" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS day, event_type,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         agg AS (
+           SELECT day, SUM(c) AS t, SUM(c * c) AS s2,
+             COUNT(*) AS n_types
+           FROM daily GROUP BY 1)
+         SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(t AS BIGINT) AS total, n_types,
+           floor(s2::DOUBLE / (t * t)::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS hhi,
+           floor((t * t)::DOUBLE / s2::DOUBLE * 10000.0 + 0.5)
+             / 10000.0 AS eff_types
+         FROM agg ORDER BY day""",
+    // same quantile_cont interpolation, same fixed-order fence
+    // arithmetic, same strict comparisons
+    "x_outlier_iqr" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+           FROM lineitem GROUP BY 1),
+         f AS (
+           SELECT l_returnflag, q1 - (q3 - q1) * 1.5 AS lo,
+             q3 + (q3 - q1) * 1.5 AS hi
+           FROM q)
+         SELECT l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice < f.lo
+             OR l.l_extendedprice > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           floor(MIN(f.lo) * 10000.0 + 0.5) / 10000.0 AS fence_lo,
+           floor(MIN(f.hi) * 10000.0 + 0.5) / 10000.0 AS fence_hi
+         FROM lineitem l JOIN f USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1""",
     // verdict-column oracle: the exact median and count are recomputed
     // here; within_bound is the Spark-side digest-bracket verdict
     // pinned to its expected constant
@@ -2914,6 +3045,12 @@ object Extras {
            floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0
              AS p50_exact,
            COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // verdict-column oracle: exact per-key distincts recomputed here,
+    // the union-accuracy verdict pinned to TRUE
+    "x_hll_bykey" ->
+      """SELECT event_type, TRUE AS within_bound,
+           COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "x_profile" ->
       """WITH p AS (

@@ -57,6 +57,13 @@ object Multimodal {
       media_id: Long, sample_rate: Int, n_samples: Long,
       sum_amp: Long, peak: Long)
 
+  /** A perceptual difference-hash of a decoded raster: 8 rows × 8
+    * horizontal-gradient bits off a 9×8 nearest-neighbor luma grid,
+    * emitted as a 64-char '0'/'1' string (a BIGINT would overflow the
+    * sign bit in the SQL mirror; the string groups and compares
+    * identically in both engines). */
+  final case class MediaHash(media_id: Long, dhash: String)
+
   /** Decode interface. Production: JNI/FFmpeg/javax.imageio. */
   trait MediaCodec extends Serializable {
     def decode(m: MediaRow): MediaFeatures
@@ -162,6 +169,32 @@ object Multimodal {
     def decodeAudio(m: MediaRow): AudioFeatures =
       throw new UnsupportedOperationException(
         s"media_id=${m.media_id}: ImageIoCodec decodes images, not audio")
+
+    /** dHash over the DECODED raster: sample a 9×8 luma grid by
+      * nearest neighbor (the resize discipline — integer index
+      * arithmetic, never Java2D interpolation), then each of the 64
+      * bits is the strict sign of one horizontal gradient. Uniform
+      * brightness shifts cancel in the gradient comparison — the
+      * invariance that makes dHash a NEAR-duplicate key where a byte
+      * or luma-sum hash sees distinct files. */
+    def dhashBits(m: MediaRow): MediaHash = {
+      val img = read(m)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val grid = Array.tabulate(8, 9) { (gy, gx) =>
+        lumaOf(img.getRGB(gx * w / 9, gy * h / 8))
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          sb.append(if (grid(gy)(gx + 1) > grid(gy)(gx)) '1' else '0')
+          gx += 1
+        }
+        gy += 1
+      }
+      MediaHash(m.media_id, sb.toString)
+    }
   }
 
   /** ===== REAL ===== JDK-only audio codec: `content` is an ENCODED WAV
@@ -252,6 +285,41 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic grayscale PNG for the dHash oracle: pixel (x, y) is
+    * the uniform gray v(x, y) (0..255), so the Rec.601 luma of a gray
+    * pixel is exactly v — floor((299+587+114)·v/1000) = v — and the
+    * sampled 9×8 grid is closed-form integer arithmetic in SQL.
+    */
+  def synthGrayPng(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = lum(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** dHash through the same typed mapPartitions micro-batch path. */
+  def dhashAll(s: SparkSession, media: DataFrame,
+      partitions: Int): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow]
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.map(ImageIoCodec.dhashBits))
+      }
+      .toDF()
   }
 
   /** Synthesize the media table from documents (see class doc). */
@@ -384,6 +452,47 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // IMAGE NEAR-DUP DETECTION over real decoded pixels — the
+    // multimodal member of the dedup family: perceptual dHash (9×8
+    // nearest-neighbor luma grid → 64 horizontal-gradient sign bits)
+    // groups images that a byte hash or luma sum sees as distinct.
+    // The fixture makes the invariance REAL: each of 25 gradient
+    // patterns (a quadratic-residue texture — a LINEAR gradient's
+    // sign bits quasi-repeat and collapsed 25 classes to 8 hashes in
+    // the first cut; (a²) mod 199 textures give 25 distinct 64-bit
+    // hashes) appears under 20 doc_ids whose rasters differ by a
+    // uniform brightness shift (offset = id·13 mod 3, varying within
+    // every class) — different PNG bytes, different luma sums,
+    // identical gradient signs — so the duplicate census is exactly
+    // the 25 pattern classes. Decode runs through ImageIO on the
+    // executors (the real-pixel path); the oracle computes the grid
+    // closed-form (a gray pixel's luma IS its gray level) and replays
+    // the bit extraction analytically, so a decode, sampling, or
+    // gradient bug goes hash-red. At 100 TB this is hash-groupBy
+    // dedup: one decode pass, |corpus| hash rows, exact-key shuffle —
+    // the d_exact cost shape with a perceptual key.
+    "m_dhash_dups" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 25).toInt
+          val off = (id * 13 % 3).toInt
+          MediaRow(id, "image",
+            synthGrayPng(36, 16, (x, y) => {
+              val a = p * 53 + x * 17 + y * 29 + 7
+              (a * a) % 199 + off
+            }),
+            36, 16, 0, 0L)
+        }
+      dhashAll(s, rows.toDF(), s.sparkContext.defaultParallelism)
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_members"),
+          min("media_id").as("first_id"),
+          max("media_id").as("last_id"))
+        .filter(col("n_members") >= 2)
+        .orderBy("dhash")
+    }),
+
     // REAL audio decode, oracle-checked: payloads are genuine RIFF/WAVE
     // containers (synthWav encodes through the JDK's own AudioSystem
     // writer), synthesized ON THE EXECUTORS and decoded back to actual
@@ -506,5 +615,32 @@ object Multimodal {
              AS frame_feature
          FROM documents, range(0, 4) t(f)
          WHERE doc_id % 3 = 2
-         ORDER BY media_id, frame_idx""")
+         ORDER BY media_id, frame_idx""",
+    // analytic mirror of the dHash path: a gray pixel's luma IS its
+    // gray level, the sampled grid point (gx, gy) reads raster pixel
+    // (4·gx, 2·gy), and the uniform brightness offset (doc_id·13
+    // mod 3) rides on BOTH sides of each strict comparison — the
+    // invariance, mirrored
+    "m_dhash_dups" ->
+      """WITH gy AS (SELECT unnest(range(0, 8)) AS gy),
+         gx9 AS (SELECT unnest(range(0, 9)) AS gx),
+         v AS (
+           SELECT d.doc_id, gy.gy, gx9.gx,
+             ((a.a * a.a) % 199) + ((d.doc_id * 13) % 3) AS lum
+           FROM documents d, gy, gx9,
+             LATERAL (SELECT (d.doc_id % 25) * 53 + (4 * gx9.gx) * 17
+               + (2 * gy.gy) * 29 + 7 AS a) a),
+         bits AS (
+           SELECT v0.doc_id, v0.gy, v0.gx,
+             CASE WHEN v1.lum > v0.lum THEN '1' ELSE '0' END AS b
+           FROM v v0 JOIN v v1 ON v1.doc_id = v0.doc_id
+             AND v1.gy = v0.gy AND v1.gx = v0.gx + 1
+           WHERE v0.gx < 8),
+         hashes AS (
+           SELECT doc_id, string_agg(b, '' ORDER BY gy, gx) AS dhash
+           FROM bits GROUP BY doc_id)
+         SELECT dhash, COUNT(*) AS n_members,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM hashes GROUP BY dhash HAVING COUNT(*) >= 2
+         ORDER BY dhash""")
 }

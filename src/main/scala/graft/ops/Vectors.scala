@@ -651,6 +651,80 @@ object Vectors {
         graft.streaming.Streams.readMaintained(s, codesPath))
     }),
 
+    // HYBRID RETRIEVAL: reciprocal-rank fusion (Cormack/Clarke/
+    // Büttcher, SIGIR 2009) of a lexical BM25 ranking and a dense
+    // cosine ranking over the SAME corpus (doc_id ↔ vec_id is the
+    // fixture correspondence; both tables enumerate 0..N-1) — the
+    // standard first-stage composition of a retrieval pipeline, and
+    // the reason a training-data engine needs both index families at
+    // once. RRF(d) = Σ_sys 1/(60 + rank_sys(d)) with an absent ranking
+    // contributing 0 — rank-based, so the two systems' incomparable
+    // score scales never need calibration. Ranks are integers and the
+    // two-term sum is fixed-order IEEE, so fusion is deterministic
+    // given the rankings, each of which carries its own proven
+    // determinism discipline (t_bm25's decimal comp sums, v_knn's
+    // grid-rounded cosine). The fixture ranks the FULL lists so the
+    // oracle is exact; at 100 TB each system feeds its top-k
+    // (TakeOrderedAndProject — the o3_topk shape) and RRF fuses
+    // k-sized lists per query, which is the production form.
+    "v_hybrid" -> ((s, d) => {
+      val qterms = Seq("join", "scan", "window")
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val dl = toks.groupBy("doc_id")
+        .agg(count(lit(1)).cast("double").as("dl"))
+      val avg = dl.agg((sum("dl") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val qt = toks.filter(col("word").isin(qterms: _*))
+      val tf = qt.groupBy("doc_id", "word")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = qt.select("doc_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+      val score = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("dl") / col("avgdl")))
+      val bm = tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(avg))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), roundf(score, 4).as("comp"))
+        .groupBy("doc_id")
+        .agg(sum(col("comp").cast("decimal(22,4)")).cast("double")
+          .as("bm25"))
+      val tRank = bm.withColumn("rt", row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))))
+        .select("doc_id", "rt")
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("v").as("vq"), col("nrm").as("nq"))
+      val vRank = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          roundf(dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
+            .as("cos"))
+        .withColumn("rv", row_number().over(
+          Window.orderBy(desc("cos"), asc("doc_id"))))
+        .select("doc_id", "rv")
+      val fused = vRank.join(tRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          roundf(
+            coalesce(lit(1.0) / (lit(60.0) + col("rt")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rv")), lit(0.0)), 6)
+            .as("rrf"),
+          col("rt"), col("rv"))
+      fused.withColumn("rn", row_number().over(
+          Window.orderBy(desc("rrf"), asc("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select("doc_id", "rrf", "rt", "rv", "rn")
+        .orderBy("rn")
+    }),
+
     // Maximum-inner-product search via the NORM-AUGMENTATION reduction
     // (Bachrach et al., RecSys 2014 — the recommender-retrieval
     // workhorse: user·item dot products, where cosine ANN is the wrong
@@ -996,6 +1070,64 @@ object Vectors {
            SELECT q, vec_id, dot, row_number() OVER (PARTITION BY q
              ORDER BY dot DESC, vec_id ASC) AS rn FROM cand)
          WHERE rn <= 5 ORDER BY q, rn""",
+    // both rankings mirrored in full (the bm25Sql and v_knn_brute
+    // chains), then the rank-only fusion — a drifted score in either
+    // system moves a rank and goes hash-red through the fused list
+    "v_hybrid" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl
+                FROM toks GROUP BY 1),
+         a AS (SELECT SUM(dl) / COUNT(*)::DOUBLE AS avgdl FROM dl),
+         n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         qt AS (SELECT doc_id, word FROM toks
+                WHERE word IN ('join', 'scan', 'window')),
+         tf AS (SELECT doc_id, word, COUNT(*)::DOUBLE AS tf
+                FROM qt GROUP BY 1, 2),
+         dfreq AS (SELECT word, COUNT(*)::DOUBLE AS df
+                   FROM (SELECT DISTINCT doc_id, word FROM qt)
+                   GROUP BY 1),
+         comp AS (
+           SELECT tf.doc_id,
+             floor((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl))
+               * 10000.0 + 0.5) / 10000.0 AS comp
+           FROM tf JOIN dfreq USING (word)
+                   JOIN dl ON tf.doc_id = dl.doc_id, a, n
+           WHERE tf.doc_id <> 0),
+         bm AS (SELECT doc_id,
+             CAST(SUM(CAST(comp AS DECIMAL(22,4))) AS DOUBLE) AS bm25
+           FROM comp GROUP BY doc_id),
+         tr AS (SELECT doc_id, row_number() OVER
+             (ORDER BY bm25 DESC, doc_id ASC) AS rt FROM bm),
+         e AS (
+           SELECT vec_id, embedding AS v,
+             sqrt(list_sum([(x::DOUBLE)*(x::DOUBLE) for x in embedding]))
+               AS nrm
+           FROM embeddings),
+         qv AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+         vs AS (
+           SELECT e.vec_id AS doc_id,
+             floor(list_sum([(q.v[i]::DOUBLE) * (e.v[i]::DOUBLE)
+                 for i in range(1, len(q.v) + 1)])
+               / (q.nrm * e.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+           FROM e, qv q WHERE e.vec_id <> 0),
+         vr AS (SELECT doc_id, row_number() OVER
+             (ORDER BY cos DESC, doc_id ASC) AS rv FROM vs),
+         fused AS (
+           SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+             floor((COALESCE(1.0 / (60.0 + tr.rt), 0.0) +
+                    COALESCE(1.0 / (60.0 + vr.rv), 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS rrf,
+             tr.rt, vr.rv
+           FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         SELECT doc_id, rrf, rt, rv, rn FROM (
+           SELECT doc_id, rrf, rt, rv, row_number() OVER
+             (ORDER BY rrf DESC, doc_id ASC) AS rn
+           FROM fused)
+         WHERE rn <= 10 ORDER BY rn""",
     "v_pq" -> pqSql(lloydRounds = 1),
     // K=256 with the sampled-training chain: tsubs is the same salted
     // hash sample, codes come from the final full ranking (prf)

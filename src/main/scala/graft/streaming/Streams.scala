@@ -1820,6 +1820,53 @@ object Streams {
       stagedSwap(staged, statePath)
     }
 
+  /** PER-KEY distinct-cardinality maintenance — the GROUP BY form of
+    * [[hllMaintain]]'s union argument: state is a (key, hll, n) table,
+    * each batch sketches its keys distributed, and the cross-batch
+    * merge is a per-key HLL UNION through a full-outer join (a key
+    * seen by only one side keeps its sketch verbatim; a key seen by
+    * both unions two KB blobs). The statistic a 100 TB pipeline
+    * monitors per segment — distinct users per event type, distinct
+    * docs per source — where countMaintain would double-count
+    * cross-batch repeats. Publishes through the GENERATION layout
+    * ([[publishGen]] — the second adopter after the t-digest sink):
+    * O(1) pointer-flip commits on a |keys|-sized table.
+    */
+  def hllByKeyMaintain(events: DataFrame, keyCol: String,
+      valCol: String, statePath: String, lgConfigK: Int = 12,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      hllByKeyBatch(batch, keyCol, valCol, statePath, lgConfigK, id)
+    }
+
+  /** One [[hllByKeyMaintain]] batch merge, factored for the retry spec. */
+  private[graft] def hllByKeyBatch(batch: DataFrame, keyCol: String,
+      valCol: String, statePath: String, lgConfigK: Int,
+      id: Long): Unit = mergeOnceGen(statePath, id) {
+    val sp = batch.sparkSession
+    val part = batch
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(hll_sketch_agg(col(valCol), lit(lgConfigK)).as("bh"),
+        count(lit(1)).as("bn"))
+    val merged = currentGenPath(statePath) match {
+      case None => part.select(col("key"), col("bh").as("hll"),
+        col("bn").as("n"))
+      case Some(p) =>
+        sp.read.parquet(p)
+          .select(col("key"), col("hll").as("ph"), col("n").as("pn"))
+          .join(part, Seq("key"), "full_outer")
+          .select(col("key"),
+            when(col("ph").isNull, col("bh"))
+              .when(col("bh").isNull, col("ph"))
+              .otherwise(hll_union(col("ph"), col("bh"))).as("hll"),
+            (coalesce(col("pn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+              .as("n"))
+    }
+    publishGen(statePath, id) { dir =>
+      merged.write.mode("overwrite").parquet(dir)
+    }
+  }
+
   /** Streaming quantile maintenance: a per-key mergeable quantile
     * sketch (KLL/MRL compactor levels with a self-accounted
     * deterministic rank-error bound — [[graft.functions.QuantileSketch]])

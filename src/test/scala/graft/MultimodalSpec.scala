@@ -137,6 +137,36 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("dHash is brightness-invariant on real pixels where byte and " +
+      "luma-sum identity are not") {
+    // two rasters of the same gradient pattern, shifted by a uniform
+    // +2 gray levels: different PNG bytes, different mean luma,
+    // IDENTICAL dHash — the invariance m_dhash_dups' fixture exercises
+    // class-wide; a third image with a different pattern must differ
+    def png(off: Int, p: Int) = Multimodal.synthGrayPng(36, 16,
+      (x, y) => {
+        val a = p * 53 + x * 17 + y * 29 + 7
+        (a * a) % 199 + off
+      })
+    def rowOf(id: Long, off: Int, p: Int) = Multimodal.MediaRow(
+      id, "image", png(off, p), 36, 16, 0, 0L)
+    val a = Multimodal.ImageIoCodec.dhashBits(rowOf(1, 0, 7))
+    val b = Multimodal.ImageIoCodec.dhashBits(rowOf(2, 2, 7))
+    val c = Multimodal.ImageIoCodec.dhashBits(rowOf(3, 0, 8))
+    assert(!java.util.Arrays.equals(png(0, 7), png(2, 7)),
+      "fixture degenerate: shifted rasters encode to identical bytes")
+    val lumaA = Multimodal.ImageIoCodec.decode(rowOf(1, 0, 7)).luma
+    val lumaB = Multimodal.ImageIoCodec.decode(rowOf(2, 2, 7)).luma
+    assert(lumaA != lumaB,
+      "fixture degenerate: brightness shift left mean luma unchanged")
+    assert(a.dhash == b.dhash,
+      "uniform brightness shift must not move the gradient hash")
+    assert(a.dhash != c.dhash,
+      "different gradient patterns must not collide")
+    assert(a.dhash.length == 64 && a.dhash.forall(ch =>
+      ch == '0' || ch == '1'))
+  }
+
   test("stub codec arithmetic is the portable hash family") {
     val bytes = "hello world".getBytes("UTF-8")
     val h = StubCodec.hash60(bytes)

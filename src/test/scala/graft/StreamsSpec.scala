@@ -1243,6 +1243,36 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.lastAppliedBatch(statePath).contains(1L))
   }
 
+  test("hllByKeyBatch: per-key union counts cross-batch repeats once, " +
+      "single-side keys keep their sketch; retry no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hllk_maint")
+    val statePath = tmp.resolve("hk").toString
+    // key A: 400 distincts split with a 200-value overlap (union must
+    // say ~600, a re-sum would say 800); key B only in batch 1; key C
+    // only in batch 2 — the full-outer merge must keep both verbatim
+    val b1 = ((1 to 400).map(i => ("A", i.toLong)) ++
+      (1 to 50).map(i => ("B", i.toLong))).toDF("g", "u")
+    val b2 = ((201 to 600).map(i => ("A", i.toLong)) ++
+      (1 to 70).map(i => ("C", i.toLong))).toDF("g", "u")
+    Streams.hllByKeyBatch(b1, "g", "u", statePath, 12, 0L)
+    Streams.hllByKeyBatch(b2, "g", "u", statePath, 12, 1L)
+    def state() = Streams.readGenMaintained(spark, statePath)
+      .select(col("key"), col("n"),
+        hll_sketch_estimate(col("hll")).as("est"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val st = state()
+    assert(st("A")._1 == 800L, "n tracks rows (additive)")
+    assert(math.abs(st("A")._2 - 600L) <= 0.05 * 600,
+      s"key A union estimate ${st("A")._2} outside 5% of 600")
+    assert(st("B") == ((50L, 50L)) && st("C") == ((70L, 70L)),
+      "single-side keys must pass through the full-outer merge verbatim")
+    Streams.hllByKeyBatch(b2, "g", "u", statePath, 12, 1L)
+    assert(state() == st, "retried batch changed the per-key HLL state")
+    assert(Streams.lastAppliedBatchGen(statePath).contains(1L))
+  }
+
   test("scd2LateBatch: a late event resurrects the change at a later " +
       "non-change event; retry of the last batch is exact") {
     // THE case the change-row log alone cannot handle (why the sink
