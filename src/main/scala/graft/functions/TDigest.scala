@@ -150,6 +150,50 @@ object TDigest {
     * 4 doubles/longs per centroid. */
   def sizeBytes(d: TDig): Long = 32L * d.cents.length
 
+  /** Midpoint rank estimator from the deterministic bracket:
+    * below-weight + straddle/2. The bracket THEOREM says the true
+    * rankLE sits within straddle/2 of this value. */
+  def estRankLE(d: TDig, v: Double): Double =
+    d.cents.iterator.filter(_.hi <= v).map(_.w).sum +
+      straddleWeight(d, v) / 2.0
+
+  /** Quantile under DELETIONS from a paired insert/delete digest
+    * (ROADMAP r14 #4, landed r13): deletions cannot flow through
+    * centroids (means are lossy), but a SECOND digest of the deleted
+    * multiset subtracts at read time — net rankLE(v) = rankLE_ins(v)
+    * − rankLE_del(v), and since each side brackets within its own
+    * straddle, the net true rank sits within (straddleᵢ+straddle_d)/2
+    * of the midpoint estimate (a theorem, from the two per-side
+    * bracket theorems). The estimate scans the insert digest's
+    * centroid means (deleted values are a subset of inserted ones, so
+    * the means grid still tiles the net distribution) for the one
+    * whose estimated net rank is closest to p·n_net, ties to the
+    * smaller value. Returned bound = (straddleᵢ+straddle_d)/2 + one
+    * max-cluster interpolation step per digest + 1 — deterministic
+    * from state; the grid-step term is the same locally-ordered
+    * heuristic as [[rankErrorBound]], measured in TDigestSpec.
+    * CONTRACT (disclosed, the minmaxMaintain posture): the delete
+    * stream must be a multiset subset of the insert stream; the
+    * require refuses a net-empty or net-negative key. */
+  def netQuantile(ins: TDig, del: TDig, p: Double): (Double, Long) = {
+    val nNet = ins.n - del.n
+    require(nNet > 0,
+      s"netQuantile: deletions (${del.n}) must leave a non-empty net " +
+        s"of inserts (${ins.n}) — delete stream exceeded its contract")
+    val target = p * nNet
+    val cands = ins.cents.map(_.m).distinct.sorted
+    var best = cands.head
+    var bestDist = Double.MaxValue
+    for (v <- cands) {
+      val r = estRankLE(ins, v) - estRankLE(del, v)
+      val dd = math.abs(r - target)
+      if (dd < bestDist) { bestDist = dd; best = v }
+    }
+    val bound = (straddleWeight(ins, best) + straddleWeight(del, best)
+      + 1L) / 2L + maxWeight(ins) + maxWeight(del) + 1L
+    (best, bound)
+  }
+
   def tdigest(delta: Int): Aggregator[Double, TDig, TDig] =
     new Aggregator[Double, TDig, TDig] {
       def zero: TDig = empty(delta)

@@ -1776,6 +1776,67 @@ object Extras {
         .orderBy("event_type")
     }),
 
+    // Maintained quantiles under DELETIONS — the signed form of
+    // x_tdigest_maintained: deletions cannot flow through centroids
+    // (means are lossy), so the sink keeps a PAIRED delete digest per
+    // key and the median derives from the NET rank function at read
+    // time (ins rank − del rank, bracketed by the two per-side
+    // straddle theorems — TDigest.netQuantile). Batch 2 deletes 20%
+    // of batch-1 rows (event_id % 5, original values verbatim — the
+    // CDC multiset-subset contract), so the net median genuinely
+    // moves; the verdict checks the estimate's exact rank over the
+    // NET rows against target ± the paired bound, and the oracle
+    // recomputes the exact net median — a lost delete digest, a
+    // drifted merge, or a broken subtraction flips the boolean.
+    "x_tdigest_deletes" -> ((s, d) => {
+      import graft.functions.{TDig, TDigest}
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val firstHalf = unix_micros(col("ts")) < lit(cut)
+      val b1 = ev.filter(firstHalf).withColumn("sign", lit(1))
+      val b2 = ev.filter(unix_micros(col("ts")) >= lit(cut))
+        .withColumn("sign", lit(1))
+        .unionByName(ev.filter(firstHalf && col("event_id") % 5 === 0)
+          .withColumn("sign", lit(-1)))
+      val (base, stream) = Replay.twoBatchStream(s, "tdig_del", d,
+        graft.etl.Tables.events.add("sign", "int"), "ev", b1, b2)
+      val statePath = new java.io.File(base, "tds").getPath
+      val q = graft.streaming.Streams.tdigestSignedMaintain(stream,
+        "event_type", "value", statePath, 200)
+      require(q.awaitTermination(600000),
+        "signed t-digest maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the delete-digest " +
+          "path is untested")
+      import s.implicits._
+      val est = graft.streaming.Streams.readGenMaintained(s, statePath)
+        .select("key", "ti", "td").as[(String, TDig, TDig)]
+        .map { case (key, ti, td) =>
+          require(td.n > 0,
+            "fixture must exercise the delete digest")
+          val (e, b) = TDigest.netQuantile(ti, td, 0.5)
+          (key, e, b)
+        }
+        .toDF("event_type", "ap", "b")
+      val net = ev.filter(!(firstHalf && col("event_id") % 5 === 0))
+      net.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+          sum((col("value") < col("ap")).cast("long")).as("n_lt"),
+          sum((col("value") <= col("ap")).cast("long")).as("n_le"),
+          roundf(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          count(lit(1)).as("n"),
+          first(col("b")).as("b"))
+        .select(col("event_type"),
+          ((col("n_lt") + 1) * 2 <= col("n") + col("b") * 2 &&
+            col("n_le") * 2 >= col("n") - col("b") * 2)
+            .as("within_bound"),
+          col("p50_exact"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // a3_approx with the DISTINCT-CARDINALITY state MAINTAINED BY THE
     // STREAMING SINK — the statistic countMaintain cannot express
     // (distinct counts are not additive: a customer ordering in both
@@ -3046,6 +3107,20 @@ object Extras {
              AS p50_exact,
            COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // exact net-median truth over the surviving rows; the paired
+    // digest-bracket verdict pinned to TRUE
+    "x_tdigest_deletes" ->
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+                     FROM events),
+         cw AS (SELECT t0 + (t1 - t0) // 2 AS cut FROM mm),
+         net AS (
+           SELECT * FROM events, cw
+           WHERE NOT (epoch_us(ts) < cut AND event_id % 5 = 0))
+         SELECT event_type, TRUE AS within_bound,
+           floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0
+             AS p50_exact,
+           COUNT(*) AS n
+         FROM net GROUP BY event_type ORDER BY event_type""",
     // verdict-column oracle: exact per-key distincts recomputed here,
     // the union-accuracy verdict pinned to TRUE
     "x_hll_bykey" ->

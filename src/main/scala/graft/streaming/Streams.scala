@@ -2051,6 +2051,62 @@ object Streams {
     }
   }
 
+  /** t-digest maintenance under DELETIONS: signed micro-batches split
+    * into a paired INSERT digest and DELETE digest per key — deletions
+    * cannot flow through centroids (means are lossy), but a second
+    * digest of the deleted multiset subtracts at READ time
+    * ([[graft.functions.TDigest.netQuantile]]: net rank = ins rank −
+    * del rank, bracketed by the two straddle theorems). State costs
+    * 2× the insert-only sink and stays δ-bounded per side regardless
+    * of delete volume; the disclosed contract is the CDC one — deletes
+    * reference previously-inserted values. Generation-layout publish
+    * like its unsigned twin.
+    */
+  def tdigestSignedMaintain(events: DataFrame, keyCol: String,
+      valueCol: String, statePath: String, delta: Int,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(events, checkpoint) { (batch, id) =>
+      tdigestSignedBatch(batch, keyCol, valueCol, statePath, delta, id)
+    }
+
+  /** One [[tdigestSignedMaintain]] batch merge, factored for the
+    * retry spec. */
+  private[graft] def tdigestSignedBatch(batch: DataFrame, keyCol: String,
+      valueCol: String, statePath: String, delta: Int,
+      id: Long): Unit = mergeOnceGen(statePath, id) {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    import graft.functions.{TDig, TDigest}
+    def sketch(df: DataFrame, tag: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(TDigest.tdigestCol(col(valueCol).cast("double"), delta)
+        .as("td"))
+      .as[(String, TDig)]
+      .map { case (k, t) => (k, tag, t) }
+    val parts = sketch(batch.filter(col("sign") === 1), "i")
+      .union(sketch(batch.filter(col("sign") === -1), "d"))
+    val prevRows = currentGenPath(statePath) match {
+      case None => sp.emptyDataset[(String, String, TDig)]
+      case Some(p) => sp.read.parquet(p)
+        .select("key", "ti", "td").as[(String, TDig, TDig)]
+        .flatMap { case (k, ti, td) => Seq((k, "i", ti), (k, "d", td)) }
+    }
+    val merged = parts.union(prevRows)
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val rows = it.toSeq
+        def of(tag: String): TDig = rows.collect {
+          case (_, t, dig) if t == tag => dig
+        }.reduceOption(TDigest.merge).getOrElse(TDigest.empty(delta))
+        (key, of("i"), of("d"))
+      }
+    publishGen(statePath, id) { dir =>
+      merged.toDF("key", "ti", "td")
+        .write.mode("overwrite").parquet(dir)
+    }
+  }
+
   def runAvailableNow(df: DataFrame, name: String,
       outputMode: String = "append",
       timeoutMs: Long = 600000): StreamingQuery = {

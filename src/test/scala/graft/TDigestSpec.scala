@@ -160,6 +160,75 @@ class TDigestSpec extends SparkTestBase {
       "redelivered batch must be a pointer-guarded no-op")
   }
 
+  test("netQuantile: paired-digest subtraction holds its bound under " +
+      "heavy deletions; contract violations refuse") {
+    val xs = heavyTailed(8000)
+    // delete 30% — a deterministic but value-skewed subset (every 10th
+    // and any value > 100), so the net median genuinely moves
+    val dels = xs.zipWithIndex.collect {
+      case (v, i) if i % 10 == 0 || v > 100.0 => v
+    }
+    val net = {
+      val d = scala.collection.mutable.Map.empty[Double, Int]
+      dels.foreach(v => d(v) = d.getOrElse(v, 0) + 1)
+      xs.filter { v =>
+        val c = d.getOrElse(v, 0)
+        if (c > 0) { d(v) = c - 1; false } else true
+      }
+    }
+    val ti = TD.compress(xs.foldLeft(TD.empty(200))(TD.insert))
+    val td = TD.compress(dels.foldLeft(TD.empty(200))(TD.insert))
+    assert(net.nonEmpty && dels.nonEmpty)
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val (est, b) = TD.netQuantile(ti, td, p)
+      val target = p * net.length
+      assert(net.count(_ < est) + 1 <= target + b,
+        s"p=$p: net bracket broken low (bound $b)")
+      assert(net.count(_ <= est) >= target - b,
+        s"p=$p: net bracket broken high (bound $b)")
+      // the bound must stay a useful fraction of n, not a vacuous one
+      assert(b < net.length / 2, s"p=$p: bound $b is vacuous")
+    }
+    // net-empty key: the disclosed contract must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      TD.netQuantile(td, td, 0.5)
+    }
+    assert(ex.getMessage.contains("contract"))
+  }
+
+  test("tdigestSignedBatch: cross-batch paired merge; retry no-op") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tds_maint")
+    val statePath = tmp.resolve("tds").toString
+    val xs = heavyTailed(4000)
+    val (h1, h2) = xs.splitAt(2000)
+    // batch 2 deletes every 5th batch-1 value
+    val dels = h1.zipWithIndex.collect { case (v, i) if i % 5 == 0 => v }
+    val b1 = h1.map(("g", _, 1)).toDF("k", "v", "sign")
+    val b2 = (h2.map(("g", _, 1)) ++ dels.map(("g", _, -1)))
+      .toDF("k", "v", "sign")
+    Streams.tdigestSignedBatch(b1, "k", "v", statePath, 200, 0L)
+    Streams.tdigestSignedBatch(b2, "k", "v", statePath, 200, 1L)
+    def state() = Streams.readGenMaintained(spark, statePath)
+      .select("key", "ti", "td").as[(String, TDig, TDig)].head()
+    val (_, ti, td) = state()
+    assert(ti.n == 4000L && td.n == dels.length.toLong)
+    val netSet = {
+      val d = scala.collection.mutable.Map.empty[Double, Int]
+      dels.foreach(v => d(v) = d.getOrElse(v, 0) + 1)
+      xs.filter { v =>
+        val c = d.getOrElse(v, 0)
+        if (c > 0) { d(v) = c - 1; false } else true
+      }
+    }
+    val (est, b) = TD.netQuantile(ti, td, 0.5)
+    assert(netSet.count(_ < est) + 1 <= 0.5 * netSet.length + b)
+    assert(netSet.count(_ <= est) >= 0.5 * netSet.length - b)
+    Streams.tdigestSignedBatch(b2, "k", "v", statePath, 200, 1L)
+    assert(state() == (("g", ti, td)),
+      "retried batch re-merged into the signed digest state")
+  }
+
   test("head-to-head vs KLL: rank-error-per-byte on a heavy tail") {
     // The ROADMAP r13 #1 measurement, run over the same two-batch
     // split both maintained sinks would see. Hard assertions stay on
