@@ -655,7 +655,7 @@ object Etl {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "view replay must span two micro-batches or the downstream " +
           "merge is untested")
-      s.read.parquet(goldPath)
+      graft.streaming.Streams.readGenMaintained(s, goldPath)
         .select(col("c_mktsegment"), col("cnt").as("n_orders"))
         .orderBy("c_mktsegment")
     }),
@@ -907,10 +907,12 @@ object Etl {
       // the argmin/argmax deletions must actually have debited covered
       // prefixes — otherwise this row silently stops testing the
       // rewind path (fixture-shape guard, scale-independent)
-      require(s.read.parquet(statePath)
+      val mmState = graft.streaming.Streams
+        .readGenMaintained(s, statePath)
+      require(mmState
           .filter(col("dlo") >= 1 && col("dhi") >= 1).count() > 0,
         "no group exercised the survivor-rewind path")
-      s.read.parquet(statePath)
+      mmState
         .select(col("day"), col("event_type"), col("n"),
           element_at(col("lo"), 1).getField("v").as("min_value"),
           element_at(col("hi"), size(col("hi"))).getField("v")

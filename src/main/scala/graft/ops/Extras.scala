@@ -388,6 +388,61 @@ object Extras {
         (abs(tstat) > lit(1.96)).as("significant"))
     }),
 
+    // CUPED variance reduction (Deng/Xu/Kohavi/Walker, WSDM 2013) —
+    // the experimentation-platform workhorse x_abtest lacks: adjust
+    // each unit's post-period metric by its PRE-period covariate,
+    // Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) estimated pooled, so
+    // the variant comparison sheds the between-user variance the
+    // pre-period already explains (reduction = r²(X,Y) — emitted as a
+    // column). Units are users, the pre/post cut is the epoch-µs
+    // midpoint, variants split user_id % 2, and absent-period users
+    // coalesce to 0 (the population is every user with any event).
+    // Per-user sums are exact decimals, user-level moments sum in
+    // widened decimals (one pass), θ/means/r² are IEEE arithmetic in
+    // the final projection — the x_linreg discipline end to end. At
+    // 100 TB: one groupBy(user) + one moments pass, no extra scans.
+    "x_cuped" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val pre = unix_micros(col("ts")) < lit(cut)
+      val dv = roundf(col("value"), 4).cast("decimal(18,4)")
+      val z = lit(0).cast("decimal(18,4)")
+      val users = ev.groupBy("user_id").agg(
+          coalesce(sum(when(pre, dv)), z).cast("decimal(18,4)").as("x"),
+          coalesce(sum(when(!pre, dv)), z).cast("decimal(18,4)").as("y"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B")
+          .as("variant"), col("x"), col("y"))
+      def moments(df: DataFrame, g: Seq[Column]) = df
+        .groupBy(g: _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,4)").as("sx"),
+          sum(col("y")).cast("decimal(38,4)").as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,8)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,8)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,8)")).as("syy"))
+      val nd = (c: String) => col(c).cast("double")
+      val pooled = moments(users, Seq.empty)
+        .select(nd("n").as("pn"), nd("sx").as("psx"), nd("sy").as("psy"),
+          nd("sxy").as("psxy"), nd("sxx").as("psxx"),
+          nd("syy").as("psyy"))
+      val cov = col("pn") * col("psxy") - col("psx") * col("psy")
+      val varx = col("pn") * col("psxx") - col("psx") * col("psx")
+      val vary = col("pn") * col("psyy") - col("psy") * col("psy")
+      val theta = cov / varx
+      moments(users, Seq(col("variant")))
+        .crossJoin(broadcast(pooled))
+        .select(col("variant"), col("n"),
+          roundf(nd("sy") / nd("n"), 4).as("mean_y"),
+          roundf(nd("sy") / nd("n") -
+            theta * (nd("sx") / nd("n") - col("psx") / col("pn")), 4)
+            .as("mean_y_adj"),
+          roundf(theta, 6).as("theta"),
+          roundf(cov * cov / (varx * vary), 6).as("var_reduction"))
+        .orderBy("variant")
+    }),
+
     // Bounded-memory frequent items (Misra-Gries, k=50) with the
     // guarantee emitted as the hash-checked verdict — the a3_approx /
     // x_approx_pctile pattern: the summary CONTENTS depend on merge
@@ -974,7 +1029,7 @@ object Extras {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the re-sum merge is " +
           "untested")
-      olsOf(s.read.parquet(mPath))
+      olsOf(graft.streaming.Streams.readGenMaintained(s, mPath))
     }),
 
     // Chi-squared independence test over a contingency table
@@ -1507,7 +1562,7 @@ object Extras {
         "histogram maintenance stream must drain (AvailableNow)")
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the merge path is untested")
-      s.read.parquet(statePath)
+      graft.streaming.Streams.readGenMaintained(s, statePath)
         .select(col("bin"), col("cnt").as("n"))
         .orderBy("bin")
     }),
@@ -1697,7 +1752,8 @@ object Extras {
       import s.implicits._
       // estimates derive IN-PLAN from the maintained artifact: a typed
       // map over the |keys|-row state scan (never a driver collect)
-      val est = s.read.parquet(statePath)
+      val est = graft.streaming.Streams
+        .readGenMaintained(s, statePath)
         .select("key", "qs").as[(String, QSketch)]
         .map { case (key, qs) =>
           (key, QuantileSketch.quantile(qs, 0.5),
@@ -3061,6 +3117,49 @@ object Extras {
              AS p50_exact,
            COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // identical exact-decimal per-user sums, widened-decimal moments
+    // (the linregSql int128 discipline), IEEE θ/means/r²
+    "x_cuped" ->
+      """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
+                     FROM events),
+         cw AS (SELECT t0 + (t1 - t0) // 2 AS cut FROM mm),
+         u AS (
+           SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < cw.cut
+               THEN CAST(floor(value * 10000.0 + 0.5) / 10000.0
+                 AS DECIMAL(18,4)) END), 0) AS DECIMAL(18,4)) AS x,
+             CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= cw.cut
+               THEN CAST(floor(value * 10000.0 + 0.5) / 10000.0
+                 AS DECIMAL(18,4)) END), 0) AS DECIMAL(18,4)) AS y
+           FROM events, cw GROUP BY user_id, cw.cut),
+         p AS (
+           SELECT COUNT(*)::DOUBLE AS pn,
+             SUM(x)::DOUBLE AS psx, SUM(y)::DOUBLE AS psy,
+             SUM(CAST(CAST(x AS DECIMAL(19,4)) * y AS DECIMAL(38,8)))
+               ::DOUBLE AS psxy,
+             SUM(CAST(CAST(x AS DECIMAL(19,4)) * x AS DECIMAL(38,8)))
+               ::DOUBLE AS psxx,
+             SUM(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(38,8)))
+               ::DOUBLE AS psyy
+           FROM u),
+         g AS (
+           SELECT variant, COUNT(*) AS n,
+             SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy
+           FROM u GROUP BY 1),
+         k AS (
+           SELECT pn * psxy - psx * psy AS cov,
+             pn * psxx - psx * psx AS varx,
+             pn * psyy - psy * psy AS vary, pn, psx
+           FROM p)
+         SELECT variant, n,
+           floor(sy / n * 10000.0 + 0.5) / 10000.0 AS mean_y,
+           floor((sy / n - (cov / varx) * (sx / n - psx / pn))
+             * 10000.0 + 0.5) / 10000.0 AS mean_y_adj,
+           floor(cov / varx * 1000000.0 + 0.5) / 1000000.0 AS theta,
+           floor(cov * cov / (varx * vary) * 1000000.0 + 0.5)
+             / 1000000.0 AS var_reduction
+         FROM g, k ORDER BY variant""",
     // identical integer moments, one final division each
     "x_hhi" ->
       """WITH daily AS (

@@ -511,7 +511,8 @@ object Text {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the merge path is untested")
       tfidfTop3(docs,
-        s.read.parquet(statePath).withColumnRenamed("cnt", "df"))
+        graft.streaming.Streams.readGenMaintained(s, statePath)
+          .withColumnRenamed("cnt", "df"))
     }),
 
     // Cross-document span dedup (the C4/RefinedWeb "remove spans that
@@ -598,7 +599,7 @@ object Text {
         "segment-frequency maintenance stream must drain (AvailableNow)")
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the merge path is untested")
-      val dup = s.read.parquet(statePath)
+      val dup = graft.streaming.Streams.readGenMaintained(s, statePath)
         .filter(col("cnt") >= lit(2L)).select("h")
       scrubAgainst(docs, segmentsOf(docs), dup)
     }),
@@ -703,7 +704,7 @@ object Text {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the re-sum merge is " +
           "untested")
-      val c12 = s.read.parquet(cPath)
+      val c12 = graft.streaming.Streams.readGenMaintained(s, cPath)
         .select(substring_index(col("bg"), "\u0001", 1).as("w1"),
           substring_index(col("bg"), "\u0001", -1).as("w2"),
           col("cnt").as("c12"))

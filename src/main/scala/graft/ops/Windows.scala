@@ -169,7 +169,7 @@ object Windows {
           "is untested")
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      s.read.parquet(statePath)
+      graft.streaming.Streams.readGenMaintained(s, statePath)
         .select(col("o_orderstatus"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").cast("double")
             .as("o_totalprice"),

@@ -1445,9 +1445,9 @@ object Streams {
     * possible only when every historical truncation victim has since
     * been deleted), so small groups self-heal to full knowledge.
     * Symmetric argument for MAX over `hi`. Per batch the merge touches
-    * O(|groups|·k + |batch|) rows — never history. Same staged-swap +
-    * exactly-once marker discipline as the other merge sinks; deletes
-    * follow the CDC contract (sign −1 rows reference live rowKeys).
+    * O(|groups|·k + |batch|) rows — never history. Generation-layout
+    * publish (r13) with the usual exactly-once marker; deletes follow
+    * the CDC contract (sign −1 rows reference live rowKeys).
     */
   def minmaxMaintain(stream: DataFrame, statePath: String,
       groupCols: Seq[String], valueCol: String, rowKeyCol: String,
@@ -1459,7 +1459,7 @@ object Streams {
   /** One [[minmaxMaintain]] batch merge, factored for the retry spec. */
   private[graft] def minmaxBatch(batch: DataFrame, statePath: String,
       groupCols: Seq[String], valueCol: String, rowKeyCol: String,
-      k: Int, id: Long): Unit = mergeOnce(statePath, id) {
+      k: Int, id: Long): Unit = mergeOnceGen(statePath, id) {
     import org.apache.spark.sql.expressions.Window
     val sp = batch.sparkSession
     val g = groupCols.map(col)
@@ -1468,9 +1468,8 @@ object Streams {
         :+ col(rowKeyCol).cast("long").as("rk"): _*)
     val del = batch.filter(col("sign") === -1)
       .select(g :+ col(rowKeyCol).cast("long").as("rk"): _*)
-    val cur = new java.io.File(statePath)
     val prev: Option[DataFrame] =
-      if (cur.exists()) Some(sp.read.parquet(statePath)) else None
+      currentGenPath(statePath).map(p => sp.read.parquet(p))
     def prevExpl(side: String): DataFrame = prev match {
       case Some(p) => p.select(g :+ explode(col(side)).as("s"): _*)
         .select(g :+ col("s.v").as("v") :+ col("s.rk").as("rk"): _*)
@@ -1541,11 +1540,10 @@ object Streams {
         "window (≥ k survivor deletions since the last refresh) or " +
         "went count-negative — refusing to publish an unknowable " +
         "MIN/MAX; raise k or refresh the view")
-    val staged = statePath + s"_stage$id"
-    st.filter(col("n") > 0)
-      .write.mode("overwrite").parquet(staged)
-    markBatch(staged, id)
-    stagedSwap(staged, statePath)
+    publishGen(statePath, id) { dir =>
+      st.filter(col("n") > 0)
+        .write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** Streaming key-frequency maintenance: a (keyCol, cnt) table merged
@@ -1574,18 +1572,20 @@ object Streams {
     * leave the counts unchanged (StreamsSpec asserts).
     */
   private[graft] def countBatch(batch: DataFrame, keyCol: String,
-      statePath: String, id: Long): Unit = mergeOnce(statePath, id) {
+      statePath: String, id: Long): Unit = mergeOnceGen(statePath, id) {
     val sp = batch.sparkSession
     val part = batch.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
-    val cur = new java.io.File(statePath)
-    val merged =
-      if (!cur.exists()) part
-      else sp.read.parquet(statePath).unionByName(part)
+    // generation-layout publish (r13): the count table is
+    // VOCABULARY-sized — exactly the state size where an O(1)
+    // pointer flip beats a dir-rename double-materialization
+    val merged = currentGenPath(statePath) match {
+      case None => part
+      case Some(p) => sp.read.parquet(p).unionByName(part)
         .groupBy(keyCol).agg(sum("cnt").as("cnt"))
-    val staged = statePath + s"_stage$id"
-    merged.write.mode("overwrite").parquet(staged)
-    markBatch(staged, id)
-    stagedSwap(staged, statePath)
+    }
+    publishGen(statePath, id) { dir =>
+      merged.write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** Generic grouped ADDITIVE-statistics maintenance: state =
@@ -1599,8 +1599,9 @@ object Streams {
     * merge input is |batch keys| + |state keys| rows, never raw data.
     * Callers should cast sum columns to FIXED wide types in `prep`
     * (e.g. DECIMAL(38,2)) so the state schema cannot drift as Spark
-    * widens sum precision across merges. Same staged-swap + recovery +
-    * exactly-once marker as the other merge sinks.
+    * widens sum precision across merges. Publishes through the r13
+    * GENERATION layout (O(1) pointer flip) with the same exactly-once
+    * marker as the other merge sinks.
     */
   def sumsMaintain(stream: DataFrame, keys: Seq[String],
       sums: Seq[String], statePath: String,
@@ -1613,20 +1614,19 @@ object Streams {
   /** One [[sumsMaintain]] batch merge, factored for the retry spec. */
   private[graft] def sumsBatch(part: DataFrame, keys: Seq[String],
       sums: Seq[String], statePath: String, id: Long): Unit =
-    mergeOnce(statePath, id) {
+    mergeOnceGen(statePath, id) {
       val sp = part.sparkSession
       def agg(df: DataFrame): DataFrame =
         df.groupBy(keys.map(col): _*)
           .agg(sum(sums.head).as(sums.head),
             sums.tail.map(c => sum(c).as(c)): _*)
-      val cur = new java.io.File(statePath)
-      val merged =
-        if (!cur.exists()) agg(part)
-        else agg(sp.read.parquet(statePath).unionByName(part))
-      val staged = statePath + s"_stage$id"
-      merged.write.mode("overwrite").parquet(staged)
-      markBatch(staged, id)
-      stagedSwap(staged, statePath)
+      val merged = currentGenPath(statePath) match {
+        case None => agg(part)
+        case Some(p) => agg(sp.read.parquet(p).unionByName(part))
+      }
+      publishGen(statePath, id) { dir =>
+        merged.write.mode("overwrite").parquet(dir)
+      }
     }
 
   /** Streaming heavy-hitters: a Misra-Gries summary of a key column
@@ -1737,8 +1737,8 @@ object Streams {
     * stream for ANY batch split. Each batch first collapses to its own
     * per-group top-k (|batch| window work), then merges against state:
     * ≤ 2k rows per group enter the merge window regardless of stream
-    * size. Same staged-swap + exactly-once marker as the other merge
-    * sinks.
+    * size. Generation-layout publish (r13) with the same exactly-once
+    * marker as the other merge sinks.
     */
   def topkMaintain(stream: DataFrame, statePath: String,
       groupCol: String, k: Int, order: Seq[Column],
@@ -1750,7 +1750,7 @@ object Streams {
   /** One [[topkMaintain]] batch merge, factored for the retry spec. */
   private[graft] def topkBatch(batch: DataFrame, statePath: String,
       groupCol: String, k: Int, order: Seq[Column],
-      id: Long): Unit = mergeOnce(statePath, id) {
+      id: Long): Unit = mergeOnceGen(statePath, id) {
     import org.apache.spark.sql.expressions.Window
     val sp = batch.sparkSession
     def topOf(df: DataFrame): DataFrame =
@@ -1758,14 +1758,13 @@ object Streams {
           Window.partitionBy(groupCol).orderBy(order: _*)))
         .filter(col("__rn") <= k).drop("__rn")
     val part = topOf(batch)
-    val cur = new java.io.File(statePath)
-    val merged =
-      if (!cur.exists()) part
-      else topOf(sp.read.parquet(statePath).unionByName(part))
-    val staged = statePath + s"_stage$id"
-    merged.write.mode("overwrite").parquet(staged)
-    markBatch(staged, id)
-    stagedSwap(staged, statePath)
+    val merged = currentGenPath(statePath) match {
+      case None => part
+      case Some(p) => topOf(sp.read.parquet(p).unionByName(part))
+    }
+    publishGen(statePath, id) { dir =>
+      merged.write.mode("overwrite").parquet(dir)
+    }
   }
 
   /** Streaming distinct-cardinality maintenance: a Datasketches HLL
@@ -1882,8 +1881,8 @@ object Streams {
     * (carried IN the state as `err`) holds against the whole stream
     * prefix for any batch boundaries — the bound, not the contents, is
     * what the registered verdict checks (the MG precedent: contents
-    * are merge-order-dependent). Same staged-swap + exactly-once
-    * marker discipline as the other merge sinks.
+    * are merge-order-dependent). Generation-layout publish (r13) with
+    * the same exactly-once marker as the other merge sinks.
     */
   def quantileMaintain(events: DataFrame, keyCol: String,
       valueCol: String, statePath: String, k: Int,
@@ -1898,7 +1897,7 @@ object Streams {
     */
   private[graft] def quantileBatch(batch: DataFrame, keyCol: String,
       valueCol: String, statePath: String, k: Int,
-      id: Long): Unit = mergeOnce(statePath, id) {
+      id: Long): Unit = mergeOnceGen(statePath, id) {
     val sp = batch.sparkSession
     import sp.implicits._
     import graft.functions.{QSketch, QuantileSketch}
@@ -1908,23 +1907,21 @@ object Streams {
       .agg(QuantileSketch.qsketchCol(col(valueCol).cast("double"), k)
         .as("qs"))
       .as[(String, QSketch)]
-    val cur = new java.io.File(statePath)
-    val merged =
-      if (!cur.exists()) part
-      else {
-        val prev = sp.read.parquet(statePath)
+    val merged = currentGenPath(statePath) match {
+      case None => part
+      case Some(p) =>
+        val prev = sp.read.parquet(p)
           .select("key", "qs").as[(String, QSketch)]
         prev.union(part)
           .groupByKey(_._1)
           .mapGroups { (key, it) =>
             (key, it.map(_._2).reduce(QuantileSketch.merge))
           }
-      }
-    val staged = statePath + s"_stage$id"
-    merged.toDF("key", "qs")
-      .write.mode("overwrite").parquet(staged)
-    markBatch(staged, id)
-    stagedSwap(staged, statePath)
+    }
+    publishGen(statePath, id) { dir =>
+      merged.toDF("key", "qs")
+        .write.mode("overwrite").parquet(dir)
+    }
   }
 
   // ---- Generation-pointer state layout (ROADMAP r13 #6) ----

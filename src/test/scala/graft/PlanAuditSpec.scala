@@ -356,7 +356,13 @@ class PlanAuditSpec extends SparkTestBase {
         "x_basket", "x_autocorr", "x_changepoint", "t_winnow",
         "d_exact_canon", "x_benford", "e_dow_profile", "e_funnel_time",
         "g_degree_dist", "x_bootstrap", "x_linreg", "x_chisq",
-        "x_anova", "x_drift", "x_ks")) {
+        "x_anova", "x_drift", "x_ks",
+        // round-13 batch additions: v_hybrid's fusion is a doc_id
+        // full-outer over two rank lists, v_pq256 shares v_pq's
+        // broadcast chain, the stats rows are moment/fence
+        // aggregations, m_dhash_dups is a hash groupBy
+        "v_hybrid", "v_pq256", "e_anomaly", "x_outlier_iqr", "x_hhi",
+        "m_dhash_dups")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }

@@ -330,21 +330,18 @@ class StreamsSpec extends SparkTestBase {
     val statePath = tmp.resolve("segfreq").toString
     val segs = Seq(11L, 11L, 22L).toDF("h")
     Streams.countBatch(segs, "h", statePath, 0L)
-    val once = spark.read.parquet(statePath)
+    def state() = Streams.readGenMaintained(spark, statePath)
       .as[(Long, Long)].collect().toMap
+    val once = state()
     assert(once == Map(11L -> 2L, 22L -> 1L))
     // redelivery: same batch, same id — the committed marker must make
     // this a no-op, not a double-merge
     Streams.countBatch(segs, "h", statePath, 0L)
-    val twice = spark.read.parquet(statePath)
-      .as[(Long, Long)].collect().toMap
-    assert(twice == once, "retried batch double-merged into the state")
+    assert(state() == once, "retried batch double-merged into the state")
     // a genuinely new batch id still merges
     Streams.countBatch(Seq(22L).toDF("h"), "h", statePath, 1L)
-    val after = spark.read.parquet(statePath)
-      .as[(Long, Long)].collect().toMap
-    assert(after == Map(11L -> 2L, 22L -> 2L))
-    assert(Streams.lastAppliedBatch(statePath).contains(1L))
+    assert(state() == Map(11L -> 2L, 22L -> 2L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(1L))
   }
 
   test("appendMaintain over a 2-batch replay equals the batch-built bands") {
@@ -460,7 +457,7 @@ class StreamsSpec extends SparkTestBase {
         .select(col("g"), col("n"), col("sv").cast("decimal(38,2)")
           .as("sv"))
     def bd(v: String) = new java.math.BigDecimal(v)
-    def state() = Streams.readMaintained(spark, path)
+    def state() = Streams.readGenMaintained(spark, path)
       .select("g", "n", "sv").as[(String, Long, java.math.BigDecimal)]
       .collect().map { case (g, n, sv) => g -> ((n, sv)) }.toMap
     Streams.sumsBatch(B(("a", 2L, bd("10.50")), ("b", 1L, bd("3.00"))),
@@ -1130,7 +1127,7 @@ class StreamsSpec extends SparkTestBase {
       .toDF("g", "v", "id")
     Streams.topkBatch(b1, statePath, "g", 2, order, 0L)
     Streams.topkBatch(b2, statePath, "g", 2, order, 1L)
-    def state() = spark.read.parquet(statePath)
+    def state() = Streams.readGenMaintained(spark, statePath)
       .as[(String, Int, Long)].collect().toSet
     val expected = Set(("A", 10, 1L), ("A", 9, 6L),
       ("B", 5, 4L), ("B", 4, 5L))
@@ -1147,7 +1144,7 @@ class StreamsSpec extends SparkTestBase {
       statePath, "g", 2, order, 2L)
     assert(state() == Set(("A", 10, 1L), ("A", 9, 6L),
       ("B", 5, 3L), ("B", 5, 4L)))
-    assert(Streams.lastAppliedBatch(statePath).contains(2L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(2L))
   }
 
   test("minmaxBatch: survivor rewind under extreme deletions; " +
@@ -1158,7 +1155,7 @@ class StreamsSpec extends SparkTestBase {
     def batch(rows: Seq[(String, Double, Long, Int)], id: Long): Unit =
       Streams.minmaxBatch(rows.toDF("g", "v", "id", "sign"), statePath,
         Seq("g"), "v", "id", k = 3, id)
-    def state() = spark.read.parquet(statePath)
+    def state() = Streams.readGenMaintained(spark, statePath)
       .select(col("g"), element_at(col("lo"), 1).getField("v"),
         element_at(col("hi"), size(col("hi"))).getField("v"),
         col("dlo"), col("dhi"), col("n"))
@@ -1180,7 +1177,7 @@ class StreamsSpec extends SparkTestBase {
     // redelivery: the committed marker must skip the duplicate
     batch(Seq(("A", 5.0, 5L, -1)), 2L)
     assert(state()("A") == (0.5, 20.0, 1L, 1L, 9L))
-    assert(Streams.lastAppliedBatch(statePath).contains(2L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(2L))
   }
 
   test("minmaxBatch: full-knowledge reset self-heals one side; " +
@@ -1199,7 +1196,7 @@ class StreamsSpec extends SparkTestBase {
     // The per-side independence is the point: resets are provable full
     // knowledge, never a blanket amnesty.
     batch(Seq(("A", 4.0, 4L, -1), ("A", 5.0, 5L, -1)), 2L)
-    val st = spark.read.parquet(statePath)
+    val st = Streams.readGenMaintained(spark, statePath)
       .select(col("dlo"), col("dhi"), col("n"),
         element_at(col("lo"), 1).getField("v"),
         element_at(col("hi"), size(col("hi"))).getField("v"))
@@ -1335,8 +1332,9 @@ class StreamsSpec extends SparkTestBase {
     val (h1, h2) = all.splitAt(3000)
     Streams.quantileBatch(h1.toDF("k", "v"), "k", "v", statePath, 64, 0L)
     Streams.quantileBatch(h2.toDF("k", "v"), "k", "v", statePath, 64, 1L)
-    def state(): (String, QSketch) = spark.read.parquet(statePath)
-      .select("key", "qs").as[(String, QSketch)].head()
+    def state(): (String, QSketch) =
+      Streams.readGenMaintained(spark, statePath)
+        .select("key", "qs").as[(String, QSketch)].head()
     val (key, merged) = state()
     assert(key == "g" && merged.n == all.length)
     // the stored err bound must hold against the FULL stream prefix —
@@ -1352,7 +1350,7 @@ class StreamsSpec extends SparkTestBase {
     Streams.quantileBatch(h2.toDF("k", "v"), "k", "v", statePath, 64, 1L)
     assert(state()._2 == merged,
       "retried batch re-merged into the quantile state")
-    assert(Streams.lastAppliedBatch(statePath).contains(1L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(1L))
   }
 
   test("bulk-job lifecycle: stop() maps to Aborted semantics") {
