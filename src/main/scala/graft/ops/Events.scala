@@ -113,6 +113,38 @@ object Events {
         .orderBy("event_type", "day")
     }),
 
+    // Exponentially-weighted daily trend — the smoothing statistic
+    // dashboards overlay on e_anomaly's raw series. Weights are a
+    // 1-day half-life over a 7-day tail: 2⁻ᵏ is an EXACT binary
+    // fraction, so the weighted sum of integer counts is exact IEEE
+    // arithmetic and no transcendental (exp/ln smoothing constant)
+    // reaches the hash surface. Missing leading days shorten the tail
+    // (the lag/coalesce pair drops both the term and its weight), so
+    // the first days are plain shorter-tail averages, not zero-padded
+    // underestimates. Seven lag columns over one type-partitioned
+    // sort — |days × types| rows, never events.
+    "e_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val terms = (0 to 6).map { k =>
+        val lk = if (k == 0) col("c") else lag(col("c"), k).over(w)
+        (when(lk.isNotNull, lk.cast("double") / lit(math.pow(2.0, k)))
+          .otherwise(lit(0.0)),
+         when(lk.isNotNull, lit(1.0 / math.pow(2.0, k)))
+          .otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      daily
+        .withColumn("ewma", roundf(num / den, 4))
+        .select("event_type", "day", "c", "ewma")
+        .orderBy("event_type", "day")
+    }),
+
     // Cohort retention matrix: users keyed by first-active day, counted
     // on each later active day — the standard product-analytics view.
     // Shape: one distinct on (user, day), one per-user min, one
@@ -667,6 +699,37 @@ object Events {
            CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
          FROM trailed WHERE cnt24 >= 12
          ORDER BY event_type, h""",
+    // exact binary-fraction weights: every term and both sums are
+    // exactly representable, so the only rounding is the output grid
+    "e_ewma" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         lg AS (
+           SELECT event_type, day, c,
+             lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+             lag(c, 3) OVER w AS l3, lag(c, 4) OVER w AS l4,
+             lag(c, 5) OVER w AS l5, lag(c, 6) OVER w AS l6
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, CAST(day AS TIMESTAMP) AS day, c,
+           floor((c::DOUBLE
+               + COALESCE(l1::DOUBLE / 2.0, 0.0)
+               + COALESCE(l2::DOUBLE / 4.0, 0.0)
+               + COALESCE(l3::DOUBLE / 8.0, 0.0)
+               + COALESCE(l4::DOUBLE / 16.0, 0.0)
+               + COALESCE(l5::DOUBLE / 32.0, 0.0)
+               + COALESCE(l6::DOUBLE / 64.0, 0.0))
+             / (1.0
+               + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.5 END
+               + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.25 END
+               + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.125 END
+               + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0625 END
+               + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.03125 END
+               + CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.015625 END)
+             * 10000.0 + 0.5) / 10000.0 AS ewma
+         FROM lg ORDER BY event_type, day""",
     // identical integer moments; z rounds on both sides before the
     // |z| >= 2 gate so boundary days cannot diverge
     "e_anomaly" ->

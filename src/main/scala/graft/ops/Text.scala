@@ -326,6 +326,53 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // BPE MERGE TRAINING (Sennrich/Haddow/Birch, ACL 2016 — the
+    // tokenizer-training core): three byte-pair merge rounds over the
+    // word corpus, each round counting adjacent symbol pairs
+    // DISTRIBUTED (one codegen'd transform over the symbol arrays —
+    // the shuffle carries pair strings, never sequences), electing the
+    // global argmax pair (count DESC, pair ASC — the deterministic
+    // tiebreak), and rewriting every sequence by one literal
+    // delimiter-bounded replace. Both engines' replace() scans left
+    // to right without rescanning replacements, so CONSECUTIVE
+    // overlapping occurrences (". . ." runs) merge on the next round
+    // rather than within one — a disclosed, engine-agreed convention
+    // (real BPE implementations differ on exactly this edge). Output
+    // = the learned merge table, which IS the tokenizer artifact. At
+    // 100 TB, BPE training runs on a deterministic hash sample of the
+    // corpus (the x_sample / pqCodebooksK discipline) — pair counts
+    // converge long before corpus scale; full-corpus here keeps the
+    // oracle total.
+    "t_bpe_merges" -> ((s, d) => {
+      var seqs = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .select(concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
+        .localCheckpoint()
+      val rounds = (1 to 3).map { r =>
+        val pairs = seqs
+          .select(split(trim(col("seq")), " ").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(a) - 2), " +
+              "i -> struct(a[i] as x, a[i+1] as y))")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+        val top1 = pairs
+          .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1)
+          .localCheckpoint()
+        seqs = seqs.crossJoin(broadcast(top1))
+          .select(expr("replace(seq, ' ' || x || ' ' || y || ' ', " +
+            "' ' || x || y || ' ')").as("seq"))
+          .localCheckpoint()
+        top1.select(lit(r).as("round"),
+          concat_ws(" ", col("x"), col("y")).as("pair"),
+          concat(col("x"), col("y")).as("merged"), col("cnt"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }),
+
     // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     // the MOSS algorithm): from every window of w=4 consecutive 5-gram
     // hashes select the MINIMUM, rightmost on ties — the paper's
@@ -1093,6 +1140,42 @@ object Text {
          ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // three unrolled merge rounds: identical pair counting (1-based
+    // lateral over the symbol lists), identical argmax tiebreak,
+    // identical left-to-right non-rescanning replace
+    "t_bpe_merges" -> {
+      def round(r: Int): String = {
+        val prev = s"w${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           SELECT a[i] AS x, a[i+1] AS y, COUNT(*) AS cnt
+           FROM (SELECT string_split(trim(seq), ' ') AS a FROM $prev),
+                LATERAL (SELECT unnest(range(1, len(a))) AS i)
+           WHERE len(a) >= 2
+           GROUP BY 1, 2),
+         t$r AS (SELECT x, y, cnt FROM p$r
+                 ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         w$r AS MATERIALIZED (
+           SELECT replace(seq, ' ' || t$r.x || ' ' || t$r.y || ' ',
+             ' ' || t$r.x || t$r.y || ' ') AS seq
+           FROM $prev, t$r)"""
+      }
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+             || ' ' AS seq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE len(w) >= 1),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)}
+         SELECT 1 AS round, x || ' ' || y AS pair, x || y AS merged,
+           cnt FROM t1
+         UNION ALL
+         SELECT 2, x || ' ' || y, x || y, cnt FROM t2
+         UNION ALL
+         SELECT 3, x || ' ' || y, x || y, cnt FROM t3
+         ORDER BY round"""
+    },
     "t_lmscore3" ->
       """WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS sid FROM documents),
          tri AS (
