@@ -113,6 +113,43 @@ object Events {
         .orderBy("event_type", "day")
     }),
 
+    // Cohort LTV curves — e_retention's value-weighted sibling and the
+    // unit-economics readout every growth team tracks: users keyed by
+    // first-active day, cumulative per-user value at each weekly age.
+    // Per-cohort-per-age value sums are exact decimals (the rollup
+    // grid), the cumulative sum is a window over ≤ |cohorts × ages|
+    // rows (calendar-bounded, never events), cohort sizes are one
+    // distinct count, and the per-user division is the single double
+    // at the end. The first-day join reuses the user_id partitioning
+    // the cohort build already created (the e_retention exchange-reuse
+    // argument).
+    "e_ltv" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          roundf(col("value"), 4).cast("decimal(18,4)").as("v"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cday"))
+      val aged = ev.join(first, "user_id")
+        .select(col("cday"),
+          floor(datediff(col("day"), col("cday")) / 7).cast("int")
+            .as("age_weeks"),
+          col("v"))
+        .groupBy("cday", "age_weeks")
+        .agg(sum("v").cast("decimal(38,4)").as("rev"))
+      val sizes = first.groupBy("cday")
+        .agg(count(lit(1)).as("n_users"))
+      val w = Window.partitionBy("cday").orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      aged
+        .withColumn("cum_rev", sum("rev").over(w).cast("decimal(38,4)"))
+        .join(sizes, "cday")
+        .select(col("cday").as("cohort_day"), col("age_weeks"),
+          col("n_users"),
+          roundf(col("cum_rev").cast("double") /
+            col("n_users").cast("double"), 4).as("ltv_per_user"))
+        .orderBy("cohort_day", "age_weeks")
+    }),
+
     // Exponentially-weighted daily trend — the smoothing statistic
     // dashboards overlay on e_anomaly's raw series. Weights are a
     // 1-day half-life over a 7-day tail: 2⁻ᵏ is an EXACT binary
@@ -699,6 +736,35 @@ object Events {
            CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
          FROM trailed WHERE cnt24 >= 12
          ORDER BY event_type, h""",
+    // identical exact-decimal grid sums, calendar-bounded cumsum, one
+    // final division
+    "e_ltv" ->
+      """WITH ev AS (
+           SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(floor(value * 10000.0 + 0.5) / 10000.0
+               AS DECIMAL(18,4)) AS v
+           FROM events),
+         f AS (SELECT user_id, MIN(day) AS cday FROM ev GROUP BY 1),
+         aged AS (
+           SELECT f.cday,
+             CAST(floor(date_diff('day', f.cday, ev.day) / 7.0)
+               AS INT) AS age_weeks,
+             CAST(SUM(ev.v) AS DECIMAL(38,4)) AS rev
+           FROM ev JOIN f USING (user_id)
+           GROUP BY 1, 2),
+         sz AS (SELECT cday, COUNT(*) AS n_users FROM f GROUP BY 1),
+         cum AS (
+           SELECT cday, age_weeks,
+             CAST(SUM(rev) OVER (PARTITION BY cday ORDER BY age_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,4)) AS cum_rev
+           FROM aged)
+         SELECT CAST(c.cday AS TIMESTAMP) AS cohort_day, c.age_weeks,
+           s.n_users,
+           floor(c.cum_rev::DOUBLE / s.n_users::DOUBLE * 10000.0 + 0.5)
+             / 10000.0 AS ltv_per_user
+         FROM cum c JOIN sz s USING (cday)
+         ORDER BY cohort_day, age_weeks""",
     // exact binary-fraction weights: every term and both sums are
     // exactly representable, so the only rounding is the output grid
     "e_ewma" ->

@@ -880,6 +880,46 @@ object Extras {
         .orderBy("user_id")
     }),
 
+    // Per-edge neighborhood Jaccard — the classic link-prediction /
+    // community-strength feature (Liben-Nowell & Kleinberg, CIKM'03):
+    // for each edge (u,v) of the w≥KcoreW-sparsified graph,
+    // |N(u)∩N(v)| / |N(u)∪N(v)|. Common neighbors come from ONE
+    // wedge join (E(u,w) ⋈ E(v,w) on the shared endpoint, semi-joined
+    // to the edge set — the g_triangles cost shape, Σdeg² on the
+    // sparsified substrate, never all-pairs), degrees from one
+    // partial-agg'd count, and the union size by inclusion-exclusion
+    // — all integer counts, one rational division at the end.
+    // Deterministic (jac DESC, u, v) top-20.
+    "g_jaccard_sim" -> ((s, d) => {
+      val act = capHourBand(t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct())
+      val pairs = act.as("a").join(act.as("b"), Seq("h"))
+        .filter(col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= KcoreW)
+      val edges = pairs.select(col("u"), col("v"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val common = edges.select(col("u"), col("v").as("wn")).as("x")
+        .join(edges.select(col("u").as("v2"), col("v").as("wn")).as("y"),
+          "wn")
+        .filter(col("u") < col("v2"))
+        .groupBy(col("u"), col("v2").as("v"))
+        .agg(count(lit(1)).as("cn"))
+        .join(pairs.select("u", "v"), Seq("u", "v"), "left_semi")
+      common
+        .join(deg, "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("degv")), "v")
+        .select(col("u"), col("v"), col("cn"),
+          roundf(col("cn").cast("double") /
+            (col("deg") + col("degv") - col("cn")).cast("double"), 6)
+            .as("jac"))
+        .orderBy(desc("jac"), asc("u"), asc("v"))
+        .limit(20)
+    }),
+
     // Triangle counting over the co-activity graph — the fourth graph
     // primitive (the cohesion/clustering-coefficient precursor; vs the
     // reference, an [EXT] like the rest of the graph family). The
@@ -2579,6 +2619,33 @@ object Extras {
          SELECT u AS user_id, deg AS core_deg FROM a$KcoreMaxRounds
          ORDER BY user_id"""
     },
+    // identical wedge counting over the symmetrized sparsified edges,
+    // inclusion-exclusion union, one rational division
+    "g_jaccard_sim" ->
+      s"""WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= $KcoreW),
+         edges AS (SELECT u, v FROM pairs
+                   UNION ALL SELECT v, u FROM pairs),
+         deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+         common AS (
+           SELECT x.u, y.u AS v, COUNT(*) AS cn
+           FROM edges x JOIN edges y ON x.v = y.v AND x.u < y.u
+           WHERE EXISTS (SELECT 1 FROM pairs p
+                         WHERE p.u = x.u AND p.v = y.u)
+           GROUP BY 1, 2)
+         SELECT c.u, c.v, c.cn,
+           floor(c.cn::DOUBLE / (du.deg + dv.deg - c.cn)::DOUBLE
+             * 1000000.0 + 0.5) / 1000000.0 AS jac
+         FROM common c
+         JOIN deg du ON du.u = c.u
+         JOIN deg dv ON dv.u = c.v
+         ORDER BY jac DESC, c.u ASC, c.v ASC LIMIT 20""",
     // Triangle set via plain id-ordering a<b<c — orientation-free
     // truth: pairs already has u<v, so e1=(a,b), e2=(b,c), e3=(a,c)
     // enumerates each triangle exactly once.

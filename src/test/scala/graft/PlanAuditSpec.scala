@@ -362,7 +362,8 @@ class PlanAuditSpec extends SparkTestBase {
         // broadcast chain, the stats rows are moment/fence
         // aggregations, m_dhash_dups is a hash groupBy
         "v_hybrid", "v_pq256", "e_anomaly", "x_outlier_iqr", "x_hhi",
-        "m_dhash_dups", "x_cuped", "e_ewma", "t_bpe_merges")) {
+        "m_dhash_dups", "x_cuped", "e_ewma", "t_bpe_merges",
+        "g_jaccard_sim", "e_ltv")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }
