@@ -113,6 +113,34 @@ object Events {
         .orderBy("event_type", "day")
     }),
 
+    // Seasonal-naive forecast backtest — the baseline every real
+    // forecasting pipeline must beat, evaluated the way a 100 TB
+    // pipeline can afford: forecast(day) = count(day − 7) via one lag
+    // window over the calendar-bounded daily series, error = WMAPE
+    // (Σ|f−a| / Σa — the aggregate form keeps everything INTEGER
+    // until one final division, where per-day MAPE would divide
+    // per row and average floats). Per event_type: evaluated days,
+    // exact integer absolute-error total, and the rational WMAPE.
+    "e_forecast_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("f", lag(col("c"), 7).over(w))
+        .filter(col("f").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("f") - col("c"))).as("abs_err"),
+          sum(col("c")).as("actual"))
+        .select(col("event_type"), col("n_days"), col("abs_err"),
+          roundf(col("abs_err").cast("double") /
+            col("actual").cast("double"), 6).as("wmape"))
+        .orderBy("event_type")
+    }),
+
     // Cohort LTV curves — e_retention's value-weighted sibling and the
     // unit-economics readout every growth team tracks: users keyed by
     // first-active day, cumulative per-user value at each weekly age.
@@ -736,6 +764,23 @@ object Events {
            CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
          FROM trailed WHERE cnt24 >= 12
          ORDER BY event_type, h""",
+    // identical lag-7 forecast, integer error sums, one division
+    "e_forecast_eval" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         lg AS (
+           SELECT event_type, day, c,
+             lag(c, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS f
+           FROM daily)
+         SELECT event_type, COUNT(*) AS n_days,
+           CAST(SUM(abs(f - c)) AS BIGINT) AS abs_err,
+           floor(SUM(abs(f - c))::DOUBLE / SUM(c)::DOUBLE
+             * 1000000.0 + 0.5) / 1000000.0 AS wmape
+         FROM lg WHERE f IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     // identical exact-decimal grid sums, calendar-bounded cumsum, one
     // final division
     "e_ltv" ->

@@ -493,6 +493,78 @@ object Multimodal {
         .orderBy("dhash")
     }),
 
+    // HAMMING-TOLERANT image near-dup — the composition of m_dhash_dups
+    // (perceptual hash over real pixels) and d_simhash_hamming's
+    // pigeonhole discipline: images that differ by a small LOCAL edit
+    // flip a few dHash bits, so exact-hash grouping misses them and
+    // candidates must come from a 4×16-bit block equi-join (any pair
+    // within Hamming ≤ 3 shares a block — the Manku pigeonhole), then
+    // verify exact Hamming ≤ 1. The fixture plants the edit ON the
+    // sampled raster point (x=0, y=2): members of a texture class
+    // carry per-member deltas {0,3,6} there, so within-class hashes
+    // sit at Hamming ∈ {0,1} while cross-class textures are far —
+    // different bytes, near-identical perception, found ONLY by the
+    // tolerant join. Decode runs through ImageIO on the executors;
+    // the oracle replays grid, bits, blocks, and the Hamming verify
+    // analytically. Never all-pairs — the candidate join is
+    // block-keyed (PlanAuditSpec discipline).
+    "m_dhash_near" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 25).toInt
+          // odd generations of a class carry the EDIT: the sampled
+          // point (0,2) moves to the far side of its right neighbour
+          // g4, so bit (gy=1, gx=0) provably flips — one real dHash
+          // bit of distance between the two halves of every class.
+          // (A class whose g4 is 0 and bit already 0 has no valid
+          // below-zero luma — it stays unperturbed, honestly: its
+          // pairs sit at Hamming 0 like m_dhash_dups'.)
+          val flagged = (id / 25) % 2 == 1
+          val g0 = { val a = p * 53 + 2 * 29 + 7; (a * a) % 199 }
+          val g4 = { val a = p * 53 + 4 * 17 + 2 * 29 + 7; (a * a) % 199 }
+          val edited =
+            if (!flagged) g0
+            else if (g4 > g0) g4 + 1
+            else if (g4 >= 1) g4 - 1
+            else g0
+          MediaRow(id, "image",
+            synthGrayPng(36, 16, (x, y) => {
+              if (x == 0 && y == 2) edited
+              else { val a = p * 53 + x * 17 + y * 29 + 7; (a * a) % 199 }
+            }),
+            36, 16, 0, 0L)
+        }
+      val hashes = dhashAll(s, rows.toDF(),
+        s.sparkContext.defaultParallelism).localCheckpoint()
+      val blocks = hashes.select(col("media_id"), col("dhash"),
+          explode(expr("transform(sequence(0, 3), " +
+            "b -> struct(b as b, substring(dhash, b * 16 + 1, 16) " +
+            "as blk))")).as("s"))
+        .select(col("media_id"), col("dhash"),
+          col("s.b").as("b"), col("s.blk").as("blk"))
+      val ham = expr("aggregate(zip_with(split(x.dhash, ''), " +
+        "split(y.dhash, ''), (a, b) -> CASE WHEN a <> b THEN 1 " +
+        "ELSE 0 END), 0, (acc, v) -> acc + v)")
+      val res = blocks.as("x").join(blocks.as("y"),
+          col("x.b") === col("y.b") && col("x.blk") === col("y.blk") &&
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a"), col("y.media_id").as("bid"),
+          ham.as("hamming"))
+        .dropDuplicates("a", "bid")
+        .filter(col("hamming") <= 1)
+        .select(col("a"), col("bid").as("b"),
+          col("hamming").cast("long").as("hamming"))
+        .localCheckpoint()
+      // fixture-shape guard: the planted edits must actually produce
+      // nonzero-Hamming pairs, or this row silently degenerates to
+      // exact-hash grouping (the first cut of the fixture did exactly
+      // that — all deltas fell short of their gradient thresholds)
+      require(res.filter(col("hamming") >= 1).count() > 0,
+        "no Hamming≥1 pairs — the tolerant join is vacuous")
+      res.orderBy("a", "b")
+    }),
+
     // REAL audio decode, oracle-checked: payloads are genuine RIFF/WAVE
     // containers (synthWav encodes through the JDK's own AudioSystem
     // writer), synthesized ON THE EXECUTORS and decoded back to actual
@@ -642,5 +714,53 @@ object Multimodal {
          SELECT dhash, COUNT(*) AS n_members,
            MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
          FROM hashes GROUP BY dhash HAVING COUNT(*) >= 2
-         ORDER BY dhash""")
+         ORDER BY dhash""",
+    // same grid/bit replay with the planted (gx=0, gy=1) delta, the
+    // same 4×16 pigeonhole blocks, the same exact Hamming verify
+    "m_dhash_near" ->
+      """WITH gy AS (SELECT unnest(range(0, 8)) AS gy),
+         gx9 AS (SELECT unnest(range(0, 9)) AS gx),
+         v AS (
+           SELECT d.doc_id, gy.gy, gx9.gx,
+             CASE WHEN gx9.gx = 0 AND gy.gy = 1
+                 AND (d.doc_id // 25) % 2 = 1 THEN
+               CASE WHEN e.g4 > e.g0 THEN e.g4 + 1
+                    WHEN e.g4 >= 1 THEN e.g4 - 1
+                    ELSE e.g0 END
+             ELSE (a.a * a.a) % 199 END AS lum
+           FROM documents d, gy, gx9,
+             LATERAL (SELECT (d.doc_id % 25) * 53 + (4 * gx9.gx) * 17
+               + (2 * gy.gy) * 29 + 7 AS a) a,
+             LATERAL (SELECT
+               (((d.doc_id % 25) * 53 + 2 * 29 + 7)
+                 * ((d.doc_id % 25) * 53 + 2 * 29 + 7)) % 199 AS g0,
+               (((d.doc_id % 25) * 53 + 4 * 17 + 2 * 29 + 7)
+                 * ((d.doc_id % 25) * 53 + 4 * 17 + 2 * 29 + 7)) % 199
+                 AS g4) e),
+         bits AS (
+           SELECT v0.doc_id, v0.gy, v0.gx,
+             CASE WHEN v1.lum > v0.lum THEN '1' ELSE '0' END AS b
+           FROM v v0 JOIN v v1 ON v1.doc_id = v0.doc_id
+             AND v1.gy = v0.gy AND v1.gx = v0.gx + 1
+           WHERE v0.gx < 8),
+         hashes AS (
+           SELECT doc_id, string_agg(b, '' ORDER BY gy, gx) AS dhash
+           FROM bits GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, dhash, t.b,
+             substring(dhash, t.b * 16 + 1, 16) AS blk
+           FROM hashes, (SELECT unnest(range(0, 4)) AS b) t),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS bid,
+             x.dhash AS h1, y.dhash AS h2
+           FROM blocks x JOIN blocks y
+             ON x.b = y.b AND x.blk = y.blk
+            AND x.doc_id < y.doc_id),
+         ver AS (
+           SELECT a, bid,
+             list_sum([CASE WHEN h1[i] <> h2[i] THEN 1 ELSE 0 END
+               for i in range(1, 65)]) AS hamming
+           FROM cand)
+         SELECT a, bid AS b, CAST(hamming AS BIGINT) AS hamming
+         FROM ver WHERE hamming <= 1 ORDER BY a, b""")
 }

@@ -363,7 +363,8 @@ class PlanAuditSpec extends SparkTestBase {
         // aggregations, m_dhash_dups is a hash groupBy
         "v_hybrid", "v_pq256", "e_anomaly", "x_outlier_iqr", "x_hhi",
         "m_dhash_dups", "x_cuped", "e_ewma", "t_bpe_merges",
-        "g_jaccard_sim", "e_ltv")) {
+        "g_jaccard_sim", "e_ltv", "e_forecast_eval",
+        "m_dhash_near")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }
