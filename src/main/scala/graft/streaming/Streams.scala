@@ -1958,7 +1958,9 @@ object Streams {
     * scan that generation only. */
   def readGenMaintained(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(currentGenPath(statePath).getOrElse(
-      sys.error(s"no committed generation under $statePath")))
+      sys.error(s"no committed generation under $statePath — if this " +
+        "dir holds pre-generation staged-swap state, run " +
+        "Streams.migrateToGenLayout(path) once")))
 
   /** Batch marker of the CURRENT generation — [[lastAppliedBatch]]
     * through the pointer. */
@@ -1969,6 +1971,48 @@ object Streams {
       body: => Unit): Unit =
     if (!lastAppliedBatchGen(statePath).exists(_ >= id)) body
 
+  /** A state dir that predates the generation layout: data files at
+    * the top level with no pointer. Treating it as empty would be
+    * SILENT STATE LOSS on upgrade — refuse loudly instead (the HH
+    * legacy-layout precedent) and point at [[migrateToGenLayout]]. */
+  private def requireNotLegacy(statePath: String): Unit = {
+    val dir = new java.io.File(statePath)
+    if (dir.isDirectory &&
+        !new java.io.File(dir, CurrentMarker).exists()) {
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      require(!files.exists(f => f.getName.endsWith(".parquet")),
+        s"$statePath holds pre-generation-layout state (top-level " +
+          "parquet, no pointer) — merging would silently restart " +
+          "from empty; run Streams.migrateToGenLayout(path) once, " +
+          "or delete the dir to genuinely restart accumulation")
+    }
+  }
+
+  /** One-time upgrade of a staged-swap-era state dir to the
+    * generation layout: the existing top-level state becomes gen=0
+    * (batch marker carried along if present) and the pointer commits
+    * it. Idempotent — a dir already carrying a pointer is left
+    * untouched. */
+  def migrateToGenLayout(statePath: String): Unit = {
+    recoverState(statePath)
+    val dir = new java.io.File(statePath)
+    if (!dir.isDirectory ||
+        new java.io.File(dir, CurrentMarker).exists()) return
+    val gen0 = new java.io.File(dir, "gen=0")
+    require(gen0.mkdirs(), s"cannot create $gen0")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName != "gen=0")
+      .foreach { f =>
+        require(f.renameTo(new java.io.File(gen0, f.getName)),
+          s"migration move failed for ${f.getPath}")
+      }
+    val tmp = new java.io.File(dir, CurrentMarker + "_tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(tmp.renameTo(new java.io.File(dir, CurrentMarker)),
+      s"migration pointer flip failed under $statePath")
+  }
+
   /** Commit one batch under the generation layout: `write` lands the
     * new state into the next gen dir (a plain overwrite parquet write
     * — an interrupted attempt is re-overwritten on retry), the batch
@@ -1977,6 +2021,7 @@ object Streams {
     * generation. */
   private[graft] def publishGen(statePath: String, id: Long)(
       write: String => Unit): Unit = {
+    requireNotLegacy(statePath)
     val next = currentGen(statePath).map(_ + 1).getOrElse(0L)
     val dir = s"$statePath/gen=$next"
     write(dir)

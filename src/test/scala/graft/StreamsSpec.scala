@@ -1240,6 +1240,40 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.lastAppliedBatch(statePath).contains(1L))
   }
 
+  test("legacy staged-swap state refuses gen merges until migrated; " +
+      "migrateToGenLayout carries state and marker forward") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gen_migrate")
+    val statePath = tmp.resolve("cnt").toString
+    // fabricate a staged-swap-era state dir: top-level parquet + the
+    // in-dir batch marker, no pointer
+    Seq((11L, 2L), (22L, 1L)).toDF("h", "cnt")
+      .coalesce(1).write.parquet(statePath)
+    java.nio.file.Files.write(
+      new java.io.File(statePath, "_graft_last_batch").toPath,
+      "0".getBytes)
+    // a gen merge against it must refuse LOUDLY, not restart from zero
+    val ex = intercept[IllegalArgumentException] {
+      Streams.countBatch(Seq(22L).toDF("h"), "h", statePath, 1L)
+    }
+    assert(ex.getMessage.contains("migrateToGenLayout"),
+      s"wrong failure: ${ex.getMessage}")
+    // one-time migration: state becomes gen=0, pointer commits it,
+    // the carried batch marker keeps the retry guard intact
+    Streams.migrateToGenLayout(statePath)
+    assert(Streams.currentGen(statePath).contains(0L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(0L))
+    def state() = Streams.readGenMaintained(spark, statePath)
+      .as[(Long, Long)].collect().toMap
+    assert(state() == Map(11L -> 2L, 22L -> 1L),
+      "migration must carry the accumulated counts")
+    // idempotent re-run is a no-op, and accumulation continues
+    Streams.migrateToGenLayout(statePath)
+    Streams.countBatch(Seq(22L).toDF("h"), "h", statePath, 1L)
+    assert(state() == Map(11L -> 2L, 22L -> 2L))
+    assert(Streams.lastAppliedBatchGen(statePath).contains(1L))
+  }
+
   test("hllByKeyBatch: per-key union counts cross-batch repeats once, " +
       "single-side keys keep their sketch; retry no-op") {
     import spark.implicits._
