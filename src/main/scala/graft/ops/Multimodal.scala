@@ -236,6 +236,31 @@ object Multimodal {
       }
       AudioFeatures(m.media_id, fmt.getSampleRate.toInt, n, sum, peak)
     }
+
+    /** Acoustic difference-fingerprint over the DECODED PCM — the
+      * audio analogue of ImageIoCodec.dhashBits: 64 sign bits of
+      * sample differences at a fixed hop. A uniform DC offset cancels
+      * in every comparison (the brightness-invariance argument,
+      * transposed), so re-encoded or level-shifted copies of a clip
+      * share the fingerprint while a byte or amplitude-sum hash sees
+      * distinct files. Requires n ≥ 64·hop + 1 decoded frames. */
+    def audioFingerprint(m: MediaRow, hop: Int = 12): MediaHash = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.content))
+      val bytes = ais.readAllBytes()
+      def sAt(i: Int): Int =
+        ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      require(bytes.length >= 2 * (64 * hop + 1),
+        s"media_id=${m.media_id}: clip too short for a 64-bit " +
+          s"fingerprint at hop $hop")
+      val sb = new java.lang.StringBuilder(64)
+      var k = 0
+      while (k < 64) {
+        sb.append(if (sAt((k + 1) * hop) > sAt(k * hop)) '1' else '0')
+        k += 1
+      }
+      MediaHash(m.media_id, sb.toString)
+    }
   }
 
   /** Deterministic WAV synthesis for the real-codec oracle queries:
@@ -246,11 +271,19 @@ object Multimodal {
     * genuine RIFF container, not a hand-rolled header the decoder might
     * be accidentally lenient about.
     */
-  def synthWav(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
+  def synthWav(id: Long, n: Int, sampleRate: Int): Array[Byte] =
+    synthWavOf(n, sampleRate,
+      i => ((((id * 31 + i.toLong * 17) % 2001) - 1000)).toInt)
+
+  /** [[synthWav]] generalized to an arbitrary sample function — the
+    * audio analogue of [[synthGrayPng]], for fixtures whose decoded
+    * PCM must be closed-form in SQL. */
+  def synthWavOf(n: Int, sampleRate: Int,
+      sample: Int => Int): Array[Byte] = {
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = (((id * 31 + i.toLong * 17) % 2001) - 1000).toShort
+      val s = sample(i).toShort
       data(2 * i) = (s & 0xff).toByte
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -318,6 +351,19 @@ object Multimodal {
       .repartition(partitions, col("media_id"))
       .mapPartitions { it =>
         it.grouped(64).flatMap(_.iterator.map(ImageIoCodec.dhashBits))
+      }
+      .toDF()
+  }
+
+  /** Audio fingerprints through the same typed mapPartitions path. */
+  def afpAll(s: SparkSession, media: DataFrame,
+      partitions: Int): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow]
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(
+          _.iterator.map(JavaSoundCodec.audioFingerprint(_)))
       }
       .toDF()
   }
@@ -565,6 +611,43 @@ object Multimodal {
       res.orderBy("a", "b")
     }),
 
+    // AUDIO NEAR-DUP DETECTION over real decoded PCM — completing the
+    // dedup triad across modalities (text: minhash; image: dHash;
+    // audio: this). The fingerprint is 64 sign bits of sample
+    // differences at hop 12, so a uniform DC/level shift cancels in
+    // every comparison: the fixture's 25 quadratic-residue waveforms
+    // (the m_dhash_dups collapse lesson — linear ramps quasi-repeat)
+    // each recur under 20 doc_ids whose clips carry per-member DC
+    // offsets {0,7,14} — different RIFF bytes, different amplitude
+    // sums, identical fingerprints — and the census recovers exactly
+    // the 25 classes. Clips are genuine WAVE containers decoded by
+    // javax.sound on the executors; the oracle replays the sample
+    // formula and bit extraction analytically. Same hash-groupBy
+    // dedup cost shape as its image twin.
+    "m_afp_dups" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 25).toInt
+          val dc = ((id / 25) % 3).toInt * 7
+          MediaRow(id, "audio",
+            synthWavOf(800, 16000, { i =>
+              val a = p * 53 + i * 17 + 7
+              (a.toLong * a % 1999).toInt - 999 + dc
+            }),
+            0, 0, 16000, 50L)
+        }
+      afpAll(s, rows.toDF(), s.sparkContext.defaultParallelism)
+        .groupBy("dhash")
+        .agg(count(lit(1)).as("n_members"),
+          min("media_id").as("first_id"),
+          max("media_id").as("last_id"))
+        .filter(col("n_members") >= 2)
+        .select(col("dhash").as("afp"), col("n_members"),
+          col("first_id"), col("last_id"))
+        .orderBy("afp")
+    }),
+
     // REAL audio decode, oracle-checked: payloads are genuine RIFF/WAVE
     // containers (synthWav encodes through the JDK's own AudioSystem
     // writer), synthesized ON THE EXECUTORS and decoded back to actual
@@ -762,5 +845,29 @@ object Multimodal {
                for i in range(1, 65)]) AS hamming
            FROM cand)
          SELECT a, bid AS b, CAST(hamming AS BIGINT) AS hamming
-         FROM ver WHERE hamming <= 1 ORDER BY a, b""")
+         FROM ver WHERE hamming <= 1 ORDER BY a, b""",
+    // analytic mirror of the PCM fingerprint: sample i of class p is
+    // ((p·53 + i·17 + 7)² mod 1999) − 999 (+ the per-member DC, which
+    // rides both sides of every strict comparison — the invariance,
+    // mirrored); bits compare samples at k·12 and (k+1)·12
+    "m_afp_dups" ->
+      """WITH k64 AS (SELECT unnest(range(0, 64)) AS k),
+         b AS (
+           SELECT d.doc_id, k64.k,
+             CASE WHEN
+               ((a1.a * a1.a) % 1999) - 999 + ((d.doc_id // 25) % 3) * 7
+               > ((a0.a * a0.a) % 1999) - 999 + ((d.doc_id // 25) % 3) * 7
+               THEN '1' ELSE '0' END AS bit
+           FROM documents d, k64,
+             LATERAL (SELECT (d.doc_id % 25) * 53 + ((k64.k + 1) * 12)
+               * 17 + 7 AS a) a1,
+             LATERAL (SELECT (d.doc_id % 25) * 53 + (k64.k * 12) * 17
+               + 7 AS a) a0),
+         fps AS (
+           SELECT doc_id, string_agg(bit, '' ORDER BY k) AS afp
+           FROM b GROUP BY doc_id)
+         SELECT afp, COUNT(*) AS n_members,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM fps GROUP BY afp HAVING COUNT(*) >= 2
+         ORDER BY afp""")
 }

@@ -167,6 +167,30 @@ class MultimodalSpec extends SparkTestBase {
       ch == '0' || ch == '1'))
   }
 
+  test("audio fingerprint is DC-invariant on real PCM where byte and " +
+      "amplitude-sum identity are not") {
+    def wav(dc: Int, p: Int) = Multimodal.synthWavOf(800, 16000, { i =>
+      val a = p * 53 + i * 17 + 7
+      (a.toLong * a % 1999).toInt - 999 + dc
+    })
+    def rowOf(id: Long, dc: Int, p: Int) = Multimodal.MediaRow(
+      id, "audio", wav(dc, p), 0, 0, 16000, 50L)
+    val a = Multimodal.JavaSoundCodec.audioFingerprint(rowOf(1, 0, 7))
+    val b = Multimodal.JavaSoundCodec.audioFingerprint(rowOf(2, 14, 7))
+    val c = Multimodal.JavaSoundCodec.audioFingerprint(rowOf(3, 0, 8))
+    assert(!java.util.Arrays.equals(wav(0, 7), wav(14, 7)),
+      "fixture degenerate: DC-shifted clips encode to identical bytes")
+    val sumA = Multimodal.JavaSoundCodec.decodeAudio(rowOf(1, 0, 7)).sum_amp
+    val sumB = Multimodal.JavaSoundCodec.decodeAudio(rowOf(2, 14, 7)).sum_amp
+    assert(sumA != sumB,
+      "fixture degenerate: DC shift left the amplitude sum unchanged")
+    assert(a.dhash == b.dhash,
+      "uniform DC shift must not move the difference fingerprint")
+    assert(a.dhash != c.dhash,
+      "different waveforms must not collide")
+    assert(a.dhash.length == 64)
+  }
+
   test("stub codec arithmetic is the portable hash family") {
     val bytes = "hello world".getBytes("UTF-8")
     val h = StubCodec.hash60(bytes)
