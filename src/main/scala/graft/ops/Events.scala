@@ -113,6 +113,31 @@ object Events {
         .orderBy("event_type", "day")
     }),
 
+    // Rolling 7-day MEDIAN of the daily series — the robust smoother
+    // dashboards pair with e_ewma (a single spike day moves the mean,
+    // not the median). The window collects exactly 7 integer counts
+    // (calendar-bounded — |days × types| rows, never events), sorts
+    // the 7-element array, and takes the middle — an EXACT order
+    // statistic, no interpolation, no float. Days without a full
+    // trailing week are excluded (the e_burst cnt-guard convention)
+    // rather than emitting a shorter-window median that silently
+    // means something else.
+    "e_rollmed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", collect_list(col("c")).over(w))
+        .filter(size(col("arr")) === 7)
+        .select(col("event_type"), col("day"), col("c"),
+          element_at(array_sort(col("arr")), 4).as("med7"))
+        .orderBy("event_type", "day")
+    }),
+
     // Seasonal-naive forecast backtest — the baseline every real
     // forecasting pipeline must beat, evaluated the way a 100 TB
     // pipeline can afford: forecast(day) = count(day − 7) via one lag
@@ -764,6 +789,21 @@ object Events {
            CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
          FROM trailed WHERE cnt24 >= 12
          ORDER BY event_type, h""",
+    // identical 7-element window collection, sort, middle pick
+    "e_rollmed" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         lg AS (
+           SELECT event_type, day, c,
+             list(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+           FROM daily)
+         SELECT event_type, CAST(day AS TIMESTAMP) AS day, c,
+           list_sort(arr)[4] AS med7
+         FROM lg WHERE len(arr) = 7
+         ORDER BY event_type, day""",
     // identical lag-7 forecast, integer error sums, one division
     "e_forecast_eval" ->
       """WITH daily AS (
