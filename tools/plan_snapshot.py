@@ -25,6 +25,11 @@ import sys
 def normalize(text: str) -> str:
     text = re.sub(r"#\d+", "#N", text)
     text = re.sub(r"\[plan_id=\d+\]", "[plan_id=N]", text)
+    # AQE runtime statistics churn with row counts/sizes, not shape —
+    # r13: d_clusters_incr flipped 16.1 MiB -> 64.1 MiB at identical
+    # structure and produced a spurious snapshot diff
+    text = re.sub(r"Statistics\(sizeInBytes=[^)]*\)", "Statistics(N)",
+                  text)
     text = re.sub(r"/tmp/graft_[^\s,\]\)]*", "TMP", text)
     text = re.sub(r"/tmp/[A-Za-z0-9_.-]*(spark|temporary|checkpoint)"
                   r"[^\s,\]\)]*", "TMP", text, flags=re.I)
