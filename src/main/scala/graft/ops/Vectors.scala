@@ -273,6 +273,41 @@ object Vectors {
     cent
   }
 
+  /** The reciprocal-rank fusion half shared by v_hybrid (corpus-scored
+    * BM25) and v_hybrid_maintained (index-scored BM25): rank the given
+    * (doc_id, bm25) frame, rank the dense cosine list against query
+    * vec 0, fuse by Σ 1/(60 + rank), top-10. */
+  private def hybridFuse(s: org.apache.spark.sql.SparkSession,
+      d: String, bm: DataFrame): DataFrame = {
+    val tRank = bm.withColumn("rt", row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))))
+      .select("doc_id", "rt")
+    val e = t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").as("v"), norm(col("embedding")).as("nrm"))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("v").as("vq"), col("nrm").as("nq"))
+    val vRank = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        roundf(dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
+          .as("cos"))
+      .withColumn("rv", row_number().over(
+        Window.orderBy(desc("cos"), asc("doc_id"))))
+      .select("doc_id", "rv")
+    val fused = vRank.join(tRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        roundf(
+          coalesce(lit(1.0) / (lit(60.0) + col("rt")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rv")), lit(0.0)), 6)
+          .as("rrf"),
+        col("rt"), col("rv"))
+    fused.withColumn("rn", row_number().over(
+        Window.orderBy(desc("rrf"), asc("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select("doc_id", "rrf", "rt", "rv", "rn")
+      .orderBy("rn")
+  }
+
   /** ADC top-5 for every 50th vector of `e` against a PQ index given
     * as (cent = (m, cl, cv) codebooks, codes = (vec_id, m, code)) —
     * the search path shared by v_pq (batch-built codes) and
@@ -696,33 +731,82 @@ object Vectors {
         .groupBy("doc_id")
         .agg(sum(col("comp").cast("decimal(22,4)")).cast("double")
           .as("bm25"))
-      val tRank = bm.withColumn("rt", row_number().over(
-          Window.orderBy(desc("bm25"), asc("doc_id"))))
-        .select("doc_id", "rt")
-      val e = t(s, d, "embeddings").select(col("vec_id"),
-        col("embedding").as("v"), norm(col("embedding")).as("nrm"))
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("v").as("vq"), col("nrm").as("nq"))
-      val vRank = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id").as("doc_id"),
-          roundf(dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
-            .as("cos"))
-        .withColumn("rv", row_number().over(
-          Window.orderBy(desc("cos"), asc("doc_id"))))
-        .select("doc_id", "rv")
-      val fused = vRank.join(tRank, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          roundf(
-            coalesce(lit(1.0) / (lit(60.0) + col("rt")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60.0) + col("rv")), lit(0.0)), 6)
-            .as("rrf"),
-          col("rt"), col("rv"))
-      fused.withColumn("rn", row_number().over(
-          Window.orderBy(desc("rrf"), asc("doc_id"))))
-        .filter(col("rn") <= 10)
-        .select("doc_id", "rrf", "rt", "rv", "rn")
-        .orderBy("rn")
+      hybridFuse(s, d, bm)
+    }),
+
+    // v_hybrid with the LEXICAL side served by the MAINTAINED search
+    // index — the production composition: the doc-length and
+    // query-term-posting tables accumulate through the same
+    // appendMaintain rig as t_bm25_maintained (batches partition the
+    // doc space, so appends ARE the merge), BM25 ranks derive from
+    // index-sized aggregates WITHOUT rescanning corpus text, and the
+    // fusion is unchanged. Shares v_hybrid's oracle VERBATIM — a lost
+    // batch, a double-appended posting, or a drifted length moves a
+    // rank through the fused list and goes hash-red. At 100 TB this
+    // is what a hybrid query costs: the index, the dense ranking, and
+    // a k-sized fusion — never the text.
+    "v_hybrid_maintained" -> ((s, d) => {
+      val qterms = Seq("join", "scan", "window")
+      val docs = t(s, d, "documents")
+      val mid = docs.agg(max("doc_id")).head.getLong(0) / 2
+      val (base, stream) = graft.ops.Replay.twoBatchStream(s,
+        "hybrid_idx", d, graft.etl.Tables.schemas("documents"), "docs",
+        docs.filter(col("doc_id") < mid),
+        docs.filter(col("doc_id") >= mid))
+      def sibling(name: String): String = {
+        val f = new java.io.File(base.getPath + "_" + name)
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(); ()
+        }
+        rm(f)
+        f.getPath
+      }
+      val words = (c: org.apache.spark.sql.Column) => split(c, " ")
+      val statsPath = sibling("docstats")
+      val postPath = sibling("posting")
+      val q1 = graft.streaming.Streams.appendMaintain(stream, statsPath)(
+        b => b.select(col("doc_id"), explode(words(col("text")))
+            .as("word"))
+          .groupBy("doc_id").agg(count(lit(1)).cast("double").as("dl")))
+      require(q1.awaitTermination(600000),
+        "doc-stats maintenance stream must drain (AvailableNow)")
+      require(q1.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is " +
+          "untested")
+      val q2 = graft.streaming.Streams.appendMaintain(stream, postPath)(
+        b => b.select(col("doc_id"), explode(words(col("text")))
+            .as("word"))
+          .filter(col("word").isin(qterms: _*))
+          .groupBy("doc_id", "word")
+          .agg(count(lit(1)).cast("double").as("tf")))
+      require(q2.awaitTermination(600000),
+        "posting maintenance stream must drain (AvailableNow)")
+      require(q2.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is " +
+          "untested")
+      val dl = graft.streaming.Streams.readMaintained(s, statsPath)
+      val tf = graft.streaming.Streams.readMaintained(s, postPath)
+      val avg = dl.agg((sum("dl") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+      val nDocs = dl.agg(count(lit(1)).cast("double").as("n_docs"))
+      val dfreq = tf.groupBy("word")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val score = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("dl") / col("avgdl")))
+      val bm = tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(avg))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), roundf(score, 4).as("comp"))
+        .groupBy("doc_id")
+        .agg(sum(col("comp").cast("decimal(22,4)")).cast("double")
+          .as("bm25"))
+      hybridFuse(s, d, bm)
     }),
 
     // Maximum-inner-product search via the NORM-AUGMENTATION reduction
@@ -1037,44 +1121,11 @@ object Vectors {
            FROM scored) WHERE rn <= 5 ORDER BY q, rn"""
   }
 
-  val oracles: Map[String, String] = Map(
-    // the augmented training chain (ivfRoundsSql over the aug CTE) +
-    // raw-inner-product re-rank — one shared quantizer definition
-    "v_mips" ->
-      s"""WITH base AS MATERIALIZED (
-           SELECT vec_id, label, embedding,
-             list_sum([x::DOUBLE * x::DOUBLE for x in embedding]) AS n2
-           FROM embeddings),
-         mx2 AS (SELECT MAX(n2) AS m2 FROM base),
-         aug AS MATERIALIZED (
-           SELECT vec_id, label,
-             [x::DOUBLE for x in embedding] ||
-               [sqrt((SELECT m2 FROM mx2) - n2)] AS embedding
-           FROM base),
-         ${ivfRoundsSql(1, table = "aug")},
-         stored AS (
-           SELECT rk1.vec_id, rk1.k AS cluster, e.embedding AS v
-           FROM rk1 JOIN embeddings e USING (vec_id) WHERE rn = 1),
-         pr AS (
-           SELECT rk1.vec_id AS q, rk1.k AS qc, e.embedding AS vq
-           FROM rk1 JOIN embeddings e USING (vec_id)
-           WHERE rn <= 2 AND rk1.vec_id % 50 = 0),
-         cand AS (
-           SELECT pr.q, s.vec_id,
-             floor(list_sum([pr.vq[i]::DOUBLE * s.v[i]::DOUBLE
-                 for i in range(1, len(pr.vq) + 1)]) * 10000.0 + 0.5)
-               / 10000.0 AS dot
-           FROM pr JOIN stored s ON s.cluster = pr.qc
-            AND s.vec_id <> pr.q)
-         SELECT q, vec_id, dot, rn FROM (
-           SELECT q, vec_id, dot, row_number() OVER (PARTITION BY q
-             ORDER BY dot DESC, vec_id ASC) AS rn FROM cand)
-         WHERE rn <= 5 ORDER BY q, rn""",
-    // both rankings mirrored in full (the bm25Sql and v_knn_brute
-    // chains), then the rank-only fusion — a drifted score in either
-    // system moves a rank and goes hash-red through the fused list
-    "v_hybrid" ->
-      """WITH toks AS (
+  /** v_hybrid's full mirror — shared VERBATIM by the
+    * maintained-index variant (the strongest maintenance check:
+    * identical fused list or hash-red). */
+  private lazy val hybridSql: String =
+    """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word
            FROM documents),
          dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl
@@ -1127,7 +1178,49 @@ object Vectors {
            SELECT doc_id, rrf, rt, rv, row_number() OVER
              (ORDER BY rrf DESC, doc_id ASC) AS rn
            FROM fused)
-         WHERE rn <= 10 ORDER BY rn""",
+         WHERE rn <= 10 ORDER BY rn"""
+
+  val oracles: Map[String, String] = Map(
+    // the augmented training chain (ivfRoundsSql over the aug CTE) +
+    // raw-inner-product re-rank — one shared quantizer definition
+    "v_mips" ->
+      s"""WITH base AS MATERIALIZED (
+           SELECT vec_id, label, embedding,
+             list_sum([x::DOUBLE * x::DOUBLE for x in embedding]) AS n2
+           FROM embeddings),
+         mx2 AS (SELECT MAX(n2) AS m2 FROM base),
+         aug AS MATERIALIZED (
+           SELECT vec_id, label,
+             [x::DOUBLE for x in embedding] ||
+               [sqrt((SELECT m2 FROM mx2) - n2)] AS embedding
+           FROM base),
+         ${ivfRoundsSql(1, table = "aug")},
+         stored AS (
+           SELECT rk1.vec_id, rk1.k AS cluster, e.embedding AS v
+           FROM rk1 JOIN embeddings e USING (vec_id) WHERE rn = 1),
+         pr AS (
+           SELECT rk1.vec_id AS q, rk1.k AS qc, e.embedding AS vq
+           FROM rk1 JOIN embeddings e USING (vec_id)
+           WHERE rn <= 2 AND rk1.vec_id % 50 = 0),
+         cand AS (
+           SELECT pr.q, s.vec_id,
+             floor(list_sum([pr.vq[i]::DOUBLE * s.v[i]::DOUBLE
+                 for i in range(1, len(pr.vq) + 1)]) * 10000.0 + 0.5)
+               / 10000.0 AS dot
+           FROM pr JOIN stored s ON s.cluster = pr.qc
+            AND s.vec_id <> pr.q)
+         SELECT q, vec_id, dot, rn FROM (
+           SELECT q, vec_id, dot, row_number() OVER (PARTITION BY q
+             ORDER BY dot DESC, vec_id ASC) AS rn FROM cand)
+         WHERE rn <= 5 ORDER BY q, rn""",
+    // both rankings mirrored in full (the bm25Sql and v_knn_brute
+    // chains), then the rank-only fusion — a drifted score in either
+    // system moves a rank and goes hash-red through the fused list
+    "v_hybrid" -> hybridSql,
+    // the maintained-index variant reproduces the identical fused
+    // list (batches partition the doc space, so the index-side BM25
+    // equals the corpus recompute) — the strongest maintenance check
+    "v_hybrid_maintained" -> hybridSql,
     "v_pq" -> pqSql(lloydRounds = 1),
     // K=256 with the sampled-training chain: tsubs is the same salted
     // hash sample, codes come from the final full ranking (prf)

@@ -214,6 +214,20 @@ class PlanAuditSpec extends SparkTestBase {
       "bm25 scoring planned all-pairs (the scalar crossJoins broadcast)")
   }
 
+  test("v_hybrid_maintained: lexical ranks come from the maintained " +
+      "index — no corpus text rescan") {
+    // the hybrid composition's point: a fused query costs the index +
+    // the dense ranking, never the text (the t_bm25_maintained claim
+    // carried through the fusion)
+    val p = plan("v_hybrid_maintained")
+    assert(p.contains("graft_hybrid_idx"),
+      "BM25 inputs should scan the maintained index parquets")
+    assert(!p.contains("documents.parquet"),
+      "fused plan must not rescan the corpus text")
+    assert(nodeCount(p, "CartesianProduct") == 0,
+      "hybrid fusion planned all-pairs (the scalar crossJoins broadcast)")
+  }
+
   test("maintained rows consume the maintained table, not a base rescan") {
     // the maintenance family's point is amortization: the returned
     // frame must read what the sink maintained. rollup/hh plans scan
