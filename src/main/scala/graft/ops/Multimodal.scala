@@ -648,6 +648,65 @@ object Multimodal {
         .orderBy("afp")
     }),
 
+    // HAMMING-TOLERANT audio matching — m_dhash_near transposed to the
+    // acoustic fingerprint: clips that differ by a small LOCAL edit
+    // (one corrupted sample — a dropout, a click) flip one difference
+    // bit, so exact-fingerprint grouping misses them; candidates come
+    // from the same 4×16-bit pigeonhole block equi-join, verified at
+    // exact Hamming ≤ 1. The planted edit applies the
+    // threshold-crossing lesson directly: fingerprint sample k=0
+    // (frame 0) moves to the far side of frame 12's value for odd
+    // generations of each class, so one bit provably flips (the one
+    // class whose comparison cannot flip within int16 range stays
+    // unperturbed, honestly). Never all-pairs; analytic PCM oracle.
+    "m_afp_near" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 25).toInt
+          val flagged = (id / 25) % 2 == 1
+          def base(i: Int): Int = {
+            val a = p * 53 + i * 17 + 7
+            (a.toLong * a % 1999).toInt - 999
+          }
+          val g0 = base(0)
+          val g12 = base(12)
+          val edited =
+            if (!flagged) g0
+            else if (g12 > g0) g12 + 1
+            else if (g12 >= -998) g12 - 1
+            else g0
+          MediaRow(id, "audio",
+            synthWavOf(800, 16000,
+              i => if (i == 0) edited else base(i)),
+            0, 0, 16000, 50L)
+        }
+      val fps = afpAll(s, rows.toDF(),
+        s.sparkContext.defaultParallelism).localCheckpoint()
+      val blocks = fps.select(col("media_id"), col("dhash"),
+          explode(expr("transform(sequence(0, 3), " +
+            "b -> struct(b as b, substring(dhash, b * 16 + 1, 16) " +
+            "as blk))")).as("s"))
+        .select(col("media_id"), col("dhash"),
+          col("s.b").as("b"), col("s.blk").as("blk"))
+      val ham = expr("aggregate(zip_with(split(x.dhash, ''), " +
+        "split(y.dhash, ''), (a, b) -> CASE WHEN a <> b THEN 1 " +
+        "ELSE 0 END), 0, (acc, v) -> acc + v)")
+      val res = blocks.as("x").join(blocks.as("y"),
+          col("x.b") === col("y.b") && col("x.blk") === col("y.blk") &&
+          col("x.media_id") < col("y.media_id"))
+        .select(col("x.media_id").as("a"), col("y.media_id").as("bid"),
+          ham.as("hamming"))
+        .dropDuplicates("a", "bid")
+        .filter(col("hamming") <= 1)
+        .select(col("a"), col("bid").as("b"),
+          col("hamming").cast("long").as("hamming"))
+        .localCheckpoint()
+      require(res.filter(col("hamming") >= 1).count() > 0,
+        "no Hamming≥1 pairs — the tolerant join is vacuous")
+      res.orderBy("a", "b")
+    }),
+
     // REAL audio decode, oracle-checked: payloads are genuine RIFF/WAVE
     // containers (synthWav encodes through the JDK's own AudioSystem
     // writer), synthesized ON THE EXECUTORS and decoded back to actual
@@ -869,5 +928,50 @@ object Multimodal {
          SELECT afp, COUNT(*) AS n_members,
            MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
          FROM fps GROUP BY afp HAVING COUNT(*) >= 2
-         ORDER BY afp""")
+         ORDER BY afp""",
+    // same sample formula with the planted frame-0 edit, the same
+    // pigeonhole blocks, the same exact Hamming verify
+    "m_afp_near" ->
+      """WITH k64 AS (SELECT unnest(range(0, 64)) AS k),
+         b AS (
+           SELECT d.doc_id, k64.k,
+             CASE WHEN
+               ((a1.a * a1.a) % 1999) - 999
+               > CASE WHEN k64.k = 0 AND (d.doc_id // 25) % 2 = 1 THEN
+                   CASE WHEN e.g12 > e.g0 THEN e.g12 + 1
+                        WHEN e.g12 >= -998 THEN e.g12 - 1
+                        ELSE e.g0 END
+                 ELSE ((a0.a * a0.a) % 1999) - 999 END
+               THEN '1' ELSE '0' END AS bit
+           FROM documents d, k64,
+             LATERAL (SELECT (d.doc_id % 25) * 53 + ((k64.k + 1) * 12)
+               * 17 + 7 AS a) a1,
+             LATERAL (SELECT (d.doc_id % 25) * 53 + (k64.k * 12) * 17
+               + 7 AS a) a0,
+             LATERAL (SELECT
+               ((((d.doc_id % 25) * 53 + 7)
+                 * ((d.doc_id % 25) * 53 + 7)) % 1999) - 999 AS g0,
+               ((((d.doc_id % 25) * 53 + 12 * 17 + 7)
+                 * ((d.doc_id % 25) * 53 + 12 * 17 + 7)) % 1999) - 999
+                 AS g12) e),
+         fps AS (
+           SELECT doc_id, string_agg(bit, '' ORDER BY k) AS afp
+           FROM b GROUP BY doc_id),
+         blocks AS (
+           SELECT doc_id, afp, t.b,
+             substring(afp, t.b * 16 + 1, 16) AS blk
+           FROM fps, (SELECT unnest(range(0, 4)) AS b) t),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS bid,
+             x.afp AS h1, y.afp AS h2
+           FROM blocks x JOIN blocks y
+             ON x.b = y.b AND x.blk = y.blk
+            AND x.doc_id < y.doc_id),
+         ver AS (
+           SELECT a, bid,
+             list_sum([CASE WHEN h1[i] <> h2[i] THEN 1 ELSE 0 END
+               for i in range(1, 65)]) AS hamming
+           FROM cand)
+         SELECT a, bid AS b, CAST(hamming AS BIGINT) AS hamming
+         FROM ver WHERE hamming <= 1 ORDER BY a, b""")
 }
