@@ -378,7 +378,8 @@ class PlanAuditSpec extends SparkTestBase {
         "v_hybrid", "v_pq256", "e_anomaly", "x_outlier_iqr", "x_hhi",
         "m_dhash_dups", "x_cuped", "e_ewma", "t_bpe_merges",
         "g_jaccard_sim", "e_ltv", "e_forecast_eval",
-        "m_dhash_near", "m_afp_dups", "e_rollmed", "m_afp_near")) {
+        "m_dhash_near", "m_afp_dups", "e_rollmed", "m_afp_near",
+        "g_neighborhood")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }
