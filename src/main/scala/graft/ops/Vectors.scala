@@ -315,7 +315,7 @@ object Vectors {
     * dot-product table, per candidate M lookups; M-term sums
     * grid-rounded then decimal-summed for order-independence. */
   private def pqTopK(e: DataFrame, cent: DataFrame,
-      codes: DataFrame): DataFrame = {
+      codes: DataFrame, cand: Option[DataFrame] = None): DataFrame = {
     val cn2 = cent.select(col("m"), col("cl"),
       aggregate(transform(col("cv"), x => x * x), lit(0.0),
         (a, b) => a + b).as("cn2"))
@@ -336,10 +336,16 @@ object Vectors {
         aggregate(zip_with(col("qs"), col("cv"),
           (x, y) => x.cast("double") * y), lit(0.0),
           (a, b) => a + b).as("pdot"))
-    val adc = codes.join(tab,
+    val adcBase = codes.join(tab,
         codes("m") === tab("m") && codes("code") === tab("cl") &&
         codes("vec_id") =!= tab("q"))
-      .groupBy(col("q"), codes("vec_id").as("vec_id"))
+      .select(col("q"), codes("vec_id").as("vec_id"), col("pdot"))
+    // IVF-PQ mode: restrict ADC scoring to the (q, candidate) pairs
+    // of the probed cells — the lookup volume becomes nprobe cells'
+    // members instead of the corpus
+    val adc = cand.fold(adcBase)(c =>
+        adcBase.join(c, Seq("q", "vec_id"), "left_semi"))
+      .groupBy(col("q"), col("vec_id"))
       .agg(sum(roundf(col("pdot"), 9).cast("decimal(38,9)"))
         .cast("double").as("adot"))
     val wP = Window.partitionBy(col("q"))
@@ -650,6 +656,34 @@ object Vectors {
       val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("cl").as("code"))
       pqTopK(e, cent, codes)
+    }),
+
+    // IVF-PQ COMPOSITION — the FAISS production index shape (Jégou et
+    // al.; the two halves this engine already carries, composed):
+    // coarse IVF cells select CANDIDATES (nprobe=2 of 10 cells — the
+    // v_ann_ivf machinery), PQ codes score them by ADC lookups (the
+    // v_pq machinery), so a query costs one |cells| coarse ranking +
+    // one M·K table + M lookups per PROBED-CELL member instead of per
+    // corpus vector. Direct encoding (codes over raw vectors, not
+    // residuals — the deterministic-oracle choice; residual encoding
+    // buys accuracy at the cost of per-cell codebook chains,
+    // disclosed). The recall ladder composes transparently: the IVF
+    // candidate cap (nprobe=2 ≈ 0.46 ceiling) gates what ADC can
+    // return. Oracle composes the SAME two proven CTE chains with the
+    // candidate restriction.
+    "v_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = pqCodebooks(e, lloydRounds = 1)
+      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cl").as("code"))
+      val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds = 1))
+      val stored = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("qc"))
+      val probes = ranked
+        .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q"), col("cl").as("qc"))
+      val cand = probes.join(stored, "qc").select("q", "vec_id")
+      pqTopK(e, cent, codes, Some(cand))
     }),
 
     // PQ search over a STREAMING-MAINTAINED code index — the
@@ -1026,7 +1060,8 @@ object Vectors {
     * grid-rounded decimal sums. One definition of every constant (PqM,
     * sub length, probe rule) shared with the Spark side. */
   private[ops] def pqSql(lloydRounds: Int, k: Int = PqK,
-      trainPred: Option[String] = None): String = {
+      trainPred: Option[String] = None,
+      ivfCand: Boolean = false, nprobe: Int = 2): String = {
     val L = pqSubLen
     val subsSql = (0 until PqM).map(m =>
       s"SELECT vec_id, label, $m AS m, " +
@@ -1078,8 +1113,22 @@ object Vectors {
                  for i in range(1, len(cv) + 1)]) AS dd
              FROM subs s JOIN pl$last ON s.m = pl$last.m)),
          codes AS (SELECT vec_id, m, k AS code FROM prf WHERE rn = 1)"""
+    // IVF-PQ mode: the proven coarse-quantizer chain supplies the
+    // (q, candidate) pairs of the probed cells, and the adc CTE below
+    // joins against them
+    val candCtes = if (!ivfCand) "" else
+      s"""${ivfRoundsSql(1)},
+         ivfstored AS (SELECT vec_id, k AS cluster FROM rk1
+                       WHERE rn = 1),
+         ivfprobes AS (SELECT vec_id AS q, k AS qc FROM rk1
+                       WHERE rn <= $nprobe AND vec_id % 50 = 0),
+         cand AS (SELECT p.q, s.vec_id FROM ivfprobes p
+                  JOIN ivfstored s ON s.cluster = p.qc),
+         """
+    val candJoin = if (!ivfCand) ""
+      else "JOIN cand ON cand.q = t.q AND cand.vec_id = c.vec_id"
     s"""WITH subs AS MATERIALIZED ($subsSql),
-         $tsubsCte$rounds,
+         $candCtes$tsubsCte$rounds,
          $codesCte,
          cn2 AS (SELECT m, k,
              list_sum([cv[i] * cv[i]
@@ -1108,6 +1157,7 @@ object Vectors {
                / 1000000000.0 AS DECIMAL(38,9))) AS DOUBLE) AS adot
            FROM codes c JOIN tab t ON c.m = t.m AND c.code = t.k
             AND c.vec_id <> t.q
+           $candJoin
            GROUP BY t.q, c.vec_id),
          scored AS (
            SELECT a.q, a.vec_id,
@@ -1230,6 +1280,9 @@ object Vectors {
     // identical truth: the maintained code index must reproduce the
     // batch-built codes exactly
     "v_pq_maintained" -> pqSql(lloydRounds = 1),
+    // the two proven chains composed: ivfRoundsSql's candidates gate
+    // pqSql's ADC scoring
+    "v_ivfpq" -> pqSql(lloydRounds = 1, ivfCand = true),
     "v_knn_brute" ->
       """WITH e AS (
            SELECT vec_id, embedding AS v,

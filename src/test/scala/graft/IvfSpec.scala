@@ -101,6 +101,29 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.25, f"PQ recall collapsed: $recall%.2f")
   }
 
+  test("IVF-PQ composition: recall gates compose transparently") {
+    // v_ivfpq's recall is bounded above by BOTH stages: the nprobe=2
+    // candidate cap (IVF ladder ceiling 0.46) and PQ's quantization
+    // (0.34 at full candidates). The composed point must sit at or
+    // below each ceiling and above a sanity floor — disclosed, not
+    // tuned.
+    val d = requireFixture("sf0.01")
+    val exact = bruteTop5(d)
+    val got = Vectors.queries("v_ivfpq")(spark, d)
+      .select("q", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+        want.size
+    }.sum / exact.size
+    info(f"IVF-PQ recall@5 = $recall%.2f (nprobe=2 cells, ADC scoring)")
+    assert(recall >= 0.10, f"composed recall collapsed: $recall%.2f")
+    assert(recall <= 0.50,
+      f"composed recall $recall%.2f exceeds its candidate-cap ceiling " +
+        "— the restriction is not binding")
+  }
+
   test("K=256 sampled-training PQ: the production point on the ladder") {
     // v_pq256 trains 256-cell codebooks on a 25% deterministic hash
     // sample (the 100 TB cost shape — training needs enough vectors to
