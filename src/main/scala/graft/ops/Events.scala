@@ -113,6 +113,36 @@ object Events {
         .orderBy("event_type", "day")
     }),
 
+    // DAU/WAU stickiness — the engagement ratio product teams track
+    // daily. WAU is an EXACT rolling 7-day distinct-user count via
+    // e_rolling28's inverted contribution (each distinct (user, day)
+    // fans to its ≤7 target days; the answer is a distinct count per
+    // target — bounded 7× fan, NO count-distinct window, which Spark
+    // does not support over frames anyway); DAU is the plain per-day
+    // distinct; stickiness = dau/wau as one rational division.
+    // Partial leading windows are kept and mirrored — a 7-day WAU on
+    // day 3 genuinely means "actives so far", both engines agree.
+    "x_stickiness" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+      val spanned = act.select(col("user_id"),
+          explode(sequence(col("day"),
+            col("day") + expr("INTERVAL 6 DAYS"),
+            expr("INTERVAL 1 DAY"))).as("t"))
+        .distinct()
+      val wau = spanned.groupBy(col("t").as("day"))
+        .agg(count(lit(1)).as("wau"))
+      // clip to observed days: the fan extends 6 days past the last
+      // real day, which would emit phantom trailing rows
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          roundf(col("dau").cast("double") / col("wau").cast("double"),
+            4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // Rolling 7-day MEDIAN of the daily series — the robust smoother
     // dashboards pair with e_ewma (a single spike day moves the mean,
     // not the median). The window collects exactly 7 integer counts
@@ -789,6 +819,22 @@ object Events {
            CASE WHEN n * cnt24 > sum24 * 2 THEN 1 ELSE 0 END AS burst
          FROM trailed WHERE cnt24 >= 12
          ORDER BY event_type, h""",
+    // identical fan + distinct counts; the inner join clips the
+    // phantom trailing fan days
+    "x_stickiness" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+         dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY 1),
+         sp AS (
+           SELECT DISTINCT user_id, day + (k * INTERVAL 1 DAY) AS t
+           FROM act, (SELECT unnest(range(0, 7)) AS k)),
+         wau AS (SELECT t AS day, COUNT(*) AS wau FROM sp GROUP BY 1)
+         SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+           floor(d.dau::DOUBLE / w.wau::DOUBLE * 10000.0 + 0.5)
+             / 10000.0 AS stickiness
+         FROM dau d JOIN wau w USING (day)
+         ORDER BY day""",
     // identical 7-element window collection, sort, middle pick
     "e_rollmed" ->
       """WITH daily AS (

@@ -194,6 +194,28 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // W-family completion: value-extraction windows — first_value /
+    // last_value over the FULL frame and nth_value — the
+    // bookend-comparison shape (each order next to its customer's
+    // cheapest, priciest, and second-cheapest order). The frame must
+    // be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING explicitly:
+    // last_value over the default running frame is the current row,
+    // the classic window bug both engines share; making the frame
+    // explicit is the point of the row. Total order (totalprice,
+    // orderkey) keeps every pick deterministic.
+    "w7_value" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("cheapest"),
+          last(col("o_orderkey")).over(w).as("priciest"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // W5: ntile quantile bucketing — equal-frequency binning for score
     // calibration / cohort splits. Total order (acctbal, custkey) makes
     // tile assignment deterministic in both engines. The scale shape —
@@ -268,6 +290,18 @@ object Windows {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey
            ORDER BY o_totalprice ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    // same explicit unbounded frame — last_value over the default
+    // running frame would be the current row in BOTH engines
+    "w7_value" ->
+      """SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS cheapest,
+           last_value(o_orderkey) OVER w AS priciest,
+           nth_value(o_orderkey, 2) OVER w AS second_cheapest
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_custkey, o_orderkey""",
     "w5_ntile" ->
       """SELECT quartile, COUNT(*) AS n,

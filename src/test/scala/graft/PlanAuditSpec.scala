@@ -379,7 +379,7 @@ class PlanAuditSpec extends SparkTestBase {
         "m_dhash_dups", "x_cuped", "e_ewma", "t_bpe_merges",
         "g_jaccard_sim", "e_ltv", "e_forecast_eval",
         "m_dhash_near", "m_afp_dups", "e_rollmed", "m_afp_near",
-        "g_neighborhood", "v_ivfpq")) {
+        "g_neighborhood", "v_ivfpq", "w7_value", "x_stickiness")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }
