@@ -102,6 +102,13 @@ object Events {
         .agg(count(lit(1)).as("nd"), sum("c").as("sc"),
           sum(col("c") * col("c")).as("sc2"))
         .filter(col("nd") >= 2)
+        // zero-variance guard (same class as x_changepoint's
+        // degenerate-day fix): a type whose daily counts are all equal
+        // has nd·sc2 = sc² exactly (integer arithmetic), std = 0, and
+        // z would be 0/0 = NaN — whose ordering semantics differ
+        // between engines. Such a type has no anomalous days by
+        // definition; drop it on BOTH sides before the division.
+        .filter(col("nd") * col("sc2") =!= col("sc") * col("sc"))
       val std = sqrt((col("nd") * col("sc2") - col("sc") * col("sc"))
         .cast("double") /
         (col("nd") * (col("nd") - 1)).cast("double"))
@@ -143,15 +150,20 @@ object Events {
         .orderBy("day")
     }),
 
-    // Rolling 7-day MEDIAN of the daily series — the robust smoother
-    // dashboards pair with e_ewma (a single spike day moves the mean,
-    // not the median). The window collects exactly 7 integer counts
-    // (calendar-bounded — |days × types| rows, never events), sorts
-    // the 7-element array, and takes the middle — an EXACT order
-    // statistic, no interpolation, no float. Days without a full
-    // trailing week are excluded (the e_burst cnt-guard convention)
-    // rather than emitting a shorter-window median that silently
-    // means something else.
+    // Rolling 7-OBSERVATION MEDIAN of the daily series — the robust
+    // smoother dashboards pair with e_ewma (a single spike day moves
+    // the mean, not the median). ROW-based, not calendar-based: the
+    // frame is the trailing 7 OBSERVED days (rowsBetween(-6,0)), so on
+    // a series with missing days it spans more than 7 calendar days —
+    // the honest semantics for an as-logged series (a calendar-true
+    // variant would first densify day gaps per type, paying a
+    // generate-join for zeros that the logging layer never emitted).
+    // The window collects exactly 7 integer counts (|days × types|
+    // rows, never events), sorts the 7-element array, and takes the
+    // middle — an EXACT order statistic, no interpolation, no float.
+    // Days without 7 trailing observations are excluded (the e_burst
+    // cnt-guard convention) rather than emitting a shorter-window
+    // median that silently means something else.
     "e_rollmed" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, d, "events")
@@ -170,8 +182,12 @@ object Events {
 
     // Seasonal-naive forecast backtest — the baseline every real
     // forecasting pipeline must beat, evaluated the way a 100 TB
-    // pipeline can afford: forecast(day) = count(day − 7) via one lag
-    // window over the calendar-bounded daily series, error = WMAPE
+    // pipeline can afford: forecast(day) = count at the 7th PRIOR
+    // OBSERVATION (lag(c, 7) — row-based, so on a series with missing
+    // days the "week-ago" anchor is the 7th observed day back, which
+    // may be further than 7 calendar days; same disclosed row-based
+    // semantics as e_rollmed) via one lag window over the daily
+    // series, error = WMAPE
     // (Σ|f−a| / Σa — the aggregate form keeps everything INTEGER
     // until one final division, where per-day MAPE would divide
     // per row and average floats). Per event_type: evaluated days,
@@ -937,7 +953,9 @@ object Events {
          st AS (
            SELECT event_type, COUNT(*) AS nd, SUM(c) AS sc,
              SUM(c * c) AS sc2
-           FROM daily GROUP BY 1 HAVING COUNT(*) >= 2),
+           FROM daily GROUP BY 1
+           HAVING COUNT(*) >= 2
+             AND COUNT(*) * SUM(c * c) <> SUM(c) * SUM(c)),
          z AS (
            SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.c,
              floor((d.c * st.nd - st.sc)::DOUBLE /

@@ -1932,8 +1932,13 @@ object Streams {
   // makes publishing O(1) AT ANY STATE SIZE: state lives in
   // `statePath/gen=N/` subdirs, and the only mutation that commits a
   // batch is an atomic one-file rename of the `_graft_current` pointer
-  // (tmp-write + rename — the POSIX/HDFS atomicity primitive; on S3,
-  // a single small PUT). Each gen dir carries its own batch marker, so
+  // (tmp-write + rename — the POSIX/HDFS atomicity primitive). THIS
+  // implementation does the pointer I/O with java.io.File (local FS /
+  // POSIX rename, like the repo's other state helpers); the layout is
+  // *designed* so that an object-store port needs only to swap the
+  // pointer read/flip for a single small conditional PUT — the state
+  // files themselves are already immutable-per-generation and never
+  // renamed. Each gen dir carries its own batch marker, so
   // the exactly-once retry guard reads through the pointer. Crash
   // windows: before the flip, the old pointer stands and the retry
   // overwrites the orphan gen; after the flip, the new state is live

@@ -209,9 +209,10 @@ class GraphIncrSpec extends SparkTestBase {
         assert(maxPerHour < graft.ops.Extras.CoActivityHourCapK,
           s"$sf: $maxPerHour actives in the densest hour ≥ cap " +
             s"${graft.ops.Extras.CoActivityHourCapK} — the uncapped " +
-            "graph oracles (g_degree_dist/g_kcore/g_triangles) no " +
-            "longer mirror capHourBand; mirror the hash-rank cap in " +
-            "their SQL or raise CoActivityHourCapK")
+            "graph oracles (g_degree_dist/g_kcore/g_triangles/" +
+            "g_neighborhood/g_jaccard_sim) no longer mirror " +
+            "capHourBand; mirror the hash-rank cap in their SQL or " +
+            "raise CoActivityHourCapK")
       }
     }
   }

@@ -393,6 +393,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "BroadcastHashJoin") >= 3, p)
   }
 
+  test("v_ivfpq: IVF candidate gate sits BELOW the ADC lookup join") {
+    // the r13 plan defect: the cell restriction was a LEFT SEMI on the
+    // RESULT of the ADC lookup join, so the executed plan still paid
+    // the full |queries|·|corpus|·M lookup volume and discarded
+    // non-candidates after the fact. Gated correctly, (a) no semi join
+    // exists, (b) the ADC lookup join carries q as a JOIN KEY — i.e.
+    // its codes input is the per-query candidate set, keys (q, m,
+    // code) — and (c) the vec_id candidate⋈codes gate join numbers
+    // BELOW it (FormattedMode numbers descendants before ancestors)
+    val p = plan("v_ivfpq")
+    assert(!p.contains("LeftSemi"),
+      "candidate gate regressed to a post-ADC semi join")
+    val joinKeys = """\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\nLeft keys \[(\d+)\]: \[([^\]]*)\]"""
+      .r.findAllMatchIn(p)
+      .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3)))
+      .toSeq
+    val adc = joinKeys.filter { case (_, n, ks) =>
+      n == 3 && ks.contains("q#") && ks.contains("code#") }
+    assert(adc.size == 1,
+      s"expected exactly one 3-key (q, m, code) ADC lookup join; " +
+        s"joins seen: $joinKeys")
+    val gate = joinKeys.filter { case (_, n, ks) =>
+      n == 1 && ks.contains("vec_id#") }
+    assert(gate.nonEmpty && gate.map(_._1).min < adc.head._1,
+      s"candidate vec_id gate join must sit below ADC join ${adc.head}; " +
+        s"vec_id joins: $gate")
+  }
+
   test("o_skyline: local bucket phase is real (partitioned window " +
       "before the global pass)") {
     val p = plan("o_skyline")
