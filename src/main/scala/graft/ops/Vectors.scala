@@ -433,11 +433,14 @@ object Vectors {
         sqrt(aggregate(transform(col("embedding"),
           x => x.cast("double") * x.cast("double")), lit(0.0),
           (a, b) => a + b)).as("qnrm"))
-    // per-(q, probed cell) lookup tables — q × nprobe × M·K rows
+    // per-(q, probed cell) lookup tables — q × nprobe × M·K rows;
+    // columns renamed t* so the ADC join below (whose left side shares
+    // probes' lineage) has unambiguous keys
     val tab = probes.join(qs, "q")
       .join(broadcast(ccv), probes("qc") === ccv("cell") &&
         qs("m") === ccv("m"))
-      .select(col("q"), col("qc"), ccv("m").as("m"), col("k"),
+      .select(col("q").as("tq"), col("qc").as("tqc"),
+        ccv("m").as("tm"), col("k").as("tk"),
         aggregate(zip_with(col("qs"), col("rv"),
           (x, y) => x.cast("double") * y), lit(0.0),
           (a, b) => a + b).as("pdot"))
@@ -449,9 +452,9 @@ object Vectors {
       .select(col("q"), col("qc"), col("vec_id"))
     val gated = cand.join(rcodes, "vec_id")
     val adc = gated.join(tab,
-        gated("q") === tab("q") && gated("qc") === tab("qc") &&
-        gated("m") === tab("m") && gated("code") === tab("k"))
-      .select(gated("q"), gated("vec_id"), col("pdot"))
+        col("q") === col("tq") && col("qc") === col("tqc") &&
+        col("m") === col("tm") && col("code") === col("tk"))
+      .select(col("q"), col("vec_id"), col("pdot"))
       .groupBy(col("q"), col("vec_id"))
       .agg(sum(roundf(col("pdot"), 9).cast("decimal(38,9)"))
         .cast("double").as("adot"))

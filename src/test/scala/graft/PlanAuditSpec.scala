@@ -379,7 +379,8 @@ class PlanAuditSpec extends SparkTestBase {
         "m_dhash_dups", "x_cuped", "e_ewma", "t_bpe_merges",
         "g_jaccard_sim", "e_ltv", "e_forecast_eval",
         "m_dhash_near", "m_afp_dups", "e_rollmed", "m_afp_near",
-        "g_neighborhood", "v_ivfpq", "w7_value", "x_stickiness")) {
+        "g_neighborhood", "v_ivfpq", "w7_value", "x_stickiness",
+        "v_ivfpq_res", "v_ann_ivf8")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
     }
@@ -413,6 +414,31 @@ class PlanAuditSpec extends SparkTestBase {
       n == 3 && ks.contains("q#") && ks.contains("code#") }
     assert(adc.size == 1,
       s"expected exactly one 3-key (q, m, code) ADC lookup join; " +
+        s"joins seen: $joinKeys")
+    val gate = joinKeys.filter { case (_, n, ks) =>
+      n == 1 && ks.contains("vec_id#") }
+    assert(gate.nonEmpty && gate.map(_._1).min < adc.head._1,
+      s"candidate vec_id gate join must sit below ADC join ${adc.head}; " +
+        s"vec_id joins: $gate")
+  }
+
+  test("v_ivfpq_res: candidate gate sits BELOW the reconstruction-" +
+      "table join") {
+    // same discipline as v_ivfpq, residual shape: the ADC lookup join
+    // is the 4-key (tq, tqc, tm, tk) join against the per-(q, cell)
+    // tables; the vec_id gate join (candidates ⋈ codes) must number
+    // below it, and no semi join may reappear above
+    val p = plan("v_ivfpq_res")
+    assert(!p.contains("LeftSemi"),
+      "residual candidate gate regressed to a post-ADC semi join")
+    val joinKeys = """\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*\nLeft keys \[(\d+)\]: \[([^\]]*)\]"""
+      .r.findAllMatchIn(p)
+      .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3)))
+      .toSeq
+    val adc = joinKeys.filter { case (_, n, ks) =>
+      n == 4 && ks.contains("q#") && ks.contains("code#") }
+    assert(adc.size == 1,
+      s"expected exactly one 4-key (q, qc, m, code) ADC lookup join; " +
         s"joins seen: $joinKeys")
     val gate = joinKeys.filter { case (_, n, ks) =>
       n == 1 && ks.contains("vec_id#") }
