@@ -38,7 +38,8 @@ object SparkEntry {
     (ops.Vectors.queries, ops.Vectors.oracles),
     (ops.Multimodal.queries, ops.Multimodal.oracles),
     (ops.Temporal.queries, ops.Temporal.oracles),
-    (ops.Extras.queries, ops.Extras.oracles))
+    (ops.Extras.queries, ops.Extras.oracles),
+    (ops.SoqlFront.queries, ops.SoqlFront.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

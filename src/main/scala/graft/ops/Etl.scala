@@ -349,7 +349,7 @@ object Etl {
         "rollup maintenance stream must drain (AvailableNow)")
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the merge path is untested")
-      s.read.parquet(rollupPath)
+      graft.streaming.Streams.readGenMaintained(s, rollupPath)
         .select(col("day"), col("event_type"), col("n"),
           col("sv").cast("double").as("sum_value"))
         .orderBy("day", "event_type")
@@ -683,7 +683,7 @@ object Etl {
         "replay must span two micro-batches or the boundary stitch is " +
           "untested")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      s.read.parquet(statePath)
+      graft.streaming.Streams.readGenMaintained(s, statePath)
         .withColumn("valid_to", lead("ts", 1).over(w))
         .select(col("user_id"), col("event_type"),
           col("ts").as("valid_from"), col("valid_to"),
@@ -714,7 +714,7 @@ object Etl {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the late path is untested")
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      s.read.parquet(s"$basePath/log")
+      graft.streaming.Streams.readGenArtifact(s, basePath, "log")
         .withColumn("valid_to", lead("ts", 1).over(w))
         .select(col("user_id"), col("event_type"),
           col("ts").as("valid_from"), col("valid_to"),
@@ -742,7 +742,7 @@ object Etl {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the argmax merge is " +
           "untested")
-      s.read.parquet(statePath)
+      graft.streaming.Streams.readGenMaintained(s, statePath)
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
     }),
@@ -801,7 +801,7 @@ object Etl {
         "replay must span two micro-batches or the tombstone merge is " +
           "untested")
       // state RETAINS tombstones; visibility filtering is the reader's
-      s.read.parquet(statePath)
+      graft.streaming.Streams.readGenMaintained(s, statePath)
         .filter(!col("deleted"))
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
@@ -847,7 +847,7 @@ object Etl {
       require(q.recentProgress.map(_.batchId).distinct.length >= 2,
         "replay must span two micro-batches or the retraction path is " +
           "untested")
-      s.read.parquet(rollupPath)
+      graft.streaming.Streams.readGenMaintained(s, rollupPath)
         .select(col("day"), col("event_type"), col("n"),
           col("sv").cast("double").as("sum_value"))
         .orderBy("day", "event_type")
@@ -943,7 +943,7 @@ object Etl {
       val cutDay = (cut / 86400000000L) * 86400000000L
       graft.streaming.Streams.vacuumMaintained(s, rollupPath,
         col("day") >= expr(s"timestamp_micros(${cutDay}L)"))
-      s.read.parquet(rollupPath)
+      graft.streaming.Streams.readGenMaintained(s, rollupPath)
         .select(col("day"), col("event_type"), col("n"),
           col("sv").cast("double").as("sum_value"))
         .orderBy("day", "event_type")

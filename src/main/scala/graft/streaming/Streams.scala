@@ -827,7 +827,7 @@ object Streams {
   def rollupMaintain(events: DataFrame, rollupPath: String,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(events, checkpoint) { (batch, id) =>
-      mergeOnce(rollupPath, id) {
+      mergeOnceGen(rollupPath, id) {
         val sp = batch.sparkSession
         val part = batch
           .groupBy(date_trunc("day", col("ts")).as("day"),
@@ -835,25 +835,26 @@ object Streams {
           .agg(count(lit(1)).as("n"),
             sum(graft.ops.roundf(col("value"), 4).cast("decimal(22,4)"))
               .as("sv"))
-        val cur = new java.io.File(rollupPath)
-        val merged =
-          if (!cur.exists()) part
-          else sp.read.parquet(rollupPath).unionByName(part)
+        // generation-layout publish (r14 — the CDC family joins the
+        // large-state sinks): the rollup table is |days × types| rows
+        // but GROWS with retention, and the O(1) pointer flip makes
+        // the commit cost independent of that growth
+        val merged = currentGenPath(rollupPath) match {
+          case None => part
+          case Some(p) => sp.read.parquet(p).unionByName(part)
             .groupBy("day", "event_type")
             .agg(sum("n").as("n"), sum("sv").as("sv"))
-        val staged = rollupPath + s"_stage$id"
-        merged.write.mode("overwrite").parquet(staged)
-        // the staged write MATERIALIZED the merge, so the new version
-        // can swap into place (rename-aside keeps a recoverable copy)
-        markBatch(staged, id)
-        stagedSwap(staged, rollupPath)
+        }
+        publishGen(rollupPath, id) { dir =>
+          merged.write.mode("overwrite").parquet(dir)
+        }
       }
     }
 
   /** Retention vacuum for a merge-maintained table — the RETIREMENT
     * step of the maintenance lifecycle (serving tables must not grow
     * forever): rewrite state keeping only rows matching `keep`, behind
-    * the same staged-swap-with-recovery publish, preserving the
+    * the generation-layout pointer-flip publish, preserving the
     * exactly-once batch marker so the retry guard survives the
     * rewrite. Offline like [[compactMaintained]] (quiesced-table
     * contract). SEMANTIC contract: after vacuuming keys outside the
@@ -864,16 +865,23 @@ object Streams {
     * with the source's watermark.
     */
   def vacuumMaintained(spark: SparkSession, statePath: String,
-      keep: org.apache.spark.sql.Column): Unit = {
-    recoverState(statePath)
-    if (!new java.io.File(statePath).exists()) return
-    val last = lastAppliedBatch(statePath)
-    val staged = statePath + "_vacuum"
-    spark.read.parquet(statePath).filter(keep)
-      .write.mode("overwrite").parquet(staged)
-    last.foreach(id => markBatch(staged, id))
-    stagedSwap(staged, statePath)
-  }
+      keep: org.apache.spark.sql.Column): Unit =
+    currentGenPath(statePath) match {
+      case None =>
+        // legacy or empty dir: loud on legacy state, no-op when empty
+        requireNotLegacy(statePath)
+      case Some(p) =>
+        // gen layout (r14): the rewrite lands as a fresh generation
+        // carrying the SAME batch marker — the exactly-once retry
+        // guard survives the vacuum — and the pointer flip is the
+        // commit, so a reader never sees a half-vacuumed table
+        val id = lastAppliedBatchGen(statePath).getOrElse(
+          sys.error(s"committed generation $p carries no batch marker"))
+        val filtered = spark.read.parquet(p).filter(keep)
+        publishGen(statePath, id) { dir =>
+          filtered.write.mode("overwrite").parquet(dir)
+        }
+    }
 
   /** Serialized bloom sketch of `delta`'s join keys, for prefiltering
     * an accumulated-side probe (the j_bloom runtime-filter lever
@@ -1116,18 +1124,18 @@ object Streams {
       id: Long, keys: Seq[String], signCol: String): Unit = {
     val cPath = s"$basePath/counts"
     val vPath = s"$basePath/view"
-    mergeOnce(cPath, id) {
+    mergeOnceGen(cPath, id) {
       val sp = batch.sparkSession
       val kc = keys.map(col)
       val d = batch.groupBy(kc: _*)
         .agg(sum(col(signCol).cast("long")).as("dn"))
-      val cur = new java.io.File(cPath)
-      val prev =
-        if (cur.exists()) sp.read.parquet(cPath)
-        else sp.createDataFrame(
+      val prev = currentGenPath(cPath) match {
+        case Some(p) => sp.read.parquet(p)
+        case None => sp.createDataFrame(
           sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(d.schema.fields.map(f =>
             if (f.name == "dn") f.copy(name = "n") else f)))
+      }
       val probe = bloomProbe(deltaKeyBloom(d, keys.head), prev, keys.head)
         .withColumnRenamed("n", "pn")
       val pj = d.join(probe, keys, "left")
@@ -1143,10 +1151,12 @@ object Streams {
       val merged = prev.unionByName(d.withColumnRenamed("dn", "n"))
         .groupBy(kc: _*).agg(sum("n").as("n"))
         .filter(col("n") =!= 0)
-      val staged = cPath + s"_stage$id"
-      merged.write.mode("overwrite").parquet(staged)
-      markBatch(staged, id)
-      stagedSwap(staged, cPath)
+      // counts publish through the generation layout (r14); the view
+      // log keeps its idempotent batch=<id> append — the count state
+      // is the key-space-sized artifact the pointer flip protects
+      publishGen(cPath, id) { dir =>
+        merged.write.mode("overwrite").parquet(dir)
+      }
     }
   }
 
@@ -1169,13 +1179,15 @@ object Streams {
     * out-of-order data needs interval REWRITES — that is
     * [[scd2LateMaintain]], which keeps this sink's fast path for
     * in-order users and rewrites only the touched users' histories.
-    * Same staged-swap publish, recovery, and retry marker as the other
-    * merge sinks.
+    * Generation-layout publish (r14 — the CDC family): the change log
+    * grows with history, so the O(1) pointer flip keeps commit cost
+    * independent of log size; same exactly-once retry marker as the
+    * other merge sinks.
     */
   def scd2Maintain(events: DataFrame, statePath: String,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(events, checkpoint) { (batch, id) =>
-      mergeOnce(statePath, id) {
+      mergeOnceGen(statePath, id) {
         import org.apache.spark.sql.expressions.Window
         val sp = batch.sparkSession
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1183,11 +1195,10 @@ object Streams {
           .withColumn("prev", lag("event_type", 1).over(w))
           .filter(col("prev").isNull || col("prev") =!= col("event_type"))
           .drop("prev")
-        val cur = new java.io.File(statePath)
-        val merged =
-          if (!cur.exists()) bch
-          else {
-            val st = sp.read.parquet(statePath)
+        val merged = currentGenPath(statePath) match {
+          case None => bch
+          case Some(p) =>
+            val st = sp.read.parquet(p)
             val wl = Window.partitionBy("user_id")
               .orderBy(desc("ts"), desc("event_id"))
             val open = st.withColumn("rn", row_number().over(wl))
@@ -1199,11 +1210,10 @@ object Streams {
                 col("cur_type") =!= col("event_type"))
               .select("user_id", "event_type", "ts", "event_id")
             st.unionByName(keep)
-          }
-        val staged = statePath + s"_stage$id"
-        merged.write.mode("overwrite").parquet(staged)
-        markBatch(staged, id)
-        stagedSwap(staged, statePath)
+        }
+        publishGen(statePath, id) { dir =>
+          merged.write.mode("overwrite").parquet(dir)
+        }
       }
     }
 
@@ -1226,6 +1236,15 @@ object Streams {
     *   - `log`: the change-row log (the queryable SCD2 state, same
     *     schema and read-side interval derivation as scd2Maintain).
     *
+    * Layout (r14): marks and log live TOGETHER inside one generation
+    * dir (`gen=N/marks`, `gen=N/log`) committed by [[publishGen]]'s
+    * single pointer flip — the multi-artifact commit is atomic, so no
+    * reader or retry can ever observe marks that absorbed a batch
+    * whose log did not (the window the old sequential staged-swaps
+    * left open). `events` appends stay outside the generation dirs
+    * (idempotent by construction, and rewriting the bronze table per
+    * batch would be O(history)).
+    *
     * Per batch: rows of users whose earliest batch row is strictly
     * after their watermark take the IN-ORDER path — |batch| change
     * detection + the boundary stitch, the scd2Maintain fast path,
@@ -1238,12 +1257,13 @@ object Streams {
     * that is exact in every case). Classification costs one join
     * against the |users|-row marks table — delta-proportional.
     *
-    * Retry safety: the body is mergeOnce-guarded on the log (written
-    * LAST); on a crash-retry before the log committed, the events
-    * re-append overwrites its own subdir, the marks argmax re-merge is
-    * idempotent (max is), and a user whose marks already absorbed the
-    * batch classifies as late — falling back to the always-exact
-    * rewrite path. StreamsSpec drives the double-apply.
+    * Retry safety: the body is mergeOnceGen-guarded on the generation
+    * marker; a crash-retry before the pointer flipped re-runs the
+    * whole body — the events re-append overwrites its own subdir, and
+    * marks+log recompute from the still-current PREVIOUS generation
+    * (the half-written orphan gen is invisible and gets re-overwritten).
+    * StreamsSpec drives the double-apply and the orphan-gen crash
+    * window.
     */
   def scd2LateMaintain(events: DataFrame, basePath: String,
       checkpoint: Option[String] = None): StreamingQuery =
@@ -1260,23 +1280,31 @@ object Streams {
     import org.apache.spark.sql.expressions.Window
     val sp = batch.sparkSession
     val eventsPath = s"$basePath/events"
-    val marksPath = s"$basePath/marks"
-    val logPath = s"$basePath/log"
-    mergeOnce(logPath, id) {
+    // pre-r14 scd2Late state had top-level marks/log dirs and no
+    // pointer — publishGen's top-level-parquet legacy check cannot see
+    // those SUBDIRS, so guard here or the upgrade silently restarts
+    // the log from empty while `events` keeps the full history
+    require(currentGen(basePath).isDefined ||
+      !new java.io.File(basePath, "log").isDirectory,
+      s"$basePath holds pre-generation scd2Late state (top-level " +
+        "marks/log, no pointer) — merging would silently restart the " +
+        "log; move marks/ and log/ under a gen=0 dir with the log's " +
+        "batch marker at the gen root and write '0' to _graft_current, " +
+        "or delete the dir to genuinely restart accumulation")
+    mergeOnceGen(basePath, id) {
       val b = batch.select("user_id", "event_type", "ts", "event_id")
       appendBatch(b, eventsPath, id)
-      recoverState(marksPath)
-      val priorMarks =
-        if (!new java.io.File(marksPath).exists()) None
-        else Some(sp.read.parquet(marksPath))
+      val genPath = currentGenPath(basePath)
+      val priorMarks = genPath.map(p => sp.read.parquet(s"$p/marks"))
       val bAgg = b.groupBy("user_id").agg(
         min(struct(col("ts"), col("event_id"))).as("bmin"),
         max(struct(col("ts"), col("event_id"))).as("bmax"))
       // late = any batch row at-or-before the user's prior watermark
       // (<= not <: equality cannot happen with unique event ids, but
       // the exact rewrite path is the safe side of any tie)
-      // eager localCheckpoint: lateUsers is consumed AFTER the marks
-      // staged-swap below replaces the files its lazy scan points at
+      // eager localCheckpoint: lateUsers feeds THREE joins below, and
+      // materializing |late users| ids once beats recomputing the
+      // marks probe per consumer
       val lateUsers = priorMarks match {
         case None => bAgg.select("user_id").limit(0)
         case Some(m) => bAgg.join(m, "user_id")
@@ -1284,29 +1312,21 @@ object Streams {
           .select("user_id")
           .localCheckpoint(true)
       }
-      // marks merge FIRST (argmax — idempotent under retry); the log,
-      // whose marker carries the exactly-once guard, commits last
       val marksMerged = priorMarks match {
         case None => bAgg.select(col("user_id"), col("bmax").as("mark"))
         case Some(m) => m.unionByName(
             bAgg.select(col("user_id"), col("bmax").as("mark")))
           .groupBy("user_id").agg(max("mark").as("mark"))
       }
-      val mStaged = marksPath + s"_stage$id"
-      marksMerged.write.mode("overwrite").parquet(mStaged)
-      stagedSwap(mStaged, marksPath)
-
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       def changes(df: DataFrame): DataFrame =
         df.withColumn("prev", lag("event_type", 1).over(w))
           .filter(col("prev").isNull || col("prev") =!= col("event_type"))
           .drop("prev")
-      recoverState(logPath)
-      val cur = new java.io.File(logPath)
-      val merged =
-        if (!cur.exists()) changes(b)
-        else {
-          val st = sp.read.parquet(logPath)
+      val merged = genPath match {
+        case None => changes(b)
+        case Some(p) =>
+          val st = sp.read.parquet(s"$p/log")
           // in-order users: the scd2Maintain fast path
           val ib = b.join(lateUsers, Seq("user_id"), "left_anti")
           val wl = Window.partitionBy("user_id")
@@ -1327,11 +1347,14 @@ object Streams {
           st.join(lateUsers, Seq("user_id"), "left_anti")
             .unionByName(inKeep)
             .unionByName(changes(hist))
-        }
-      val staged = logPath + s"_stage$id"
-      merged.write.mode("overwrite").parquet(staged)
-      markBatch(staged, id)
-      stagedSwap(staged, logPath)
+      }
+      // ONE atomic commit for both artifacts: marks and log land in
+      // the same generation dir and become visible via publishGen's
+      // single pointer rename
+      publishGen(basePath, id) { dir =>
+        marksMerged.write.mode("overwrite").parquet(s"$dir/marks")
+        merged.write.mode("overwrite").parquet(s"$dir/log")
+      }
     }
   }
 
@@ -1344,28 +1367,29 @@ object Streams {
     * one-shot newest-per-key over the whole stream
     * (l_latest_maintained shares l_latest's oracle verbatim). Each
     * batch first collapses to its own newest-per-key, so merge input
-    * is |state keys| + |batch keys| rows — keys, never events. Same
-    * staged-swap publish, crash recovery, and exactly-once retry
-    * marker as the other merge sinks.
+    * is |state keys| + |batch keys| rows — keys, never events.
+    * Generation-layout publish (r14 — the CDC family): the dimension
+    * table is |keys|-sized and grows with the key space, so the O(1)
+    * pointer flip keeps the commit independent of that growth; same
+    * exactly-once retry marker as the other merge sinks.
     */
   def latestMaintain(stream: DataFrame, statePath: String, key: String,
       modstamp: String, tiebreak: Seq[String] = Nil,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(stream, checkpoint) { (batch, id) =>
-      mergeOnce(statePath, id) {
+      mergeOnceGen(statePath, id) {
         val sp = batch.sparkSession
         val part = graft.etl.Load.latestByKey(batch, key, modstamp,
           tiebreak)
-        val cur = new java.io.File(statePath)
-        val merged =
-          if (!cur.exists()) part
-          else graft.etl.Load.latestByKey(
-            sp.read.parquet(statePath).unionByName(part),
+        val merged = currentGenPath(statePath) match {
+          case None => part
+          case Some(p) => graft.etl.Load.latestByKey(
+            sp.read.parquet(p).unionByName(part),
             key, modstamp, tiebreak)
-        val staged = statePath + s"_stage$id"
-        merged.write.mode("overwrite").parquet(staged)
-        markBatch(staged, id)
-        stagedSwap(staged, statePath)
+        }
+        publishGen(statePath, id) { dir =>
+          merged.write.mode("overwrite").parquet(dir)
+        }
       }
     }
 
@@ -1381,14 +1405,15 @@ object Streams {
     * rows. Append-only streams are the sign ≡ +1 special case of this
     * sink. Groups whose count nets to zero are dropped from state (a
     * fully-retracted group re-inserting later merges from absent = 0,
-    * which is correct for additive aggregates). Same staged-swap
-    * publish, crash recovery, and exactly-once retry marker as the
-    * other merge sinks.
+    * which is correct for additive aggregates). Generation-layout
+    * publish (r14 — the CDC family, same argument as
+    * [[rollupMaintain]]); same exactly-once retry marker as the other
+    * merge sinks.
     */
   def rollupSignedMaintain(events: DataFrame, rollupPath: String,
       checkpoint: Option[String] = None): StreamingQuery =
     maintainWriter(events, checkpoint) { (batch, id) =>
-      mergeOnce(rollupPath, id) {
+      mergeOnceGen(rollupPath, id) {
         val sp = batch.sparkSession
         val part = batch
           .groupBy(date_trunc("day", col("ts")).as("day"),
@@ -1397,7 +1422,6 @@ object Streams {
             sum((graft.ops.roundf(col("value"), 4) *
               col("sign").cast("double")).cast("decimal(22,4)"))
               .as("sv"))
-        val cur = new java.io.File(rollupPath)
         // a group is dropped only when it nets to NOTHING: retract
         // discipline says a retraction carries the old row verbatim, so
         // n netting to 0 implies sv nets to 0 too. Keeping n=0 groups
@@ -1407,16 +1431,16 @@ object Streams {
         // rather than silently discarding the mismatched sum.
         val dead = col("n") === 0 &&
           col("sv") === lit(0).cast("decimal(22,4)")
-        val merged =
-          if (!cur.exists()) part.filter(!dead)
-          else sp.read.parquet(rollupPath).unionByName(part)
+        val merged = currentGenPath(rollupPath) match {
+          case None => part.filter(!dead)
+          case Some(p) => sp.read.parquet(p).unionByName(part)
             .groupBy("day", "event_type")
             .agg(sum("n").as("n"), sum("sv").as("sv"))
             .filter(!dead)
-        val staged = rollupPath + s"_stage$id"
-        merged.write.mode("overwrite").parquet(staged)
-        markBatch(staged, id)
-        stagedSwap(staged, rollupPath)
+        }
+        publishGen(rollupPath, id) { dir =>
+          merged.write.mode("overwrite").parquet(dir)
+        }
       }
     }
 
@@ -1966,6 +1990,19 @@ object Streams {
       sys.error(s"no committed generation under $statePath — if this " +
         "dir holds pre-generation staged-swap state, run " +
         "Streams.migrateToGenLayout(path) once")))
+
+  /** Read ONE named artifact of a multi-artifact generation (e.g.
+    * [[scd2LateMaintain]]'s `log` beside its `marks`): resolve the
+    * pointer once, scan `gen=N/<artifact>` only — both artifacts a
+    * reader resolves through the same pointer value are guaranteed to
+    * come from the same atomic commit. */
+  def readGenArtifact(spark: SparkSession, statePath: String,
+      artifact: String): DataFrame =
+    spark.read.parquet(currentGenPath(statePath).map(p => s"$p/$artifact")
+      .getOrElse(sys.error(
+        s"no committed generation under $statePath — if this dir holds " +
+          "pre-generation staged-swap state, migrate it to the " +
+          "generation layout first")))
 
   /** Batch marker of the CURRENT generation — [[lastAppliedBatch]]
     * through the pointer. */

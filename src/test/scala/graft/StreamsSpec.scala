@@ -138,7 +138,7 @@ class StreamsSpec extends SparkTestBase {
     assert(q.awaitTermination(180000), "foreachBatch query must terminate")
     assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
       "replay must span two micro-batches")
-    val got = spark.read.parquet(rollupPath)
+    val got = Streams.readGenMaintained(spark, rollupPath)
       .select(col("day"), col("event_type"), col("n"),
         col("sv").cast("double").as("sv"))
     val full = etl.Tables.load(spark, dir, "events")
@@ -570,7 +570,8 @@ class StreamsSpec extends SparkTestBase {
     def view() = Streams.readMaintained(spark, s"$base/view")
       .groupBy("k").agg(sum("sign").as("m")).filter(col("m") > 0)
       .select("k").as[Long].collect().toSet
-    def counts() = Streams.readMaintained(spark, s"$base/counts")
+    def counts() = Streams.readGenMaintained(spark, s"$base/counts")
+      .drop("batch")
       .select("k", "n").as[(Long, Long)].collect().toMap
     Streams.ivmDistinctBatch(B((9L, -1)), base, 0L, Seq("k"), "sign")
     assert(view() == Set.empty, "a premature delete published a key")
@@ -1324,7 +1325,7 @@ class StreamsSpec extends SparkTestBase {
     Streams.scd2LateBatch(
       df((1L, "A", 10, 100L), (1L, "A", 20, 101L),
         (2L, "X", 10, 200L)), basePath, 0L)
-    def log() = spark.read.parquet(s"$basePath/log")
+    def log() = Streams.readGenArtifact(spark, basePath, "log")
       .select("user_id", "event_type", "event_id")
       .as[(Long, String, Long)].collect().toSet
     assert(log() == Set((1L, "A", 100L), (2L, "X", 200L)))
@@ -1340,7 +1341,7 @@ class StreamsSpec extends SparkTestBase {
     // marker on the log must make the whole body a no-op
     Streams.scd2LateBatch(b1, basePath, 1L)
     assert(log() == expected, "retried late batch changed the log")
-    assert(Streams.lastAppliedBatch(s"$basePath/log").contains(1L))
+    assert(Streams.lastAppliedBatchGen(basePath).contains(1L))
     // the late rewrite must equal the global batch recompute — the
     // oracle identity, asserted here structurally on the full log
     val all = df((1L, "A", 10, 100L), (1L, "A", 20, 101L),
@@ -1353,6 +1354,88 @@ class StreamsSpec extends SparkTestBase {
       .select("user_id", "event_type", "event_id")
       .as[(Long, String, Long)].collect().toSet
     assert(log() == recompute)
+  }
+
+  test("scd2LateBatch crash window: a half-written orphan generation " +
+      "is invisible to readers and re-overwritten on retry; marks and " +
+      "log flip together") {
+    // the r14 atomicity claim under test: the multi-artifact commit
+    // (marks + log) is ONE pointer rename. Simulate a crash that
+    // landed AFTER the gen dir started materializing but BEFORE the
+    // pointer flip — the worst interleaving for the old sequential
+    // staged-swaps (marks committed, log not) — by fabricating an
+    // orphan gen=1 carrying only a poisoned marks table. Readers must
+    // keep resolving gen 0 for BOTH artifacts, and the retried batch
+    // must overwrite the orphan wholesale.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd2_late_crash")
+    val basePath = tmp.resolve("scd2l").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def df(rows: (Long, String, Int, Long)*) = rows
+      .map { case (u, t, m, id) => (u, t, ts(m), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    Streams.scd2LateBatch(
+      df((1L, "A", 10, 100L), (1L, "A", 20, 101L)), basePath, 0L)
+    assert(Streams.currentGen(basePath).contains(0L))
+    // fabricate the crashed attempt: orphan gen=1 with ONLY marks (a
+    // poisoned watermark that would misclassify user 1 as in-order if
+    // any reader ever resolved it)
+    val orphanMarks = s"$basePath/gen=1/marks"
+    Seq((1L, ts(99), 999L)).toDF("user_id", "mts", "mid")
+      .select(col("user_id"),
+        struct(col("mts").as("ts"), col("mid").as("event_id")).as("mark"))
+      .write.parquet(orphanMarks)
+    // pointer still at gen 0: both artifacts resolve pre-crash state
+    assert(Streams.currentGen(basePath).contains(0L),
+      "an uncommitted generation moved the pointer")
+    assert(Streams.readGenArtifact(spark, basePath, "log")
+      .count() == 1, "reader saw past the committed generation")
+    assert(Streams.readGenArtifact(spark, basePath, "marks")
+      .as[(Long, (java.sql.Timestamp, Long))].head()._2._2 == 101L,
+      "reader resolved the orphan marks instead of the committed ones")
+    // the foreachBatch retry redelivers batch 1: the late t1.5:B must
+    // classify against the COMMITTED gen-0 marks (late path → split +
+    // resurrect), and the orphan gen=1 is overwritten by the real one
+    Streams.scd2LateBatch(df((1L, "B", 15, 102L)), basePath, 1L)
+    assert(Streams.currentGen(basePath).contains(1L))
+    val logRows = Streams.readGenArtifact(spark, basePath, "log")
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(logRows == Set((1L, "A", 100L), (1L, "B", 102L),
+      (1L, "A", 101L)),
+      s"retry over the orphan generation produced $logRows")
+    // atomic pair: the committed generation's marks were rebuilt from
+    // gen 0 + the batch — the poisoned orphan mark (999) is gone, and
+    // the watermark stays at the newest event (101 — the late row is
+    // OLDER, so it must NOT advance the mark)
+    assert(Streams.readGenArtifact(spark, basePath, "marks")
+      .as[(Long, (java.sql.Timestamp, Long))].head()._2._2 == 101L,
+      "retry absorbed the orphan marks instead of rebuilding from the " +
+        "committed generation")
+    // and both artifacts live inside the SAME committed gen dir
+    assert(new java.io.File(s"$basePath/gen=1/marks").isDirectory &&
+      new java.io.File(s"$basePath/gen=1/log").isDirectory,
+      "marks and log did not commit together in one generation")
+    assert(Streams.lastAppliedBatchGen(basePath).contains(1L))
+  }
+
+  test("scd2LateBatch refuses pre-generation legacy state loudly") {
+    // pre-r14 layout: top-level marks/ and log/ with no pointer.
+    // Merging over it would silently restart the log from empty while
+    // events/ keeps history — the guard must refuse with remediation.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd2_late_legacy")
+    val basePath = tmp.resolve("scd2l").toString
+    Seq((1L, "A")).toDF("user_id", "event_type")
+      .write.parquet(s"$basePath/log")
+    val ex = intercept[IllegalArgumentException] {
+      Streams.scd2LateBatch(
+        Seq((1L, "B", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"),
+          1L)).toDF("user_id", "event_type", "ts", "event_id"),
+        basePath, 0L)
+    }
+    assert(ex.getMessage.contains("pre-generation"),
+      s"legacy guard fired without remediation text: ${ex.getMessage}")
   }
 
   test("quantileBatch: cross-batch merge keeps the carried bound " +
