@@ -373,6 +373,29 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // TWO-LEVEL IVM in ONE batch commit — the maintained join view
+    // feeding a maintained aggregate inside the SAME foreachBatch body
+    // (Streams.ivmJoinAggBatch), vs l_ivm_rollup's medallion form
+    // where a SECOND streaming pipeline replays the view log into
+    // countMaintain: here the agg folds exactly the batch's view
+    // delta (re-read from the batch=<id> subdir level 1 just wrote —
+    // never recomputed, never a second pipeline's latency), carries a
+    // decimal SUM beside the count, and the retry guard spans both
+    // levels (a crash between them re-runs level 1 idempotently). The
+    // ORACLE is the full join-then-aggregate recompute, so a delta
+    // term missed at EITHER level, a double-fold on retry, or a
+    // level-2 merge drift goes hash-red. At 100 TB the chain is the
+    // point: the rollup absorbs CDC appends at delta-proportional cost
+    // without ever rebuilding the join view it derives from, and the
+    // agg commit is one O(1) pointer flip.
+    "l_ivm_joinagg" -> ((s, d) => {
+      val ivmBase = ivmJoinRig(s, d, "ivm_joinagg", joinAgg = true)
+      graft.streaming.Streams.readGenMaintained(s, s"$ivmBase/agg")
+        .select(col("c_mktsegment"), col("n"),
+          col("sv").cast("double").as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // LEFT OUTER view maintenance — the second IVM view shape, the one
     // an append-only view log CANNOT express: when batch 2 delivers
     // the first customer for an order published null-padded in batch
@@ -1120,8 +1143,12 @@ object Etl {
     * base path whose left/right/view subdirs hold the maintained
     * state.
     */
+  /** Shared orders⋈customer tagged-union two-batch replay driving an
+    * IVM sink; `joinAgg = true` drives the two-level
+    * [[graft.streaming.Streams.ivmJoinAggMaintain]] composition
+    * (same replay, same delta terms, plus the maintained rollup). */
   private def ivmJoinRig(s: org.apache.spark.sql.SparkSession,
-      d: String, tag: String): String = {
+      d: String, tag: String, joinAgg: Boolean = false): String = {
     import org.apache.spark.sql.types._
     val o = t(s, d, "orders")
     val c = t(s, d, "customer")
@@ -1152,12 +1179,16 @@ object Etl {
     val (base, stream) = Replay.twoBatchStream(s, tag, d,
       schema, "rows", b1, b2)
     val ivmBase = new java.io.File(base, "ivm").getPath
-    val q = graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
-      b => b.filter(col("side") === "o")
-        .select("o_orderkey", "o_custkey", "o_totalprice"),
-      b => b.filter(col("side") === "c")
-        .select("c_custkey", "c_name", "c_mktsegment"),
-      "o_custkey", "c_custkey")
+    val leftOf = (b: DataFrame) => b.filter(col("side") === "o")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val rightOf = (b: DataFrame) => b.filter(col("side") === "c")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val q =
+      if (joinAgg) graft.streaming.Streams.ivmJoinAggMaintain(stream,
+        ivmBase, leftOf, rightOf, "o_custkey", "c_custkey",
+        Seq("c_mktsegment"), "o_totalprice")
+      else graft.streaming.Streams.ivmJoinMaintain(stream, ivmBase,
+        leftOf, rightOf, "o_custkey", "c_custkey")
     require(q.awaitTermination(600000),
       "IVM join maintenance stream must drain (AvailableNow)")
     require(q.recentProgress.map(_.batchId).distinct.length >= 2,
@@ -1492,6 +1523,15 @@ object Etl {
            o_totalprice
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+    // the single-commit two-level composition vs the same plain
+    // recompute — a drift at either level (or between them) is a
+    // hash mismatch
+    "l_ivm_joinagg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     // two composed sinks vs one plain recompute: the gold counts must
     // survive view maintenance AND the downstream merge unchanged
     "l_ivm_rollup" ->

@@ -420,6 +420,51 @@ object Extras {
     // widened decimals (one pass), θ/means/r² are IEEE arithmetic in
     // the final projection — the x_linreg discipline end to end. At
     // 100 TB: one groupBy(user) + one moments pass, no extra scans.
+    // Mann-Whitney U — the nonparametric two-sample test an A/B
+    // pipeline reaches for when values are skewed (x_cuped's mean
+    // shift assumes finite-variance normality; rank tests don't).
+    // Samples: variant A = even user_id, B = odd, per event_type.
+    // Everything on the hash surface is INTEGER-exact: values snap to
+    // the 1e-4 grid (the repo's roundf discipline) so cross-engine
+    // equality is well-defined; ties get AVERAGE ranks carried as
+    // 2×rank to stay integral — for value v, r2(v) = 2·cnt_lt + cnt_eq
+    // + 1 (twice the average rank of v's tie block), so
+    // 2·R_A = Σ_v nA(v)·r2(v) and 2·U_A = 2·R_A − nA(nA+1), all exact
+    // 64-bit integers. The effect size AUC = U_A/(nA·nB) (the
+    // probability a random A value exceeds a random B one, ties half)
+    // divides two exact integers — IEEE-identical in both engines,
+    // then grid-rounded. Plan shape: one |distinct (type, value)|
+    // aggregate, one cumulative window over it, one final fold —
+    // the raw events shuffle once; at 100 TB the window runs over the
+    // (small) distinct-value frequency table, never the events.
+    "x_mannwhitney" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val v = roundf(col("value"), 4).cast("decimal(18,4)")
+      val freq = ev
+        .select(col("event_type"), v.as("v"),
+          (col("user_id") % 2 === 0).as("isA"))
+        .groupBy("event_type", "v")
+        .agg(count(lit(1)).as("nv"),
+          sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = freq
+        .withColumn("lt", coalesce(sum(col("nv")).over(w), lit(0L)))
+        .withColumn("r2", lit(2) * col("lt") + col("nv") + lit(1))
+      ranked.groupBy("event_type")
+        .agg(sum(col("na_v")).as("n1"),
+          sum(col("nv") - col("na_v")).as("n2"),
+          sum(col("na_v") * col("r2")).as("r2sum"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          (col("r2sum") - col("n1") * (col("n1") + 1)).as("u2"),
+          roundf((col("r2sum") - col("n1") * (col("n1") + 1))
+              .cast("double") /
+            (lit(2.0) * col("n1").cast("double") *
+              col("n2").cast("double")), 6).as("auc"))
+        .orderBy("event_type")
+    }),
+
     "x_cuped" -> ((s, d) => {
       val ev = t(s, d, "events")
       val mm = ev.agg(unix_micros(min(col("ts"))),
@@ -3290,6 +3335,34 @@ object Extras {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // identical exact-decimal per-user sums, widened-decimal moments
     // (the linregSql int128 discipline), IEEE θ/means/r²
+    // integer 2×-rank arithmetic end to end; the only division is the
+    // final AUC over two exact integers
+    "x_mannwhitney" ->
+      """WITH freq AS (
+           SELECT event_type,
+             CAST(floor(value * 10000.0 + 0.5) / 10000.0
+               AS DECIMAL(18,4)) AS v,
+             COUNT(*) AS nv,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na_v
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, nv, na_v,
+             COALESCE(SUM(nv) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS lt
+           FROM freq),
+         folded AS (
+           SELECT event_type,
+             CAST(SUM(na_v) AS BIGINT) AS n1,
+             CAST(SUM(nv - na_v) AS BIGINT) AS n2,
+             CAST(SUM(na_v * (2 * lt + nv + 1)) AS BIGINT) AS r2sum
+           FROM ranked GROUP BY 1)
+         SELECT event_type, n1, n2,
+           r2sum - n1 * (n1 + 1) AS u2,
+           floor((r2sum - n1 * (n1 + 1))::DOUBLE /
+             (2.0 * n1::DOUBLE * n2::DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS auc
+         FROM folded ORDER BY event_type""",
     "x_cuped" ->
       """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
                      FROM events),

@@ -903,10 +903,18 @@ object Streams {
         // size from the true delta count (one scalar job over the
         // in-memory micro-batch); floor 1000 keeps fpp honest
         val n = keyed.count()
-        val bf = keyed.stat.bloomFilter("k", math.max(n, 1000L), 0.01)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        Some(bos.toByteArray)
+        // an EMPTY delta (a batch touching only the other base table —
+        // routine for CDC) makes stat.bloomFilter return a null buffer
+        // (NPE on serialize); skip the prefilter — every join against
+        // the empty delta is empty regardless, so correctness and cost
+        // are unchanged
+        if (n == 0) None
+        else {
+          val bf = keyed.stat.bloomFilter("k", math.max(n, 1000L), 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Some(bos.toByteArray)
+        }
       case _ => None
     }
   }
@@ -997,6 +1005,67 @@ object Streams {
     appendBatch(jDelta, jPath, id)
     appendBatch(dA, aPath, id)
     appendBatch(dB, bPath, id)
+  }
+
+  /** TWO-LEVEL incremental view maintenance — a maintained JOIN view
+    * feeding a maintained AGGREGATE in the same batch commit (the
+    * materialized star-join rollup, the lakehouse's most common
+    * derived-table chain): level 1 is [[ivmJoinMaintain]]'s
+    * delta-proportional join view; level 2 folds EXACTLY that batch's
+    * view delta — re-read from the `batch=<id>` subdir the append just
+    * materialized, so the delta is never recomputed — into a
+    * (groupKeys → count, decimal-sum) table via the re-sum merge.
+    * The composition is exact because aggregation is additive over the
+    * view's row multiset and the view deltas partition it (the inner
+    * IVM identity is a disjoint union for append-only inputs).
+    *
+    * Retry discipline — the two levels compose cleanly because their
+    * idempotence mechanisms nest: the whole body is mergeOnceGen-
+    * guarded on the AGG (committed last). A crash before the agg
+    * commit re-runs level 1, whose `batch=<id>` overwrites and
+    * current-id-excluding prior reads make the re-append a byte-exact
+    * no-op, and level 2 then re-merges the identical delta against the
+    * still-current previous generation. A crash after the agg's
+    * pointer flip skips the whole body — the appends it would re-run
+    * already committed. Generation-layout publish for the agg (it is
+    * the |groupKeys|-sized serving artifact).
+    */
+  def ivmJoinAggMaintain(stream: DataFrame, basePath: String,
+      leftOf: DataFrame => DataFrame, rightOf: DataFrame => DataFrame,
+      leftKey: String, rightKey: String,
+      aggKeys: Seq[String], valueCol: String,
+      checkpoint: Option[String] = None): StreamingQuery =
+    maintainWriter(stream, checkpoint) { (batch, id) =>
+      ivmJoinAggBatch(leftOf(batch), rightOf(batch), basePath, id,
+        leftKey, rightKey, aggKeys, valueCol)
+    }
+
+  /** One [[ivmJoinAggMaintain]] batch commit, factored for the retry
+    * spec: a double apply must leave view AND agg unchanged. */
+  private[graft] def ivmJoinAggBatch(dA: DataFrame, dB: DataFrame,
+      basePath: String, id: Long, leftKey: String, rightKey: String,
+      aggKeys: Seq[String], valueCol: String): Unit = {
+    val aggPath = s"$basePath/agg"
+    mergeOnceGen(aggPath, id) {
+      ivmJoinBatch(dA, dB, basePath, id, leftKey, rightKey)
+      val sp = dA.sparkSession
+      val delta = sp.read.parquet(s"$basePath/view/batch=$id")
+      val kc = aggKeys.map(col)
+      val part = delta.groupBy(kc: _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col(valueCol).cast("decimal(18,2)"))
+            .cast("decimal(22,2)").as("sv"))
+      val merged = currentGenPath(aggPath) match {
+        case None => part
+        case Some(p) => sp.read.parquet(p).unionByName(part)
+          .groupBy(kc: _*)
+          .agg(sum("n").as("n"),
+            sum("sv").cast("decimal(22,2)").as("sv"))
+      }
+      publishGen(aggPath, id) { dir =>
+        merged.write.mode("overwrite").parquet(dir)
+      }
+    }
   }
 
   /** Two-sided incremental view maintenance for a LEFT OUTER join —

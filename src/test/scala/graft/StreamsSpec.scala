@@ -447,6 +447,49 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
   }
 
+  test("ivmJoinAggBatch: the two-level commit folds exactly the batch's " +
+      "view delta; retry and crash-between-levels both recover") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ivm_joinagg")
+    val base = tmp.resolve("ivm").toString
+    def A(rows: (Long, Long, Double)*) = rows.toSeq
+      .toDF("ok", "ck", "price")
+    def B(rows: (Long, String)*) = rows.toSeq.toDF("ck2", "seg")
+    def agg() = Streams.readGenMaintained(spark, s"$base/agg")
+      .select(col("seg"), col("n"), col("sv").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    Streams.ivmJoinAggBatch(A((1L, 10L, 10.0), (2L, 20L, 5.0)),
+      B((10L, "S1")), base, 0L, "ck", "ck2", Seq("seg"), "price")
+    assert(agg() == Map("S1" -> ((1L, 10.0))))
+    // batch 1 exercises all three level-1 delta terms feeding level 2:
+    // ΔA⋈B_prev (order 3→cust 10), A_prev⋈ΔB (order 2 meets cust 20),
+    // ΔA⋈ΔB (order 4→cust 20)
+    val b1a = A((3L, 10L, 2.0), (4L, 20L, 7.0))
+    val b1b = B((20L, "S2"))
+    Streams.ivmJoinAggBatch(b1a, b1b, base, 1L, "ck", "ck2",
+      Seq("seg"), "price")
+    val expected = Map("S1" -> ((2L, 12.0)), "S2" -> ((2L, 12.0)))
+    assert(agg() == expected,
+      "level-2 fold of the three delta terms drifted from the recompute")
+    // byte-exact retry of batch 1: the gen marker guards BOTH levels
+    Streams.ivmJoinAggBatch(b1a, b1b, base, 1L, "ck", "ck2",
+      Seq("seg"), "price")
+    assert(agg() == expected, "a retried two-level batch changed the agg")
+    // crash between levels: level 1 of batch 2 landed (view append),
+    // the agg did not — the foreachBatch retry must re-run level 1
+    // idempotently and then fold the SAME delta exactly once
+    val b2a = A((5L, 10L, 1.0))
+    val b2b = B()
+    Streams.ivmJoinBatch(b2a, b2b, base, 2L, "ck", "ck2")
+    Streams.ivmJoinAggBatch(b2a, b2b, base, 2L, "ck", "ck2",
+      Seq("seg"), "price")
+    assert(agg() == Map("S1" -> ((3L, 13.0)), "S2" -> ((2L, 12.0))),
+      "crash-between-levels retry double-folded or lost the delta")
+    assert(Streams.readMaintained(spark, s"$base/view").count() == 5,
+      "the level-1 re-append was not idempotent")
+  }
+
   test("sumsBatch: additive re-sum merge; marker-guarded retry leaves " +
       "the moments unchanged") {
     import spark.implicits._
