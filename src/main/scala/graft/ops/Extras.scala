@@ -183,6 +183,35 @@ object Extras {
       .agg(max(struct(col("wsum"), (-col("lab")).as("nl"))).as("m"))
       .select(col("u"), (-col("m.nl")).as("lab"))
 
+  /** Mann-Whitney fold over a (event_type, v, nv, na_v) frequency
+    * table: average-rank tie handling carried as 2×rank to stay
+    * integral (r2(v) = 2·cnt_lt + cnt_eq + 1), 2·U_A = Σ nA(v)·r2(v) −
+    * nA(nA+1), AUC = U_A/(nA·nB) as the one final division — shared by
+    * the one-shot x_mannwhitney and the maintained x_mw_maintained so
+    * the two rows differ ONLY in where the frequencies come from. The
+    * cumulative window runs over the |distinct (type, value)| table,
+    * never the raw events.
+    */
+  private def mwFold(freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = freq
+      .withColumn("lt", coalesce(sum(col("nv")).over(w), lit(0L)))
+      .withColumn("r2", lit(2) * col("lt") + col("nv") + lit(1))
+    ranked.groupBy("event_type")
+      .agg(sum(col("na_v")).as("n1"),
+        sum(col("nv") - col("na_v")).as("n2"),
+        sum(col("na_v") * col("r2")).as("r2sum"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        (col("r2sum") - col("n1") * (col("n1") + 1)).as("u2"),
+        roundf((col("r2sum") - col("n1") * (col("n1") + 1))
+            .cast("double") /
+          (lit(2.0) * col("n1").cast("double") *
+            col("n2").cast("double")), 6).as("auc"))
+      .orderBy("event_type")
+  }
+
   /** Vote tally for one synchronous-LPA round: edges ⋈ labels on the
     * neighbor key `v`, then Σw per (node, candidate label) —
     * DELIBERATELY UNSALTED, a measured decision (r14, closing the r13
@@ -439,7 +468,6 @@ object Extras {
     // the raw events shuffle once; at 100 TB the window runs over the
     // (small) distinct-value frequency table, never the events.
     "x_mannwhitney" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, d, "events")
       val v = roundf(col("value"), 4).cast("decimal(18,4)")
       val freq = ev
@@ -448,22 +476,47 @@ object Extras {
         .groupBy("event_type", "v")
         .agg(count(lit(1)).as("nv"),
           sum(when(col("isA"), 1L).otherwise(0L)).as("na_v"))
-      val w = Window.partitionBy("event_type").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = freq
-        .withColumn("lt", coalesce(sum(col("nv")).over(w), lit(0L)))
-        .withColumn("r2", lit(2) * col("lt") + col("nv") + lit(1))
-      ranked.groupBy("event_type")
-        .agg(sum(col("na_v")).as("n1"),
-          sum(col("nv") - col("na_v")).as("n2"),
-          sum(col("na_v") * col("r2")).as("r2sum"))
-        .select(col("event_type"), col("n1"), col("n2"),
-          (col("r2sum") - col("n1") * (col("n1") + 1)).as("u2"),
-          roundf((col("r2sum") - col("n1") * (col("n1") + 1))
-              .cast("double") /
-            (lit(2.0) * col("n1").cast("double") *
-              col("n2").cast("double")), 6).as("auc"))
-        .orderBy("event_type")
+      mwFold(freq)
+    }),
+
+    // x_mannwhitney's statistic derived from a MAINTAINED frequency
+    // table — the demonstration that ANY rank statistic is
+    // incrementally maintainable once its sufficient statistic is a
+    // keyed count table (the per-(type, grid-value) frequencies merge
+    // by pure addition, so Streams.sumsMaintain carries them across
+    // micro-batches at |batch vocab| merge cost; the rank window runs
+    // at READ time over the |distinct values| state, never the
+    // events). The ORACLE is x_mannwhitney's VERBATIM — the maintained
+    // freq table must reproduce the one-shot U and AUC exactly, so a
+    // lost batch, a double merge, or a grid drift goes hash-red.
+    "x_mw_maintained" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = t(s, d, "events")
+      val rows = ev.select(col("event_type"),
+        roundf(col("value"), 4).cast("decimal(18,4)").as("v"),
+        (col("user_id") % 2 === 0).as("isA"),
+        col("event_id"))
+      val mid = ev.agg(max("event_id")).head.getLong(0) / 2
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("v", DecimalType(18, 4)),
+        StructField("isA", BooleanType),
+        StructField("event_id", LongType)))
+      val (base, stream) = Replay.twoBatchStream(s, "mw_maint", d,
+        schema, "rows", rows.filter(col("event_id") < mid),
+        rows.filter(col("event_id") >= mid))
+      val fPath = new java.io.File(base, "freq").getPath
+      val q = graft.streaming.Streams.sumsMaintain(stream,
+        Seq("event_type", "v"), Seq("nv", "na_v"), fPath)(b =>
+          b.groupBy("event_type", "v")
+            .agg(count(lit(1)).as("nv"),
+              sum(when(col("isA"), 1L).otherwise(0L)).as("na_v")))
+      require(q.awaitTermination(600000),
+        "rank-frequency maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the re-sum merge is " +
+          "untested")
+      mwFold(graft.streaming.Streams.readGenMaintained(s, fPath))
     }),
 
     "x_cuped" -> ((s, d) => {
@@ -2330,6 +2383,35 @@ object Extras {
              19) AS BIGINT) AS bin, COUNT(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY bin"""
 
+  /** Shared by x_mannwhitney and x_mw_maintained (the maintained
+    * frequency table must reproduce the one-shot statistic exactly). */
+  private lazy val mwSql: String =
+    """WITH freq AS (
+         SELECT event_type,
+           CAST(floor(value * 10000.0 + 0.5) / 10000.0
+             AS DECIMAL(18,4)) AS v,
+           COUNT(*) AS nv,
+           SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na_v
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT event_type, nv, na_v,
+           COALESCE(SUM(nv) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS lt
+         FROM freq),
+       folded AS (
+         SELECT event_type,
+           CAST(SUM(na_v) AS BIGINT) AS n1,
+           CAST(SUM(nv - na_v) AS BIGINT) AS n2,
+           CAST(SUM(na_v * (2 * lt + nv + 1)) AS BIGINT) AS r2sum
+         FROM ranked GROUP BY 1)
+       SELECT event_type, n1, n2,
+         r2sum - n1 * (n1 + 1) AS u2,
+         floor((r2sum - n1 * (n1 + 1))::DOUBLE /
+           (2.0 * n1::DOUBLE * n2::DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 AS auc
+       FROM folded ORDER BY event_type"""
+
   private lazy val linregSql: String = {
       val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
       val varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
@@ -3338,32 +3420,10 @@ object Extras {
     // (the linregSql int128 discipline), IEEE θ/means/r²
     // integer 2×-rank arithmetic end to end; the only division is the
     // final AUC over two exact integers
-    "x_mannwhitney" ->
-      """WITH freq AS (
-           SELECT event_type,
-             CAST(floor(value * 10000.0 + 0.5) / 10000.0
-               AS DECIMAL(18,4)) AS v,
-             COUNT(*) AS nv,
-             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na_v
-           FROM events GROUP BY 1, 2),
-         ranked AS (
-           SELECT event_type, nv, na_v,
-             COALESCE(SUM(nv) OVER (PARTITION BY event_type ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS lt
-           FROM freq),
-         folded AS (
-           SELECT event_type,
-             CAST(SUM(na_v) AS BIGINT) AS n1,
-             CAST(SUM(nv - na_v) AS BIGINT) AS n2,
-             CAST(SUM(na_v * (2 * lt + nv + 1)) AS BIGINT) AS r2sum
-           FROM ranked GROUP BY 1)
-         SELECT event_type, n1, n2,
-           r2sum - n1 * (n1 + 1) AS u2,
-           floor((r2sum - n1 * (n1 + 1))::DOUBLE /
-             (2.0 * n1::DOUBLE * n2::DOUBLE) * 1000000.0 + 0.5)
-             / 1000000.0 AS auc
-         FROM folded ORDER BY event_type""",
+    "x_mannwhitney" -> mwSql,
+    // the maintained freq table must reproduce the one-shot statistic
+    // EXACTLY — the oracle is x_mannwhitney's verbatim
+    "x_mw_maintained" -> mwSql,
     "x_cuped" ->
       """WITH mm AS (SELECT epoch_us(MIN(ts)) AS t0, epoch_us(MAX(ts)) AS t1
                      FROM events),

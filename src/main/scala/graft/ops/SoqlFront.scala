@@ -33,7 +33,16 @@ object SoqlFront {
     // j3_nested so the two rows cannot mask each other)
     "soql_children" -> ((s, d) => Soql.query(s, d,
       "SELECT c_custkey, (SELECT o_orderkey FROM orders WHERE" +
-        " o_totalprice > 150000) FROM customer ORDER BY c_custkey")))
+        " o_totalprice > 150000) FROM customer ORDER BY c_custkey")),
+
+    // aggregate shape: COUNT() + exact MIN/MAX (no floating
+    // accumulation — the grid discipline stays trivial) with GROUP BY,
+    // aliases, and SOQL's default exprN naming exercised via the alias
+    // column names the oracle mirrors
+    "soql_groupby" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderpriority, COUNT() n, MIN(o_totalprice) lo," +
+        " MAX(o_totalprice) hi FROM orders WHERE o_orderstatus != 'P'" +
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
     "soql_dot" ->
@@ -48,6 +57,11 @@ object SoqlFront {
          WHERE c_acctbal >= 0
          ORDER BY c_acctbal DESC, c_custkey ASC
          LIMIT 20 OFFSET 10""",
+    "soql_groupby" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM orders WHERE o_orderstatus != 'P'
+         GROUP BY 1 ORDER BY 1""",
     "soql_children" ->
       """SELECT c_custkey,
            COALESCE(n.orders_o_orderkey_list, '')

@@ -60,9 +60,14 @@ object Soql {
       nullsFirst: Option[Boolean])
   final case class ChildQuery(field: String, rel: String,
       where: Option[Expr])
+  /** One aggregate select item: COUNT() (field None), or
+    * COUNT/SUM/MIN/MAX/AVG(field) [alias]. */
+  final case class AggItem(fn: String, field: Option[String],
+      alias: Option[String])
   final case class Query(fields: Seq[Seq[String]],
-      children: Seq[ChildQuery], obj: String, where: Option[Expr],
-      orderBy: Seq[Order], limit: Option[Int], offset: Option[Int])
+      children: Seq[ChildQuery], aggs: Seq[AggItem], obj: String,
+      where: Option[Expr], groupBy: Seq[String], orderBy: Seq[Order],
+      limit: Option[Int], offset: Option[Int])
 
   // ---------- relationship model ----------
 
@@ -265,6 +270,8 @@ object Soql {
     p.expectKw("SELECT")
     val fields = Seq.newBuilder[Seq[String]]
     val children = Seq.newBuilder[ChildQuery]
+    val aggs = Seq.newBuilder[AggItem]
+    val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
     def selectItem(): Unit =
       if (p.punct("(")) {
         // nested parent-child subquery: (SELECT f FROM childRel [WHERE …])
@@ -277,12 +284,45 @@ object Soql {
         val w = if (p.kw("WHERE")) Some(p.expr()) else None
         p.expectPunct(")")
         children += ChildQuery(f, rel, w)
-      } else fields += p.path()
+      } else {
+        val first = p.ident()
+        if (aggFns(first.toUpperCase) && p.punct("(")) {
+          // aggregate item: COUNT() | FN(field) [alias]
+          val f = if (p.punct(")")) None else {
+            val x = p.ident(); p.expectPunct(")"); Some(x)
+          }
+          require(f.isDefined || first.equalsIgnoreCase("COUNT"),
+            s"only COUNT() may omit the field: $q")
+          // SOQL allows an optional bare alias ident after the agg
+          val alias = p.peek match {
+            case Some(TId(s)) if !Set("FROM", "WHERE", "GROUP", "ORDER",
+                "LIMIT", "OFFSET").contains(s.toUpperCase) =>
+              p.next(); Some(s)
+            case _ => None
+          }
+          aggs += AggItem(first.toUpperCase, f, alias)
+        } else if (p.punct(".")) {
+          // dotted path whose head we already consumed
+          val b = Seq.newBuilder[String]
+          b += first
+          b += p.ident()
+          while (p.punct(".")) b += p.ident()
+          fields += b.result()
+        } else fields += Seq(first)
+      }
     selectItem()
     while (p.punct(",")) selectItem()
     p.expectKw("FROM")
     val obj = p.ident()
     val where = if (p.kw("WHERE")) Some(p.expr()) else None
+    val groupBy =
+      if (p.kw("GROUP")) {
+        p.expectKw("BY")
+        val items = Seq.newBuilder[String]
+        items += p.ident()
+        while (p.punct(",")) items += p.ident()
+        items.result()
+      } else Seq.empty
     val orderBy =
       if (p.kw("ORDER")) {
         p.expectKw("BY")
@@ -302,7 +342,17 @@ object Soql {
     require(p.atEnd, s"trailing tokens after OFFSET/LIMIT in SOQL: $q")
     require(offset.isEmpty || limit.isDefined,
       s"OFFSET without LIMIT is not supported: $q")
-    Query(fields.result(), children.result(), obj.toLowerCase, where,
+    val fs = fields.result()
+    val as = aggs.result()
+    val gb = groupBy
+    require(as.isEmpty || children.result().isEmpty,
+      s"aggregates and nested subqueries cannot mix: $q")
+    require(gb.isEmpty || as.nonEmpty,
+      s"GROUP BY without an aggregate select item: $q")
+    require(as.isEmpty || fs.forall(f =>
+        f.length == 1 && gb.contains(f.head)),
+      s"in an aggregate query every plain field must be grouped: $q")
+    Query(fs, children.result(), as, obj.toLowerCase, where, gb,
       orderBy, limit, offset)
   }
 
@@ -417,8 +467,35 @@ object Soql {
         .drop("__ck")
         .withColumn(name, coalesce(col(name), lit("")))
     wcol.foreach(c => df = df.filter(c))
-    if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
-    val out = df.select(sel ++ childCols.map(c => col(c._3)): _*)
+    val out =
+      if (q.aggs.isEmpty) {
+        if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
+        df.select(sel ++ childCols.map(c => col(c._3)): _*)
+      } else {
+        // aggregate query: plain fields are the (validated) group keys;
+        // agg items name SOQL's default exprN unless aliased. Output
+        // order: grouped fields in select order, then the aggregates.
+        val aggCols = q.aggs.zipWithIndex.map { case (a, i) =>
+          val c = (a.fn, a.field) match {
+            case ("COUNT", None) => count(lit(1))
+            case ("COUNT", Some(f)) => count(r.col(Seq(f)))
+            case ("SUM", Some(f)) => sum(r.col(Seq(f)))
+            case ("MIN", Some(f)) => min(r.col(Seq(f)))
+            case ("MAX", Some(f)) => max(r.col(Seq(f)))
+            case ("AVG", Some(f)) => avg(r.col(Seq(f)))
+            case _ => sys.error(s"unsupported aggregate ${a.fn}")
+          }
+          c.as(a.alias.getOrElse(s"expr$i"))
+        }
+        val grouped =
+          if (q.groupBy.nonEmpty) df.groupBy(q.groupBy.map(col): _*)
+          else df.groupBy()
+        var g = grouped.agg(aggCols.head, aggCols.tail: _*)
+        if (ocols.nonEmpty) g = g.orderBy(ocols: _*)
+        g.select(q.fields.map(f => col(f.head)) ++
+          q.aggs.zipWithIndex.map { case (a, i) =>
+            col(a.alias.getOrElse(s"expr$i")) }: _*)
+      }
     (q.limit, q.offset) match {
       case (Some(l), Some(o)) => out.offset(o).limit(l)
       case (Some(l), None) => out.limit(l)

@@ -862,6 +862,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "BroadcastHashJoin") == 2, p)
   }
 
+  test("soql_dot: the translated dot path broadcasts the parent dim " +
+      "and prunes both scans") {
+    // the SOQL front-end must inherit the hand-written queries' plan
+    // quality, not just their answers: the orders⋈customer LEFT join
+    // broadcasts the dim (no fact shuffle), and column pruning reaches
+    // BOTH parquet scans (3 of 6 orders columns, 3 of 8 customer)
+    val p = plan("soql_dot")
+    assert(nodeCount(p, "BroadcastHashJoin") == 1, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint," +
+      "o_custkey:bigint"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("l_ivm_joinagg: the served frame reads ONLY the maintained agg " +
+      "generation — no view or replay rescan") {
+    val p = plan("l_ivm_joinagg")
+    assert(p.contains("graft_ivm_joinagg") || p.contains("/agg/gen="),
+      "the two-level row should serve from the maintained agg table")
+    assert(!p.contains("rows.parquet") && !p.contains("/view/"),
+      "l_ivm_joinagg rescans the view or the replay inputs — the agg " +
+        "generation should serve it")
+  }
+
   test("t_contam: benchmark side broadcasts; corpus joins without sort") {
     // The ONE ng-shuffle in this plan is the BENCHMARK branch's distinct
     // (eval sets are thousands of docs — that shuffle is tiny at any

@@ -145,6 +145,42 @@ class SoqlSpec extends SparkTestBase {
     }
   }
 
+  test("aggregate query: COUNT()/SUM/MIN/MAX/AVG with GROUP BY and " +
+      "aliases; SOQL default exprN names when unaliased") {
+    val got = Soql.query(spark, dir,
+      "SELECT o_orderpriority, COUNT() n, MIN(o_totalprice) lo," +
+        " MAX(o_totalprice) hi, SUM(o_custkey) FROM orders" +
+        " WHERE o_orderstatus != 'P' GROUP BY o_orderpriority" +
+        " ORDER BY o_orderpriority")
+    val want = ops.t(spark, dir, "orders")
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"), sum("o_custkey").as("expr3"))
+      .orderBy("o_orderpriority")
+      .select("o_orderpriority", "n", "lo", "hi", "expr3")
+    same(got, want)
+    assert(got.count() > 0)
+    // ungrouped COUNT() — the client.rs count shape
+    val c = Soql.query(spark, dir, "SELECT COUNT() FROM customer")
+    assert(c.columns.toSeq == Seq("expr0") &&
+      c.head().getLong(0) == ops.t(spark, dir, "customer").count())
+  }
+
+  test("aggregate grammar refusals: ungrouped plain field, GROUP BY " +
+      "without aggregate, agg mixed with child subquery") {
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT o_orderkey, COUNT() FROM orders")
+    }
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT o_orderkey FROM orders GROUP BY o_orderkey")
+    }
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT COUNT(), (SELECT o_orderkey FROM orders)" +
+        " FROM customer")
+    }
+  }
+
   test("null comparisons and NOT IN") {
     val got = Soql.query(spark, dir,
       "SELECT o_orderkey FROM orders WHERE o_orderdate != null AND" +
