@@ -315,7 +315,8 @@ object Vectors {
     * dot-product table, per candidate M lookups; M-term sums
     * grid-rounded then decimal-summed for order-independence. */
   private def pqTopK(e: DataFrame, cent: DataFrame,
-      codes: DataFrame, cand: Option[DataFrame] = None): DataFrame = {
+      codes: DataFrame, cand: Option[DataFrame] = None,
+      topR: Int = 5): DataFrame = {
     val cn2 = cent.select(col("m"), col("cl"),
       aggregate(transform(col("cv"), x => x * x), lit(0.0),
         (a, b) => a + b).as("cn2"))
@@ -366,7 +367,7 @@ object Vectors {
         roundf(col("adot") / (col("qnrm") * col("vnrm")), 4)
           .as("acos"))
       .withColumn("rn", row_number().over(wP))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= topR)
       .select(col("q"), col("vec_id"), col("acos"), col("rn"))
       .orderBy("q", "rn")
   }
@@ -807,6 +808,48 @@ object Vectors {
       pqTopK(e, cent, codes, Some(cand))
     }),
 
+    // TWO-STAGE IVF-PQ search — the production FAISS pattern v_ivfpq
+    // stops short of: the compressed index only SHORTLISTS (ADC top-25
+    // inside the probed cells), and the final ranking re-scores the
+    // shortlist against the RAW vectors with exact cosine. The refine
+    // step touches |queries|·25 raw vectors — at 100 TB the raw-vector
+    // fetches are point lookups against the (vec_id-sorted) vector
+    // table, never a scan — and buys back everything quantization lost
+    // WITHIN the shortlist: recall@5 is bounded above by the coarse
+    // cells' candidate recall, and IvfSpec asserts it strictly above
+    // the ADC-ranked v_ivfpq. Exact-rerank grid discipline is
+    // v_knn_brute's verbatim (FloatVecDot, 1e-4 grid).
+    "v_ivfpq_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = pqCodebooks(e, lloydRounds = 1)
+      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cl").as("code"))
+      val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds = 1))
+      val stored = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("qc"))
+      val probes = ranked
+        .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q"), col("cl").as("qc"))
+      val cand = probes.join(stored, "qc").select("q", "vec_id")
+      val short = pqTopK(e, cent, codes, Some(cand), topR = 25)
+        .select("q", "vec_id")
+      val ev = e.select(col("vec_id"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+      val qv = ev.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q"), col("v").as("vq"),
+          col("nrm").as("nq"))
+      val w = Window.partitionBy(col("q"))
+        .orderBy(desc("cos"), asc("vec_id"))
+      short.join(ev, "vec_id").join(qv, "q")
+        .select(col("q"), col("vec_id"),
+          roundf(dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q"), col("vec_id"), col("cos"), col("rn"))
+        .orderBy("q", "rn")
+    }),
+
     // RESIDUAL-encoded IVF-PQ — the accuracy upgrade direct encoding
     // leaves on the table (disclosed in v_ivfpq's comment): PQ encodes
     // r = v − centroid(cell(v)), so the codebooks model the SMALL
@@ -1196,7 +1239,8 @@ object Vectors {
     * sub length, probe rule) shared with the Spark side. */
   private[ops] def pqSql(lloydRounds: Int, k: Int = PqK,
       trainPred: Option[String] = None,
-      ivfCand: Boolean = false, nprobe: Int = 2): String = {
+      ivfCand: Boolean = false, nprobe: Int = 2,
+      rerank: Boolean = false, topR: Int = 5): String = {
     val L = pqSubLen
     val subsSql = (0 until PqM).map(m =>
       s"SELECT vec_id, label, $m AS m, " +
@@ -1262,6 +1306,7 @@ object Vectors {
          """
     val candJoin = if (!ivfCand) ""
       else "JOIN cand ON cand.q = t.q AND cand.vec_id = c.vec_id"
+    val pqTail = pqTailSql(rerank, topR)
     s"""WITH subs AS MATERIALIZED ($subsSql),
          $candCtes$tsubsCte$rounds,
          $codesCte,
@@ -1300,11 +1345,42 @@ object Vectors {
                / 10000.0 AS acos
            FROM adc a JOIN vnrm vn ON a.vec_id = vn.vec_id
            JOIN qnrm qn ON a.q = qn.q)
-         SELECT q, vec_id, acos, rn FROM (
+         $pqTail"""
+  }
+
+  /** Final ranking of pqSql's `scored` CTE: plain ADC top-5, or (for
+    * v_ivfpq_rerank) the two-stage refine — ADC only SHORTLISTS topR,
+    * the final rank is exact cosine over raw vectors, v_knn_brute's
+    * grid verbatim. */
+  private def pqTailSql(rerank: Boolean, topR: Int): String =
+    if (!rerank)
+      """SELECT q, vec_id, acos, rn FROM (
            SELECT q, vec_id, acos, row_number() OVER (PARTITION BY q
              ORDER BY acos DESC, vec_id ASC) AS rn
            FROM scored) WHERE rn <= 5 ORDER BY q, rn"""
-  }
+    else
+      s""", shortlist AS (
+           SELECT q, vec_id FROM (
+             SELECT q, vec_id, row_number() OVER (PARTITION BY q
+               ORDER BY acos DESC, vec_id ASC) AS rn
+             FROM scored) WHERE rn <= $topR),
+         ev AS (
+           SELECT vec_id, embedding AS v,
+             sqrt(list_sum([(x::DOUBLE)*(x::DOUBLE) for x in embedding]))
+               AS nrm
+           FROM embeddings),
+         rescored AS (
+           SELECT s.q, s.vec_id,
+             floor(list_sum([(qv.v[i]::DOUBLE) * (dv.v[i]::DOUBLE)
+                 for i in range(1, len(qv.v) + 1)])
+               / (qv.nrm * dv.nrm) * 10000.0 + 0.5) / 10000.0 AS cos
+           FROM shortlist s
+           JOIN ev dv ON dv.vec_id = s.vec_id
+           JOIN ev qv ON qv.vec_id = s.q)
+         SELECT q, vec_id, cos, rn FROM (
+           SELECT q, vec_id, cos, row_number() OVER (PARTITION BY q
+             ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM rescored) WHERE rn <= 5 ORDER BY q, rn"""
 
   /** DuckDB mirror of ivfpqResTopK — the coarse chain (ivfRoundsSql),
     * residual doubles, the sub-space training chain over residuals
@@ -1530,6 +1606,10 @@ object Vectors {
     // the two proven chains composed: ivfRoundsSql's candidates gate
     // pqSql's ADC scoring
     "v_ivfpq" -> pqSql(lloydRounds = 1, ivfCand = true),
+    // the two-stage refine: same composed chain, ADC shortlists top-25,
+    // exact-cosine re-rank decides the top-5
+    "v_ivfpq_rerank" ->
+      pqSql(lloydRounds = 1, ivfCand = true, rerank = true, topR = 25),
     // the residual composition: coarse chain -> residual doubles ->
     // sub-space training over residuals -> per-cell reconstruction
     // table -> candidate-gated ADC, mirrored stage by stage

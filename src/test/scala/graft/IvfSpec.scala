@@ -153,6 +153,37 @@ class IvfSpec extends SparkTestBase {
         "ceiling — the restriction is not binding")
   }
 
+  test("exact re-rank of the ADC shortlist recovers quantization loss") {
+    // v_ivfpq_rerank: the compressed index only SHORTLISTS (ADC
+    // top-25 in the probed cells); exact cosine over raw vectors
+    // decides the top-5. Within the shortlist the re-rank is
+    // information-lossless, so recall must sit STRICTLY above the
+    // ADC-ranked v_ivfpq and still at-or-below the nprobe=2 candidate
+    // ceiling (refinement cannot resurrect a vector the coarse stage
+    // never surfaced).
+    val d = requireFixture("sf0.01")
+    val exact = bruteTop5(d)
+    def recallOfQuery(q: String): Double = {
+      val got = Vectors.queries(q)(spark, d)
+        .select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qq, want) =>
+        got.getOrElse(qq, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / exact.size
+    }
+    val adc = recallOfQuery("v_ivfpq")
+    val rr = recallOfQuery("v_ivfpq_rerank")
+    info(f"IVF-PQ recall@5: ADC-ranked $adc%.2f -> exact-reranked " +
+      f"$rr%.2f (top-25 shortlist, nprobe=2)")
+    assert(rr > adc,
+      f"exact re-rank did not beat ADC ranking: $rr%.2f <= $adc%.2f")
+    assert(rr <= 0.50,
+      f"reranked recall $rr%.2f exceeds the nprobe=2 candidate " +
+        "ceiling — the restriction is not binding")
+  }
+
   test("nprobe=8: the ladder reaches the production recall point") {
     // the r13 VERDICT asked the oracle-checked ladder to reach the
     // recall a real retrieval pipeline ships (~0.9). On this
