@@ -781,6 +781,56 @@ object Extras {
         .orderBy("user_id")
     }),
 
+    // Modularity TRAJECTORY of synchronous LPA — community detection
+    // without a quality metric is unauditable, and the per-round view
+    // is the practitioner's convergence diagnostic (on this dense
+    // co-activity graph the fixpoint collapses to ONE community —
+    // Q = 0 — so the converged labeling alone would be a degenerate
+    // fixture; the trajectory shows the intermediate partitions Q
+    // actually distinguishes). Newman's Q per community per round r ∈
+    // 1..3 (g_labelprop's fixed-depth chain): over the SYMMETRIZED
+    // edge list, W = Σw (every directed copy), W_c = intra-community
+    // weight, S_c = member strength sum — all exact BIGINTs — and
+    // q_contrib = (W_c·W − S_c²)/W² as ONE IEEE expression mirrored
+    // operand-for-operand in the oracle (exact integer inputs < 2^53
+    // at any gate scale, so the doubles are bit-identical; at true
+    // 100 TB the integer sums would widen to decimal). Per round the
+    // fold costs two |E| equi-joins + |communities| aggregates.
+    "g_modularity" -> ((s, d) => {
+      val edges = coactivityEdges(t(s, d, "events"))
+      val str = edges.groupBy("u").agg(sum("w").as("su"))
+      val wtot = str.agg(sum("su").cast("long").as("tw"))
+      def qOf(lab: DataFrame, round: Int): DataFrame = {
+        val cstr = lab.join(str, "u").groupBy("lab")
+          .agg(count(lit(1)).as("nodes"),
+            sum("su").cast("long").as("s_c"))
+        val win = edges
+          .join(lab.select(col("u"), col("lab").as("lu")), "u")
+          .join(lab.select(col("u").as("v"), col("lab").as("lv")), "v")
+          .filter(col("lu") === col("lv"))
+          .groupBy(col("lu").as("lab"))
+          .agg(sum("w").cast("long").as("w_in"))
+        cstr.join(win, Seq("lab"), "left")
+          .crossJoin(broadcast(wtot))
+          .select(lit(round).as("round"), col("lab").as("label"),
+            col("nodes"),
+            coalesce(col("w_in"), lit(0L)).as("w_in"), col("s_c"),
+            roundf(
+              (coalesce(col("w_in"), lit(0L)).cast("double") *
+                col("tw").cast("double") -
+                col("s_c").cast("double") * col("s_c").cast("double")) /
+                (col("tw").cast("double") * col("tw").cast("double")),
+              9).as("q_contrib"))
+      }
+      var lab = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lab"))
+      val folds = (1 to 3).map { r =>
+        lab = lpaArgmax(lpaVotes(edges, lab)).localCheckpoint()
+        qOf(lab, r)
+      }
+      folds.reduce(_.unionByName(_)).orderBy("round", "label")
+    }),
+
     // INCREMENTAL label propagation — the graph-maintenance loop
     // (d_index_maintained's discipline applied to LPA): the previous
     // labeling is a MAINTAINED table the next run SEEDS from, instead
@@ -3010,6 +3060,50 @@ object Extras {
          |$rounds
          |SELECT u AS user_id, lab AS label FROM l$LpaMaxRounds
          |ORDER BY user_id""".stripMargin
+    },
+    // Per-round modularity of the 3-round unrolled LPA — the labeling
+    // chain is g_labelprop's verbatim; each round's fold mirrors the
+    // Spark side's exact-integer W/W_c/S_c sums and the single IEEE
+    // ratio operand-for-operand.
+    "g_modularity" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+           |       FROM edges e JOIN l${i - 1} l ON e.v = l.u GROUP BY 1, 2),
+           |l$i AS (SELECT u, lab FROM (
+           |         SELECT u, lab, row_number() OVER (PARTITION BY u
+           |           ORDER BY wsum DESC, lab ASC) AS rn FROM v$i)
+           |       WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      def fold(i: Int) =
+        s"""SELECT $i AS round, c.lab AS label, c.nodes,
+           |  COALESCE(w.w_in, 0) AS w_in, c.s_c,
+           |  floor(((COALESCE(w.w_in, 0)::DOUBLE * wt.tw::DOUBLE)
+           |      - (c.s_c::DOUBLE * c.s_c::DOUBLE))
+           |    / (wt.tw::DOUBLE * wt.tw::DOUBLE)
+           |    * 1000000000.0 + 0.5) / 1000000000.0 AS q_contrib
+           |FROM (SELECT l.lab, COUNT(*) AS nodes,
+           |        CAST(SUM(st.su) AS BIGINT) AS s_c
+           |      FROM l$i l JOIN st ON l.u = st.u GROUP BY 1) c
+           |LEFT JOIN (SELECT lu.lab, CAST(SUM(e.w) AS BIGINT) AS w_in
+           |      FROM edges e JOIN l$i lu ON e.u = lu.u
+           |      JOIN l$i lv ON e.v = lv.u AND lu.lab = lv.lab
+           |      GROUP BY 1) w ON c.lab = w.lab, wt""".stripMargin
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         |  FROM events),
+         |pairs AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+         |  FROM act a JOIN act b USING (h)
+         |  WHERE a.user_id < b.user_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |edges AS (SELECT u, v, w FROM pairs
+         |          UNION ALL SELECT v, u, w FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS lab FROM edges),
+         |$rounds,
+         |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM edges),
+         |st AS (SELECT u, SUM(w) AS su FROM edges GROUP BY 1)
+         |${(1 to 3).map(fold).mkString("\nUNION ALL\n")}
+         |ORDER BY round, label""".stripMargin
     },
     // The UNRESTRICTED mirror of the incremental run (see the query
     // comment's equivalence argument): old-graph LPA unrolled to cap
