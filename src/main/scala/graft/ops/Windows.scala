@@ -127,6 +127,30 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // W3b: RANGE frame — the VALUE-based frame ROWS cannot express:
+    // "everything in the trailing hour" spans however many events fall
+    // in the interval (w3's ROWS BETWEEN 2 PRECEDING is always 3
+    // events regardless of their spacing — the distinction the r14
+    // e_rollmed redocumentation made explicit). Ordering on raw
+    // epoch-µs makes the frame bound an exact integer (3600000000)
+    // and RANGE semantics include order-value PEERS in both engines
+    // identically, so ties need no disclosure. The decimal sum keeps
+    // the aggregate order-independent.
+    "w8_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsus"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsus"),
+          col("value"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // W4: top-k per group — the keep-newest-k dedup shape (classic SF ETL
     // compaction, same mechanics as Load.latestByKey but k>1).
     "w4_topk_group" -> ((s, d) => {
@@ -279,6 +303,15 @@ object Windows {
              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
          FROM events ORDER BY user_id, event_id""",
+    "w8_range" ->
+      """SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "w4_topk_group" -> topkSql,
     // the maintained leaderboard must equal the one-shot top-k — the
     // semilattice identity, checked with w4's oracle VERBATIM
