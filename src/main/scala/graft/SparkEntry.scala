@@ -74,7 +74,10 @@ object SparkEntry {
       "g_triangles", "v_pq", "e_attribution",
       // round-13 headliners: MIN/MAX IVM, sampled-training PQ,
       // gen-layout t-digest maintenance
-      "l_ivm_minmax", "v_pq256", "x_tdigest_maintained")
+      "l_ivm_minmax", "v_pq256", "x_tdigest_maintained",
+      // round-14 headliners: single-commit two-level IVM, two-stage
+      // IVF-PQ refine
+      "l_ivm_joinagg", "v_ivfpq_rerank")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact
