@@ -149,7 +149,17 @@ object Bench {
     catch { case _: Throwable => }
     val oneshot = sys.env.get("SPARK_GRAFT_BENCH_ONESHOT").contains("1") ||
       sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
-    val passes = if (oneshot) 1 else 3
+    // SPARK_GRAFT_BENCH_FULL_STEADY=1: the full sweep runs TWO passes
+    // and reports the per-query min — pass 1 absorbs codegen/plan
+    // compile, so the reported number is steady-state throughput,
+    // COMPARABLE with the best-of-3 headline history (the r14 drift
+    // attribution showed the one-shot full sweep's times mixing lenses
+    // with the best-of-3 minima, which costs a judge adjudication per
+    // apparent above_min row). Costs 2× sweep wall-clock — opt-in.
+    val fullSteady =
+      sys.env.get("SPARK_GRAFT_BENCH_FULL_STEADY").contains("1") &&
+        sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val passes = if (fullSteady) 2 else if (oneshot) 1 else 3
     // SPARK_GRAFT_BENCH_ONLY=q1,q2: restrict to a comma-separated subset
     // (local iteration / regression isolation); unset = full headline set.
     // SPARK_GRAFT_BENCH_FULL=1: time EVERY registered query (the ~50
@@ -212,7 +222,8 @@ object Bench {
     val skewAbove = timed.collect { case (k, (_, w)) if w >= 3.0 =>
       f""""$k":$w%.2f"""
     }.mkString("{", ",", "}")
-    val mode = if (full) "full-surface-one-shot"
+    val mode = if (fullSteady) "full-surface-best-of-2"
+      else if (full) "full-surface-one-shot"
       else if (oneshot) "one-shot" else "best-of-3"
     // run-level contention self-defense: cumulative steal over the whole
     // run, 1-min loadavg at both ends, and an explicit contended flag

@@ -898,6 +898,63 @@ object Vectors {
         graft.streaming.Streams.readMaintained(s, codesPath))
     }),
 
+    // The LIVING flagship index — IVF-PQ with BOTH artifacts
+    // streaming-maintained off ONE input pass (r15 candidate #4
+    // pulled forward): coarse quantizer and PQ codebooks are trained
+    // once and frozen (maintained parquets, the v_pq_maintained
+    // discipline), then Streams.appendMaintainMulti lands each replay
+    // batch's cell assignments AND codes as paired batchId-keyed
+    // appends — a vector's entries in both artifacts depend on that
+    // vector alone, so the appends are the merge, a retry re-overwrites
+    // both, and the pair cannot diverge. Search probes the READ-BACK
+    // maintained inverted file for candidates and the READ-BACK
+    // maintained codes for ADC — the exact v_ivfpq composition with
+    // every index row having traveled the streaming path. Oracle is
+    // v_ivfpq's VERBATIM: a lost batch in either artifact, a
+    // double-append, or train/search codebook drift goes hash-red.
+    // At 100 TB this is the production ingest: per batch O(|batch|·K)
+    // coarse assignment + O(|batch|·M·K) encoding + two appends;
+    // neither index is ever rebuilt.
+    "v_ivfpq_maintained" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "ivfpq_idx", d,
+        graft.etl.Tables.schemas("embeddings"), "emb",
+        e.filter(col("vec_id") < mid), e.filter(col("vec_id") >= mid))
+      val coarsePath = new java.io.File(base, "coarse").getPath
+      ivfCentroids(e, lloydRounds = 1)
+        .write.mode("overwrite").parquet(coarsePath)
+      val coarse = s.read.parquet(coarsePath)
+      val cbPath = new java.io.File(base, "codebooks").getPath
+      pqCodebooks(e, lloydRounds = 1)
+        .write.mode("overwrite").parquet(cbPath)
+      val cent = s.read.parquet(cbPath)
+      val idxPath = new java.io.File(base, "ivf").getPath
+      val codesPath = new java.io.File(base, "codes").getPath
+      val q = graft.streaming.Streams.appendMaintainMulti(stream, Seq(
+        // cell assignment ONLY — the PQ codes carry the payload, so
+        // the inverted file never stores the raw vector
+        idxPath -> ((b: DataFrame) =>
+          ivfAssignTo(b, coarse).select("vec_id", "cluster")),
+        codesPath -> ((b: DataFrame) =>
+          pqRanked(pqSubs(b), cent).filter(col("rn") === 1)
+            .select(col("vec_id"), col("m"), col("cl").as("code")))))
+      require(q.awaitTermination(600000),
+        "IVF-PQ index maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the paired append is " +
+          "untested")
+      val stored = graft.streaming.Streams.readMaintained(s, idxPath)
+        .select(col("vec_id"), col("cluster").as("qc"))
+      val probes = ivfRanked(e, coarse)
+        .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q"), col("cl").as("qc"))
+      val cand = probes.join(stored, "qc").select("q", "vec_id")
+      pqTopK(e, cent,
+        graft.streaming.Streams.readMaintained(s, codesPath),
+        Some(cand))
+    }),
+
     // HYBRID RETRIEVAL: reciprocal-rank fusion (Cormack/Clarke/
     // Büttcher, SIGIR 2009) of a lexical BM25 ranking and a dense
     // cosine ranking over the SAME corpus (doc_id ↔ vec_id is the
@@ -1606,6 +1663,9 @@ object Vectors {
     // the two proven chains composed: ivfRoundsSql's candidates gate
     // pqSql's ADC scoring
     "v_ivfpq" -> pqSql(lloydRounds = 1, ivfCand = true),
+    // the maintained composition must equal the batch-built one —
+    // v_ivfpq's oracle VERBATIM (the v_pq_maintained precedent)
+    "v_ivfpq_maintained" -> pqSql(lloydRounds = 1, ivfCand = true),
     // the two-stage refine: same composed chain, ADC shortlists top-25,
     // exact-cosine re-rank decides the top-5
     "v_ivfpq_rerank" ->

@@ -653,6 +653,31 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** [[appendMaintain]] for SEVERAL derived tables off ONE input pass:
+    * each micro-batch lands every (path, transform) pair as its own
+    * idempotent `batch=<id>` overwrite — the shape for a composed
+    * index whose artifacts all derive row-locally from the same feed
+    * (e.g. IVF-PQ: the coarse cell assignment AND the PQ codes of a
+    * vector both depend on that vector alone). One stream, one
+    * checkpoint lineage, no second pass over the input; a retried
+    * batch re-overwrites every artifact's subdir, so the pair can
+    * never diverge past one in-flight batch — and since readers union
+    * committed subdirs, a crash between the two appends is invisible
+    * (the half-written batch dir is re-overwritten on redelivery
+    * before the checkpoint ever records the batch).
+    */
+  def appendMaintainMulti(stream: DataFrame,
+      sinks: Seq[(String, DataFrame => DataFrame)]): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.localCheckpoint()
+        sinks.foreach { case (path, transform) =>
+          appendBatch(transform(b), path, id)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One [[appendMaintain]] batch commit: overwrite of the
     * batchId-derived subdirectory — calling it twice with the same id
     * (the retry case) leaves exactly one copy of the batch's rows.

@@ -167,6 +167,32 @@ class SoqlSpec extends SparkTestBase {
       c.head().getLong(0) == ops.t(spark, dir, "customer").count())
   }
 
+  test("HAVING filters on selected AND unselected aggregate calls; " +
+      "the hidden agg column never reaches the output") {
+    val o = ops.t(spark, dir, "orders")
+    val nAvg = o.count() / 3  // statuses F/O/P are uneven — F and O
+                              // sit above the mean, P far below
+    val got = Soql.query(spark, dir,
+      s"SELECT o_orderstatus, COUNT() n FROM orders" +
+        s" GROUP BY o_orderstatus HAVING COUNT() > $nAvg AND" +
+        s" MIN(o_totalprice) >= 0 ORDER BY o_orderstatus")
+    val want = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"))
+      .filter(col("n") > nAvg && col("mn") >= 0L)
+      .orderBy("o_orderstatus")
+      .select("o_orderstatus", "n")
+    same(got, want)
+    val allGroups = o.select("o_orderstatus").distinct().count()
+    assert(got.count() > 0 && got.count() < allGroups,
+      s"HAVING fixture does not discriminate: ${got.count()} of " +
+        s"$allGroups groups survived")
+    assert(got.columns.toSeq == Seq("o_orderstatus", "n"),
+      "a hidden HAVING agg column leaked into the output")
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT c_name FROM customer HAVING COUNT() > 1")
+    }
+  }
+
   test("aggregate grammar refusals: ungrouped plain field, GROUP BY " +
       "without aggregate, agg mixed with child subquery") {
     intercept[IllegalArgumentException] {

@@ -447,6 +447,63 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.readMaintained(spark, s"$base/right").count() == 2)
   }
 
+  test("appendMaintainMulti: one input pass lands every artifact as " +
+      "paired batch=<id> appends; re-applied batch stays single-copy") {
+    // the composed-index shape (IVF-PQ cells + codes): two derived
+    // tables off one stream, each row-local, so the paired appends ARE
+    // the merge and the artifacts cannot diverge past one in-flight
+    // batch
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("amm")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val it = java.nio.file.Files.list(stage).iterator()
+      var p: java.nio.file.Path = null
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) p = f
+      }
+      java.nio.file.Files.copy(p, tmp.resolve(name))
+    }
+    writeOne(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), "a_in.parquet")
+    writeOne(Seq((3L, 30.0)).toDF("id", "v"), "b_in.parquet")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*_in.parquet")
+      .parquet(tmp.toString)
+    val evenPath = tmp.resolve("even").toString
+    val dblPath = tmp.resolve("dbl").toString
+    val q = Streams.appendMaintainMulti(stream, Seq(
+      evenPath -> ((b: org.apache.spark.sql.DataFrame) =>
+        b.select(col("id"), (col("id") % 2 === 0).as("even"))),
+      dblPath -> ((b: org.apache.spark.sql.DataFrame) =>
+        b.select(col("id"), (col("v") * 2).as("v2")))))
+    assert(q.awaitTermination(180000), "multi-append stream must drain")
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches")
+    def even() = Streams.readMaintained(spark, evenPath)
+      .as[(Long, Boolean)].collect().toSet
+    def dbl() = Streams.readMaintained(spark, dblPath)
+      .as[(Long, Double)].collect().toSet
+    assert(even() == Set((1L, false), (2L, true), (3L, false)))
+    assert(dbl() == Set((1L, 20.0), (2L, 40.0), (3L, 60.0)))
+    // a redelivered batch re-overwrites BOTH artifacts' subdirs — no
+    // double rows in either (the appendBatch idempotence, paired)
+    Streams.appendBatch(Seq((3L, false)).toDF("id", "even"),
+      evenPath, 1L)
+    Streams.appendBatch(Seq((3L, 60.0)).toDF("id", "v2"), dblPath, 1L)
+    assert(even() == Set((1L, false), (2L, true), (3L, false)),
+      "redelivery duplicated artifact 1")
+    assert(dbl() == Set((1L, 20.0), (2L, 40.0), (3L, 60.0)),
+      "redelivery duplicated artifact 2")
+  }
+
   test("ivmJoinAggBatch: the two-level commit folds exactly the batch's " +
       "view delta; retry and crash-between-levels both recover") {
     import spark.implicits._
