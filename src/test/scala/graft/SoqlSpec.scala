@@ -167,6 +167,21 @@ class SoqlSpec extends SparkTestBase {
       c.head().getLong(0) == ops.t(spark, dir, "customer").count())
   }
 
+  test("aggregate over a DOT PATH joins the parent before grouping") {
+    val got = Soql.query(spark, dir,
+      "SELECT o_orderstatus, MAX(customer.c_acctbal) mx, COUNT() n" +
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    val o = ops.t(spark, dir, "orders")
+    val c = ops.t(spark, dir, "customer")
+    val want = o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(max("c_acctbal").as("mx"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+      .select("o_orderstatus", "mx", "n")
+    same(got, want)
+    assert(got.count() > 0)
+  }
+
   test("HAVING filters on selected AND unselected aggregate calls; " +
       "the hidden agg column never reaches the output") {
     val o = ops.t(spark, dir, "orders")
