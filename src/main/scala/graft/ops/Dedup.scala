@@ -192,26 +192,35 @@ object Dedup {
     * the two produce bit-identical band keys.
     */
   private[graft] def idfBands(docs: DataFrame, maxDf: Long,
-      fused: Boolean = true): DataFrame = {
+      fused: Boolean = true, stopCap: Int = 4 << 20): DataFrame = {
     val M = 2147483647L
     val ex = docs.select(col("doc_id"),
         explode(shingles(col("text"), 5)).as("s"))
       .select(col("doc_id"), pmod(portableHash(col("s")), lit(M)).as("h0"))
     val dft = ex.groupBy("h0").agg(count(lit(1)).as("df"))
     val stop = dft.filter(col("df") > maxDf).select("h0")
-    if (fused) {
-      val stopArr = stop.collect().map(_.getLong(0))
+    // Zipf bound notwithstanding, a pathological maxDf (≪ the corpus
+    // average df) makes the stop set data-sized — cap what the driver
+    // will materialize and spill to the unfused anti-join path (with a
+    // SHUFFLE anti-join: a data-sized stop set must not broadcast
+    // either) instead of OOMing the collect. 4M longs = 32 MB, two
+    // orders above the bound's ~1000-entry working point.
+    lazy val stopArr =
+      stop.limit(stopCap + 1).collect().map(_.getLong(0))
+    if (fused && stopArr.length <= stopCap) {
       val sig = docs.select(col("doc_id"),
         org.apache.spark.sql.graftshim.FilteredShingleMinHashes
           .filteredShingleMinhashes(split(col("text"), " "), 5, MinhashK,
             stopArr).as("mh"))
       minhashBands(sig)
     } else {
+      val overCap = fused // reached here via the cap spill, not by choice
       val exP = ex
         // multiple consumers (stop anti-join, fallback passes) — persist
         // so the explode + md5 pass runs once
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val kept = exP.join(broadcast(stop), Seq("h0"), "left_anti")
+      val kept = exP.join(if (overCap) stop else broadcast(stop),
+        Seq("h0"), "left_anti")
       // fallback: a doc whose every shingle is a stop shingle would lose
       // its signature — such docs (rare by construction) keep their full
       // set instead

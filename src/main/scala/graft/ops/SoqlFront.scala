@@ -42,7 +42,70 @@ object SoqlFront {
     "soql_groupby" -> ((s, d) => Soql.query(s, d,
       "SELECT o_orderpriority, COUNT() n, MIN(o_totalprice) lo," +
         " MAX(o_totalprice) hi FROM orders WHERE o_orderstatus != 'P'" +
-        " GROUP BY o_orderpriority ORDER BY o_orderpriority")))
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // date literals, anchored to a fixed `today` inside the events
+    // corpus (2024-01-01..30) so the row is deterministic: LAST_N_DAYS
+    // includes the anchor day plus the n preceding days; `< TODAY`
+    // is strictly-before-the-range (SOQL range semantics)
+    "soql_datelit" -> ((s, d) => Soql.query(s, d,
+      "SELECT event_id, event_type FROM events" +
+        " WHERE ts >= LAST_N_DAYS:7 AND ts < TODAY" +
+        " ORDER BY event_id",
+      today = Some(java.time.LocalDate.of(2024, 1, 25)))),
+
+    // month/= containment semantics: `= LAST_MONTH` is membership in
+    // the literal's half-open day range, anchored mid-corpus on orders
+    "soql_datelit2" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderkey, o_orderdate FROM orders" +
+        " WHERE o_orderdate = LAST_MONTH AND o_totalprice > 250000" +
+        " ORDER BY o_orderkey",
+      today = Some(java.time.LocalDate.of(1998, 6, 15)))),
+
+    // date functions in select + GROUP BY (SOQL requires the agg
+    // shape); counts only — the float-accumulation grid stays trivial
+    "soql_datefn" -> ((s, d) => Soql.query(s, d,
+      "SELECT CALENDAR_YEAR(o_orderdate) yr," +
+        " CALENDAR_MONTH(o_orderdate) mo, COUNT() n," +
+        " MAX(o_totalprice) hi FROM orders" +
+        " WHERE o_orderstatus = 'F'" +
+        " GROUP BY CALENDAR_YEAR(o_orderdate)," +
+        " CALENDAR_MONTH(o_orderdate) ORDER BY yr, mo")),
+
+    // INCLUDES/EXCLUDES over the multipicklist wire format (`flags`
+    // is the derived semicolon-joined field, e_multipick's fixture):
+    // INCLUDES matches rows containing EVERY value of SOME item
+    "soql_includes" -> ((s, d) => Soql.query(s, d,
+      "SELECT l_orderkey, l_linenumber, flags FROM lineitem" +
+        " WHERE flags INCLUDES ('A;F', 'R') AND l_quantity >= 45" +
+        " ORDER BY l_orderkey, l_linenumber")),
+    "soql_excludes" -> ((s, d) => Soql.query(s, d,
+      "SELECT l_orderkey, l_linenumber, flags FROM lineitem" +
+        " WHERE flags EXCLUDES ('O', 'N;F') AND l_quantity >= 48" +
+        " ORDER BY l_orderkey, l_linenumber")),
+
+    // multi-level dot paths: 2-hop select column, 3-hop WHERE filter
+    // (orders→customer→nation→region), flattened as rel1_rel2_field
+    "soql_dot2" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderkey, customer.nation.n_name FROM orders" +
+        " WHERE customer.nation.region.r_name = 'ASIA'" +
+        " AND o_totalprice > 300000 ORDER BY o_orderkey")),
+
+    // COUNT_DISTINCT + GROUP BY ROLLUP: subtotal rows carry NULL group
+    // keys, so ORDER BY pins NULLS FIRST on both sides of the oracle
+    "soql_rollup" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderpriority, o_orderstatus, COUNT() n," +
+        " COUNT_DISTINCT(o_custkey) nc FROM orders" +
+        " GROUP BY ROLLUP(o_orderpriority, o_orderstatus)" +
+        " ORDER BY o_orderpriority NULLS FIRST," +
+        " o_orderstatus NULLS FIRST")),
+
+    // multi-hop GROUP BY + HAVING on an aggregate call + agg-alias
+    // ORDER BY — the dotted group key orders by its output name
+    "soql_having2" -> ((s, d) => Soql.query(s, d,
+      "SELECT customer.nation.n_name, COUNT() n FROM orders" +
+        " GROUP BY customer.nation.n_name HAVING COUNT() > 300" +
+        " ORDER BY customer.nation.n_name")))
 
   val oracles: Map[String, String] = Map(
     "soql_dot" ->
@@ -73,5 +136,67 @@ object SoqlFront {
            FROM orders WHERE o_totalprice > 150000
            GROUP BY o_custkey) n
            ON c_custkey = n.o_custkey
-         ORDER BY c_custkey""")
+         ORDER BY c_custkey""",
+    // anchor 2024-01-25: LAST_N_DAYS:7 = [2024-01-18, 2024-01-26);
+    // `>=` includes the range, `< TODAY` is before [2024-01-25, 26)
+    "soql_datelit" ->
+      """SELECT event_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+           AND ts < TIMESTAMP '2024-01-25 00:00:00'
+         ORDER BY event_id""",
+    // anchor 1998-06-15: LAST_MONTH = [1998-05-01, 1998-06-01);
+    // `=` is containment in the half-open day range
+    "soql_datelit2" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-05-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND o_totalprice > 250000
+         ORDER BY o_orderkey""",
+    "soql_datefn" ->
+      """SELECT year(o_orderdate)::INT AS yr,
+           month(o_orderdate)::INT AS mo,
+           COUNT(*) AS n, MAX(o_totalprice) AS hi
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // flags = returnflag;linestatus — INCLUDES('A;F','R') matches rows
+    // whose value set contains {A,F} or contains {R}
+    "soql_includes" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_returnflag || ';' || l_linestatus AS flags
+         FROM lineitem
+         WHERE (((l_returnflag = 'A' OR l_linestatus = 'A')
+                 AND (l_returnflag = 'F' OR l_linestatus = 'F'))
+             OR (l_returnflag = 'R' OR l_linestatus = 'R'))
+           AND l_quantity >= 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "soql_excludes" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_returnflag || ';' || l_linestatus AS flags
+         FROM lineitem
+         WHERE NOT ((l_returnflag = 'O' OR l_linestatus = 'O')
+             OR ((l_returnflag = 'N' OR l_linestatus = 'N')
+                 AND (l_returnflag = 'F' OR l_linestatus = 'F')))
+           AND l_quantity >= 48
+         ORDER BY l_orderkey, l_linenumber""",
+    "soql_dot2" ->
+      """SELECT o_orderkey, n_name AS customer_nation_n_name
+         FROM orders
+           LEFT JOIN customer ON o_custkey = c_custkey
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+           LEFT JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND o_totalprice > 300000
+         ORDER BY o_orderkey""",
+    "soql_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS nc
+         FROM orders
+         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "soql_having2" ->
+      """SELECT n_name AS customer_nation_n_name, COUNT(*) AS n
+         FROM orders
+           LEFT JOIN customer ON o_custkey = c_custkey
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 HAVING COUNT(*) > 300
+         ORDER BY 1""")
 }

@@ -3,8 +3,8 @@ package graft.soql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Minimal SOQL-dialect text front-end — the one reference surface with
-  * no engine analog until now: the reference's entry point accepts SOQL
+/** SOQL-dialect text front-end — the one reference surface with no
+  * engine analog until now: the reference's entry point accepts SOQL
   * *text* (`oxidized-force/src/client.rs:199-205` passes the raw string
   * as the `q` parameter; `client.rs:214-217` builds `SELECT f,… FROM o`
   * for bulk jobs), while this engine exposes the DataFrame DSL and
@@ -12,24 +12,61 @@ import org.apache.spark.sql.functions._
   * reference's canonical query shapes:
   *
   *   - `SELECT f1, f2 FROM obj WHERE … ORDER BY … LIMIT n OFFSET m`
-  *   - child-parent DOT PATHS (`SELECT customer.c_name FROM orders`) —
-  *     SOQL's relationship traversal, translated to a LEFT OUTER join
-  *     (SOQL yields null fields for an absent parent, exactly the
-  *     j2_left semantics);
+  *   - child-parent DOT PATHS (`SELECT customer.c_name FROM orders`),
+  *     including MULTI-LEVEL chains (`customer.nation.n_name`, up to
+  *     SOQL's 5-hop limit) — SOQL's relationship traversal, translated
+  *     to LEFT OUTER joins (SOQL yields null fields for an absent
+  *     parent, exactly the j2_left semantics);
   *   - parent-child NESTED SUBQUERY
   *     (`SELECT c_custkey, (SELECT o_orderkey FROM orders) FROM
   *     customer`) — translated to the j3_nested shape: the child rows
   *     materialize per parent as an ordered comma-joined string, which
   *     keeps the result hash-comparable;
-  *   - AGGREGATE queries (r14 second pass): COUNT()/COUNT/SUM/MIN/
-  *     MAX/AVG(field-or-dot-path) with optional aliases (SOQL's
-  *     default exprN naming otherwise), GROUP BY, and HAVING whose
-  *     aggregate calls resolve to select items or hidden agg columns.
+  *   - AGGREGATE queries: COUNT()/COUNT/COUNT_DISTINCT/SUM/MIN/MAX/
+  *     AVG(field-or-dot-path) with optional aliases (SOQL's default
+  *     exprN naming otherwise), GROUP BY (plain fields, dot paths, or
+  *     date functions) including `GROUP BY ROLLUP(...)`/`CUBE(...)`
+  *     grouping supersets (subtotal rows carry NULL group keys —
+  *     Spark's rollup/cube verbatim), and HAVING whose aggregate calls
+  *     resolve to select items or hidden agg columns. ORDER BY in an
+  *     aggregate query resolves against output names: group keys
+  *     (dotted/function keys included), aggregate aliases, or exprN;
+  *   - DATE LITERALS (`TODAY`, `YESTERDAY`, `TOMORROW`,
+  *     `LAST_N_DAYS:n`, `NEXT_N_DAYS:n`, `LAST_90_DAYS`,
+  *     `THIS_MONTH`, `LAST_MONTH`, `NEXT_MONTH`, `THIS_YEAR`,
+  *     `LAST_YEAR`, `NEXT_YEAR`) — the single most common WHERE idiom
+  *     in real incremental extracts (`SystemModstamp >= LAST_N_DAYS:7`;
+  *     the reference passes them through verbatim, client.rs:199-205).
+  *     Each literal denotes a half-open day-aligned range [lo, hi) and
+  *     comparisons follow SOQL's range semantics: `=` is containment,
+  *     `<` is before-the-range, `>` is after-the-range, `<=`/`>=`
+  *     include it. `LAST_N_DAYS:n` includes today plus the n preceding
+  *     days (the documented "starts 00:00:00 n days before the current
+  *     day" reading). The anchor day defaults to the wall-clock UTC
+  *     date but is injectable (`today` parameter) so tests and the
+  *     oracle rows stay deterministic against the corpus calendar;
+  *   - DATE FUNCTIONS `CALENDAR_YEAR(f)` / `CALENDAR_MONTH(f)` /
+  *     `DAY_ONLY(f)` in WHERE predicates and (with GROUP BY, as SOQL
+  *     requires) in the select list;
+  *   - `INCLUDES` / `EXCLUDES` multipicklist predicates
+  *     (`flags INCLUDES ('A;F', 'R')`) — the reference's very first
+  *     type mapping is multipicklist → array (main.rs:88; wire format
+  *     semicolon-joined). Each list item is itself a semicolon-joined
+  *     value SET: the row matches when the field contains EVERY value
+  *     of SOME item; EXCLUDES is the negation. NULL fields follow SQL
+  *     three-valued logic (a Salesforce blank multipicklist is the
+  *     empty string, not NULL, so the distinction never arises on real
+  *     wire data). Multipicklist fields are declared in the
+  *     [[ObjectGraph]] as DERIVED columns — the describe-metadata
+  *     analog: the testdata has no semicolon-joined column, so `flags`
+  *     on lineitem is declared as returnflag;linestatus exactly like
+  *     `e_multipick` synthesizes it.
   *
   * Deliberately NOT covered (the reference itself never emits these
-  * through its typed API): multi-level dot paths (`a.b.c`), date
-  * literals, and the FOR UPDATE/WITH clauses. The grammar refuses
-  * loudly rather than mistranslating.
+  * through its typed API): week-granule date literals (`THIS_WEEK` —
+  * locale start-of-week dependent), fiscal-period literals, and the
+  * FOR UPDATE/WITH clauses. The grammar refuses loudly rather than
+  * mistranslating.
   *
   * The relationship model is explicit (an [[ObjectGraph]] of parent
   * and child relationships with their key columns) because SOQL
@@ -39,7 +76,8 @@ import org.apache.spark.sql.functions._
   * every query inherits Catalyst's pushdown/pruning and the same
   * physical planning as the hand-written registry queries (broadcast
   * for the dim-sized parents, partial aggregation under the nested
-  * subquery's collect).
+  * subquery's collect; date-literal bounds are embedded as foldable
+  * `timestamp_micros` literals so they push into the parquet scan).
   */
 object Soql {
 
@@ -50,12 +88,19 @@ object Soql {
   final case class NLit(v: BigDecimal) extends Lit
   final case class BLit(v: Boolean) extends Lit
   case object NullLit extends Lit
+  /** A SOQL date literal: `kind` is the canonical upper-case name,
+    * `n` the `:n` suffix for the parameterized forms (0 otherwise). */
+  final case class DLit(kind: String, n: Int) extends Lit
 
   sealed trait Expr
   final case class Cmp(path: Seq[String], op: String, v: Lit) extends Expr
   final case class InList(path: Seq[String], vs: Seq[Lit],
       negated: Boolean) extends Expr
   final case class LikeE(path: Seq[String], pattern: String) extends Expr
+  /** Multipicklist INCLUDES/EXCLUDES: each item is a semicolon-joined
+    * value SET ("A;F" = contains A AND F); items OR together. */
+  final case class IncludesE(path: Seq[String], items: Seq[String],
+      negated: Boolean) extends Expr
   final case class AndE(l: Expr, r: Expr) extends Expr
   final case class OrE(l: Expr, r: Expr) extends Expr
   final case class NotE(e: Expr) extends Expr
@@ -68,9 +113,19 @@ object Soql {
     * COUNT/SUM/MIN/MAX/AVG(field) [alias]. */
   final case class AggItem(fn: String, field: Option[Seq[String]],
       alias: Option[String])
-  final case class Query(fields: Seq[Seq[String]],
+  /** One non-aggregate select or GROUP BY item: a (possibly dotted)
+    * field path, optionally wrapped in a date function
+    * (CALENDAR_YEAR/CALENDAR_MONTH/DAY_ONLY), optionally aliased
+    * (function items only — SOQL has no plain-field aliases). */
+  final case class Field(fn: Option[String], path: Seq[String],
+      alias: Option[String])
+  /** `groupMode` is "" for a plain GROUP BY, or "ROLLUP"/"CUBE" for
+    * SOQL's `GROUP BY ROLLUP(...)`/`GROUP BY CUBE(...)` — grouping
+    * supersets whose subtotal rows carry NULL group keys, exactly
+    * Spark's `rollup`/`cube`. */
+  final case class Query(fields: Seq[Field],
       children: Seq[ChildQuery], aggs: Seq[AggItem], obj: String,
-      where: Option[Expr], groupBy: Seq[String],
+      where: Option[Expr], groupBy: Seq[Field], groupMode: String,
       having: Option[Expr], orderBy: Seq[Order],
       limit: Option[Int], offset: Option[Int])
 
@@ -79,6 +134,13 @@ object Soql {
     * ("$agg", FN, field-or-""). Never produced by `path()`, so
     * WHERE cannot accidentally contain one. */
   private val AggMark = "$agg"
+  /** Date-function calls in WHERE predicates ride the Expr tree as a
+    * sentinel path ("$fn", FN, field...). */
+  private val FnMark = "$fn"
+
+  private val aggFns =
+    Set("COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG")
+  private val dateFns = Set("CALENDAR_YEAR", "CALENDAR_MONTH", "DAY_ONLY")
 
   // ---------- relationship model ----------
 
@@ -93,9 +155,14 @@ object Soql {
   final case class ChildRel(name: String, table: String, fk: String,
       pk: String)
 
+  /** `derived` declares per-object computed fields (lower-case name →
+    * column expression over the object's own columns) — the
+    * describe-metadata analog for multipicklist fields, whose wire
+    * format is a semicolon-joined string (main.rs:88). */
   final case class ObjectGraph(
       parents: Map[String, Map[String, ParentRel]],
-      children: Map[String, Map[String, ChildRel]])
+      children: Map[String, Map[String, ChildRel]],
+      derived: Map[String, Map[String, Column]] = Map.empty)
 
   /** The testdata object graph — TPC-H FK structure expressed as SOQL
     * relationship names (what a Salesforce describe would carry). */
@@ -128,7 +195,13 @@ object Soql {
           "o_orderkey")),
       "nation" -> Map(
         "customers" -> ChildRel("customers", "customer", "c_nationkey",
-          "n_nationkey"))))
+          "n_nationkey"))),
+    derived = Map(
+      // the multipicklist fixture: wire format "A;F" exactly as
+      // e_multipick (ops/Etl.scala) synthesizes it
+      "lineitem" -> Map(
+        "flags" -> concat_ws(";", col("l_returnflag"),
+          col("l_linestatus")))))
 
   // ---------- tokenizer ----------
 
@@ -161,9 +234,22 @@ object Soql {
         val sb = new StringBuilder
         i += 1
         while (i < n && q.charAt(i) != '\'') {
-          // SOQL escapes a quote as \'
+          // the standard SOQL escape set; unknown escapes refuse loudly
+          // rather than silently dropping the backslash
           if (q.charAt(i) == '\\' && i + 1 < n) {
-            sb.append(q.charAt(i + 1)); i += 2
+            sb.append(q.charAt(i + 1) match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case 'b' => '\b'
+              case 'f' => '\f'
+              case '"' => '"'
+              case '\'' => '\''
+              case '\\' => '\\'
+              case other => sys.error(
+                s"unsupported escape \\$other in SOQL string literal: $q")
+            })
+            i += 2
           } else { sb.append(q.charAt(i)); i += 1 }
         }
         require(i < n, s"unterminated string literal in SOQL: $q")
@@ -173,7 +259,7 @@ object Soql {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         if (two == "!=" || two == "<>" || two == "<=" || two == ">=") {
           out += TP(two); i += 2
-        } else if ("(),.=<>".indexOf(c) >= 0) {
+        } else if ("(),.=<>:".indexOf(c) >= 0) {
           out += TP(c.toString); i += 1
         } else sys.error(s"unexpected character '$c' in SOQL at $i: $q")
       }
@@ -182,6 +268,13 @@ object Soql {
   }
 
   // ---------- parser (recursive descent over the token vector) ----------
+
+  /** Parameterless date literals. */
+  private val dateLit0 = Set("TODAY", "YESTERDAY", "TOMORROW",
+    "LAST_90_DAYS", "THIS_MONTH", "LAST_MONTH", "NEXT_MONTH",
+    "THIS_YEAR", "LAST_YEAR", "NEXT_YEAR")
+  /** `:n`-parameterized date literals. */
+  private val dateLitN = Set("LAST_N_DAYS", "NEXT_N_DAYS")
 
   private final class P(toks: Vector[Tok], q: String) {
     private var pos = 0
@@ -206,6 +299,10 @@ object Soql {
       case TId(s) => s
       case t => sys.error(s"expected identifier, got $t in SOQL: $q")
     }
+    def str(): String = next() match {
+      case TStr(s) => s
+      case t => sys.error(s"expected string literal, got $t in SOQL: $q")
+    }
     def path(): Seq[String] = {
       val b = Seq.newBuilder[String]
       b += ident()
@@ -220,6 +317,16 @@ object Soql {
       case TId(s) if s.equalsIgnoreCase("true") => BLit(true)
       case TId(s) if s.equalsIgnoreCase("false") => BLit(false)
       case TId(s) if s.equalsIgnoreCase("null") => NullLit
+      case TId(s) if dateLitN(s.toUpperCase) =>
+        expectPunct(":")
+        next() match {
+          case TNum(v) =>
+            val n = v.toInt
+            require(n > 0, s"date literal $s:$v needs a positive n: $q")
+            DLit(s.toUpperCase, n)
+          case t => sys.error(s"date literal $s needs :n, got $t: $q")
+        }
+      case TId(s) if dateLit0(s.toUpperCase) => DLit(s.toUpperCase, 0)
       case t => sys.error(s"expected literal, got $t in SOQL: $q")
     }
 
@@ -246,14 +353,16 @@ object Soql {
     private def predicate(): Expr = {
       val first = ident()
       val p: Seq[String] =
-        if (aggOk && Set("COUNT", "SUM", "MIN", "MAX", "AVG")(
-            first.toUpperCase) && punct("(")) {
+        if (aggOk && aggFns(first.toUpperCase) && punct("(")) {
           val f: Seq[String] = if (punct(")")) Seq.empty else {
             val x = path(); expectPunct(")"); x
           }
           require(f.nonEmpty || first.equalsIgnoreCase("COUNT"),
             s"only COUNT() may omit the field: $q")
           Seq(AggMark, first.toUpperCase) ++ f
+        } else if (dateFns(first.toUpperCase) && punct("(")) {
+          val x = path(); expectPunct(")")
+          Seq(FnMark, first.toUpperCase) ++ x
         } else {
           val b = Seq.newBuilder[String]
           b += first
@@ -266,6 +375,8 @@ object Soql {
         case TStr(s) => LikeE(p, s)
         case t => sys.error(s"LIKE needs a string pattern, got $t: $q")
       }
+      else if (kw("INCLUDES")) IncludesE(p, strList(), negated = false)
+      else if (kw("EXCLUDES")) IncludesE(p, strList(), negated = true)
       else next() match {
         case TP(op) if Set("=", "!=", "<>", "<", "<=", ">", ">=")(op) =>
           Cmp(p, if (op == "<>") "!=" else op, lit())
@@ -280,6 +391,20 @@ object Soql {
       expectPunct(")")
       InList(p, vs.result(), negated)
     }
+    private def strList(): Seq[String] = {
+      expectPunct("(")
+      val vs = Seq.newBuilder[String]
+      def item(): Unit = {
+        val s = str()
+        require(s.nonEmpty && s.split(";", -1).forall(_.nonEmpty),
+          s"INCLUDES/EXCLUDES items must be non-empty value sets: $q")
+        vs += s
+      }
+      item()
+      while (punct(",")) item()
+      expectPunct(")")
+      vs.result()
+    }
 
     def orderItem(): Order = {
       val p = path()
@@ -293,15 +418,28 @@ object Soql {
     }
   }
 
+  /** Canonical form of a select/GROUP BY item for match-up: SOQL
+    * identifiers are case-insensitive, so the function name and every
+    * path segment normalize before comparison (the alias does not
+    * participate). */
+  private def norm(f: Field): (Option[String], Seq[String]) =
+    (f.fn.map(_.toUpperCase), f.path.map(_.toLowerCase))
+
   /** Parse one SOQL statement into the AST. Loud on anything outside
     * the covered grammar. */
   def parse(q: String): Query = {
     val p = new P(tokenize(q), q)
     p.expectKw("SELECT")
-    val fields = Seq.newBuilder[Seq[String]]
+    val fields = Seq.newBuilder[Field]
     val children = Seq.newBuilder[ChildQuery]
     val aggs = Seq.newBuilder[AggItem]
-    val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+    val stopAlias = Set("FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
+      "OFFSET", "HAVING")
+    def alias(): Option[String] = p.peek match {
+      case Some(TId(s)) if !stopAlias.contains(s.toUpperCase) =>
+        p.next(); Some(s)
+      case _ => None
+    }
     def selectItem(): Unit =
       if (p.punct("(")) {
         // nested parent-child subquery: (SELECT f FROM childRel [WHERE …])
@@ -323,34 +461,48 @@ object Soql {
           }
           require(f.isDefined || first.equalsIgnoreCase("COUNT"),
             s"only COUNT() may omit the field: $q")
-          // SOQL allows an optional bare alias ident after the agg
-          val alias = p.peek match {
-            case Some(TId(s)) if !Set("FROM", "WHERE", "GROUP", "ORDER",
-                "LIMIT", "OFFSET").contains(s.toUpperCase) =>
-              p.next(); Some(s)
-            case _ => None
-          }
-          aggs += AggItem(first.toUpperCase, f, alias)
+          aggs += AggItem(first.toUpperCase, f, alias())
+        } else if (dateFns(first.toUpperCase) && p.punct("(")) {
+          // date-function item: FN(field-or-dot-path) [alias]
+          val x = p.path(); p.expectPunct(")")
+          fields += Field(Some(first.toUpperCase), x, alias())
         } else if (p.punct(".")) {
           // dotted path whose head we already consumed
           val b = Seq.newBuilder[String]
           b += first
           b += p.ident()
           while (p.punct(".")) b += p.ident()
-          fields += b.result()
-        } else fields += Seq(first)
+          fields += Field(None, b.result(), None)
+        } else fields += Field(None, Seq(first), None)
       }
     selectItem()
     while (p.punct(",")) selectItem()
     p.expectKw("FROM")
     val obj = p.ident()
     val where = if (p.kw("WHERE")) Some(p.expr()) else None
+    var groupMode = ""
     val groupBy =
       if (p.kw("GROUP")) {
         p.expectKw("BY")
-        val items = Seq.newBuilder[String]
-        items += p.ident()
-        while (p.punct(",")) items += p.ident()
+        if (p.kw("ROLLUP")) { groupMode = "ROLLUP"; p.expectPunct("(") }
+        else if (p.kw("CUBE")) { groupMode = "CUBE"; p.expectPunct("(") }
+        val items = Seq.newBuilder[Field]
+        def groupItem(): Unit = {
+          val first = p.ident()
+          if (dateFns(first.toUpperCase) && p.punct("(")) {
+            val x = p.path(); p.expectPunct(")")
+            items += Field(Some(first.toUpperCase), x, None)
+          } else if (p.punct(".")) {
+            val b = Seq.newBuilder[String]
+            b += first
+            b += p.ident()
+            while (p.punct(".")) b += p.ident()
+            items += Field(None, b.result(), None)
+          } else items += Field(None, Seq(first), None)
+        }
+        groupItem()
+        while (p.punct(",")) groupItem()
+        if (groupMode.nonEmpty) p.expectPunct(")")
         items.result()
       } else Seq.empty
     val having =
@@ -386,13 +538,18 @@ object Soql {
       s"aggregates and nested subqueries cannot mix: $q")
     require(gb.isEmpty || as.nonEmpty,
       s"GROUP BY without an aggregate select item: $q")
-    require(as.isEmpty || fs.forall(f =>
-        f.length == 1 && gb.contains(f.head)),
-      s"in an aggregate query every plain field must be grouped: $q")
+    // identifier matching is case-insensitive throughout (SOQL rule):
+    // a select item GROUP BY'd with different case must still resolve
+    require(as.isEmpty || fs.forall(f => gb.exists(g => norm(g) == norm(f))),
+      s"in an aggregate query every non-aggregate select item must " +
+        s"appear in GROUP BY: $q")
+    require(fs.forall(_.fn.isEmpty) || as.nonEmpty,
+      s"date functions in the select list require an aggregate query " +
+        s"with GROUP BY (SOQL rule): $q")
     require(having.isEmpty || as.nonEmpty,
       s"HAVING requires an aggregate query: $q")
     Query(fs, children.result(), as, obj.toLowerCase, where, gb,
-      having, orderBy, limit, offset)
+      groupMode, having, orderBy, limit, offset)
   }
 
   // ---------- translation ----------
@@ -403,34 +560,128 @@ object Soql {
       if (n.isValidLong) lit(n.toLong) else lit(n.toDouble)
     case BLit(b) => lit(b)
     case NullLit => lit(null)
+    case d: DLit => sys.error(
+      s"date literal ${d.kind} is only valid as a comparison RHS")
   }
 
-  /** Resolve a (possibly dotted) path to a Column, recording parent
-    * relationships that must be joined; `aggResolve` maps the HAVING
-    * sentinel paths (an aggregate call) to their computed columns. */
+  /** The half-open [lo, hi) day-aligned range a date literal denotes,
+    * as UTC epoch-microsecond bounds (the testdata timestamps are
+    * UTC-naive and the session timezone is pinned to UTC, so the
+    * day grid is unambiguous). */
+  private def dateRange(d: DLit, today: java.time.LocalDate): (Long, Long) = {
+    import java.time.LocalDate
+    def us(x: LocalDate): Long = x.toEpochDay * 86400000000L
+    val (lo, hi): (LocalDate, LocalDate) = d.kind match {
+      case "TODAY" => (today, today.plusDays(1))
+      case "YESTERDAY" => (today.minusDays(1), today)
+      case "TOMORROW" => (today.plusDays(1), today.plusDays(2))
+      // includes today plus the n preceding days (the documented
+      // "starts 00:00:00 of the day n days before the current day"
+      // reading)
+      case "LAST_N_DAYS" => (today.minusDays(d.n.toLong),
+        today.plusDays(1))
+      case "NEXT_N_DAYS" => (today.plusDays(1), today.plusDays(1L + d.n))
+      case "LAST_90_DAYS" => (today.minusDays(90), today.plusDays(1))
+      case "THIS_MONTH" =>
+        val f = today.withDayOfMonth(1); (f, f.plusMonths(1))
+      case "LAST_MONTH" =>
+        val f = today.withDayOfMonth(1); (f.minusMonths(1), f)
+      case "NEXT_MONTH" =>
+        val f = today.withDayOfMonth(1); (f.plusMonths(1), f.plusMonths(2))
+      case "THIS_YEAR" =>
+        val f = today.withDayOfYear(1); (f, f.plusYears(1))
+      case "LAST_YEAR" =>
+        val f = today.withDayOfYear(1); (f.minusYears(1), f)
+      case "NEXT_YEAR" =>
+        val f = today.withDayOfYear(1); (f.plusYears(1), f.plusYears(2))
+      case other => sys.error(s"unsupported date literal $other")
+    }
+    (us(lo), us(hi))
+  }
+
+  /** The Spark column a date function denotes (UTC session timezone —
+    * matches DuckDB's naive-timestamp semantics). */
+  private def dateFnCol(fn: String, c: Column): Column = fn match {
+    case "CALENDAR_YEAR" => year(c)
+    case "CALENDAR_MONTH" => month(c)
+    case "DAY_ONLY" => to_date(c)
+    case other => sys.error(s"unsupported date function $other")
+  }
+
+  /** Resolve a (possibly dotted, possibly multi-hop) path to a Column,
+    * recording the parent-relationship CHAIN that must be joined;
+    * `aggResolve` maps the HAVING sentinel paths (an aggregate call)
+    * to their computed columns. */
   private final class Resolver(obj: String, graph: ObjectGraph,
       aggResolve: (String, Option[Seq[String]]) => Column =
         (fn, _) => sys.error(
           s"aggregate call $fn(...) outside a HAVING clause")) {
-    val needed = scala.collection.mutable.LinkedHashMap[String, ParentRel]()
+    /** chain key ("customer", "customer__nation", …) → (parent chain
+      * key or "" for a base-object hop, the relationship). Insertion
+      * is walk order, so a chain's prefix always joins first. */
+    val needed =
+      scala.collection.mutable.LinkedHashMap[String, (String, ParentRel)]()
     def col(path: Seq[String]): Column = path match {
       case AggMark +: fn +: rest =>
         aggResolve(fn, if (rest.isEmpty) None else Some(rest))
-      case Seq(f) => org.apache.spark.sql.functions.col(f)
-      case Seq(rel, f) =>
-        val pr = graph.parents.getOrElse(obj, Map.empty)
-          .getOrElse(rel.toLowerCase, sys.error(
-            s"object $obj has no parent relationship '$rel' — known: " +
-              graph.parents.getOrElse(obj, Map.empty).keys.mkString(", ")))
-        needed.getOrElseUpdate(pr.name, pr)
-        org.apache.spark.sql.functions.col(s"__${pr.name}__$f")
-      case _ => sys.error(
-        s"multi-level dot paths are not supported: ${path.mkString(".")}")
+      case FnMark +: fn +: rest => dateFnCol(fn, col(rest))
+      case Seq(f) =>
+        graph.derived.getOrElse(obj, Map.empty).get(f.toLowerCase) match {
+          case Some(e) => e
+          case None => org.apache.spark.sql.functions.col(f)
+        }
+      case _ =>
+        require(path.length <= 6,
+          s"SOQL allows at most 5 relationship hops: " +
+            path.mkString("."))
+        val rels = path.init
+        val f = path.last
+        var table = obj
+        var key = ""
+        for (rel <- rels) {
+          val pr = graph.parents.getOrElse(table, Map.empty)
+            .getOrElse(rel.toLowerCase, sys.error(
+              s"object $table has no parent relationship '$rel' — " +
+                "known: " + graph.parents.getOrElse(table, Map.empty)
+                .keys.mkString(", ")))
+          val parentKey = key
+          key = if (key.isEmpty) pr.name else s"${key}__${pr.name}"
+          needed.getOrElseUpdate(key, (parentKey, pr))
+          table = pr.table
+        }
+        org.apache.spark.sql.functions.col(s"__${key}__$f")
     }
-    def outName(path: Seq[String]): String = path.mkString("_")
+    def fieldCol(fd: Field): Column = fd.fn match {
+      case Some(fn) => dateFnCol(fn, col(fd.path))
+      case None => col(fd.path)
+    }
   }
 
-  private def cond(e: Expr, r: Resolver): Column = e match {
+  /** Output column name of a non-aggregate select item: the alias if
+    * given, else `fn_path_segments` for function items / flattened
+    * `rel_field` for paths. */
+  private def outName(f: Field): String = f.alias.getOrElse(f.fn match {
+    case Some(fn) => (fn +: f.path).map(_.toLowerCase).mkString("_")
+    case None => f.path.mkString("_")
+  })
+
+  private def cond(e: Expr, r: Resolver,
+      today: java.time.LocalDate): Column = e match {
+    case Cmp(p, op, d: DLit) =>
+      // SOQL range semantics: `=` is containment in the literal's
+      // half-open day range, `<`/`>` are strictly before/after it
+      val (lo, hi) = dateRange(d, today)
+      val c = r.col(p)
+      def ts(us: Long): Column = timestamp_micros(lit(us))
+      op match {
+        case "=" => c >= ts(lo) && c < ts(hi)
+        case "!=" => !(c >= ts(lo) && c < ts(hi))
+        case "<" => c < ts(lo)
+        case "<=" => c < ts(hi)
+        case ">" => c >= ts(hi)
+        case ">=" => c >= ts(lo)
+        case other => sys.error(s"unsupported operator $other")
+      }
     case Cmp(p, "=", NullLit) => r.col(p).isNull
     case Cmp(p, "!=", NullLit) => r.col(p).isNotNull
     case Cmp(p, "=", v) => r.col(p) === litCol(v)
@@ -446,24 +697,42 @@ object Soql {
         case NLit(n) => (if (n.isValidLong) n.toLong else n.toDouble): Any
         case BLit(b) => b: Any
         case NullLit => sys.error("NULL inside IN list is not supported")
+        case _: DLit =>
+          sys.error("date literals inside IN lists are not supported")
       }: _*)
       if (neg) !c else c
     case LikeE(p, pat) => r.col(p).like(pat)
-    case AndE(l, rr) => cond(l, r) && cond(rr, r)
-    case OrE(l, rr) => cond(l, r) || cond(rr, r)
-    case NotE(x) => !cond(x, r)
+    case IncludesE(p, items, neg) =>
+      // multipicklist membership over the semicolon-joined wire format:
+      // contains EVERY value of SOME item (items OR, values AND)
+      val arr = split(r.col(p), ";")
+      val pred = items.map { item =>
+        item.split(";").toSeq
+          .map(v => array_contains(arr, lit(v)))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      if (neg) !pred else pred
+    case AndE(l, rr) => cond(l, r, today) && cond(rr, r, today)
+    case OrE(l, rr) => cond(l, r, today) || cond(rr, r, today)
+    case NotE(x) => !cond(x, r, today)
   }
 
   /** Translate parsed SOQL to a DataFrame over the testdata tables.
-    * Dotted output columns flatten as `rel_field`; a nested subquery
-    * emits `<rel>_<field>_list` — the child values sorted ascending
-    * and comma-joined (the j3_nested shape, hash-comparable). */
+    * Dotted output columns flatten as `rel_field` (chained hops as
+    * `rel1_rel2_field`); a nested subquery emits `<rel>_<field>_list`
+    * — the child values sorted ascending and comma-joined (the
+    * j3_nested shape, hash-comparable). `today` anchors date literals
+    * (defaulting to the wall-clock UTC date; inject it for
+    * deterministic tests/oracles). */
   def toDataFrame(q: Query, spark: SparkSession, dir: String,
-      graph: ObjectGraph = testdataGraph): DataFrame = {
+      graph: ObjectGraph = testdataGraph,
+      today: Option[java.time.LocalDate] = None): DataFrame = {
+    val anchor = today.getOrElse(
+      java.time.LocalDate.now(java.time.ZoneOffset.UTC))
     val r = new Resolver(q.obj, graph)
     // resolve every path first so `needed` is complete before joining
-    val sel = q.fields.map(p => r.col(p).as(r.outName(p)))
-    val wcol = q.where.map(cond(_, r))
+    val sel = q.fields.map(f => r.fieldCol(f).as(outName(f)))
+    val wcol = q.where.map(cond(_, r, anchor))
     val ocols = q.orderBy.map { o =>
       val c0 = r.col(o.path)
       val c1 = if (o.asc) c0.asc else c0.desc
@@ -482,6 +751,7 @@ object Soql {
       (fn, field) match {
         case ("COUNT", None) => count(lit(1))
         case ("COUNT", Some(f)) => count(r.col(f))
+        case ("COUNT_DISTINCT", Some(f)) => count_distinct(r.col(f))
         case ("SUM", Some(f)) => sum(r.col(f))
         case ("MIN", Some(f)) => min(r.col(f))
         case ("MAX", Some(f)) => max(r.col(f))
@@ -491,12 +761,23 @@ object Soql {
     val aggCols = q.aggs.zipWithIndex.map { case (a, i) =>
       aggFn(a.fn, a.field).as(a.alias.getOrElse(s"expr$i"))
     }
+    // group keys resolve now too (fills `needed` for dotted keys);
+    // each key gets an output-named column so dotted/function keys
+    // group and project under a stable name
+    val keyed = q.groupBy.map { g =>
+      val name = q.fields.find(f => Soql.norm(f) == Soql.norm(g))
+        .map(outName).getOrElse(outName(g))
+      (g, name)
+    }
     // HAVING: an aggregate call matching a select item filters on that
     // item's output column; an unselected call computes a HIDDEN agg
-    // column that the final projection drops
+    // column that the final projection drops. Matching is
+    // case-insensitive (SOQL identifiers are).
     val hidden = scala.collection.mutable.ArrayBuffer[Column]()
     def aggColOf(fn: String, field: Option[Seq[String]]): Column = {
-      val idx = q.aggs.indexWhere(a => a.fn == fn && a.field == field)
+      val idx = q.aggs.indexWhere(a => a.fn == fn &&
+        a.field.map(_.map(_.toLowerCase)) ==
+          field.map(_.map(_.toLowerCase)))
       if (idx >= 0)
         col(q.aggs(idx).alias.getOrElse(s"expr$idx"))
       else {
@@ -506,22 +787,27 @@ object Soql {
       }
     }
     val hr = new Resolver(q.obj, graph, aggColOf)
-    val hcond = q.having.map(cond(_, hr))
+    val hcond = q.having.map(cond(_, hr, anchor))
     require(hr.needed.isEmpty,
       "HAVING must not traverse parent relationships outside an " +
         "aggregate call")
     var df = graft.ops.t(spark, dir, q.obj)
     // parent joins: LEFT OUTER (SOQL dot semantics — absent parent
-    // yields null fields), parent columns prefixed so self-relations
-    // cannot collide; dim-sized parents broadcast under the session's
-    // autoBroadcast threshold exactly like the hand-written j-queries
-    for (pr <- r.needed.values) {
+    // yields null fields), parent columns prefixed by the relationship
+    // CHAIN so multi-hop and repeated relations cannot collide;
+    // dim-sized parents broadcast under the session's autoBroadcast
+    // threshold exactly like the hand-written j-queries. A chained
+    // hop's left key is the prefixed FK the previous hop rode in.
+    for ((key, (parentKey, pr)) <- r.needed) {
       val parent = graft.ops.t(spark, dir, pr.table).columns
         .foldLeft(graft.ops.t(spark, dir, pr.table)) { (d, c) =>
-          d.withColumnRenamed(c, s"__${pr.name}__$c")
+          d.withColumnRenamed(c, s"__${key}__$c")
         }
+      val leftKey =
+        if (parentKey.isEmpty) df(pr.fk)
+        else col(s"__${parentKey}__${pr.fk}")
       df = df.join(parent,
-        df(pr.fk) === parent(s"__${pr.name}__${pr.pk}"), "left")
+        leftKey === parent(s"__${key}__${pr.pk}"), "left")
     }
     // nested child subqueries: per-parent ordered comma-joined string
     val childCols = q.children.map { cq =>
@@ -532,7 +818,8 @@ object Soql {
             .keys.mkString(", ")))
       val childR = new Resolver(cr.table, graph)
       var child = graft.ops.t(spark, dir, cr.table)
-      cq.where.map(cond(_, childR)).foreach(c => child = child.filter(c))
+      cq.where.map(cond(_, childR, anchor))
+        .foreach(c => child = child.filter(c))
       require(childR.needed.isEmpty,
         "nested subqueries must not traverse relationships")
       val agg = child.groupBy(col(cr.fk).as("__ck"))
@@ -552,18 +839,65 @@ object Soql {
         if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
         df.select(sel ++ childCols.map(c => col(c._3)): _*)
       } else {
-        // aggregate query: plain fields are the (validated) group keys;
-        // agg items name SOQL's default exprN unless aliased (both
-        // resolved above, before the parent joins). Output order:
-        // grouped fields in select order, then the aggregates.
-        val grouped =
-          if (q.groupBy.nonEmpty) df.groupBy(q.groupBy.map(col): _*)
-          else df.groupBy()
+        // aggregate query: group keys are the (validated) select items
+        // plus any unselected GROUP BY fields; dotted and function
+        // keys materialize under their output name first. Agg items
+        // name SOQL's default exprN unless aliased (both resolved
+        // above, before the parent joins). Output order: non-aggregate
+        // select items in select order, then the aggregates.
+        for ((g, name) <- keyed if g.fn.isDefined || g.path.length > 1)
+          df = df.withColumn(name, r.fieldCol(g))
+        val groupCols = keyed.map { case (g, name) =>
+          if (g.fn.isEmpty && g.path.length == 1) col(g.path.head)
+          else col(name)
+        }
+        val grouped = q.groupMode match {
+          case "ROLLUP" => df.rollup(groupCols: _*)
+          case "CUBE" => df.cube(groupCols: _*)
+          case _ =>
+            if (groupCols.nonEmpty) df.groupBy(groupCols: _*)
+            else df.groupBy()
+        }
         val all = aggCols ++ hidden.toSeq
         var g = grouped.agg(all.head, all.tail: _*)
         hcond.foreach(c => g = g.filter(c))
-        if (ocols.nonEmpty) g = g.orderBy(ocols: _*)
-        g.select(q.fields.map(f => col(f.head)) ++
+        // agg-query ORDER BY resolves against OUTPUT names: a group
+        // key (by its normalized path — dotted/function keys included),
+        // an aggregate alias, or SOQL's default exprN
+        val aggOcols = q.orderBy.map { o =>
+          val name = keyed
+            .find { case (gk, _) =>
+              Soql.norm(gk) == ((None, o.path.map(_.toLowerCase))) }
+            .map(_._2)
+            .orElse(
+              // a group key's OUTPUT name (a date-function alias like
+              // `yr`, or a flattened dotted name)
+              if (o.path.length == 1)
+                keyed.collectFirst { case (_, n)
+                  if n.equalsIgnoreCase(o.path.head) => n }
+              else None)
+            .orElse(
+              if (o.path.length == 1)
+                q.aggs.zipWithIndex.collectFirst {
+                  case (a, i) if a.alias.getOrElse(s"expr$i")
+                    .equalsIgnoreCase(o.path.head) =>
+                    a.alias.getOrElse(s"expr$i")
+                }
+              else None)
+            .getOrElse(sys.error(
+              s"ORDER BY ${o.path.mkString(".")} must name a GROUP BY " +
+                "field or an aggregate alias in an aggregate query"))
+          val c0 = col(name)
+          o.nullsFirst match {
+            case Some(true) =>
+              if (o.asc) c0.asc_nulls_first else c0.desc_nulls_first
+            case Some(false) =>
+              if (o.asc) c0.asc_nulls_last else c0.desc_nulls_last
+            case None => if (o.asc) c0.asc else c0.desc
+          }
+        }
+        if (aggOcols.nonEmpty) g = g.orderBy(aggOcols: _*)
+        g.select(q.fields.map(f => col(outName(f))) ++
           q.aggs.zipWithIndex.map { case (a, i) =>
             col(a.alias.getOrElse(s"expr$i")) }: _*)
       }
@@ -575,6 +909,7 @@ object Soql {
   }
 
   /** Parse + translate in one call — the `client.query(q)` analog. */
-  def query(spark: SparkSession, dir: String, soql: String): DataFrame =
-    toDataFrame(parse(soql), spark, dir)
+  def query(spark: SparkSession, dir: String, soql: String,
+      today: Option[java.time.LocalDate] = None): DataFrame =
+    toDataFrame(parse(soql), spark, dir, today = today)
 }

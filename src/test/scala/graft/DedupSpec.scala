@@ -330,6 +330,29 @@ class DedupSpec extends SparkTestBase {
       "all-stopped fallback should emit the unfiltered signature")
   }
 
+  test("a pathological maxDf overflows the stop-set cap and spills to " +
+      "the shuffle anti-join path instead of OOMing the driver") {
+    // maxDf = 0 stops EVERY shingle — the Zipf bound (|stop| ≤
+    // Σdf/maxDf) degenerates, so the fused path's driver collect would
+    // be data-sized. With a tiny injected cap the fused call must
+    // produce the unfused chain's exact keys (every doc takes the
+    // all-stopped fallback → full unfiltered signatures), proving the
+    // spill preserves semantics; the cap probe itself collects at most
+    // cap+1 rows regardless of corpus size.
+    val d = requireFixture("sf0.001")
+    val docs = graft.etl.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val spilled = keys(Dedup.idfBands(docs, maxDf = 0L, stopCap = 8))
+    val unfused = keys(Dedup.idfBands(docs, maxDf = 0L, fused = false))
+    assert(spilled == unfused,
+      s"spill path diverged: onlySpilled=${(spilled -- unfused).take(3)}" +
+        s" onlyUnfused=${(unfused -- spilled).take(3)}")
+    assert(spilled.nonEmpty)
+  }
+
   test("IDF-weighted banding keeps candidates content-sized on a " +
       "template-heavy corpus") {
     // The measurement d_minhash_idf exists for: append a shared

@@ -132,16 +132,197 @@ class SoqlSpec extends SparkTestBase {
   }
 
   test("grammar refusals: trailing garbage, OFFSET without LIMIT, " +
-      "multi-level dot paths") {
+      "more than 5 relationship hops") {
     intercept[IllegalArgumentException] {
       Soql.parse("SELECT a FROM b WITH SECURITY_ENFORCED")
     }
     intercept[IllegalArgumentException] {
       Soql.parse("SELECT a FROM b OFFSET 5")
     }
+    // SOQL caps relationship traversal at 5 hops; the 6-hop path
+    // refuses before any resolution
+    intercept[IllegalArgumentException] {
+      Soql.query(spark, dir,
+        "SELECT a.b.c.d.e.f.x FROM orders")
+    }
+  }
+
+  test("multi-level dot paths chain LEFT joins (2-hop select, 3-hop " +
+      "WHERE), flattened as rel1_rel2_field") {
+    val got = Soql.query(spark, dir,
+      "SELECT o_orderkey, customer.nation.n_name FROM orders" +
+        " WHERE customer.nation.region.r_name = 'ASIA'" +
+        " ORDER BY o_orderkey")
+    val o = ops.t(spark, dir, "orders")
+    val c = ops.t(spark, dir, "customer")
+    val n = ops.t(spark, dir, "nation")
+    val r = ops.t(spark, dir, "region")
+    val want = o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .filter(col("r_name") === "ASIA")
+      .select(col("o_orderkey"),
+        col("n_name").as("customer_nation_n_name"))
+      .orderBy("o_orderkey")
+    same(got, want)
+    assert(got.count() > 0, "3-hop fixture selected nothing")
+    // a chain and its prefix coexist: each hop joins exactly once
+    val both = Soql.query(spark, dir,
+      "SELECT o_orderkey, customer.c_name, customer.nation.n_name" +
+        " FROM orders WHERE o_totalprice > 100000")
+    assert(both.columns.toSeq == Seq("o_orderkey", "customer_c_name",
+      "customer_nation_n_name"))
+    assert(both.count() ==
+      o.filter(col("o_totalprice") > 100000L).count(),
+      "left-join chain must not duplicate or drop base rows")
+  }
+
+  test("date literals: anchored half-open day ranges with SOQL range " +
+      "semantics for =/!=/</<=/>/>=") {
+    val t0 = Some(java.time.LocalDate.of(1998, 6, 15))
+    val o = ops.t(spark, dir, "orders")
+    def ts(s: String) = to_timestamp(lit(s))
+    // `=` is containment in the literal's range
+    same(
+      Soql.query(spark, dir, "SELECT o_orderkey FROM orders" +
+        " WHERE o_orderdate = LAST_MONTH", today = t0),
+      o.filter(col("o_orderdate") >= ts("1998-05-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-06-01 00:00:00"))
+        .select("o_orderkey"))
+    // `<` is strictly BEFORE the range; `>` strictly AFTER it
+    same(
+      Soql.query(spark, dir, "SELECT o_orderkey FROM orders" +
+        " WHERE o_orderdate < THIS_MONTH", today = t0),
+      o.filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
+        .select("o_orderkey"))
+    same(
+      Soql.query(spark, dir, "SELECT o_orderkey FROM orders" +
+        " WHERE o_orderdate > YESTERDAY", today = t0),
+      o.filter(col("o_orderdate") >= ts("1998-06-15 00:00:00"))
+        .select("o_orderkey"))
+    // LAST_N_DAYS:n includes the anchor day plus the n preceding days
+    same(
+      Soql.query(spark, dir, "SELECT o_orderkey FROM orders" +
+        " WHERE o_orderdate >= LAST_N_DAYS:30 AND" +
+        " o_orderdate != THIS_YEAR", today = t0),
+      o.filter(col("o_orderdate") >= ts("1998-05-16 00:00:00") &&
+          !(col("o_orderdate") >= ts("1998-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1999-01-01 00:00:00")))
+        .select("o_orderkey"))
+    // a date literal outside a comparison RHS refuses loudly
     intercept[RuntimeException] {
       Soql.query(spark, dir,
-        "SELECT lineitem.orders.o_orderdate FROM lineitem")
+        "SELECT o_orderkey FROM orders WHERE o_orderdate IN (TODAY)",
+        today = t0)
+    }
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT a FROM b WHERE c >= LAST_N_DAYS:0")
+    }
+  }
+
+  test("date functions CALENDAR_YEAR/CALENDAR_MONTH/DAY_ONLY in WHERE " +
+      "and (grouped) in the select list") {
+    val o = ops.t(spark, dir, "orders")
+    same(
+      Soql.query(spark, dir, "SELECT o_orderkey FROM orders" +
+        " WHERE CALENDAR_YEAR(o_orderdate) = 1997"),
+      o.filter(year(col("o_orderdate")) === 1997L)
+        .select("o_orderkey"))
+    val got = Soql.query(spark, dir,
+      "SELECT CALENDAR_YEAR(o_orderdate) yr, COUNT() n FROM orders" +
+        " GROUP BY CALENDAR_YEAR(o_orderdate) ORDER BY yr")
+    val want = o.groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n")).orderBy("yr")
+    same(got, want)
+    // ungrouped date-function select item refuses (SOQL rule)
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT DAY_ONLY(o_orderdate) FROM orders")
+    }
+  }
+
+  test("INCLUDES/EXCLUDES multipicklist predicates over the derived " +
+      "semicolon-joined field") {
+    val l = ops.t(spark, dir, "lineitem")
+    // INCLUDES: contains EVERY value of SOME item (items OR together)
+    same(
+      Soql.query(spark, dir, "SELECT l_orderkey, l_linenumber FROM" +
+        " lineitem WHERE flags INCLUDES ('A;F', 'R')" +
+        " ORDER BY l_orderkey, l_linenumber"),
+      l.filter((col("l_returnflag") === "A" &&
+          col("l_linestatus") === "F") ||
+          col("l_returnflag") === "R" || col("l_linestatus") === "R")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"))
+    // EXCLUDES is the negation
+    same(
+      Soql.query(spark, dir, "SELECT l_orderkey, l_linenumber FROM" +
+        " lineitem WHERE flags EXCLUDES ('O')" +
+        " ORDER BY l_orderkey, l_linenumber"),
+      l.filter(!(col("l_returnflag") === "O" ||
+          col("l_linestatus") === "O"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"))
+    // empty value sets refuse loudly
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT a FROM b WHERE f INCLUDES ('')")
+    }
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT a FROM b WHERE f INCLUDES ('A;;B')")
+    }
+  }
+
+  test("COUNT_DISTINCT and GROUP BY ROLLUP/CUBE") {
+    val o = ops.t(spark, dir, "orders")
+    val got = Soql.query(spark, dir,
+      "SELECT o_orderstatus, COUNT_DISTINCT(o_custkey) nc FROM orders" +
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    val want = o.groupBy("o_orderstatus")
+      .agg(count_distinct(col("o_custkey")).as("nc"))
+      .orderBy("o_orderstatus")
+    same(got, want)
+    val roll = Soql.query(spark, dir,
+      "SELECT o_orderpriority, o_orderstatus, COUNT() n FROM orders" +
+        " GROUP BY ROLLUP(o_orderpriority, o_orderstatus)" +
+        " ORDER BY o_orderpriority NULLS FIRST," +
+        " o_orderstatus NULLS FIRST")
+    val wantRoll = o.rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+    same(roll, wantRoll)
+    // grand-total row present exactly once
+    assert(roll.filter(col("o_orderpriority").isNull &&
+      col("o_orderstatus").isNull).count() == 1)
+    val cube = Soql.query(spark, dir,
+      "SELECT o_orderstatus, COUNT() n FROM orders" +
+        " GROUP BY CUBE(o_orderstatus)" +
+        " ORDER BY o_orderstatus NULLS FIRST")
+    same(cube, o.cube("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first))
+  }
+
+  test("identifier matching is case-insensitive: GROUP BY and HAVING " +
+      "resolve select items regardless of case") {
+    val got = Soql.query(spark, dir,
+      "SELECT O_OrderPriority, COUNT() n FROM orders" +
+        " GROUP BY o_orderpriority HAVING count() > 0" +
+        " ORDER BY o_orderpriority")
+    assert(got.count() > 0)
+    assert(got.columns.length == 2,
+      "case-differing HAVING agg must reuse the select item, not " +
+        "compute a duplicate")
+  }
+
+  test("string-literal escapes decode the standard set; unknown " +
+      "escapes refuse") {
+    val q = Soql.parse("SELECT a FROM b WHERE c = 'x\\ny\\t\\\\z'")
+    q.where.get match {
+      case Soql.Cmp(_, "=", Soql.SLit(s)) =>
+        assert(s == "x\ny\t\\z", s"mis-decoded escape: ${s.toList}")
+      case other => fail(s"unexpected predicate $other")
+    }
+    intercept[RuntimeException] {
+      Soql.parse("SELECT a FROM b WHERE c = 'bad\\qescape'")
     }
   }
 
