@@ -250,6 +250,40 @@ object Dedup {
       .select(col("doc_id"), col("e.band"), col("e.bh"))
   }
 
+  /** The d_minhash_pairs chain, shared by d_split_leak.
+    * Stage 1 (full scan, cheap): fused minhash signatures only — no
+    * string shingle sets materialized for the 99% of docs that never
+    * become candidates. Stage 2: band-bucket self-join → candidate
+    * pairs. Stage 3 (verify): string shingle sets built ONLY for the
+    * candidate doc set (semi-join pushes the id filter into the
+    * rescan), then exact Jaccard. At 100 TB this shape shuffles 12
+    * longs per doc, not a multi-KB shingle array.
+    */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val banded = minhashBands(minhashSig(s, d))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(explode(array(col("a"), col("b")))
+      .as("doc_id")).distinct()
+    val shCand = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter).cast("double")
+    cand
+      .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+      .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+      .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup (hash-groupBy): the corpus has no exact dups, so we
@@ -273,34 +307,28 @@ object Dedup {
     // distinct() collapses multi-band collisions before the (expensive)
     // verify join, which is the skew guard: identical docs collide in all
     // 4 bands but verify once.
-    "d_minhash_pairs" -> ((s, d) => {
-      // Stage 1 (full scan, cheap): fused minhash signatures only — no
-      // string shingle sets materialized for the 99% of docs that never
-      // become candidates. Stage 2: band-bucket self-join → candidate
-      // pairs. Stage 3 (verify): string shingle sets built ONLY for the
-      // candidate doc set (semi-join pushes the id filter into the
-      // rescan), then exact Jaccard. At 100 TB this shape shuffles 12
-      // longs per doc, not a multi-KB shingle array.
-      val docs = t(s, d, "documents")
-      val banded = minhashBands(minhashSig(s, d))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val candIds = cand.select(explode(array(col("a"), col("b")))
-        .as("doc_id")).distinct()
-      val shCand = docs.join(candIds, "doc_id")
-        .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
-      val inter = size(array_intersect(col("sa"), col("sb")))
-      val jac = inter.cast("double") /
-        (size(col("sa")) + size(col("sb")) - inter).cast("double")
-      cand
-        .join(shCand.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
-        .join(shCand.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
-        .select(col("a"), col("b"), roundf(jac, 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+    "d_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+
+    // Cross-split LEAKAGE audit — the pre-training check an LLM
+    // pipeline runs after splitting: assign every document its
+    // deterministic split (hash mod 10 → 8/1/1 train/val/test, the
+    // x_stratified auditable-hash discipline — df.sample would change
+    // assignment under repartitioning), then keep only the verified
+    // near-dup pairs (the d_minhash_pairs LSH chain verbatim) that
+    // STRADDLE two different splits. Any row is eval data leaking into
+    // train through a near-duplicate the exact t_contam n-gram check
+    // can miss. Cost over d_minhash_pairs: two scalar hash columns on
+    // the |pairs|-sized result — the split test never touches the
+    // corpus scan.
+    "d_split_leak" -> ((s, d) => {
+      def splitOf(c: Column): Column = {
+        val h = pmod(portableHash(c.cast("string")), lit(10))
+        when(h <= 7, "train").when(h === 8, "val").otherwise("test")
+      }
+      minhashPairs(s, d)
+        .withColumn("split_a", splitOf(col("a")))
+        .withColumn("split_b", splitOf(col("b")))
+        .filter(col("split_a") =!= col("split_b"))
         .orderBy("a", "b")
     }),
 
@@ -1137,6 +1165,25 @@ object Dedup {
            COUNT(*) AS n_copies
          FROM u GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY keep_id""",
     "d_minhash_pairs" -> minhashPairsSql,
+    // the verified pair chain verbatim, annotated with each side's
+    // deterministic hash-mod-10 split and filtered to straddlers
+    "d_split_leak" ->
+      s"""WITH p AS (SELECT a, b, jaccard FROM ($minhashPairsSql)),
+         sp AS (
+           SELECT a, b, jaccard,
+             CASE WHEN ('0x' || substr(md5(a::VARCHAR), 1, 15))::BIGINT
+                    % 10 <= 7 THEN 'train'
+                  WHEN ('0x' || substr(md5(a::VARCHAR), 1, 15))::BIGINT
+                    % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split_a,
+             CASE WHEN ('0x' || substr(md5(b::VARCHAR), 1, 15))::BIGINT
+                    % 10 <= 7 THEN 'train'
+                  WHEN ('0x' || substr(md5(b::VARCHAR), 1, 15))::BIGINT
+                    % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split_b
+           FROM p)
+         SELECT a, b, jaccard, split_a, split_b FROM sp
+         WHERE split_a != split_b ORDER BY a, b""",
     "d_minhash_idf" -> idfPairsSql,
     "d_incremental" -> incrementalPairsSql,
     // identical truth: the maintained index must yield exactly the

@@ -831,6 +831,74 @@ object Extras {
       folds.reduce(_.unionByName(_)).orderBy("round", "label")
     }),
 
+    // MAINTAINED modularity — g_modularity's fold under edge-delta
+    // CDC: for a FIXED labeling, every term of the fold is additive in
+    // edge rows (a directed row (u,v,w) adds w to S_c(lab(u)) always
+    // and to W_c(lab(u)) iff lab(u)=lab(v); W = ΣS_c), so the
+    // per-(round,label) sums route through the generic
+    // Streams.sumsMaintain merge sink and an edge delta costs
+    // |delta|-proportional join work + a |communities|-sized merge —
+    // never a full-graph recompute. The labelings themselves are the
+    // query's INPUT (the 3-round LPA chain verbatim — in production
+    // the last run's labeling table); `nodes` is labeling-derived and
+    // joins in at read. The replay splits the edge rows in half by
+    // deterministic hash so both the first-batch seed and the
+    // cross-batch re-sum path execute; the result must equal
+    // g_modularity bit-for-bit (oracle reused verbatim).
+    "g_modularity_maintained" -> ((s, d) => {
+      val edges = coactivityEdges(t(s, d, "events"))
+      var lab = edges.select(col("u")).distinct()
+        .select(col("u"), col("u").as("lab"))
+      val labAll = (1 to 3).map { r =>
+        lab = lpaArgmax(lpaVotes(edges, lab)).localCheckpoint()
+        lab.select(lit(r).as("round"), col("u"), col("lab"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+      val half = pmod(hash(col("u"), col("v")), lit(2))
+      val eschema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType)))
+      val (base, stream) = Replay.twoBatchStream(s, "mod_maint", d,
+        eschema, "edg",
+        edges.filter(half === 0), edges.filter(half === 1))
+      val statePath = new java.io.File(base, "sums").getPath
+      val q = graft.streaming.Streams.sumsMaintain(stream,
+        Seq("round", "label"), Seq("w_in", "s_c"), statePath) { b =>
+        b.join(labAll.select(col("round"), col("u"),
+            col("lab").as("lu")), Seq("u"))
+          .join(labAll.select(col("round"), col("u").as("v"),
+            col("lab").as("lv")), Seq("round", "v"))
+          .groupBy(col("round"), col("lu").as("label"))
+          .agg(sum(when(col("lu") === col("lv"), col("w"))
+              .otherwise(lit(0L))).cast("long").as("w_in"),
+            sum(col("w")).cast("long").as("s_c"))
+      }
+      require(q.awaitTermination(600000),
+        "modularity maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the merge path is untested")
+      val state = graft.streaming.Streams.readGenMaintained(s, statePath)
+      // W is round-invariant (every round's S_c partitions the same
+      // edge mass); derive it from the maintained state's round 1
+      val wtot = state.filter(col("round") === 1)
+        .agg(sum("s_c").cast("long").as("tw"))
+      val nodes = labAll.groupBy(col("round"), col("lab").as("label"))
+        .agg(count(lit(1)).as("nodes"))
+      nodes.join(state, Seq("round", "label"))
+        .crossJoin(broadcast(wtot))
+        .select(col("round"), col("label"), col("nodes"),
+          col("w_in"), col("s_c"),
+          roundf(
+            (col("w_in").cast("double") * col("tw").cast("double") -
+              col("s_c").cast("double") * col("s_c").cast("double")) /
+              (col("tw").cast("double") * col("tw").cast("double")),
+            9).as("q_contrib"))
+        .orderBy("round", "label")
+    }),
+
     // INCREMENTAL label propagation — the graph-maintenance loop
     // (d_index_maintained's discipline applied to LPA): the previous
     // labeling is a MAINTAINED table the next run SEEDS from, instead
@@ -2493,6 +2561,50 @@ object Extras {
          FROM st ORDER BY l_returnflag"""
     }
 
+  /** The g_modularity oracle — shared verbatim by
+    * g_modularity_maintained (the CDC-maintained sums must reproduce
+    * the batch fold bit-for-bit). */
+  private val modularityOracleSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
+         |       FROM edges e JOIN l${i - 1} l ON e.v = l.u GROUP BY 1, 2),
+         |l$i AS (SELECT u, lab FROM (
+         |         SELECT u, lab, row_number() OVER (PARTITION BY u
+         |           ORDER BY wsum DESC, lab ASC) AS rn FROM v$i)
+         |       WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    def fold(i: Int) =
+      s"""SELECT $i AS round, c.lab AS label, c.nodes,
+         |  COALESCE(w.w_in, 0) AS w_in, c.s_c,
+         |  floor(((COALESCE(w.w_in, 0)::DOUBLE * wt.tw::DOUBLE)
+         |      - (c.s_c::DOUBLE * c.s_c::DOUBLE))
+         |    / (wt.tw::DOUBLE * wt.tw::DOUBLE)
+         |    * 1000000000.0 + 0.5) / 1000000000.0 AS q_contrib
+         |FROM (SELECT l.lab, COUNT(*) AS nodes,
+         |        CAST(SUM(st.su) AS BIGINT) AS s_c
+         |      FROM l$i l JOIN st ON l.u = st.u GROUP BY 1) c
+         |LEFT JOIN (SELECT lu.lab, CAST(SUM(e.w) AS BIGINT) AS w_in
+         |      FROM edges e JOIN l$i lu ON e.u = lu.u
+         |      JOIN l$i lv ON e.v = lv.u AND lu.lab = lv.lab
+         |      GROUP BY 1) w ON c.lab = w.lab, wt""".stripMargin
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+       |  FROM events),
+       |pairs AS (
+       |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+       |  FROM act a JOIN act b USING (h)
+       |  WHERE a.user_id < b.user_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |edges AS (SELECT u, v, w FROM pairs
+       |          UNION ALL SELECT v, u, w FROM pairs),
+       |l0 AS (SELECT DISTINCT u, u AS lab FROM edges),
+       |$rounds,
+       |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM edges),
+       |st AS (SELECT u, SUM(w) AS su FROM edges GROUP BY 1)
+       |${(1 to 3).map(fold).mkString("\nUNION ALL\n")}
+       |ORDER BY round, label""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "x_pivot" ->
       """SELECT o_orderpriority,
@@ -3064,47 +3176,10 @@ object Extras {
     // Per-round modularity of the 3-round unrolled LPA — the labeling
     // chain is g_labelprop's verbatim; each round's fold mirrors the
     // Spark side's exact-integer W/W_c/S_c sums and the single IEEE
-    // ratio operand-for-operand.
-    "g_modularity" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""v$i AS (SELECT e.u, l.lab, SUM(e.w) AS wsum
-           |       FROM edges e JOIN l${i - 1} l ON e.v = l.u GROUP BY 1, 2),
-           |l$i AS (SELECT u, lab FROM (
-           |         SELECT u, lab, row_number() OVER (PARTITION BY u
-           |           ORDER BY wsum DESC, lab ASC) AS rn FROM v$i)
-           |       WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      def fold(i: Int) =
-        s"""SELECT $i AS round, c.lab AS label, c.nodes,
-           |  COALESCE(w.w_in, 0) AS w_in, c.s_c,
-           |  floor(((COALESCE(w.w_in, 0)::DOUBLE * wt.tw::DOUBLE)
-           |      - (c.s_c::DOUBLE * c.s_c::DOUBLE))
-           |    / (wt.tw::DOUBLE * wt.tw::DOUBLE)
-           |    * 1000000000.0 + 0.5) / 1000000000.0 AS q_contrib
-           |FROM (SELECT l.lab, COUNT(*) AS nodes,
-           |        CAST(SUM(st.su) AS BIGINT) AS s_c
-           |      FROM l$i l JOIN st ON l.u = st.u GROUP BY 1) c
-           |LEFT JOIN (SELECT lu.lab, CAST(SUM(e.w) AS BIGINT) AS w_in
-           |      FROM edges e JOIN l$i lu ON e.u = lu.u
-           |      JOIN l$i lv ON e.v = lv.u AND lu.lab = lv.lab
-           |      GROUP BY 1) w ON c.lab = w.lab, wt""".stripMargin
-      s"""WITH act AS (
-         |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
-         |  FROM events),
-         |pairs AS (
-         |  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
-         |  FROM act a JOIN act b USING (h)
-         |  WHERE a.user_id < b.user_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-         |edges AS (SELECT u, v, w FROM pairs
-         |          UNION ALL SELECT v, u, w FROM pairs),
-         |l0 AS (SELECT DISTINCT u, u AS lab FROM edges),
-         |$rounds,
-         |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM edges),
-         |st AS (SELECT u, SUM(w) AS su FROM edges GROUP BY 1)
-         |${(1 to 3).map(fold).mkString("\nUNION ALL\n")}
-         |ORDER BY round, label""".stripMargin
-    },
+    // ratio operand-for-operand. The maintained variant must converge
+    // to the SAME table, so it reuses this SQL verbatim.
+    "g_modularity" -> modularityOracleSql,
+    "g_modularity_maintained" -> modularityOracleSql,
     // The UNRESTRICTED mirror of the incremental run (see the query
     // comment's equivalence argument): old-graph LPA unrolled to cap
     // builds the seed; seeded full-graph LPA unrolled to cap reaches

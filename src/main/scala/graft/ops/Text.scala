@@ -516,6 +516,41 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Domain-MIXTURE budgeting — the data-recipe step between curation
+    // and training: given a token budget and per-source mixture
+    // weights, emit each source's token target, its deterministic
+    // sampling rate (target/available, capped at 1), and the epoch
+    // count when the target EXCEEDS the available tokens (upsampling —
+    // ceil(target/available), the repeated-pass recipe). Weights here
+    // are the source's numeric suffix + 1 (a stand-in for the
+    // recipe-tuned mixture vector; the shape, not the constants, is
+    // the operator), so both the downsample and the upsample branch
+    // execute on the fixture. All arithmetic is integer except one
+    // grid-rounded IEEE division; the per-source table is
+    // |sources|-sized — partial-agg'd counts off one corpus scan, a
+    // broadcast scalar for the weight sum, never a second pass. The
+    // emitted sample_rate pairs with x_sample's hash-threshold
+    // discipline to actually draw the mix reproducibly.
+    "t_mixture" -> ((s, d) => {
+      val budget = 42000L
+      val per = t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+        .withColumn("wt",
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") + 1L)
+      val tot = per.agg(sum("wt").cast("long").as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr(s"$budget * wt div wsum"))
+        .select(col("source"), col("docs"), col("tokens"),
+          col("target_tokens"),
+          roundf(least(lit(1.0), col("target_tokens").cast("double") /
+            col("tokens").cast("double")), 4).as("sample_rate"),
+          expr("greatest(1L, (target_tokens + tokens - 1) div tokens)")
+            .as("epochs"))
+        .orderBy("source")
+    }),
+
     // TF-IDF top terms per document (characteristic-term extraction, the
     // classic corpus-analysis op). Score = tf · N/df — the RATIONAL idf
     // surrogate, not ln(N/df): log is a libm transcendental whose last
@@ -1140,6 +1175,23 @@ object Text {
          ORDER BY bm25 DESC, doc_id ASC LIMIT 10"""
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // identical integer budget split (42000·wt // Σwt), the same
+    // LEAST-capped grid-rounded rate, the same integer epoch ceiling
+    "t_mixture" ->
+      """WITH per AS (
+           SELECT source, COUNT(*) AS docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1
+               AS wt
+           FROM documents GROUP BY 1),
+         w AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM per)
+         SELECT source, docs, tokens,
+           42000 * wt // wsum AS target_tokens,
+           floor(LEAST(1.0, (42000 * wt // wsum)::DOUBLE
+             / tokens::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sample_rate,
+           GREATEST(1, (42000 * wt // wsum + tokens - 1) // tokens)
+             AS epochs
+         FROM per, w ORDER BY source""",
     // three unrolled merge rounds: identical pair counting (1-based
     // lateral over the symbol lists), identical argmax tiebreak,
     // identical left-to-right non-rescanning replace

@@ -661,10 +661,15 @@ object Streams {
     * vector both depend on that vector alone). One stream, one
     * checkpoint lineage, no second pass over the input; a retried
     * batch re-overwrites every artifact's subdir, so the pair can
-    * never diverge past one in-flight batch — and since readers union
-    * committed subdirs, a crash between the two appends is invisible
-    * (the half-written batch dir is re-overwritten on redelivery
-    * before the checkpoint ever records the batch).
+    * never diverge past one in-flight batch. NOTE the divergence
+    * window IS reader-visible until redelivery: between a crash and
+    * the retry, a reader of the first artifact already sees the
+    * batch=<id> rows whose pair in the second artifact is missing
+    * (and a torn parquet subdir can fail that read outright).
+    * Redelivery re-overwrites every artifact before the checkpoint
+    * records the batch, restoring pairing; readers needing
+    * cross-artifact consistency DURING the window must intersect the
+    * batch ids present in all paired artifacts.
     */
   def appendMaintainMulti(stream: DataFrame,
       sinks: Seq[(String, DataFrame => DataFrame)]): StreamingQuery =
@@ -2149,14 +2154,33 @@ object Streams {
       s"migration pointer flip failed under $statePath")
   }
 
+  /** GC depth: how many committed generations survive a flip — the
+    * new one plus `genKeep - 1` predecessors. The default (2) gives
+    * every reader one full publish interval of grace: a reader that
+    * resolved the pointer just before a flip still has its files.
+    * Deployments whose readers can straddle MORE than one flip (a
+    * long analytic scan over the maintained table while a fast stream
+    * commits every few seconds) raise it with -Dgraft.gen.keep=N —
+    * disk cost is N×|state|, read cost is unchanged (readers scan one
+    * generation). Values below 2 are refused: keep=1 would delete the
+    * generation a just-resolved reader is scanning, reintroducing the
+    * stagedSwap race the layout exists to close. */
+  private[graft] def genKeep: Int = {
+    val k = Integer.getInteger("graft.gen.keep", 2).intValue()
+    require(k >= 2, s"graft.gen.keep=$k — must be >= 2 (the current " +
+      "generation plus at least one predecessor for in-flight readers)")
+    k
+  }
+
   /** Commit one batch under the generation layout: `write` lands the
     * new state into the next gen dir (a plain overwrite parquet write
     * — an interrupted attempt is re-overwritten on retry), the batch
     * marker lands inside it, and the POINTER FLIP is the single
-    * atomic commit point. Then GC everything older than the previous
-    * generation. */
+    * atomic commit point. Then GC generations beyond the [[genKeep]]
+    * retention depth. */
   private[graft] def publishGen(statePath: String, id: Long)(
       write: String => Unit): Unit = {
+    val keep = genKeep // validate the knob BEFORE any state mutation
     requireNotLegacy(statePath)
     val next = currentGen(statePath).map(_ + 1).getOrElse(0L)
     val dir = s"$statePath/gen=$next"
@@ -2167,12 +2191,13 @@ object Streams {
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     require(tmp.renameTo(new java.io.File(statePath, CurrentMarker)),
       s"generation pointer flip failed under $statePath")
+    val cutoff = next - (keep - 1)
     Option(new java.io.File(statePath).listFiles())
       .getOrElse(Array.empty)
       .filter { f =>
         f.getName.startsWith("gen=") &&
           scala.util.Try(f.getName.stripPrefix("gen=").toLong)
-            .toOption.exists(_ < next - 1)
+            .toOption.exists(_ < cutoff)
       }
       .foreach(rmTree)
   }
