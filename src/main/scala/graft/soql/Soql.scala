@@ -786,12 +786,48 @@ object Soql {
         col(name)
       }
     }
-    val hr = new Resolver(q.obj, graph, aggColOf)
+    val hr = new Resolver(q.obj, graph, aggResolve = aggColOf)
     val hcond = q.having.map(cond(_, hr, anchor))
     require(hr.needed.isEmpty,
       "HAVING must not traverse parent relationships outside an " +
         "aggregate call")
-    var df = graft.ops.t(spark, dir, q.obj)
+    var df = q.obj match {
+      case "events" =>
+        // The events scan converts the file's native INT64 epoch to a
+        // timestamp (`timestamp_micros(ts DIV d)`), which is OPAQUE to
+        // parquet — a date-literal WHERE on the converted column reads
+        // the whole table at 100 TB. So every top-level AND-conjunct
+        // of the form `ts <op> <date literal>` is ALSO applied to the
+        // raw column before conversion (the Tables.eventsSince
+        // discipline): for nonneg raw and d ≥ 1, ts DIV d ≥ lo ⟺
+        // ts ≥ lo·d and ts DIV d < hi ⟺ ts < hi·d, so the raw bounds
+        // are exact, push into the scan as row-group pruning, and the
+        // original predicate still evaluates downstream (a redundant
+        // residual, never a semantic change). `!=` (an OR of ranges)
+        // is left to the residual.
+        val (raw, div) = graft.etl.Tables.eventsRawScan(spark, dir)
+        def conjuncts(e: Expr): Seq[Expr] = e match {
+          case AndE(l, rr) => conjuncts(l) ++ conjuncts(rr)
+          case x => Seq(x)
+        }
+        val pushed = q.where.toSeq.flatMap(conjuncts).collect {
+          case Cmp(Seq(f), op, dl: DLit)
+              if f.equalsIgnoreCase("ts") && op != "!=" =>
+            val (lo, hi) = dateRange(dl, anchor)
+            op match {
+              case "=" =>
+                col("ts") >= lit(lo * div) && col("ts") < lit(hi * div)
+              case "<" => col("ts") < lit(lo * div)
+              case "<=" => col("ts") < lit(hi * div)
+              case ">" => col("ts") >= lit(hi * div)
+              case ">=" => col("ts") >= lit(lo * div)
+              case other => sys.error(s"unsupported operator $other")
+            }
+        }
+        pushed.foldLeft(raw)(_ filter _)
+          .withColumn("ts", expr(s"timestamp_micros(ts DIV $div)"))
+      case o => graft.ops.t(spark, dir, o)
+    }
     // parent joins: LEFT OUTER (SOQL dot semantics — absent parent
     // yields null fields), parent columns prefixed by the relationship
     // CHAIN so multi-hop and repeated relations cannot collide;

@@ -36,6 +36,18 @@ class PlanAuditSpec extends SparkTestBase {
       "raw-nanos watermark filter must reach PushedFilters")
   }
 
+  test("soql_datelit: SOQL date-literal bounds push on the RAW int64 " +
+      "ts column (the eventsSince discipline through the translator)") {
+    // the converted column (timestamp_micros(ts DIV d)) is opaque to
+    // parquet, so the translator must duplicate date-literal conjuncts
+    // onto the raw column — both range bounds reach PushedFilters
+    val p = plan("soql_datelit")
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      "date-literal lower bound must reach PushedFilters")
+    assert(p.contains("LessThan(ts,"),
+      "date-literal upper bound must reach PushedFilters")
+  }
+
   test("j6_star: all three dims broadcast — fact never shuffles") {
     val p = plan("j6_star")
     assert(nodeCount(p, "BroadcastHashJoin") == 3, p)
