@@ -568,7 +568,8 @@ object Soql {
     * as UTC epoch-microsecond bounds (the testdata timestamps are
     * UTC-naive and the session timezone is pinned to UTC, so the
     * day grid is unambiguous). */
-  private def dateRange(d: DLit, today: java.time.LocalDate): (Long, Long) = {
+  private[graft] def dateRange(d: DLit,
+      today: java.time.LocalDate): (Long, Long) = {
     import java.time.LocalDate
     def us(x: LocalDate): Long = x.toEpochDay * 86400000000L
     val (lo, hi): (LocalDate, LocalDate) = d.kind match {

@@ -20,6 +20,48 @@ class PropertySpec extends SparkTestBase {
     assert(once.count() == docs.count())
   }
 
+  test("SOQL date-literal ranges: half-open day alignment, adjacency, " +
+      "and composition identities over a year of anchors") {
+    import graft.soql.Soql
+    import java.time.LocalDate
+    val DayUs = 86400000000L
+    def r(kind: String, n: Int, t: LocalDate) =
+      Soql.dateRange(Soql.DLit(kind, n), t)
+    // 366 distinct anchors cross month/year boundaries and a leap day
+    val anchors = (0 until 366).map(LocalDate.of(2024, 1, 1).plusDays(_))
+    for (t <- anchors) {
+      // every literal is a non-empty half-open range on the UTC day grid
+      for (k <- Seq("TODAY", "YESTERDAY", "TOMORROW", "LAST_90_DAYS",
+          "THIS_MONTH", "LAST_MONTH", "NEXT_MONTH", "THIS_YEAR",
+          "LAST_YEAR", "NEXT_YEAR")) {
+        val (lo, hi) = r(k, 0, t)
+        assert(lo < hi && lo % DayUs == 0 && hi % DayUs == 0,
+          s"$k at $t: [$lo, $hi)")
+      }
+      // adjacency: YESTERDAY + TODAY + TOMORROW tile three days
+      assert(r("YESTERDAY", 0, t)._2 == r("TODAY", 0, t)._1)
+      assert(r("TODAY", 0, t)._2 == r("TOMORROW", 0, t)._1)
+      // LAST_N_DAYS:n = [today - n days, tomorrow) — includes today
+      // plus the n preceding days; n=90 aligns with LAST_90_DAYS
+      assert(r("LAST_N_DAYS", 90, t) == r("LAST_90_DAYS", 0, t))
+      assert(r("LAST_N_DAYS", 1, t) ==
+        ((r("YESTERDAY", 0, t)._1, r("TODAY", 0, t)._2)))
+      // NEXT_N_DAYS:n starts tomorrow and spans n days
+      val (nlo, nhi) = r("NEXT_N_DAYS", 7, t)
+      assert(nlo == r("TOMORROW", 0, t)._1 && nhi - nlo == 7 * DayUs)
+      // month/year literals tile: LAST | THIS | NEXT are adjacent
+      assert(r("LAST_MONTH", 0, t)._2 == r("THIS_MONTH", 0, t)._1)
+      assert(r("THIS_MONTH", 0, t)._2 == r("NEXT_MONTH", 0, t)._1)
+      assert(r("LAST_YEAR", 0, t)._2 == r("THIS_YEAR", 0, t)._1)
+      assert(r("THIS_YEAR", 0, t)._2 == r("NEXT_YEAR", 0, t)._1)
+      // containment: today's day range sits inside its month and year
+      val (tl, th) = r("TODAY", 0, t)
+      val (ml, mh) = r("THIS_MONTH", 0, t)
+      val (yl, yh) = r("THIS_YEAR", 0, t)
+      assert(ml <= tl && th <= mh && yl <= ml && mh <= yh)
+    }
+  }
+
   test("registry parity: every query has an oracle, headline is valid") {
     // the driver's correctness gate only checks queries that have BOTH
     // a queries entry and an oracleSql entry — a key drift between the
