@@ -105,7 +105,23 @@ object SoqlFront {
     "soql_having2" -> ((s, d) => Soql.query(s, d,
       "SELECT customer.nation.n_name, COUNT() n FROM orders" +
         " GROUP BY customer.nation.n_name HAVING COUNT() > 300" +
-        " ORDER BY customer.nation.n_name")))
+        " ORDER BY customer.nation.n_name")),
+
+    // FIELDS(ALL) — SOQL's full-width projection (p2_star through the
+    // text grammar), bounded the way real FIELDS(ALL) queries must be
+    "soql_fieldsall" -> ((s, d) => Soql.query(s, d,
+      "SELECT FIELDS(ALL) FROM supplier WHERE s_acctbal > 1000" +
+        " ORDER BY s_suppkey LIMIT 50")),
+
+    // the event feed's actor lookup: date-literal pushdown AND a
+    // parent dot path on the same extract — the exact shape
+    // Streams.soqlExtract streams (StreamsSpec proves stream=batch
+    // parity for it); here the batch translation is oracle-pinned
+    "soql_user" -> ((s, d) => Soql.query(s, d,
+      "SELECT event_id, event_type, user.c_mktsegment FROM events" +
+        " WHERE ts >= LAST_N_DAYS:3 AND user.c_acctbal > 5000" +
+        " ORDER BY event_id",
+      today = Some(java.time.LocalDate.of(2024, 1, 20)))))
 
   val oracles: Map[String, String] = Map(
     "soql_dot" ->
@@ -198,5 +214,16 @@ object SoqlFront {
            LEFT JOIN customer ON o_custkey = c_custkey
            LEFT JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 HAVING COUNT(*) > 300
-         ORDER BY 1""")
+         ORDER BY 1""",
+    "soql_fieldsall" ->
+      """SELECT * FROM supplier WHERE s_acctbal > 1000
+         ORDER BY s_suppkey LIMIT 50""",
+    // anchor 2024-01-20: LAST_N_DAYS:3 = [2024-01-17, 2024-01-21)
+    "soql_user" ->
+      """SELECT event_id, event_type,
+           c_mktsegment AS user_c_mktsegment
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         WHERE ts >= TIMESTAMP '2024-01-17 00:00:00'
+           AND c_acctbal > 5000
+         ORDER BY event_id""")
 }

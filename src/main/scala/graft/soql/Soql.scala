@@ -123,11 +123,14 @@ object Soql {
     * SOQL's `GROUP BY ROLLUP(...)`/`GROUP BY CUBE(...)` — grouping
     * supersets whose subtotal rows carry NULL group keys, exactly
     * Spark's `rollup`/`cube`. */
+  /** `fieldsAll` marks `SELECT FIELDS(ALL)` — SOQL's full-width
+    * projection (the p2_star shape); it must be the only select item. */
   final case class Query(fields: Seq[Field],
       children: Seq[ChildQuery], aggs: Seq[AggItem], obj: String,
       where: Option[Expr], groupBy: Seq[Field], groupMode: String,
       having: Option[Expr], orderBy: Seq[Order],
-      limit: Option[Int], offset: Option[Int])
+      limit: Option[Int], offset: Option[Int],
+      fieldsAll: Boolean = false)
 
   /** HAVING predicates reference aggregate calls; they ride the same
     * Expr tree with the call encoded as a sentinel path
@@ -185,7 +188,13 @@ object Soql {
           "o_orderkey"),
         "supplier" -> ParentRel("supplier", "supplier", "l_suppkey",
           "s_suppkey"),
-        "part" -> ParentRel("part", "part", "l_partkey", "p_partkey"))),
+        "part" -> ParentRel("part", "part", "l_partkey", "p_partkey")),
+      // the event feed's actor lookup (every user_id resolves to a
+      // customer in the testdata, exactly a Salesforce polymorphic
+      // owner field pinned to one type)
+      "events" -> Map(
+        "user" -> ParentRel("user", "customer", "user_id",
+          "c_custkey"))),
     children = Map(
       "customer" -> Map(
         "orders" -> ChildRel("orders", "orders", "o_custkey",
@@ -433,6 +442,7 @@ object Soql {
     val fields = Seq.newBuilder[Field]
     val children = Seq.newBuilder[ChildQuery]
     val aggs = Seq.newBuilder[AggItem]
+    var fieldsAll = false
     val stopAlias = Set("FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
       "OFFSET", "HAVING")
     def alias(): Option[String] = p.peek match {
@@ -454,7 +464,16 @@ object Soql {
         children += ChildQuery(f, rel, w)
       } else {
         val first = p.ident()
-        if (aggFns(first.toUpperCase) && p.punct("(")) {
+        if (first.equalsIgnoreCase("FIELDS") && p.punct("(")) {
+          // FIELDS(ALL) — full-width projection; STANDARD/CUSTOM need
+          // describe field-category metadata the frozen schemas don't
+          // carry, so they refuse loudly rather than guessing
+          require(p.kw("ALL"),
+            s"only FIELDS(ALL) is supported (STANDARD/CUSTOM need " +
+              s"field-category metadata): $q")
+          p.expectPunct(")")
+          fieldsAll = true
+        } else if (aggFns(first.toUpperCase) && p.punct("(")) {
           // aggregate item: COUNT() | FN(field-or-dot-path) [alias]
           val f = if (p.punct(")")) None else {
             val x = p.path(); p.expectPunct(")"); Some(x)
@@ -548,8 +567,11 @@ object Soql {
         s"with GROUP BY (SOQL rule): $q")
     require(having.isEmpty || as.nonEmpty,
       s"HAVING requires an aggregate query: $q")
+    require(!fieldsAll ||
+      (fs.isEmpty && as.isEmpty && children.result().isEmpty),
+      s"FIELDS(ALL) must be the only select item: $q")
     Query(fs, children.result(), as, obj.toLowerCase, where, gb,
-      groupMode, having, orderBy, limit, offset)
+      groupMode, having, orderBy, limit, offset, fieldsAll)
   }
 
   // ---------- translation ----------
@@ -725,9 +747,14 @@ object Soql {
     * j3_nested shape, hash-comparable). `today` anchors date literals
     * (defaulting to the wall-clock UTC date; inject it for
     * deterministic tests/oracles). */
+  /** `eventsBase` substitutes the events scan with a caller-supplied
+    * frame (the STREAMING extract path — Streams.soqlExtract injects a
+    * readStream source; the raw-column pushdown block is skipped
+    * because a streaming source carries its own watermark bounds). */
   def toDataFrame(q: Query, spark: SparkSession, dir: String,
       graph: ObjectGraph = testdataGraph,
-      today: Option[java.time.LocalDate] = None): DataFrame = {
+      today: Option[java.time.LocalDate] = None,
+      eventsBase: Option[DataFrame] = None): DataFrame = {
     val anchor = today.getOrElse(
       java.time.LocalDate.now(java.time.ZoneOffset.UTC))
     val r = new Resolver(q.obj, graph)
@@ -793,6 +820,7 @@ object Soql {
       "HAVING must not traverse parent relationships outside an " +
         "aggregate call")
     var df = q.obj match {
+      case "events" if eventsBase.isDefined => eventsBase.get
       case "events" =>
         // The events scan converts the file's native INT64 epoch to a
         // timestamp (`timestamp_micros(ts DIV d)`), which is OPAQUE to
@@ -872,7 +900,14 @@ object Soql {
         .withColumn(name, coalesce(col(name), lit("")))
     wcol.foreach(c => df = df.filter(c))
     val out =
-      if (q.aggs.isEmpty) {
+      if (q.fieldsAll) {
+        // FIELDS(ALL): the object's full frozen schema in declared
+        // order (never the join-widened frame — parent joins only
+        // exist if WHERE traversed a relationship)
+        if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
+        df.select(graft.etl.Tables.schemas(q.obj).fieldNames
+          .toSeq.map(col): _*)
+      } else if (q.aggs.isEmpty) {
         if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
         df.select(sel ++ childCols.map(c => col(c._3)): _*)
       } else {

@@ -644,6 +644,36 @@ object Streams {
     * column. At production scale the same shape is a transactional
     * table format's idempotent append commit keyed by batchId.
     */
+  /** The reference's incremental-extract poll loop
+    * (`client.query(soql)` re-issued with a `SystemModstamp >=
+    * watermark` predicate, client.rs:199-205) as ONE Structured
+    * Streaming declaration: raw SOQL text in, micro-batched extract
+    * frames out. The accepted grammar subset is exactly the EXTRACT
+    * shape — projection (FIELDS(ALL) included) + WHERE, with date
+    * literals and parent relationship dot paths (parents are static
+    * dimensions, so traversal compiles to a stream-static LEFT join —
+    * Spark handles these in append mode with no state). Aggregates,
+    * child subqueries, ORDER BY, and LIMIT/OFFSET refuse loudly: they
+    * are query shapes, meaningless on an unbounded feed (aggregate the
+    * landed extract instead). Source-side watermark pruning belongs to
+    * the injected stream (a real source resumes from its checkpoint
+    * offset; the batch path gets the raw-column pushdown in
+    * Soql.toDataFrame).
+    */
+  def soqlExtract(stream: DataFrame, dir: String, soql: String,
+      today: Option[java.time.LocalDate] = None): DataFrame = {
+    val q = graft.soql.Soql.parse(soql)
+    require(q.obj == "events",
+      s"the streaming extract reads the events feed, got '${q.obj}'")
+    require(q.aggs.isEmpty && q.children.isEmpty,
+      "aggregates/child subqueries are query shapes, not extract " +
+        "shapes — aggregate the landed extract instead")
+    require(q.orderBy.isEmpty && q.limit.isEmpty && q.offset.isEmpty,
+      "ORDER BY/LIMIT/OFFSET are meaningless on an unbounded extract")
+    graft.soql.Soql.toDataFrame(q, stream.sparkSession, dir,
+      today = today, eventsBase = Some(stream))
+  }
+
   def appendMaintain(stream: DataFrame, path: String)(
       transform: DataFrame => DataFrame): StreamingQuery =
     stream.writeStream

@@ -313,6 +313,28 @@ class SoqlSpec extends SparkTestBase {
         "compute a duplicate")
   }
 
+  test("FIELDS(ALL) projects the full frozen schema; STANDARD/CUSTOM " +
+      "and mixed select lists refuse") {
+    val got = Soql.query(spark, dir,
+      "SELECT FIELDS(ALL) FROM region ORDER BY r_regionkey")
+    val want = ops.t(spark, dir, "region").orderBy("r_regionkey")
+    same(got, want)
+    // a relationship WHERE may widen the join frame, but the output
+    // stays the object's own columns
+    val filtered = Soql.query(spark, dir,
+      "SELECT FIELDS(ALL) FROM orders" +
+        " WHERE customer.c_mktsegment = 'BUILDING'")
+    assert(filtered.columns.toSeq ==
+      etl.Tables.schemas("orders").fieldNames.toSeq)
+    assert(filtered.count() > 0)
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT FIELDS(STANDARD) FROM orders")
+    }
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT o_orderkey, FIELDS(ALL) FROM orders")
+    }
+  }
+
   test("string-literal escapes decode the standard set; unknown " +
       "escapes refuse") {
     val q = Soql.parse("SELECT a FROM b WHERE c = 'x\\ny\\t\\\\z'")

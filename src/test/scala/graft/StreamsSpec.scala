@@ -23,6 +23,46 @@ class StreamsSpec extends SparkTestBase {
     (raw, div, 1000L * div)
   }
 
+  test("soqlExtract: raw SOQL text drives a streaming incremental " +
+      "extract equal to the batch translation; query shapes refuse") {
+    // the reference's poll-loop extract as one streaming declaration:
+    // date-literal WHERE + a parent dot path (stream-static LEFT join)
+    val t0 = Some(java.time.LocalDate.of(2024, 1, 25))
+    val soql = "SELECT event_id, event_type, user.c_mktsegment" +
+      " FROM events WHERE ts >= LAST_N_DAYS:7 AND ts < TODAY" +
+      " AND user.c_acctbal >= 0"
+    // two single-file halves -> two micro-batches, so the append path
+    // genuinely crosses a batch boundary
+    val ev = graft.etl.Tables.load(spark, dir, "events")
+    val (_, stream0) = ops.Replay.twoBatchStream(spark, "soql_extract",
+      dir, graft.etl.Tables.events, "ev",
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    val out = Streams.soqlExtract(stream0, dir, soql, today = t0)
+    val q = Streams.runAvailableNow(out, "soql_extract_test")
+    assert(!q.isActive)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+      "replay must span two micro-batches")
+    val streamed = spark.table("soql_extract_test")
+    val batch = graft.soql.Soql.query(spark, dir, soql, today = t0)
+    assert(streamed.count() > 0, "extract fixture selected nothing")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream=batch parity broken")
+    // query shapes refuse loudly: aggregates, ORDER BY, non-feed object
+    intercept[IllegalArgumentException] {
+      Streams.soqlExtract(stream0, dir, "SELECT COUNT() FROM events")
+    }
+    intercept[IllegalArgumentException] {
+      Streams.soqlExtract(stream0, dir,
+        "SELECT event_id FROM events ORDER BY event_id")
+    }
+    intercept[IllegalArgumentException] {
+      Streams.soqlExtract(stream0, dir, "SELECT c_name FROM customer")
+    }
+  }
+
   test("windowedCounts over a drained stream equals the batch aggregation") {
     val stream = Streams.eventsStream(spark, dir)
     val q = Streams.runAvailableNow(Streams.windowedCounts(stream),
