@@ -703,6 +703,30 @@ object Vectors {
     // cells' candidates; same index, no extra state.
     "v_ann_ivf2" -> ((s, d) => ivfTopK(s, d, nprobe = 2, lloydRounds = 1)),
 
+    // FILTERED ANN — attribute-constrained vector search (the
+    // known-hard production feature: "nearest docs WHERE license
+    // permits training"): top-5 among vectors satisfying a metadata
+    // predicate (label is even — ~50% selective). PRE-filter
+    // semantics, the correct ones for quality gating: eligibility is
+    // decided before ranking, so the answer is the true top-k OF THE
+    // ELIGIBLE SET (post-filtering an unconstrained top-k list loses
+    // recall exactly when the filter is selective). The filter pushes
+    // BELOW the index probe: assignments are computed for eligible
+    // vectors only (per-vector independent, so filter-then-assign ≡
+    // assign-then-filter — the oracle does the latter, proving the
+    // equivalence), the quantizer and the probe set stay shared with
+    // the unfiltered ladder, and each probe scans only the eligible
+    // rows of its cells. At high filter selectivity the production
+    // lever is raising nprobe — same knob, same plan shape.
+    "v_ann_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cent = ivfCentroids(e, lloydRounds = 1)
+      val stored = ivfRanked(e.filter(col("label") % 2 === 0), cent)
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+      ivfTopKFrom(e, cent, stored, nprobe = 2)
+    }),
+
     // nprobe=4: the top of the measured recall/cost ladder (IvfSpec:
     // recall@5 = 0.30/0.46/0.72 at nprobe 1/2/4) — registering it makes
     // the full ladder oracle-checked, not just spec-measured. Still the
@@ -1246,7 +1270,7 @@ object Vectors {
     * zip_with cast); cosVVSql folds float·float cast to double
     * (candidate scoring, matching fdot). */
   private[ops] def ivfSql(nprobe: Int, lloydRounds: Int,
-      quantized: Boolean = false): String = {
+      quantized: Boolean = false, storedPred: String = ""): String = {
     val rounds = ivfRoundsSql(lloydRounds)
     val cosVV = cosVVSql _
     val last = lloydRounds
@@ -1254,7 +1278,15 @@ object Vectors {
     // assigned vector (as DOUBLE lists, matching the Spark cast) — the
     // symmetric scale cancels in cosine, so scoring uses q directly
     val asg =
-      if (!quantized)
+      if (storedPred.nonEmpty)
+        // filtered search: the stored side keeps only vectors whose
+        // embeddings-row attribute satisfies the predicate (assignment
+        // is per-vector independent, so assign-then-filter here equals
+        // the Spark side's filter-then-assign)
+        s"""asg AS (SELECT r.vec_id, r.v, r.k AS cluster
+             FROM rk$last r JOIN embeddings e USING (vec_id)
+             WHERE r.rn = 1 AND $storedPred)"""
+      else if (!quantized)
         s"asg AS (SELECT vec_id, v, k AS cluster FROM rk$last WHERE rn = 1)"
       else
         s"""asg0 AS (SELECT vec_id, v, k AS cluster,
@@ -1733,6 +1765,9 @@ object Vectors {
     // index exactly, or the per-probe top-5 lists go hash-red
     "v_ann_maintained" -> ivfSql(nprobe = 1, lloydRounds = 1),
     "v_ann_ivf2" -> ivfSql(nprobe = 2, lloydRounds = 1),
+    // shared quantizer + probe chain; only the stored side filters
+    "v_ann_filtered" -> ivfSql(nprobe = 2, lloydRounds = 1,
+      storedPred = "e.label % 2 = 0"),
     "v_ann_ivf4" -> ivfSql(nprobe = 4, lloydRounds = 1),
     "v_ann_ivf8" -> ivfSql(nprobe = 8, lloydRounds = 1),
     "v_ann_ivfq" -> ivfSql(nprobe = 2, lloydRounds = 1, quantized = true),

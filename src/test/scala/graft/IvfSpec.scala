@@ -193,6 +193,38 @@ class IvfSpec extends SparkTestBase {
         "ceiling — the restriction is not binding")
   }
 
+  test("filtered ANN: every hit satisfies the predicate, and " +
+      "pre-filtering beats post-filtering the unfiltered top-5") {
+    val d = requireFixture("sf0.01")
+    val e = graft.etl.Tables.load(spark, d, "embeddings")
+    val eligible = e.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def lists(q: String): Map[Long, Seq[Long]] =
+      Vectors.queries(q)(spark, d).select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val filtered = lists("v_ann_filtered")
+    // correctness of the constraint: no ineligible vector ever surfaces
+    assert(filtered.values.flatten.forall(eligible),
+      "filtered ANN returned a vector failing the predicate")
+    assert(filtered.nonEmpty && filtered.values.exists(_.size == 5),
+      "fixture too sparse: no probe filled its eligible top-5")
+    // the semantic point: POST-filtering the unfiltered top-5 keeps
+    // only the eligible survivors (~half at 50% selectivity), while
+    // the pre-filtered search refills the list from the eligible set —
+    // strictly more answers at the same nprobe
+    val post = lists("v_ann_ivf2").view
+      .mapValues(_.filter(eligible)).toMap
+    val nFiltered = filtered.values.map(_.size).sum
+    val nPost = post.values.map(_.size).sum
+    assert(filtered.keys.forall(q =>
+      filtered(q).size >= post.getOrElse(q, Seq.empty).size),
+      "pre-filter returned fewer hits than post-filter for some probe")
+    assert(nFiltered > nPost,
+      s"fixture does not discriminate: pre-filter $nFiltered vs " +
+        s"post-filter $nPost hits — the filter is not selective here")
+  }
+
   test("nprobe=8: the ladder reaches the production recall point") {
     // the r13 VERDICT asked the oracle-checked ladder to reach the
     // recall a real retrieval pipeline ships (~0.9). On this
