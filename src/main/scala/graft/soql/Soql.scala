@@ -672,6 +672,14 @@ object Soql {
           needed.getOrElseUpdate(key, (parentKey, pr))
           table = pr.table
         }
+        // a DERIVED field of the target object has no physical column
+        // to pick up through the join's rename — refuse loudly instead
+        // of surfacing an opaque unresolved-column analysis error
+        require(!graph.derived.getOrElse(table, Map.empty)
+          .contains(f.toLowerCase),
+          s"derived field '$f' of $table cannot be reached through a " +
+            s"relationship path (${path.mkString(".")}) — query " +
+            s"$table directly")
         org.apache.spark.sql.functions.col(s"__${key}__$f")
     }
     def fieldCol(fd: Field): Column = fd.fn match {

@@ -335,6 +335,28 @@ class SoqlSpec extends SparkTestBase {
     }
   }
 
+  test("a derived field behind a relationship path refuses loudly") {
+    // derived (describe-computed) fields exist only on their own
+    // object's scan; traversal would surface an opaque
+    // unresolved-column error, so the resolver names the cause
+    val g = Soql.testdataGraph
+    val withDerived = g.copy(derived = g.derived +
+      ("customer" -> Map("segtag" ->
+        concat_ws("|", col("c_mktsegment"), col("c_name")))))
+    val ex = intercept[IllegalArgumentException] {
+      Soql.toDataFrame(
+        Soql.parse("SELECT o_orderkey, customer.segtag FROM orders"),
+        spark, dir, graph = withDerived)
+    }
+    assert(ex.getMessage.contains("derived field") &&
+      ex.getMessage.contains("segtag"), ex.getMessage)
+    // ...while the same derived field queried on its OWN object works
+    val ok = Soql.toDataFrame(
+      Soql.parse("SELECT c_custkey, segtag FROM customer LIMIT 5"),
+      spark, dir, graph = withDerived)
+    assert(ok.count() == 5 && ok.columns.contains("segtag"))
+  }
+
   test("string-literal escapes decode the standard set; unknown " +
       "escapes refuse") {
     val q = Soql.parse("SELECT a FROM b WHERE c = 'x\\ny\\t\\\\z'")
