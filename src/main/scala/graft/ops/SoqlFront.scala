@@ -7,10 +7,14 @@ import graft.soql.Soql
   * every Verify run), so a tokenizer, grammar, relationship-resolution,
   * or translation regression goes hash-red against DuckDB instead of
   * only spec-red (SoqlSpec keeps the golden shape-by-shape coverage).
-  * The shapes are the reference's canonical ones: raw text through
+  * The shapes are the reference's canonical ones — raw text through
   * `client.query(q)` (oxidized-force/src/client.rs:199-205), the
   * bulk-job field list (client.rs:214-217), relationship dot paths,
-  * and the parent-child nested subquery.
+  * the parent-child nested subquery — plus the r15 WHERE surface:
+  * anchored date literals (with raw-scan pushdown), date functions,
+  * multipicklist INCLUDES/EXCLUDES, multi-hop chains, COUNT_DISTINCT +
+  * ROLLUP, FIELDS(ALL), and the events actor dot path whose streaming
+  * twin is Streams.soqlExtract.
   */
 object SoqlFront {
 
