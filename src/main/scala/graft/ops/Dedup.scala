@@ -192,7 +192,7 @@ object Dedup {
     * the two produce bit-identical band keys.
     */
   private[graft] def idfBands(docs: DataFrame, maxDf: Long,
-      fused: Boolean = true, stopCap: Int = 4 << 20): DataFrame = {
+      fused: Boolean = true, stopCap: Int = 1 << 20): DataFrame = {
     val M = 2147483647L
     val ex = docs.select(col("doc_id"),
         explode(shingles(col("text"), 5)).as("s"))
@@ -203,10 +203,12 @@ object Dedup {
     // average df) makes the stop set data-sized — cap what the driver
     // will materialize and spill to the unfused anti-join path (with a
     // SHUFFLE anti-join: a data-sized stop set must not broadcast
-    // either) instead of OOMing the collect. 4M longs = 32 MB, two
-    // orders above the bound's ~1000-entry working point.
-    lazy val stopArr =
-      stop.limit(stopCap + 1).collect().map(_.getLong(0))
+    // either) instead of OOMing the collect. The probe collects through
+    // a PRIMITIVE Long encoder (no Row wrappers, no boxed residents),
+    // so its resident footprint really is the array: 1M longs = 8 MB,
+    // three orders above the bound's ~1000-entry working point.
+    lazy val stopArr = stop.limit(stopCap + 1)
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect()
     if (fused && stopArr.length <= stopCap) {
       val sig = docs.select(col("doc_id"),
         org.apache.spark.sql.graftshim.FilteredShingleMinHashes

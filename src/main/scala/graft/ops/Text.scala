@@ -537,8 +537,13 @@ object Text {
         .groupBy("source")
         .agg(count(lit(1)).as("docs"),
           sum(size(split(col("text"), " "))).cast("long").as("tokens"))
-        .withColumn("wt",
-          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") + 1L)
+        // a digitless source gets the defined default weight 1 (the
+        // no-match extract is '' → NULL after the cast — coalescing
+        // keeps the derivation total on BOTH engines instead of a
+        // silent NULL target here vs a cast error in the oracle)
+        .withColumn("wt", coalesce(
+          nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
+            .cast("long") + 1L, lit(1L)))
       val tot = per.agg(sum("wt").cast("long").as("wsum"))
       per.crossJoin(broadcast(tot))
         .withColumn("target_tokens", expr(s"$budget * wt div wsum"))
@@ -1181,8 +1186,8 @@ object Text {
       """WITH per AS (
            SELECT source, COUNT(*) AS docs,
              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-             CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) + 1
-               AS wt
+             COALESCE(CAST(NULLIF(regexp_extract(source, '([0-9]+)$', 1),
+               '') AS BIGINT) + 1, 1) AS wt
            FROM documents GROUP BY 1),
          w AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM per)
          SELECT source, docs, tokens,

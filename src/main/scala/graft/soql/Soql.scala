@@ -797,13 +797,17 @@ object Soql {
     val aggCols = q.aggs.zipWithIndex.map { case (a, i) =>
       aggFn(a.fn, a.field).as(a.alias.getOrElse(s"expr$i"))
     }
-    // group keys resolve now too (fills `needed` for dotted keys);
-    // each key gets an output-named column so dotted/function keys
-    // group and project under a stable name
+    // group keys resolve EAGERLY — r.fieldCol here, BEFORE the
+    // parent-join loop — so a dotted key's relationship lands in
+    // `needed` even when the key is not a select item (SELECT COUNT()
+    // ... GROUP BY customer.c_name). The resolved column is kept for
+    // the post-join withColumn materialization; each key gets an
+    // output-named column so dotted/function keys group and project
+    // under a stable name.
     val keyed = q.groupBy.map { g =>
       val name = q.fields.find(f => Soql.norm(f) == Soql.norm(g))
         .map(outName).getOrElse(outName(g))
-      (g, name)
+      (g, name, r.fieldCol(g))
     }
     // HAVING: an aggregate call matching a select item filters on that
     // item's output column; an unselected call computes a HIDDEN agg
@@ -925,9 +929,9 @@ object Soql {
         // name SOQL's default exprN unless aliased (both resolved
         // above, before the parent joins). Output order: non-aggregate
         // select items in select order, then the aggregates.
-        for ((g, name) <- keyed if g.fn.isDefined || g.path.length > 1)
-          df = df.withColumn(name, r.fieldCol(g))
-        val groupCols = keyed.map { case (g, name) =>
+        for ((g, name, kc) <- keyed if g.fn.isDefined || g.path.length > 1)
+          df = df.withColumn(name, kc)
+        val groupCols = keyed.map { case (g, name, _) =>
           if (g.fn.isEmpty && g.path.length == 1) col(g.path.head)
           else col(name)
         }
@@ -946,14 +950,14 @@ object Soql {
         // an aggregate alias, or SOQL's default exprN
         val aggOcols = q.orderBy.map { o =>
           val name = keyed
-            .find { case (gk, _) =>
+            .find { case (gk, _, _) =>
               Soql.norm(gk) == ((None, o.path.map(_.toLowerCase))) }
             .map(_._2)
             .orElse(
               // a group key's OUTPUT name (a date-function alias like
               // `yr`, or a flattened dotted name)
               if (o.path.length == 1)
-                keyed.collectFirst { case (_, n)
+                keyed.collectFirst { case (_, n, _)
                   if n.equalsIgnoreCase(o.path.head) => n }
               else None)
             .orElse(

@@ -433,6 +433,19 @@ class SoqlSpec extends SparkTestBase {
     }
   }
 
+  test("GROUP BY dotted key NOT in the select list resolves — the " +
+      "relationship joins before grouping (eager key resolution)") {
+    val got = Soql.query(spark, dir,
+      "SELECT COUNT() n FROM orders GROUP BY customer.c_mktsegment")
+    val o = ops.t(spark, dir, "orders")
+    val c = ops.t(spark, dir, "customer")
+    val want = o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .select("n")
+    same(got, want)
+    assert(got.count() > 1, "grouping fixture collapsed to one group")
+  }
+
   test("aggregate grammar refusals: ungrouped plain field, GROUP BY " +
       "without aggregate, agg mixed with child subquery") {
     intercept[IllegalArgumentException] {
