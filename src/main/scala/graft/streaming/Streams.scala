@@ -2084,14 +2084,19 @@ object Streams {
   // (no atomic dir rename) that is copy-sized. The generation layout
   // makes publishing O(1) AT ANY STATE SIZE: state lives in
   // `statePath/gen=N/` subdirs, and the only mutation that commits a
-  // batch is an atomic one-file rename of the `_graft_current` pointer
-  // (tmp-write + rename — the POSIX/HDFS atomicity primitive). THIS
-  // implementation does the pointer I/O with java.io.File (local FS /
-  // POSIX rename, like the repo's other state helpers); the layout is
-  // *designed* so that an object-store port needs only to swap the
-  // pointer read/flip for a single small conditional PUT — the state
-  // files themselves are already immutable-per-generation and never
-  // renamed. Each gen dir carries its own batch marker, so
+  // batch is publishing a new value of the `_graft_current` pointer
+  // through the pluggable [[GenPointerStore]]: the publisher reads the
+  // pointer (value + version token), writes the next generation's
+  // immutable data files, and commits with ONE CONDITIONAL PUT of the
+  // pointer (If-Match on the token it read) — so on S3/GCS, where
+  // rename is not atomic, the protocol needs only the store's native
+  // conditional PUT; state files themselves are written once and never
+  // renamed. A failed condition means a concurrent publisher committed
+  // since the read — publishGen refuses LOUDLY instead of silently
+  // orphaning the winner's generation (the lost-update rejection
+  // GenPointerSpec races against a fake object store). The default
+  // binding is [[PosixGenPointer]] (pointer file + advisory-locked
+  // compare-and-set). Each gen dir carries its own batch marker, so
   // the exactly-once retry guard reads through the pointer. Crash
   // windows: before the flip, the old pointer stands and the retry
   // overwrites the orphan gen; after the flip, the new state is live
@@ -2100,14 +2105,11 @@ object Streams {
   // still has its files — the grace window stagedSwap never had) and
   // deletes older ones best-effort.
 
-  private val CurrentMarker = "_graft_current"
+  private def pointerOf(statePath: String): GenPointerStore =
+    GenPointerStore.forPath(statePath)
 
-  private[graft] def currentGen(statePath: String): Option[Long] = {
-    val f = new java.io.File(statePath, CurrentMarker)
-    if (!f.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-  }
+  private[graft] def currentGen(statePath: String): Option[Long] =
+    pointerOf(statePath).read(statePath).map(_._1)
 
   private[graft] def currentGenPath(statePath: String): Option[String] =
     currentGen(statePath).map(g => s"$statePath/gen=$g")
@@ -2149,7 +2151,7 @@ object Streams {
   private def requireNotLegacy(statePath: String): Unit = {
     val dir = new java.io.File(statePath)
     if (dir.isDirectory &&
-        !new java.io.File(dir, CurrentMarker).exists()) {
+        pointerOf(statePath).read(statePath).isEmpty) {
       val files = Option(dir.listFiles()).getOrElse(Array.empty)
       require(!files.exists(f => f.getName.endsWith(".parquet")),
         s"$statePath holds pre-generation-layout state (top-level " +
@@ -2168,20 +2170,19 @@ object Streams {
     recoverState(statePath)
     val dir = new java.io.File(statePath)
     if (!dir.isDirectory ||
-        new java.io.File(dir, CurrentMarker).exists()) return
+        pointerOf(statePath).read(statePath).isDefined) return
     val gen0 = new java.io.File(dir, "gen=0")
     require(gen0.mkdirs(), s"cannot create $gen0")
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName != "gen=0")
+      .filter(f => f.getName != "gen=0" &&
+        !f.getName.startsWith(PosixGenPointer.Marker))
       .foreach { f =>
         require(f.renameTo(new java.io.File(gen0, f.getName)),
           s"migration move failed for ${f.getPath}")
       }
-    val tmp = new java.io.File(dir, CurrentMarker + "_tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    require(tmp.renameTo(new java.io.File(dir, CurrentMarker)),
-      s"migration pointer flip failed under $statePath")
+    require(pointerOf(statePath).putIf(statePath, 0L, None),
+      s"migration pointer flip lost a race under $statePath — " +
+        "another publisher committed during the one-time migration")
   }
 
   /** GC depth: how many committed generations survive a flip — the
@@ -2205,22 +2206,28 @@ object Streams {
   /** Commit one batch under the generation layout: `write` lands the
     * new state into the next gen dir (a plain overwrite parquet write
     * — an interrupted attempt is re-overwritten on retry), the batch
-    * marker lands inside it, and the POINTER FLIP is the single
-    * atomic commit point. Then GC generations beyond the [[genKeep]]
+    * marker lands inside it, and the CONDITIONAL PUT of the pointer —
+    * If-Match on the version token this publish resolved — is the
+    * single atomic commit point. A failed condition (a concurrent
+    * publisher committed since the read) refuses loudly: the orphan
+    * gen dir is garbage, never state, and the caller knows its batch
+    * did NOT commit. Then GC generations beyond the [[genKeep]]
     * retention depth. */
   private[graft] def publishGen(statePath: String, id: Long)(
       write: String => Unit): Unit = {
     val keep = genKeep // validate the knob BEFORE any state mutation
     requireNotLegacy(statePath)
-    val next = currentGen(statePath).map(_ + 1).getOrElse(0L)
+    val store = pointerOf(statePath)
+    val cur = store.read(statePath)
+    val next = cur.map(_._1 + 1).getOrElse(0L)
     val dir = s"$statePath/gen=$next"
     write(dir)
     markBatch(dir, id)
-    val tmp = new java.io.File(statePath, CurrentMarker + "_tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    require(tmp.renameTo(new java.io.File(statePath, CurrentMarker)),
-      s"generation pointer flip failed under $statePath")
+    require(store.putIf(statePath, next, cur.map(_._2)),
+      s"generation pointer flip under $statePath lost a race: " +
+        "another publisher committed after this batch resolved the " +
+        "pointer — this batch's write is an uncommitted orphan " +
+        "(two concurrent maintainers on one state dir)")
     val cutoff = next - (keep - 1)
     Option(new java.io.File(statePath).listFiles())
       .getOrElse(Array.empty)

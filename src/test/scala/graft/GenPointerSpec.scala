@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{GenPointerStore, PosixGenPointer, Streams}
+
+/** An in-memory object store for the generation pointer: one object
+  * per key, a fresh etag on every successful put, and a CONDITIONAL
+  * PUT that fails whenever the caller's If-Match token is stale —
+  * the S3/GCS consistency model the gen layout's commit protocol is
+  * written against. Mutations are serialized (object stores linearize
+  * per-key metadata ops); the etag is content-INDEPENDENT, like a
+  * real store's, so the fake is stricter than the POSIX
+  * content-as-token impl. */
+final class FakeObjectStore extends GenPointerStore {
+  private val objects =
+    scala.collection.mutable.Map[String, (Long, String)]()
+  private var etagSeq = 0L
+  /** Conditional failures observed — the lost-update rejections. */
+  @volatile var rejected = 0
+
+  def read(statePath: String): Option[(Long, String)] =
+    synchronized(objects.get(statePath))
+
+  def putIf(statePath: String, gen: Long,
+      expect: Option[String]): Boolean = synchronized {
+    if (objects.get(statePath).map(_._2) != expect) {
+      rejected += 1; false
+    } else {
+      etagSeq += 1
+      objects(statePath) = (gen, s"etag-$etagSeq")
+      true
+    }
+  }
+}
+
+/** The gen layout's object-store contract: commits go through ONE
+  * conditional PUT of the pointer, lost updates are rejected (not
+  * silently absorbed), and a maintained table stays byte-identical to
+  * its POSIX-pointer twin when the pointer lives in an object store —
+  * i.e. the data plane never depended on rename atomicity. */
+class GenPointerSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("conditional PUT: a stale If-Match token is rejected — of two " +
+      "publishers that read the same version, exactly one commits") {
+    val store = new FakeObjectStore
+    val key = "/state/counts"
+    assert(store.putIf(key, 0L, None), "create-if-absent must succeed")
+    val a = store.read(key).get
+    val b = store.read(key).get
+    assert(a == b)
+    // both writers resolved gen 0; writer A flips first
+    assert(store.putIf(key, 1L, Some(a._2)))
+    // writer B holds a now-stale token: must be rejected even though
+    // it proposes the SAME generation number (version check, not
+    // value check)
+    assert(!store.putIf(key, 1L, Some(b._2)),
+      "a stale token committed — lost update")
+    // and a blind create against an existing pointer is rejected too
+    assert(!store.putIf(key, 2L, None))
+    assert(store.read(key).get._1 == 1L)
+    assert(store.rejected == 2)
+  }
+
+  test("publishGen commits through a bound object store and refuses " +
+      "loudly when a concurrent publisher wins the race") {
+    val base = tmpDir("genstore_race")
+    val statePath = s"$base/st"
+    val store = new FakeObjectStore
+    GenPointerStore.bind(statePath, store)
+    try {
+      def writeMarkerFileOnly(tag: String): String => Unit = dir => {
+        new java.io.File(dir).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"$tag.txt").toPath,
+          tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      Streams.publishGen(statePath, 0L)(writeMarkerFileOnly("base"))
+      assert(store.read(statePath).get._1 == 0L)
+      assert(!new java.io.File(statePath, PosixGenPointer.Marker)
+        .exists(), "a bound object store still wrote the POSIX pointer")
+      // interleave: publisher A resolves the pointer, and DURING its
+      // data write a second publisher commits the next generation. A's
+      // conditional flip must fail loudly — its generation is an
+      // uncommitted orphan, never silently "committed over" B's.
+      val e = intercept[IllegalArgumentException] {
+        Streams.publishGen(statePath, 1L) { dir =>
+          writeMarkerFileOnly("a")(dir)
+          Streams.publishGen(statePath, 1L)(writeMarkerFileOnly("b"))
+        }
+      }
+      assert(e.getMessage.contains("lost a race"))
+      assert(store.rejected == 1)
+      // the winner's commit stands and readers resolve it
+      val gen = store.read(statePath).get._1
+      assert(gen == 1L)
+      assert(new java.io.File(s"$statePath/gen=$gen/b.txt").exists(),
+        "pointer does not resolve the winning publisher's generation")
+    } finally GenPointerStore.unbind(statePath)
+  }
+
+  test("a maintained count table through the object-store pointer is " +
+      "byte-identical to the POSIX-pointer twin (the data plane never " +
+      "relies on rename)") {
+    import spark.implicits._
+    val base = tmpDir("genstore_counts")
+    val posixPath = s"$base/posix"
+    val storePath = s"$base/fake"
+    GenPointerStore.bind(storePath, new FakeObjectStore)
+    try {
+      val b1 = Seq("a", "a", "b").toDF("k")
+      val b2 = Seq("b", "c").toDF("k")
+      for (p <- Seq(posixPath, storePath)) {
+        Streams.countBatch(b1, "k", p, 0L)
+        Streams.countBatch(b2, "k", p, 1L)
+        // retry redelivery: the exactly-once marker reads through the
+        // bound pointer store too
+        Streams.countBatch(b2, "k", p, 1L)
+      }
+      def state(p: String) = Streams.readGenMaintained(spark, p)
+        .as[(String, Long)].collect().toMap
+      val want = Map("a" -> 2L, "b" -> 2L, "c" -> 1L)
+      assert(state(posixPath) == want)
+      assert(state(storePath) == want)
+      // POSIX twin committed via the marker file; object-store twin
+      // committed via the store — and GC ran identically on both
+      assert(new java.io.File(posixPath, PosixGenPointer.Marker).exists())
+      assert(!new java.io.File(storePath, PosixGenPointer.Marker).exists())
+      def gens(p: String) = new java.io.File(p).listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+      assert(gens(posixPath) == gens(storePath))
+    } finally GenPointerStore.unbind(storePath)
+  }
+
+  test("POSIX pointer compare-and-set: a stale content token is " +
+      "rejected the same way (the default store honors the contract)") {
+    val statePath = tmpDir("genstore_posix") + "/st"
+    assert(PosixGenPointer.putIf(statePath, 0L, None))
+    val tok = PosixGenPointer.read(statePath).get._2
+    assert(PosixGenPointer.putIf(statePath, 1L, Some(tok)))
+    assert(!PosixGenPointer.putIf(statePath, 2L, Some(tok)),
+      "stale POSIX token committed — the advisory-locked CAS is not " +
+        "a CAS")
+    assert(!PosixGenPointer.putIf(statePath, 2L, None))
+    assert(PosixGenPointer.read(statePath).get._1 == 1L)
+  }
+}
