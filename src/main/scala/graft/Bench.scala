@@ -68,40 +68,77 @@ object Bench {
     if (base.startsWith("sf")) base.stripPrefix("sf") else base
   }
 
-  private def benchHistory(root: java.io.File,
-      sf: String): Map[String, Vector[Double]] = {
+  /** One clean historical artifact: its per-query times plus the
+    * host-day sentinel it recorded (-1 for pre-sentinel artifacts). */
+  private final case class HistArtifact(sentinel: Double,
+      queries: Map[String, Double])
+
+  private def benchArtifacts(root: java.io.File,
+      sf: String): Vector[HistArtifact] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val files = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("BENCH") &&
         f.getName.endsWith(".json"))
       .sortBy(_.getName)
-    files.foldLeft(Map.empty[String, Vector[Double]]) { (acc, f) =>
+    files.toVector.flatMap { f =>
       try {
         val node = mapper.readTree(f)
-        if (node.path("contended").asBoolean(false)) acc
-        else if (sfToken(node.path("sf").asText("")) != sfToken(sf)) acc
+        if (node.path("contended").asBoolean(false)) None
+        else if (sfToken(node.path("sf").asText("")) != sfToken(sf)) None
         else {
           val qs = node.path("queries")
-          var m = acc
+          var m = Map.empty[String, Double]
           if (qs.isObject) {
             val it = qs.fields()
             while (it.hasNext) {
               val e = it.next()
               val v = e.getValue.asDouble(-1.0)
-              if (v >= 0)
-                m = m.updated(e.getKey,
-                  m.getOrElse(e.getKey, Vector.empty) :+ v)
+              if (v >= 0) m = m.updated(e.getKey, v)
             }
           }
-          m
+          Some(HistArtifact(node.path("sentinel_sec").asDouble(-1.0), m))
         }
-      } catch { case _: Throwable => acc }
+      } catch { case _: Throwable => None }
     }
   }
+
+  private def benchHistory(arts: Vector[HistArtifact])
+      : Map[String, Vector[Double]] =
+    arts.foldLeft(Map.empty[String, Vector[Double]]) { (acc, a) =>
+      a.queries.foldLeft(acc) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, Vector.empty) :+ v)
+      }
+    }
 
   private def benchMinima(hist: Map[String, Vector[Double]])
       : Map[String, Double] =
     hist.view.mapValues(_.min).toMap
+
+  /** Host-day sentinel (judge r15 #2 / ROADMAP r16 #4): a FIXED
+    * synthetic job — range → xxhash64 → one-stage sum — that is pure
+    * CPU (no scan, no shuffle, no code that ever changes with the
+    * registry), timed best-of-3 at sweep start AND end. Two rounds in
+    * a row (r14 +8.7%, r15 +7.7%) paid a manual adjudication proving a
+    * uniform per-query drift was the host running slower that day; the
+    * sentinel measures exactly that profile, so the artifact can
+    * normalize for it: each historical artifact's query times divide
+    * by ITS OWN sentinel, this run's by today's, and `above_min_norm`
+    * flags only drift the host shift does NOT explain — empty on a
+    * pure host-shift day by construction. Raw `above_min` stays as the
+    * absolute lens; pre-sentinel artifacts simply don't contribute
+    * normalized minima (the lens warms up over rounds).
+    */
+  private def sentinelSec(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 150000000L, 1,
+          spark.sparkContext.defaultParallelism)
+        .selectExpr( // % bounds the summands: 150M · 1e9 ≪ Long.Max,
+          // so the one-stage sum can never ANSI-overflow
+          "sum(xxhash64(id, id + 1, 'graft_sentinel') % 1000000007)")
+        .head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   private def median(xs: Vector[Double]): Double = {
     val s = xs.sorted
@@ -201,6 +238,10 @@ object Bench {
       if (full || only.isDefined) SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.benchQueries
     val selected = base.filter(n => only.forall(_.contains(n)))
+    // host-day sentinel: timed AFTER warmup (so it measures the host,
+    // not JVM startup), again at sweep end; min of the two normalizes
+    val sentinelStart = sentinelSec(spark)
+    System.err.println(f"[bench] sentinel_start $sentinelStart%.3f s")
     skew.drainWorstRatio() // don't charge warmup stages to the first query
     // headline subset (SparkEntry.benchQueries) — representative, bounded
     val timed = selected.map { name =>
@@ -257,6 +298,9 @@ object Bench {
     // clean passes on this host measure <=0.2 s; the r8 phantom
     // regression showed 1.15-9.59 s bursts). A true flag means: compare
     // per-query MINs against a clean re-run before calling a regression.
+    val sentinelEnd = sentinelSec(spark)
+    System.err.println(f"[bench] sentinel_end $sentinelEnd%.3f s")
+    val sentinelNow = math.min(sentinelStart, sentinelEnd)
     val runSteal1 = stealJiffies()
     val loadEnd = loadAvg1m()
     val runStealSec =
@@ -275,9 +319,15 @@ object Bench {
     // report; on a clean run a non-empty list is a real regression
     // candidate. Compact line carries only the offenders (the stdout
     // tail is size-bounded); the side file carries the full minima map.
-    val hist = benchHistory(new java.io.File(
+    val arts = benchArtifacts(new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")), sfDir)
+    val hist = benchHistory(arts)
     val minima = benchMinima(hist)
+    // sentinel-normalized minima: each artifact's times in units of its
+    // own sentinel (sentinel-less history is skipped — no guessing)
+    val minimaNorm = benchMinima(benchHistory(
+      arts.filter(_.sentinel > 0).map(a => a.copy(queries =
+        a.queries.view.mapValues(_ / a.sentinel).toMap))))
     val aboveMin = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       minima.get(k).collect {
         case m if m > 0 && v > m * 1.5 && v - m > 0.5 =>
@@ -285,6 +335,22 @@ object Bench {
       }
     }
     val aboveMinJson = aboveMin.mkString("{", ",", "}")
+    // the normalized lens: same 1.5×/0.5 s envelope, but in sentinel
+    // units — a uniform host-day shift moves v and sentinelNow
+    // together, so only drift the host does NOT explain survives (the
+    // absolute threshold converts back to today's seconds)
+    val aboveMinNorm =
+      if (sentinelNow <= 0) Seq.empty
+      else results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        val vn = v / sentinelNow
+        minimaNorm.get(k).collect {
+          case m if m > 0 && vn > m * 1.5 &&
+              (vn - m) * sentinelNow > 0.5 =>
+            f""""$k":{"sec":$v%.2f,"norm":$vn%.2f,"min_norm":$m%.2f,""" +
+              f""""ratio":${vn / m}%.2f}"""
+        }
+      }
+    val aboveMinNormJson = aboveMinNorm.mkString("{", ",", "}")
     val minimaJson = minima.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // variance-model verdicts: a computed per-query confidence
@@ -307,10 +373,17 @@ object Bench {
     // overflowed it every round (BENCH_r04/r05 "parsed": null — the
     // leading {"metric": was cut off). Per-pass detail goes to stderr and
     // the side file instead; the headline stdout line stays parseable.
+    val sentinelFields =
+      f""""sentinel_sec":$sentinelNow%.3f,""" +
+        f""""sentinel_start":$sentinelStart%.3f,""" +
+        f""""sentinel_end":$sentinelEnd%.3f,""" +
+        s""""above_min_norm":$aboveMinNormJson,""" +
+        s""""n_minima_norm":${minimaNorm.size}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mode":"$mode",$hostFields,""" +
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
+        s"""$sentinelFields,""" +
         s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
         s""""skew_above":$skewAbove,"sf":"$sfDir"}"""
     val jsonFull =
@@ -319,6 +392,7 @@ object Bench {
         s""""steal_sec_per_pass":$allSteal,""" +
         s""""skew_worst_ratio":$allSkew,$hostFields,""" +
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
+        s"""$sentinelFields,""" +
         s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
         s""""var_model":$varModelJson,""" +
         s""""minima":$minimaJson,"skew_above":$skewAbove,"sf":"$sfDir"}"""
