@@ -77,7 +77,9 @@ object SparkEntry {
       "l_ivm_minmax", "v_pq256", "x_tdigest_maintained",
       // round-14 headliners: single-commit two-level IVM, two-stage
       // IVF-PQ refine
-      "l_ivm_joinagg", "v_ivfpq_rerank")
+      "l_ivm_joinagg", "v_ivfpq_rerank",
+      // round-16 headliner: filtered + maintained + adaptive-nprobe ANN
+      "v_ann_filtered_maintained")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

@@ -111,6 +111,10 @@ object Vectors {
     */
   private[graft] val KmeansMaxRounds = 32
 
+  /** Candidate budget of the adaptive filtered-ANN probe — ONE
+    * definition shared by the Spark side and the oracle SQL. */
+  private[graft] val AnnFilteredTarget = 30L
+
   /** Exact fixed-point per-cell centroids over (`k`, `embedding`) rows —
     * the same grid-snap as v_centroid: components floor(x·1e6+0.5)
     * BEFORE an integer (order-independent) sum, so every engine and
@@ -530,10 +534,52 @@ object Vectors {
     * shares v_ann_ivf's oracle verbatim, so any drift in either
     * maintained artifact (centroids or inverted file) goes hash-red.
     */
-  private def ivfTopKFrom(e: DataFrame, cent: DataFrame,
+  private[graft] def ivfTopKFrom(e: DataFrame, cent: DataFrame,
       stored: DataFrame, nprobe: Int): DataFrame = {
     val probes = ivfRanked(e, cent)
       .filter(col("rn") <= nprobe && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"), col("v").as("vq"),
+        col("cl").as("qc"))
+    val wP = Window.partitionBy(col("q"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    probes.join(stored,
+        col("cluster") === col("qc") && col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"),
+        roundf(fdot(col("vq"), col("v")) /
+          (sqrt(fdot(col("vq"), col("vq"))) *
+            sqrt(fdot(col("v"), col("v")))), 4).as("cos"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 5)
+      .select(col("q"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy("q", "rn")
+  }
+
+  /** [[ivfTopKFrom]] with ADAPTIVE nprobe: instead of a fixed cell
+    * count, each probe extends down its cell ranking until the
+    * cumulative ELIGIBLE candidate count of the cells already taken
+    * reaches `target` — i.e. nprobe is derived per-probe from the
+    * OBSERVED per-cell eligible density of the (filtered, maintained)
+    * inverted file. This is the production selectivity lever filtered
+    * ANN needs: under a 10%-selective filter a cell holds ~|cell|/10
+    * eligible rows, so a fixed nprobe silently rank over ~10× fewer
+    * candidates (recall collapses exactly when the filter bites);
+    * the adaptive rule keeps the CANDIDATE budget constant instead of
+    * the cell count, at the same plan shape (the cell-size table is
+    * |cells| rows, broadcast; the kept set is a rank-prefix, so the
+    * rule is one running sum over ≤|cells| rows per probe). Cells are
+    * taken strictly by proximity rank; the first cell is always taken.
+    */
+  private[graft] def ivfTopKFromAdaptive(e: DataFrame, cent: DataFrame,
+      stored: DataFrame, target: Long): DataFrame = {
+    val csz = stored.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val wCum = Window.partitionBy(col("vec_id")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val probes = ivfRanked(e, cent)
+      .filter(col("vec_id") % 50 === 0)
+      .join(broadcast(csz), col("cl") === csz("cluster"), "left")
+      .withColumn("cum",
+        coalesce(sum(coalesce(col("csz"), lit(0L))).over(wCum), lit(0L)))
+      .filter(col("rn") === 1 || col("cum") < target)
       .select(col("vec_id").as("q"), col("v").as("vq"),
         col("cl").as("qc"))
     val wP = Window.partitionBy(col("q"))
@@ -725,6 +771,42 @@ object Vectors {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cl").as("cluster"))
       ivfTopKFrom(e, cent, stored, nprobe = 2)
+    }),
+
+    // FILTERED ANN over the MAINTAINED index with ADAPTIVE nprobe —
+    // v_ann_filtered composed with the v_ann_maintained ingest shape,
+    // plus the selectivity lever v_ann_filtered's comment names: the
+    // inverted file holds ONLY eligible vectors (label = 4, ~10%
+    // selective — pre-filter semantics, each micro-batch filters then
+    // assigns against the frozen quantizer through the real
+    // appendMaintain sink), and each probe derives its own nprobe from
+    // the index's OBSERVED per-cell eligible density, extending down
+    // its cell ranking until ~`target` eligible candidates are in
+    // scope (see ivfTopKFromAdaptive). The oracle mirrors the
+    // cumulative-prefix rule exactly (adaptiveTarget in ivfSql), so a
+    // drift in the maintained cell sizes changes which cells probes
+    // take and goes hash-red.
+    "v_ann_filtered_maintained" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pred = col("label") === 4
+      val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "annf_idx", d,
+        graft.etl.Tables.schemas("embeddings"), "emb",
+        e.filter(col("vec_id") < mid), e.filter(col("vec_id") >= mid))
+      val centPath = new java.io.File(base, "centroids").getPath
+      ivfCentroids(e, lloydRounds = 1)
+        .write.mode("overwrite").parquet(centPath)
+      val cent = s.read.parquet(centPath)
+      val idxPath = new java.io.File(base, "ivf").getPath
+      val q = graft.streaming.Streams.appendMaintain(stream, idxPath)(
+        b => ivfAssignTo(b.filter(pred), cent))
+      require(q.awaitTermination(600000),
+        "filtered inverted-file maintenance stream must drain")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the append path is untested")
+      ivfTopKFromAdaptive(e, cent,
+        graft.streaming.Streams.readMaintained(s, idxPath),
+        target = AnnFilteredTarget)
     }),
 
     // nprobe=4: the top of the measured recall/cost ladder (IvfSpec:
@@ -1270,7 +1352,8 @@ object Vectors {
     * zip_with cast); cosVVSql folds float·float cast to double
     * (candidate scoring, matching fdot). */
   private[ops] def ivfSql(nprobe: Int, lloydRounds: Int,
-      quantized: Boolean = false, storedPred: String = ""): String = {
+      quantized: Boolean = false, storedPred: String = "",
+      adaptiveTarget: Option[Long] = None): String = {
     val rounds = ivfRoundsSql(lloydRounds)
     val cosVV = cosVVSql _
     val last = lloydRounds
@@ -1306,10 +1389,31 @@ object Vectors {
               for i in range(1, len(pr.vq) + 1)])) *
             sqrt(list_sum([a.v[i] * a.v[i]
               for i in range(1, len(a.v) + 1)])))"""
+    // adaptive mode: each probe takes its proximity-ranked cell PREFIX
+    // until the cumulative eligible cell size of the cells BEFORE it
+    // reaches the target (first cell always taken) — the exact mirror
+    // of ivfTopKFromAdaptive's running-sum rule
+    val pr = adaptiveTarget match {
+      case None =>
+        s"""pr AS (SELECT vec_id AS q, v AS vq, k AS qc FROM rk$last
+                WHERE rn <= $nprobe AND vec_id % 50 = 0)"""
+      case Some(t) =>
+        s"""csz AS (SELECT cluster, COUNT(*) AS csz
+                FROM asg GROUP BY cluster),
+         prc AS (SELECT r.vec_id, r.v, r.k, r.rn, COALESCE(c.csz, 0) AS csz
+                FROM rk$last r LEFT JOIN csz c ON c.cluster = r.k
+                WHERE r.vec_id % 50 = 0),
+         pr AS (SELECT vec_id AS q, v AS vq, k AS qc FROM (
+                SELECT vec_id, v, k, rn,
+                  COALESCE(SUM(csz) OVER (PARTITION BY vec_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS cum
+                FROM prc)
+                WHERE rn = 1 OR cum < $t)"""
+    }
     s"""WITH $rounds,
          $asg,
-         pr AS (SELECT vec_id AS q, v AS vq, k AS qc FROM rk$last
-                WHERE rn <= $nprobe AND vec_id % 50 = 0),
+         $pr,
          cand AS (
            SELECT pr.q, a.vec_id,
              floor($candCos * 10000.0 + 0.5) / 10000.0
@@ -1768,6 +1872,15 @@ object Vectors {
     // shared quantizer + probe chain; only the stored side filters
     "v_ann_filtered" -> ivfSql(nprobe = 2, lloydRounds = 1,
       storedPred = "e.label % 2 = 0"),
+    // filtered + maintained + adaptive: the stored side keeps the
+    // high-selectivity eligible set, and the probe rule is the
+    // cumulative-prefix candidate budget (one definition of the target
+    // constant, AnnFilteredTarget). The maintained index must
+    // reproduce the batch-built filtered file exactly AND the adaptive
+    // rule must pick identical cell prefixes, or the top-5 go hash-red
+    "v_ann_filtered_maintained" -> ivfSql(nprobe = 1, lloydRounds = 1,
+      storedPred = "e.label = 4",
+      adaptiveTarget = Some(AnnFilteredTarget)),
     "v_ann_ivf4" -> ivfSql(nprobe = 4, lloydRounds = 1),
     "v_ann_ivf8" -> ivfSql(nprobe = 8, lloydRounds = 1),
     "v_ann_ivfq" -> ivfSql(nprobe = 2, lloydRounds = 1, quantized = true),

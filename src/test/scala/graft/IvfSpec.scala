@@ -62,6 +62,61 @@ class IvfSpec extends SparkTestBase {
     assert(recalls(4) >= 0.5, s"nprobe=4 recall too low: ${recalls(4)}")
   }
 
+  test("filtered ANN at high selectivity: adaptive nprobe holds recall " +
+      "where a fixed single cell collapses") {
+    val d = requireFixture("sf0.01")
+    val e = graft.etl.Tables.load(spark, d, "embeddings")
+    val pred = col("label") === 4 // ~10% selective (52 of 500 vectors)
+    // exact filtered truth: top-5 among ELIGIBLE vectors only
+    val el = e.filter(pred)
+      .select(col("vec_id"), col("embedding").as("v"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q"), col("embedding").as("vq"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(desc("cos"), asc("vec_id"))
+    val exact = probes.join(el, col("vec_id") =!= col("q"))
+      .select(col("q"), col("vec_id"),
+        roundf(fdot(col("vq"), col("v")) / (col("nq") * col("nrm")), 4)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.nonEmpty)
+    val cent = Vectors.ivfCentroids(e, lloydRounds = 1)
+    val stored = Vectors.ivfAssignTo(e.filter(pred), cent)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+          want.size
+      }.sum / exact.size
+    }
+    val fixed1 = recallOf(Vectors.ivfTopKFrom(e, cent, stored, nprobe = 1))
+    val adaptive = recallOf(
+      Vectors.ivfTopKFromAdaptive(e, cent, stored, target = 30L))
+    info(f"filtered recall@5: fixed nprobe=1 $fixed1%.2f, " +
+      f"adaptive(target=30) $adaptive%.2f")
+    // the lever must actually buy recall under the selective filter,
+    // and the adaptive point must hold an honest floor
+    assert(adaptive > fixed1,
+      f"adaptive nprobe bought nothing: $adaptive%.2f vs $fixed1%.2f")
+    assert(adaptive >= 0.5, f"adaptive recall collapsed: $adaptive%.2f")
+    // and the rule genuinely extended past one cell: with ~5 eligible
+    // rows per cell and a 30-candidate budget, probes must take
+    // multiple cells (this is the density-derived nprobe, observed)
+    val cszMap = stored.groupBy("cluster").count().collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        r.getAs[Number](1).longValue())).toMap
+    info(s"eligible per cell: ${cszMap.toSeq.sorted.mkString(", ")}")
+    assert(cszMap.values.sum < 30L * cszMap.size,
+      "fixture too dense — the adaptive rule would never extend")
+  }
+
   test("int8-quantized index loses almost nothing vs the float index") {
     val d = requireFixture("sf0.01")
     def top5(quantized: Boolean): Map[Long, Set[Long]] =
