@@ -125,7 +125,26 @@ object SoqlFront {
       "SELECT event_id, event_type, user.c_mktsegment FROM events" +
         " WHERE ts >= LAST_N_DAYS:3 AND user.c_acctbal > 5000" +
         " ORDER BY event_id",
-      today = Some(java.time.LocalDate.of(2024, 1, 20)))))
+      today = Some(java.time.LocalDate.of(2024, 1, 20)))),
+
+    // FIELDS(STANDARD) — the category-restricted width projection:
+    // the object's describe-declared custom fields drop out of the
+    // frozen-schema order (orders declares o_orderpriority custom in
+    // the testdata graph, the stand-in for the describe `custom` flag)
+    "soql_fieldsstd" -> ((s, d) => Soql.query(s, d,
+      "SELECT FIELDS(STANDARD) FROM orders WHERE o_totalprice > 350000" +
+        " ORDER BY o_orderkey")),
+
+    // TYPEOF over the polymorphic actor lookup (Salesforce WhoId):
+    // even user_ids resolve to a Customer, odd to a Supplier; each
+    // branch's fields populate only on its own type's rows, and the
+    // flattened actor_type column carries the discriminator
+    "soql_typeof" -> ((s, d) => Soql.query(s, d,
+      "SELECT event_id, TYPEOF actor WHEN Customer THEN c_name," +
+        " c_mktsegment WHEN Supplier THEN s_name, s_acctbal END" +
+        " FROM events WHERE ts >= LAST_N_DAYS:2 AND value > 90" +
+        " ORDER BY event_id",
+      today = Some(java.time.LocalDate.of(2024, 1, 28)))))
 
   val oracles: Map[String, String] = Map(
     "soql_dot" ->
@@ -229,5 +248,29 @@ object SoqlFront {
          FROM events LEFT JOIN customer ON user_id = c_custkey
          WHERE ts >= TIMESTAMP '2024-01-17 00:00:00'
            AND c_acctbal > 5000
+         ORDER BY event_id""",
+    // the frozen orders schema minus the declared custom field
+    "soql_fieldsstd" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate
+         FROM orders WHERE o_totalprice > 350000
+         ORDER BY o_orderkey""",
+    // anchor 2024-01-28: LAST_N_DAYS:2 = [2024-01-26, 2024-01-29);
+    // each branch LEFT-joins gated on the discriminator, so the other
+    // type's rows keep NULL branch fields
+    "soql_typeof" ->
+      """SELECT event_id,
+           CASE WHEN user_id % 2 = 0 THEN 'Customer'
+                ELSE 'Supplier' END AS actor_type,
+           c.c_name AS actor_customer_c_name,
+           c.c_mktsegment AS actor_customer_c_mktsegment,
+           s.s_name AS actor_supplier_s_name,
+           s.s_acctbal AS actor_supplier_s_acctbal
+         FROM events
+           LEFT JOIN customer c
+             ON user_id = c.c_custkey AND user_id % 2 = 0
+           LEFT JOIN supplier s
+             ON user_id = s.s_suppkey AND user_id % 2 = 1
+         WHERE ts >= TIMESTAMP '2024-01-26 00:00:00' AND value > 90
          ORDER BY event_id""")
 }

@@ -123,14 +123,22 @@ object Soql {
     * SOQL's `GROUP BY ROLLUP(...)`/`GROUP BY CUBE(...)` — grouping
     * supersets whose subtotal rows carry NULL group keys, exactly
     * Spark's `rollup`/`cube`. */
-  /** `fieldsAll` marks `SELECT FIELDS(ALL)` — SOQL's full-width
-    * projection (the p2_star shape); it must be the only select item. */
+  /** One `TYPEOF rel WHEN Type THEN f,… … END` select item over a
+    * polymorphic relationship: each branch names the fields to emit
+    * when the row's target resolves to that type. */
+  final case class TypeofBranch(typeName: String, fields: Seq[String])
+  final case class TypeofItem(rel: String, branches: Seq[TypeofBranch])
+  /** `fieldsMode` marks a `SELECT FIELDS(...)` projection: "" (none),
+    * "ALL" (full width — the p2_star shape), "STANDARD"/"CUSTOM"
+    * (category-restricted width from the object's describe field
+    * categories); it must be the only select item. */
   final case class Query(fields: Seq[Field],
       children: Seq[ChildQuery], aggs: Seq[AggItem], obj: String,
       where: Option[Expr], groupBy: Seq[Field], groupMode: String,
       having: Option[Expr], orderBy: Seq[Order],
       limit: Option[Int], offset: Option[Int],
-      fieldsAll: Boolean = false)
+      fieldsMode: String = "",
+      typeofs: Seq[TypeofItem] = Seq.empty)
 
   /** HAVING predicates reference aggregate calls; they ride the same
     * Expr tree with the call encoded as a sentinel path
@@ -158,14 +166,49 @@ object Soql {
   final case class ChildRel(name: String, table: String, fk: String,
       pk: String)
 
+  /** One target type of a polymorphic relationship. */
+  final case class PolyTarget(table: String, pk: String)
+
+  /** A POLYMORPHIC parent relationship (Salesforce WhoId/WhatId): one
+    * FK whose target TYPE varies per row. `typeExpr` is the
+    * discriminator — a column over the base object's own fields whose
+    * value names the target type (describe metadata carries this as
+    * the `referenceTo` list plus the companion Type field); `targets`
+    * maps each type name to its parent table/pk, insertion-ordered so
+    * translation is deterministic. */
+  final case class PolyRel(name: String, fk: String, typeExpr: Column,
+      targets: Seq[(String, PolyTarget)])
+
   /** `derived` declares per-object computed fields (lower-case name →
     * column expression over the object's own columns) — the
     * describe-metadata analog for multipicklist fields, whose wire
-    * format is a semicolon-joined string (main.rs:88). */
+    * format is a semicolon-joined string (main.rs:88).
+    * `customFields` is the per-object field-CATEGORY metadata (the
+    * describe `custom` flag, schema/Mapping.scala stamps it as
+    * `graft.custom`): the lower-case names of the object's custom
+    * fields, which `FIELDS(STANDARD)`/`FIELDS(CUSTOM)` partition the
+    * schema by. `polys` holds the polymorphic relationships TYPEOF
+    * traverses. */
   final case class ObjectGraph(
       parents: Map[String, Map[String, ParentRel]],
       children: Map[String, Map[String, ChildRel]],
-      derived: Map[String, Map[String, Column]] = Map.empty)
+      derived: Map[String, Map[String, Column]] = Map.empty,
+      customFields: Map[String, Set[String]] = Map.empty,
+      polys: Map[String, Map[String, PolyRel]] = Map.empty)
+
+  /** Field-category extraction from a describe-frozen schema: the
+    * field names whose [[graft.schema.Mapping]] metadata carries the
+    * describe `custom` flag — the bridge that turns a live describe
+    * (JSON → StructType with `graft.custom` markers) into the
+    * [[ObjectGraph.customFields]] entry FIELDS(STANDARD)/FIELDS(CUSTOM)
+    * partition by. */
+  def customFieldsOf(schema: org.apache.spark.sql.types.StructType)
+      : Set[String] =
+    schema.fields.collect {
+      case f if f.metadata.contains(graft.schema.Mapping.K.Custom) &&
+          f.metadata.getBoolean(graft.schema.Mapping.K.Custom) =>
+        f.name.toLowerCase
+    }.toSet
 
   /** The testdata object graph — TPC-H FK structure expressed as SOQL
     * relationship names (what a Salesforce describe would carry). */
@@ -210,7 +253,26 @@ object Soql {
       // e_multipick (ops/Etl.scala) synthesizes it
       "lineitem" -> Map(
         "flags" -> concat_ws(";", col("l_returnflag"),
-          col("l_linestatus")))))
+          col("l_linestatus")))),
+    // the field-category stand-in for describe `custom` flags (the
+    // testdata parquet has no __c fields; a live org's categories come
+    // through customFieldsOf over the describe-frozen schema — see
+    // SoqlSpec's describe-JSON round-trip)
+    customFields = Map(
+      "orders" -> Set("o_orderpriority"),
+      "customer" -> Set("c_mktsegment", "c_acctbal")),
+    // the polymorphic actor lookup (Salesforce WhoId): events.user_id
+    // resolves to a Customer for even ids and a Supplier for odd ones
+    // — the discriminator expression is the testdata stand-in for the
+    // companion Type field a real org stores alongside a polymorphic FK
+    polys = Map(
+      "events" -> Map(
+        "actor" -> PolyRel("actor", "user_id",
+          when(col("user_id") % 2 === 0, "Customer")
+            .otherwise("Supplier"),
+          Seq(
+            "Customer" -> PolyTarget("customer", "c_custkey"),
+            "Supplier" -> PolyTarget("supplier", "s_suppkey"))))))
 
   // ---------- tokenizer ----------
 
@@ -442,7 +504,8 @@ object Soql {
     val fields = Seq.newBuilder[Field]
     val children = Seq.newBuilder[ChildQuery]
     val aggs = Seq.newBuilder[AggItem]
-    var fieldsAll = false
+    val typeofs = Seq.newBuilder[TypeofItem]
+    var fieldsMode = ""
     val stopAlias = Set("FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
       "OFFSET", "HAVING")
     def alias(): Option[String] = p.peek match {
@@ -465,14 +528,49 @@ object Soql {
       } else {
         val first = p.ident()
         if (first.equalsIgnoreCase("FIELDS") && p.punct("(")) {
-          // FIELDS(ALL) — full-width projection; STANDARD/CUSTOM need
-          // describe field-category metadata the frozen schemas don't
-          // carry, so they refuse loudly rather than guessing
-          require(p.kw("ALL"),
-            s"only FIELDS(ALL) is supported (STANDARD/CUSTOM need " +
-              s"field-category metadata): $q")
+          // FIELDS(ALL | STANDARD | CUSTOM) — width projections;
+          // STANDARD/CUSTOM partition the schema by the describe
+          // field-category metadata the ObjectGraph carries
+          val mode =
+            if (p.kw("ALL")) "ALL"
+            else if (p.kw("STANDARD")) "STANDARD"
+            else if (p.kw("CUSTOM")) "CUSTOM"
+            else sys.error(
+              s"FIELDS(...) takes ALL, STANDARD, or CUSTOM: $q")
           p.expectPunct(")")
-          fieldsAll = true
+          fieldsMode = mode
+        } else if (first.equalsIgnoreCase("TYPEOF") &&
+            p.peek.exists(_.isInstanceOf[TId])) {
+          // TYPEOF rel WHEN Type THEN f[,f…] [WHEN …]+ END — the
+          // polymorphic-relationship projection. ELSE refuses loudly:
+          // its fields must be common to EVERY possible target type
+          // (Salesforce restricts them to shared standard fields),
+          // and the graph model carries no cross-type field identity
+          // to validate that against.
+          val rel = p.ident()
+          val branches = Seq.newBuilder[TypeofBranch]
+          require(p.kw("WHEN"), s"TYPEOF needs at least one WHEN: $q")
+          var more = true
+          while (more) {
+            val tn = p.ident()
+            p.expectKw("THEN")
+            val fs = Seq.newBuilder[String]
+            fs += p.ident()
+            require(!p.punct("."),
+              s"TYPEOF branch fields are direct target fields only: $q")
+            while (p.punct(",")) {
+              fs += p.ident()
+              require(!p.punct("."),
+                s"TYPEOF branch fields are direct target fields only: $q")
+            }
+            branches += TypeofBranch(tn, fs.result())
+            more = p.kw("WHEN")
+          }
+          require(!p.kw("ELSE"),
+            s"TYPEOF ELSE is not supported (its fields must be common " +
+              s"to every target type — name them per-branch instead): $q")
+          p.expectKw("END")
+          typeofs += TypeofItem(rel, branches.result())
         } else if (aggFns(first.toUpperCase) && p.punct("(")) {
           // aggregate item: COUNT() | FN(field-or-dot-path) [alias]
           val f = if (p.punct(")")) None else {
@@ -567,11 +665,15 @@ object Soql {
         s"with GROUP BY (SOQL rule): $q")
     require(having.isEmpty || as.nonEmpty,
       s"HAVING requires an aggregate query: $q")
-    require(!fieldsAll ||
-      (fs.isEmpty && as.isEmpty && children.result().isEmpty),
-      s"FIELDS(ALL) must be the only select item: $q")
+    val tfs = typeofs.result()
+    require(fieldsMode.isEmpty ||
+      (fs.isEmpty && as.isEmpty && children.result().isEmpty &&
+        tfs.isEmpty),
+      s"FIELDS($fieldsMode) must be the only select item: $q")
+    require(tfs.isEmpty || as.isEmpty,
+      s"TYPEOF cannot appear in an aggregate query: $q")
     Query(fs, children.result(), as, obj.toLowerCase, where, gb,
-      groupMode, having, orderBy, limit, offset, fieldsAll)
+      groupMode, having, orderBy, limit, offset, fieldsMode, tfs)
   }
 
   // ---------- translation ----------
@@ -886,6 +988,39 @@ object Soql {
       df = df.join(parent,
         leftKey === parent(s"__${key}__${pr.pk}"), "left")
     }
+    // TYPEOF items: one LEFT join PER MENTIONED BRANCH, gated on the
+    // discriminator (a row joins its branch's target only when its
+    // type matches — rows of other types keep null branch fields, the
+    // polymorphic-lookup semantics). Output: the flattened Type column
+    // once per item, then each branch's fields prefixed
+    // rel_type_field so branches can never collide.
+    val typeofCols = Seq.newBuilder[Column]
+    for (tf <- q.typeofs) {
+      val pr = graph.polys.getOrElse(q.obj, Map.empty)
+        .getOrElse(tf.rel.toLowerCase, sys.error(
+          s"object ${q.obj} has no polymorphic relationship " +
+            s"'${tf.rel}' — known: " +
+            graph.polys.getOrElse(q.obj, Map.empty).keys.mkString(", ")))
+      typeofCols += pr.typeExpr.as(s"${pr.name}_type")
+      for (b <- tf.branches) {
+        val (tname, tgt) = pr.targets
+          .find(_._1.equalsIgnoreCase(b.typeName))
+          .getOrElse(sys.error(
+            s"relationship ${pr.name} never resolves to " +
+              s"'${b.typeName}' — declared target types: " +
+              pr.targets.map(_._1).mkString(", ")))
+        val key = s"${pr.name}__${tname.toLowerCase}"
+        val parent = graft.ops.t(spark, dir, tgt.table).columns
+          .foldLeft(graft.ops.t(spark, dir, tgt.table)) { (d2, c) =>
+            d2.withColumnRenamed(c, s"__${key}__$c")
+          }
+        df = df.join(parent,
+          df(pr.fk) === parent(s"__${key}__${tgt.pk}") &&
+            pr.typeExpr === lit(tname), "left")
+        typeofCols ++= b.fields.map(f => col(s"__${key}__$f")
+          .as(s"${pr.name}_${tname.toLowerCase}_$f"))
+      }
+    }
     // nested child subqueries: per-parent ordered comma-joined string
     val childCols = q.children.map { cq =>
       val cr = graph.children.getOrElse(q.obj, Map.empty)
@@ -912,16 +1047,30 @@ object Soql {
         .withColumn(name, coalesce(col(name), lit("")))
     wcol.foreach(c => df = df.filter(c))
     val out =
-      if (q.fieldsAll) {
-        // FIELDS(ALL): the object's full frozen schema in declared
-        // order (never the join-widened frame — parent joins only
-        // exist if WHERE traversed a relationship)
+      if (q.fieldsMode.nonEmpty) {
+        // FIELDS(ALL|STANDARD|CUSTOM): the object's frozen schema in
+        // declared order (never the join-widened frame — parent joins
+        // only exist if WHERE traversed a relationship), width-
+        // restricted by the describe field categories for
+        // STANDARD/CUSTOM
         if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
-        df.select(graft.etl.Tables.schemas(q.obj).fieldNames
-          .toSeq.map(col): _*)
+        val all = graft.etl.Tables.schemas(q.obj).fieldNames.toSeq
+        val custom = graph.customFields.getOrElse(q.obj, Set.empty)
+        val names = q.fieldsMode match {
+          case "ALL" => all
+          case "STANDARD" => all.filterNot(f => custom(f.toLowerCase))
+          case "CUSTOM" =>
+            val cs = all.filter(f => custom(f.toLowerCase))
+            require(cs.nonEmpty,
+              s"object ${q.obj} declares no custom fields — " +
+                "FIELDS(CUSTOM) would be an empty projection")
+            cs
+        }
+        df.select(names.map(col): _*)
       } else if (q.aggs.isEmpty) {
         if (ocols.nonEmpty) df = df.orderBy(ocols: _*)
-        df.select(sel ++ childCols.map(c => col(c._3)): _*)
+        df.select(sel ++ childCols.map(c => col(c._3)) ++
+          typeofCols.result(): _*)
       } else {
         // aggregate query: group keys are the (validated) select items
         // plus any unselected GROUP BY fields; dotted and function

@@ -328,10 +328,92 @@ class SoqlSpec extends SparkTestBase {
       etl.Tables.schemas("orders").fieldNames.toSeq)
     assert(filtered.count() > 0)
     intercept[IllegalArgumentException] {
-      Soql.parse("SELECT FIELDS(STANDARD) FROM orders")
+      Soql.parse("SELECT o_orderkey, FIELDS(ALL) FROM orders")
+    }
+  }
+
+  test("FIELDS(STANDARD)/FIELDS(CUSTOM) partition the schema by the " +
+      "describe field categories (r15 refusal now accepted)") {
+    // orders declares o_orderpriority custom in the testdata graph
+    val std = Soql.query(spark, dir,
+      "SELECT FIELDS(STANDARD) FROM orders ORDER BY o_orderkey")
+    assert(std.columns.toSeq == Seq("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate"))
+    val cst = Soql.query(spark, dir,
+      "SELECT FIELDS(CUSTOM) FROM orders")
+    assert(cst.columns.toSeq == Seq("o_orderpriority"))
+    assert(std.count() == cst.count())
+    // an object with no declared custom fields: STANDARD = ALL,
+    // CUSTOM refuses (an empty projection would be silent nonsense)
+    val rstd = Soql.query(spark, dir,
+      "SELECT FIELDS(STANDARD) FROM region ORDER BY r_regionkey")
+    same(rstd, ops.t(spark, dir, "region").orderBy("r_regionkey"))
+    val e = intercept[IllegalArgumentException] {
+      Soql.query(spark, dir, "SELECT FIELDS(CUSTOM) FROM region")
+    }
+    assert(e.getMessage.contains("no custom fields"))
+    intercept[RuntimeException] {
+      Soql.parse("SELECT FIELDS(BOGUS) FROM orders")
+    }
+  }
+
+  test("customFieldsOf bridges a live describe (JSON -> schema with " +
+      "graft.custom metadata) into the FIELDS category partition") {
+    val st = graft.schema.Mapping.describeToStructType(
+      new SchemaSpec().describeJson)
+    assert(Soql.customFieldsOf(st) == Set("tags__c", "payload__c"))
+  }
+
+  test("TYPEOF over the polymorphic actor relationship: branch fields " +
+      "populate only on their own type's rows") {
+    import org.apache.spark.sql.Row
+    val got = Soql.query(spark, dir,
+      "SELECT event_id, TYPEOF actor WHEN Customer THEN c_name" +
+        " WHEN Supplier THEN s_name, s_acctbal END FROM events" +
+        " ORDER BY event_id LIMIT 500")
+    assert(got.columns.toSeq == Seq("event_id", "actor_type",
+      "actor_customer_c_name", "actor_supplier_s_name",
+      "actor_supplier_s_acctbal"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // the discriminator and the branch gating agree on every row
+    val ev = ops.t(spark, dir, "events").orderBy("event_id").limit(500)
+      .select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val even = ev(r.getLong(0)) % 2 == 0
+      assert(r.getString(1) == (if (even) "Customer" else "Supplier"))
+      if (even) assert(r.isNullAt(3) && r.isNullAt(4),
+        s"supplier branch populated on a Customer row: $r")
+      else assert(r.isNullAt(2),
+        s"customer branch populated on a Supplier row: $r")
+    }
+    // both types actually occur, and joined names resolve when present
+    assert(rows.exists(r => !r.isNullAt(2)) &&
+      rows.exists(r => !r.isNullAt(3)))
+  }
+
+  test("TYPEOF refusals: ELSE, unknown relationship, undeclared type, " +
+      "aggregate mix, dotted branch fields") {
+    intercept[RuntimeException] {
+      Soql.parse("SELECT TYPEOF actor WHEN Customer THEN c_name" +
+        " ELSE event_id END FROM events")
+    }
+    intercept[RuntimeException] {
+      Soql.query(spark, dir,
+        "SELECT TYPEOF owner WHEN Customer THEN c_name END FROM events")
+    }
+    intercept[RuntimeException] {
+      Soql.query(spark, dir,
+        "SELECT TYPEOF actor WHEN Nation THEN n_name END FROM events")
     }
     intercept[IllegalArgumentException] {
-      Soql.parse("SELECT o_orderkey, FIELDS(ALL) FROM orders")
+      Soql.parse("SELECT COUNT(), TYPEOF actor WHEN Customer THEN" +
+        " c_name END FROM events")
+    }
+    intercept[IllegalArgumentException] {
+      Soql.parse("SELECT TYPEOF actor WHEN Customer THEN" +
+        " nation.n_name END FROM events")
     }
   }
 
