@@ -127,6 +127,16 @@ object SoqlFront {
         " ORDER BY event_id",
       today = Some(java.time.LocalDate.of(2024, 1, 20)))),
 
+    // week-granule date literals, ISO Monday-start (the pinned
+    // convention — see Soql.dateRange): anchor 2024-01-17 is a
+    // Wednesday, so LAST_WEEK = [2024-01-08, 2024-01-15) and `=` is
+    // containment in that range; both bounds push onto the raw scan
+    "soql_datelit3" -> ((s, d) => Soql.query(s, d,
+      "SELECT event_id, event_type FROM events" +
+        " WHERE ts = LAST_WEEK AND value >= 50" +
+        " ORDER BY event_id",
+      today = Some(java.time.LocalDate.of(2024, 1, 17)))),
+
     // FIELDS(STANDARD) — the category-restricted width projection:
     // the object's describe-declared custom fields drop out of the
     // frozen-schema order (orders declares o_orderpriority custom in
@@ -248,6 +258,13 @@ object SoqlFront {
          FROM events LEFT JOIN customer ON user_id = c_custkey
          WHERE ts >= TIMESTAMP '2024-01-17 00:00:00'
            AND c_acctbal > 5000
+         ORDER BY event_id""",
+    // anchor 2024-01-17 (Wed) → ISO LAST_WEEK = [2024-01-08, 01-15)
+    "soql_datelit3" ->
+      """SELECT event_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00'
+           AND value >= 50
          ORDER BY event_id""",
     // the frozen orders schema minus the declared custom field
     "soql_fieldsstd" ->

@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   *   - DATE LITERALS (`TODAY`, `YESTERDAY`, `TOMORROW`,
   *     `LAST_N_DAYS:n`, `NEXT_N_DAYS:n`, `LAST_90_DAYS`,
   *     `THIS_MONTH`, `LAST_MONTH`, `NEXT_MONTH`, `THIS_YEAR`,
-  *     `LAST_YEAR`, `NEXT_YEAR`) — the single most common WHERE idiom
+  *     `LAST_YEAR`, `NEXT_YEAR`, and the week granule `THIS_WEEK` /
+  *     `LAST_WEEK` / `NEXT_WEEK` pinned to ISO Monday-start weeks —
+  *     see dateRange for the convention note) — the single most
+  *     common WHERE idiom
   *     in real incremental extracts (`SystemModstamp >= LAST_N_DAYS:7`;
   *     the reference passes them through verbatim, client.rs:199-205).
   *     Each literal denotes a half-open day-aligned range [lo, hi) and
@@ -63,10 +66,10 @@ import org.apache.spark.sql.functions._
   *     `e_multipick` synthesizes it.
   *
   * Deliberately NOT covered (the reference itself never emits these
-  * through its typed API): week-granule date literals (`THIS_WEEK` —
-  * locale start-of-week dependent), fiscal-period literals, and the
-  * FOR UPDATE/WITH clauses. The grammar refuses loudly rather than
-  * mistranslating.
+  * through its typed API): fiscal-period date literals (they need the
+  * org's fiscal-year settings, which no fixed convention can stand in
+  * for) and the FOR UPDATE/WITH clauses. The grammar refuses loudly
+  * rather than mistranslating.
   *
   * The relationship model is explicit (an [[ObjectGraph]] of parent
   * and child relationships with their key columns) because SOQL
@@ -343,7 +346,8 @@ object Soql {
   /** Parameterless date literals. */
   private val dateLit0 = Set("TODAY", "YESTERDAY", "TOMORROW",
     "LAST_90_DAYS", "THIS_MONTH", "LAST_MONTH", "NEXT_MONTH",
-    "THIS_YEAR", "LAST_YEAR", "NEXT_YEAR")
+    "THIS_YEAR", "LAST_YEAR", "NEXT_YEAR",
+    "THIS_WEEK", "LAST_WEEK", "NEXT_WEEK")
   /** `:n`-parameterized date literals. */
   private val dateLitN = Set("LAST_N_DAYS", "NEXT_N_DAYS")
 
@@ -707,6 +711,24 @@ object Soql {
         today.plusDays(1))
       case "NEXT_N_DAYS" => (today.plusDays(1), today.plusDays(1L + d.n))
       case "LAST_90_DAYS" => (today.minusDays(90), today.plusDays(1))
+      // week granule, PINNED to ISO weeks (Monday start) the way
+      // LAST_N_DAYS pins its half-open convention: Salesforce's week
+      // start is locale-dependent (Sunday in en_US orgs), so a
+      // deployment whose org uses another locale passes its own
+      // anchor-day convention by adjusting `today` — the literal
+      // itself stays deterministic rather than environment-sniffing
+      case "THIS_WEEK" =>
+        val mon = today.`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY))
+        (mon, mon.plusWeeks(1))
+      case "LAST_WEEK" =>
+        val mon = today.`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY))
+        (mon.minusWeeks(1), mon)
+      case "NEXT_WEEK" =>
+        val mon = today.`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY))
+        (mon.plusWeeks(1), mon.plusWeeks(2))
       case "THIS_MONTH" =>
         val f = today.withDayOfMonth(1); (f, f.plusMonths(1))
       case "LAST_MONTH" =>

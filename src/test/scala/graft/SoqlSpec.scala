@@ -417,6 +417,30 @@ class SoqlSpec extends SparkTestBase {
     }
   }
 
+  test("week-granule date literals: ISO Monday-start bounds (r15 " +
+      "refusal now accepted, convention pinned)") {
+    import graft.soql.Soql.{dateRange, DLit}
+    def us(d: java.time.LocalDate) = d.toEpochDay * 86400000000L
+    val wed = java.time.LocalDate.of(2024, 1, 17)
+    assert(dateRange(DLit("THIS_WEEK", 0), wed) ==
+      ((us(java.time.LocalDate.of(2024, 1, 15)),
+        us(java.time.LocalDate.of(2024, 1, 22)))))
+    assert(dateRange(DLit("LAST_WEEK", 0), wed) ==
+      ((us(java.time.LocalDate.of(2024, 1, 8)),
+        us(java.time.LocalDate.of(2024, 1, 15)))))
+    assert(dateRange(DLit("NEXT_WEEK", 0), wed) ==
+      ((us(java.time.LocalDate.of(2024, 1, 22)),
+        us(java.time.LocalDate.of(2024, 1, 29)))))
+    // a Monday anchor starts its own week (previousOrSame)
+    val mon = java.time.LocalDate.of(2024, 1, 15)
+    assert(dateRange(DLit("THIS_WEEK", 0), mon)._1 == us(mon))
+    // fiscal literals stay refused
+    intercept[RuntimeException] {
+      Soql.parse("SELECT event_id FROM events" +
+        " WHERE ts >= THIS_FISCAL_QUARTER")
+    }
+  }
+
   test("a derived field behind a relationship path refuses loudly") {
     // derived (describe-computed) fields exist only on their own
     // object's scan; traversal would surface an opaque
