@@ -180,6 +180,41 @@ object Events {
         .orderBy("event_type", "day")
     }),
 
+    // CALENDAR-TRUE rolling 7-day median — e_rollmed's other
+    // semantics, behind its own registered lever (the as-logged
+    // ROW-based form above stays the default; ROADMAP r16 #5): the
+    // daily series is DENSIFIED per event_type over its own observed
+    // span (sequence + left join, zero-filled gap days — paying the
+    // generate-join the row-based form's comment prices), so the
+    // trailing-7-ROW frame IS the trailing 7 CALENDAR days and the
+    // median genuinely answers "median daily volume this week" even
+    // when the logging layer skipped days. Gap days appear in the
+    // output with c=0 (the dashboard has a value every day). The fan
+    // is |types × span-days| rows — calendar-bounded, never events.
+    // EventsSpec proves the two variants diverge exactly on a series
+    // with a gap.
+    "e_rollmed_cal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val dense = daily.groupBy("event_type")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"),
+          col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      dense
+        .withColumn("arr", collect_list(col("c")).over(w))
+        .filter(size(col("arr")) === 7)
+        .select(col("event_type"), col("day"), col("c"),
+          element_at(array_sort(col("arr")), 4).as("med7"))
+        .orderBy("event_type", "day")
+    }),
+
     // Seasonal-naive forecast backtest — the baseline every real
     // forecasting pipeline must beat, evaluated the way a 100 TB
     // pipeline can afford: forecast(day) = count at the 7th PRIOR
@@ -864,6 +899,33 @@ object Events {
            FROM daily)
          SELECT event_type, CAST(day AS TIMESTAMP) AS day, c,
            list_sort(arr)[4] AS med7
+         FROM lg WHERE len(arr) = 7
+         ORDER BY event_type, day""",
+    // identical per-type densification (generate_series over the
+    // observed span, zero-filled), identical 7-element window pick
+    "e_rollmed_cal" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+           FROM daily GROUP BY 1),
+         dense AS (
+           SELECT s.event_type, g.day, COALESCE(d.c, 0) AS c
+           FROM span s
+           CROSS JOIN LATERAL (
+             SELECT unnest(generate_series(s.lo, s.hi,
+               INTERVAL 1 DAY)) AS day) g
+           LEFT JOIN daily d
+             ON d.event_type = s.event_type AND d.day = g.day),
+         lg AS (
+           SELECT event_type, day, c,
+             list(c) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+           FROM dense)
+         SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+           CAST(c AS BIGINT) AS c, list_sort(arr)[4] AS med7
          FROM lg WHERE len(arr) = 7
          ORDER BY event_type, day""",
     // identical lag-7 forecast, integer error sums, one division
