@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Machine-checkable correctness artifact for ANY scale factor — the
+dual-scale sweep's JSON record (VERDICT r15 item: the sf0.1 253/253
+claim was prose; this makes it an artifact with the driver gate's
+shape).
+
+Produces a CORRECTNESS-style JSON (per query: rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err) from a Verify output dir.
+
+Full recipe (sf0.1 example):
+
+    rm -rf /tmp/sweep_out
+    tools/run_class.sh graft.Verify /root/testdata/sf0.1 /tmp/sweep_out
+    python3 tools/correctness_sweep.py /root/testdata/sf0.1 \
+        /tmp/sweep_out CORRECTNESS_sf0.1_r16.json
+
+Semantics mirror tools/compare_oracle.py (itself the local stand-in for
+the driver gate): row multisets compared exactly with columns sorted by
+name, type-strict outside the 64-bit int family.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def norm_rows(names, rows):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out), [names[i] for i in order]
+
+
+def fam(t):
+    return ("INT64" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT")
+            else t)
+
+
+def main():
+    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    result = {}
+    n_pass = 0
+    for name in sorted(oracle):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        result[name] = rec
+        res_dir = os.path.join(outdir, name)
+        if not os.path.isdir(res_dir):
+            rec["err"] = "no spark output"
+            print(f"FAIL {name}: no spark output")
+            continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            g_names = list(got.columns)
+            g_types = dict(zip(g_names, [str(t) for t in got.types]))
+            g_rows, g_cols = norm_rows(g_names, got.fetchall())
+            want = con.sql(oracle[name])
+            w_names = list(want.columns)
+            w_types = dict(zip(w_names, [str(t) for t in want.types]))
+            w_rows, w_cols = norm_rows(w_names, want.fetchall())
+        except Exception as e:
+            rec["err"] = str(e)
+            print(f"FAIL {name}: {e}")
+            continue
+        rec["spark_rows"] = len(g_rows)
+        rec["oracle_rows"] = len(w_rows)
+        rec["rows_match"] = len(g_rows) == len(w_rows)
+        type_ok = all(fam(g_types.get(c)) == fam(w_types.get(c))
+                      for c in set(g_types) | set(w_types))
+        rec["schema_match"] = (g_cols == w_cols) and type_ok
+        rec["hash_match"] = rec["schema_match"] and g_rows == w_rows
+        if rec["rows_match"] and rec["schema_match"] and rec["hash_match"]:
+            n_pass += 1
+            print(f"PASS {name} ({len(g_rows)} rows)")
+        else:
+            print(f"FAIL {name}: rows={rec['rows_match']} "
+                  f"schema={rec['schema_match']} hash={rec['hash_match']}")
+    with open(artifact, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"== {n_pass} pass / {len(result) - n_pass} fail -> {artifact} ==")
+    sys.exit(0 if n_pass == len(result) else 1)
+
+
+main()
