@@ -649,10 +649,13 @@ object Streams {
     * watermark` predicate, client.rs:199-205) as ONE Structured
     * Streaming declaration: raw SOQL text in, micro-batched extract
     * frames out. The accepted grammar subset is exactly the EXTRACT
-    * shape — projection (FIELDS(ALL) included) + WHERE, with date
-    * literals and parent relationship dot paths (parents are static
-    * dimensions, so traversal compiles to a stream-static LEFT join —
-    * Spark handles these in append mode with no state). Aggregates,
+    * shape — projection (FIELDS(ALL|STANDARD|CUSTOM) included) +
+    * WHERE, with date literals, parent relationship dot paths, and
+    * TYPEOF over a polymorphic relationship (parents are static
+    * dimensions, so both plain and discriminator-gated traversal
+    * compile to stream-static LEFT joins — Spark handles these in
+    * append mode with no state; StreamsSpec proves stream=batch
+    * parity for the TYPEOF shape). Aggregates,
     * child subqueries, ORDER BY, and LIMIT/OFFSET refuse loudly: they
     * are query shapes, meaningless on an unbounded feed (aggregate the
     * landed extract instead). Source-side watermark pruning belongs to

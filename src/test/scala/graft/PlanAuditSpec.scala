@@ -184,6 +184,37 @@ class PlanAuditSpec extends SparkTestBase {
       "maintained ANN probe planned all-pairs")
   }
 
+  test("v_ann_filtered_maintained: probes search the maintained " +
+      "FILTERED inverted file; the adaptive rule adds no new exchange " +
+      "shape") {
+    // candidates must scan the appendMaintain parquet of ELIGIBLE
+    // vectors (plan() runs the replay rig first); the per-cell size
+    // table the adaptive prefix consumes is |cells| rows and must
+    // enter as a broadcast, never a shuffle of the probe set; the
+    // candidate join stays the cluster equi-join
+    val p = plan("v_ann_filtered_maintained")
+    assert(p.contains("graft_annf_idx"),
+      "candidates should scan the maintained filtered inverted file")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "probe→cell candidate join must be an equi-join on cluster")
+    assert(nodeCount(p, "CartesianProduct") == 0,
+      "filtered maintained ANN probe planned all-pairs")
+  }
+
+  test("soql_typeof: polymorphic branches broadcast their dim targets " +
+      "and the date bound pushes on the raw scan") {
+    val p = plan("soql_typeof")
+    // two mentioned branches → two gated LEFT joins against dim-sized
+    // targets: both must broadcast (the events fact never shuffles)
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2,
+      "TYPEOF branch joins must broadcast the dim targets")
+    assert(nodeCount(p, "SortMergeJoin") == 0, "TYPEOF shuffled the fact")
+    assert(p.contains("GreaterThanOrEqual(ts,"),
+      "date-literal bound must reach the raw scan's PushedFilters")
+    assert(nodeCount(p, "CartesianProduct") == 0)
+  }
+
   test("x_pctile_maintained: estimates derive from a scan of the " +
       "maintained sketch state") {
     // the maintained-distribution claim: the median estimate and its

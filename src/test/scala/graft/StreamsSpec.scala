@@ -63,6 +63,30 @@ class StreamsSpec extends SparkTestBase {
     }
   }
 
+  test("soqlExtract: TYPEOF over the polymorphic actor streams with " +
+      "stream=batch parity (discriminator-gated stream-static joins)") {
+    val soql = "SELECT event_id, TYPEOF actor WHEN Customer THEN" +
+      " c_mktsegment WHEN Supplier THEN s_acctbal END" +
+      " FROM events WHERE value > 95"
+    val ev = graft.etl.Tables.load(spark, dir, "events")
+    val (_, stream0) = ops.Replay.twoBatchStream(spark, "soql_typeof_x",
+      dir, graft.etl.Tables.events, "ev",
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    val out = Streams.soqlExtract(stream0, dir, soql)
+    val q = Streams.runAvailableNow(out, "soql_typeof_test")
+    assert(!q.isActive)
+    val streamed = spark.table("soql_typeof_test")
+    val batch = graft.soql.Soql.query(spark, dir, soql)
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "TYPEOF stream=batch parity broken")
+    // both branch types occur in the streamed frame
+    assert(spark.table("soql_typeof_test")
+      .select("actor_type").distinct().count() == 2)
+  }
+
   test("windowedCounts over a drained stream equals the batch aggregation") {
     val stream = Streams.eventsStream(spark, dir)
     val q = Streams.runAvailableNow(Streams.windowedCounts(stream),
