@@ -247,6 +247,42 @@ object Events {
         .orderBy("event_type")
     }),
 
+    // CALENDAR-TRUE seasonal-naive backtest — e_forecast_eval's other
+    // semantics, completing the row/calendar pair the same way
+    // e_rollmed_cal does: the daily series is densified per type
+    // (zero-filled gap days over the observed span), so lag(c, 7) IS
+    // the count 7 CALENDAR days ago — the anchor a "week-ago naive"
+    // forecast actually means — and gap days are themselves evaluated
+    // (forecasting a day the logging layer skipped counts its full
+    // forecast as error, which is honest: the forecast was wrong).
+    // Same integer error sums, one final division. RollmedSpec proves
+    // the divergence on the gap fixture (WMAPE 3.5 row vs 5.0 cal).
+    "e_forecast_eval_cal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val dense = daily.groupBy("event_type")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("event_type"), explode(sequence(col("lo"),
+          col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      dense
+        .withColumn("f", lag(col("c"), 7).over(w))
+        .filter(col("f").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("f") - col("c"))).as("abs_err"),
+          sum(col("c")).as("actual"))
+        .select(col("event_type"), col("n_days"), col("abs_err"),
+          roundf(col("abs_err").cast("double") /
+            col("actual").cast("double"), 6).as("wmape"))
+        .orderBy("event_type")
+    }),
+
     // Cohort LTV curves — e_retention's value-weighted sibling and the
     // unit-economics readout every growth team tracks: users keyed by
     // first-active day, cumulative per-user value at each weekly age.
@@ -939,6 +975,35 @@ object Events {
              lag(c, 7) OVER (PARTITION BY event_type ORDER BY day)
                AS f
            FROM daily)
+         SELECT event_type, COUNT(*) AS n_days,
+           CAST(SUM(abs(f - c)) AS BIGINT) AS abs_err,
+           floor(SUM(abs(f - c))::DOUBLE / SUM(c)::DOUBLE
+             * 1000000.0 + 0.5) / 1000000.0 AS wmape
+         FROM lg WHERE f IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    // identical per-type densification (e_rollmed_cal's dense CTE),
+    // identical lag-7 forecast over the DENSE series
+    "e_forecast_eval_cal" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+           FROM daily GROUP BY 1),
+         dense AS (
+           SELECT s.event_type, g.day, COALESCE(d.c, 0) AS c
+           FROM span s
+           CROSS JOIN LATERAL (
+             SELECT unnest(generate_series(s.lo, s.hi,
+               INTERVAL 1 DAY)) AS day) g
+           LEFT JOIN daily d
+             ON d.event_type = s.event_type AND d.day = g.day),
+         lg AS (
+           SELECT event_type, day, c,
+             lag(c, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS f
+           FROM dense)
          SELECT event_type, COUNT(*) AS n_days,
            CAST(SUM(abs(f - c)) AS BIGINT) AS abs_err,
            floor(SUM(abs(f - c))::DOUBLE / SUM(c)::DOUBLE

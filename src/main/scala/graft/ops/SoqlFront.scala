@@ -39,6 +39,16 @@ object SoqlFront {
       "SELECT c_custkey, (SELECT o_orderkey FROM orders WHERE" +
         " o_totalprice > 150000) FROM customer ORDER BY c_custkey")),
 
+    // child ORDER BY + LIMIT — SOQL's top-k-children-per-parent (the
+    // w4_topk_group mechanic behind the text grammar): each customer's
+    // three highest-value open orders, listed in rank order with the
+    // selected key as the pinned tie-break
+    "soql_children2" -> ((s, d) => Soql.query(s, d,
+      "SELECT c_custkey, (SELECT o_orderkey FROM orders" +
+        " WHERE o_orderstatus = 'O'" +
+        " ORDER BY o_totalprice DESC LIMIT 3)" +
+        " FROM customer ORDER BY c_custkey")),
+
     // aggregate shape: COUNT() + exact MIN/MAX (no floating
     // accumulation — the grid discipline stays trivial) with GROUP BY,
     // aliases, and SOQL's default exprN naming exercised via the alias
@@ -75,6 +85,21 @@ object SoqlFront {
         " WHERE o_orderstatus = 'F'" +
         " GROUP BY CALENDAR_YEAR(o_orderdate)," +
         " CALENDAR_MONTH(o_orderdate) ORDER BY yr, mo")),
+
+    // FISCAL date functions over the injected February-start grid
+    // (FISCAL_YEAR pinned to the year the fiscal year STARTS in; a
+    // January 1998 order lands in fy=1997 fq=4 — only derivable
+    // through the fiscal config), plus CALENDAR_QUARTER
+    "soql_datefn2" -> ((s, d) => Soql.query(s, d,
+      "SELECT FISCAL_YEAR(o_orderdate) fy," +
+        " FISCAL_QUARTER(o_orderdate) fq," +
+        " CALENDAR_QUARTER(o_orderdate) cq, COUNT() n," +
+        " MAX(o_totalprice) hi FROM orders" +
+        " WHERE o_orderstatus = 'F'" +
+        " GROUP BY FISCAL_YEAR(o_orderdate)," +
+        " FISCAL_QUARTER(o_orderdate), CALENDAR_QUARTER(o_orderdate)" +
+        " ORDER BY fy, fq, cq",
+      fiscalStartMonth = 2)),
 
     // INCLUDES/EXCLUDES over the multipicklist wire format (`flags`
     // is the derived semicolon-joined field, e_multipick's fixture):
@@ -137,6 +162,30 @@ object SoqlFront {
         " ORDER BY event_id",
       today = Some(java.time.LocalDate.of(2024, 1, 17)))),
 
+    // quarter-granule parameterized literal: anchor 1998-05-10 sits in
+    // Q2, and LAST_N_QUARTERS:2 EXCLUDES the current quarter (the
+    // documented SOQL granule-N asymmetry with LAST_N_DAYS) —
+    // [1997-10-01, 1998-04-01)
+    "soql_datelit4" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderkey, o_orderdate FROM orders" +
+        " WHERE o_orderdate = LAST_N_QUARTERS:2 AND o_totalprice > 280000" +
+        " ORDER BY o_orderkey",
+      today = Some(java.time.LocalDate.of(1998, 5, 10)))),
+
+    // FISCAL grid with an injected February start month (quarters
+    // Feb-Apr / May-Jul / Aug-Oct / Nov-Jan — deliberately misaligned
+    // with the calendar grid, so these bounds are only derivable
+    // through the fiscal config): anchor 1998-03-15 is in the fiscal
+    // quarter [1998-02-01, 05-01), and LAST_N_FISCAL_QUARTERS:3 =
+    // [1997-05-01, 1998-02-01)
+    "soql_datelit5" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderkey, o_orderdate FROM orders" +
+        " WHERE o_orderdate = LAST_N_FISCAL_QUARTERS:3" +
+        " AND o_totalprice > 290000" +
+        " ORDER BY o_orderkey",
+      today = Some(java.time.LocalDate.of(1998, 3, 15)),
+      fiscalStartMonth = 2)),
+
     // FIELDS(STANDARD) — the category-restricted width projection:
     // the object's describe-declared custom fields drop out of the
     // frozen-schema order (orders declares o_orderpriority custom in
@@ -186,6 +235,24 @@ object SoqlFront {
            GROUP BY o_custkey) n
            ON c_custkey = n.o_custkey
          ORDER BY c_custkey""",
+    // rank-ordered top-3 list per parent, tie-broken on the selected key
+    "soql_children2" ->
+      """SELECT c_custkey,
+           COALESCE(n.orders_o_orderkey_list, '')
+             AS orders_o_orderkey_list
+         FROM customer LEFT JOIN (
+           SELECT o_custkey,
+             array_to_string(list(o_orderkey ORDER BY rk), ',')
+               AS orders_o_orderkey_list
+           FROM (
+             SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             FROM orders WHERE o_orderstatus = 'O')
+           WHERE rk <= 3
+           GROUP BY o_custkey) n
+           ON c_custkey = n.o_custkey
+         ORDER BY c_custkey""",
     // anchor 2024-01-25: LAST_N_DAYS:7 = [2024-01-18, 2024-01-26);
     // `>=` includes the range, `< TODAY` is before [2024-01-25, 26)
     "soql_datelit" ->
@@ -207,6 +274,17 @@ object SoqlFront {
            COUNT(*) AS n, MAX(o_totalprice) AS hi
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // February-start fiscal grid: fy = year the fiscal year starts in,
+    // fq = 3-month block index from the start month
+    "soql_datefn2" ->
+      """SELECT (year(o_orderdate)
+             - CASE WHEN month(o_orderdate) < 2 THEN 1 ELSE 0 END)::INT
+             AS fy,
+           (((month(o_orderdate) - 2 + 12) % 12) // 3 + 1)::INT AS fq,
+           quarter(o_orderdate)::INT AS cq,
+           COUNT(*) AS n, MAX(o_totalprice) AS hi
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // flags = returnflag;linestatus — INCLUDES('A;F','R') matches rows
     // whose value set contains {A,F} or contains {R}
     "soql_includes" ->
@@ -266,6 +344,22 @@ object SoqlFront {
            AND ts < TIMESTAMP '2024-01-15 00:00:00'
            AND value >= 50
          ORDER BY event_id""",
+    // anchor 1998-05-10 → LAST_N_QUARTERS:2 = [1997-10-01, 1998-04-01)
+    // (current quarter excluded)
+    "soql_datelit4" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+           AND o_totalprice > 280000
+         ORDER BY o_orderkey""",
+    // Feb-start fiscal grid, anchor 1998-03-15 →
+    // LAST_N_FISCAL_QUARTERS:3 = [1997-05-01, 1998-02-01)
+    "soql_datelit5" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-05-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-02-01 00:00:00'
+           AND o_totalprice > 290000
+         ORDER BY o_orderkey""",
     // the frozen orders schema minus the declared custom field
     "soql_fieldsstd" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *     (`SELECT c_custkey, (SELECT o_orderkey FROM orders) FROM
   *     customer`) — translated to the j3_nested shape: the child rows
   *     materialize per parent as an ordered comma-joined string, which
-  *     keeps the result hash-comparable;
+  *     keeps the result hash-comparable; child `ORDER BY … [LIMIT k]`
+  *     (top-k children per parent) ranks via one FK-partitioned
+  *     row_number window and emits the list in rank order (a child
+  *     LIMIT without ORDER BY refuses — no stable order exists);
   *   - AGGREGATE queries: COUNT()/COUNT/COUNT_DISTINCT/SUM/MIN/MAX/
   *     AVG(field-or-dot-path) with optional aliases (SOQL's default
   *     exprN naming otherwise), GROUP BY (plain fields, dot paths, or
@@ -34,10 +37,17 @@ import org.apache.spark.sql.functions._
   *   - DATE LITERALS (`TODAY`, `YESTERDAY`, `TOMORROW`,
   *     `LAST_N_DAYS:n`, `NEXT_N_DAYS:n`, `LAST_90_DAYS`,
   *     `THIS_MONTH`, `LAST_MONTH`, `NEXT_MONTH`, `THIS_YEAR`,
-  *     `LAST_YEAR`, `NEXT_YEAR`, and the week granule `THIS_WEEK` /
+  *     `LAST_YEAR`, `NEXT_YEAR`, the week granule `THIS_WEEK` /
   *     `LAST_WEEK` / `NEXT_WEEK` pinned to ISO Monday-start weeks —
-  *     see dateRange for the convention note) — the single most
-  *     common WHERE idiom
+  *     see dateRange for the convention note — the calendar-quarter
+  *     granule `THIS/LAST/NEXT_QUARTER`, the FISCAL granule
+  *     `THIS/LAST/NEXT_FISCAL_QUARTER` and `_FISCAL_YEAR` anchored to
+  *     an injectable per-org fiscal start month (January default —
+  *     Salesforce's own standard-fiscal-year default; see dateRange),
+  *     and every `LAST_N_*`/`NEXT_N_*` parameterized family over those
+  *     grids, which EXCLUDE the current period per the documented SOQL
+  *     semantics, unlike `LAST_N_DAYS` which includes today) — the
+  *     single most common WHERE idiom
   *     in real incremental extracts (`SystemModstamp >= LAST_N_DAYS:7`;
   *     the reference passes them through verbatim, client.rs:199-205).
   *     Each literal denotes a half-open day-aligned range [lo, hi) and
@@ -49,8 +59,11 @@ import org.apache.spark.sql.functions._
   *     date but is injectable (`today` parameter) so tests and the
   *     oracle rows stay deterministic against the corpus calendar;
   *   - DATE FUNCTIONS `CALENDAR_YEAR(f)` / `CALENDAR_MONTH(f)` /
-  *     `DAY_ONLY(f)` in WHERE predicates and (with GROUP BY, as SOQL
-  *     requires) in the select list;
+  *     `CALENDAR_QUARTER(f)` / `DAY_ONLY(f)` and the fiscal family
+  *     `FISCAL_YEAR(f)` / `FISCAL_QUARTER(f)` / `FISCAL_MONTH(f)`
+  *     (sharing the literals' injectable start month — see dateFnCol
+  *     for the year-naming pin) in WHERE predicates and (with GROUP
+  *     BY, as SOQL requires) in the select list;
   *   - `INCLUDES` / `EXCLUDES` multipicklist predicates
   *     (`flags INCLUDES ('A;F', 'R')`) — the reference's very first
   *     type mapping is multipicklist → array (main.rs:88; wire format
@@ -66,10 +79,11 @@ import org.apache.spark.sql.functions._
   *     `e_multipick` synthesizes it.
   *
   * Deliberately NOT covered (the reference itself never emits these
-  * through its typed API): fiscal-period date literals (they need the
-  * org's fiscal-year settings, which no fixed convention can stand in
-  * for) and the FOR UPDATE/WITH clauses. The grammar refuses loudly
-  * rather than mistranslating.
+  * through its typed API): custom fiscal calendars with
+  * non-month-aligned periods (the month-aligned standard fiscal year
+  * IS covered, with the start month injectable) and the FOR
+  * UPDATE/WITH clauses. The grammar refuses loudly rather than
+  * mistranslating.
   *
   * The relationship model is explicit (an [[ObjectGraph]] of parent
   * and child relationships with their key columns) because SOQL
@@ -111,7 +125,8 @@ object Soql {
   final case class Order(path: Seq[String], asc: Boolean,
       nullsFirst: Option[Boolean])
   final case class ChildQuery(field: String, rel: String,
-      where: Option[Expr])
+      where: Option[Expr], orderBy: Seq[Order] = Seq.empty,
+      limit: Option[Int] = None)
   /** One aggregate select item: COUNT() (field None), or
     * COUNT/SUM/MIN/MAX/AVG(field) [alias]. */
   final case class AggItem(fn: String, field: Option[Seq[String]],
@@ -154,7 +169,9 @@ object Soql {
 
   private val aggFns =
     Set("COUNT", "COUNT_DISTINCT", "SUM", "MIN", "MAX", "AVG")
-  private val dateFns = Set("CALENDAR_YEAR", "CALENDAR_MONTH", "DAY_ONLY")
+  private val dateFns = Set("CALENDAR_YEAR", "CALENDAR_MONTH",
+    "CALENDAR_QUARTER", "DAY_ONLY",
+    "FISCAL_YEAR", "FISCAL_QUARTER", "FISCAL_MONTH")
 
   // ---------- relationship model ----------
 
@@ -347,9 +364,16 @@ object Soql {
   private val dateLit0 = Set("TODAY", "YESTERDAY", "TOMORROW",
     "LAST_90_DAYS", "THIS_MONTH", "LAST_MONTH", "NEXT_MONTH",
     "THIS_YEAR", "LAST_YEAR", "NEXT_YEAR",
-    "THIS_WEEK", "LAST_WEEK", "NEXT_WEEK")
+    "THIS_WEEK", "LAST_WEEK", "NEXT_WEEK",
+    "THIS_QUARTER", "LAST_QUARTER", "NEXT_QUARTER",
+    "THIS_FISCAL_QUARTER", "LAST_FISCAL_QUARTER", "NEXT_FISCAL_QUARTER",
+    "THIS_FISCAL_YEAR", "LAST_FISCAL_YEAR", "NEXT_FISCAL_YEAR")
   /** `:n`-parameterized date literals. */
-  private val dateLitN = Set("LAST_N_DAYS", "NEXT_N_DAYS")
+  private val dateLitN = Set("LAST_N_DAYS", "NEXT_N_DAYS",
+    "LAST_N_WEEKS", "NEXT_N_WEEKS", "LAST_N_MONTHS", "NEXT_N_MONTHS",
+    "LAST_N_QUARTERS", "NEXT_N_QUARTERS", "LAST_N_YEARS", "NEXT_N_YEARS",
+    "LAST_N_FISCAL_QUARTERS", "NEXT_N_FISCAL_QUARTERS",
+    "LAST_N_FISCAL_YEARS", "NEXT_N_FISCAL_YEARS")
 
   private final class P(toks: Vector[Tok], q: String) {
     private var pos = 0
@@ -527,8 +551,31 @@ object Soql {
         p.expectKw("FROM")
         val rel = p.ident()
         val w = if (p.kw("WHERE")) Some(p.expr()) else None
+        // child ORDER BY [LIMIT k] — SOQL's top-k-children-per-parent
+        val ob =
+          if (p.kw("ORDER")) {
+            p.expectKw("BY")
+            val items = Seq.newBuilder[Order]
+            items += p.orderItem()
+            while (p.punct(",")) items += p.orderItem()
+            items.result()
+          } else Seq.empty
+        val lim = if (p.kw("LIMIT")) Some(p.next() match {
+          case TNum(s) => s.toInt
+          case t => sys.error(s"child LIMIT needs an integer, got $t: $q")
+        }) else None
+        ob.foreach { o =>
+          require(o.path.length == 1,
+            s"child ORDER BY keys are direct child fields only: $q")
+          require(o.nullsFirst.isEmpty,
+            s"NULLS FIRST/LAST in a child subquery is not supported: $q")
+        }
+        // an unordered LIMIT returns engine-order rows — refuse rather
+        // than mistranslate (SOQL itself gives no stable order there)
+        require(lim.isEmpty || ob.nonEmpty,
+          s"child LIMIT without ORDER BY is non-deterministic: $q")
         p.expectPunct(")")
-        children += ChildQuery(f, rel, w)
+        children += ChildQuery(f, rel, w, ob, lim)
       } else {
         val first = p.ident()
         if (first.equalsIgnoreCase("FIELDS") && p.punct("(")) {
@@ -697,9 +744,31 @@ object Soql {
     * UTC-naive and the session timezone is pinned to UTC, so the
     * day grid is unambiguous). */
   private[graft] def dateRange(d: DLit,
-      today: java.time.LocalDate): (Long, Long) = {
+      today: java.time.LocalDate, fiscalStartMonth: Int = 1): (Long, Long) = {
     import java.time.LocalDate
     def us(x: LocalDate): Long = x.toEpochDay * 86400000000L
+    // period-grid anchors shared by the granule families below
+    def weekStart: LocalDate = today.`with`(
+      java.time.temporal.TemporalAdjusters
+        .previousOrSame(java.time.DayOfWeek.MONDAY))
+    def quarterStart: LocalDate = today.withDayOfMonth(1)
+      .withMonth((today.getMonthValue - 1) / 3 * 3 + 1)
+    // the fiscal year containing `today` starts on day 1 of the org's
+    // fiscal start month (a per-org Salesforce setting — injectable
+    // here the way the week anchor is, defaulting to January, i.e.
+    // Salesforce's own "standard fiscal year = calendar year" default;
+    // custom fiscal calendars with non-month-aligned periods refuse at
+    // the call site because no start-month can express them)
+    def fiscalYearStart: LocalDate = {
+      val f = today.withDayOfMonth(1).withMonth(fiscalStartMonth)
+      if (f.isAfter(today)) f.minusYears(1) else f
+    }
+    def fiscalQuarterStart: LocalDate = {
+      val fy = fiscalYearStart
+      val m = (today.getYear - fy.getYear) * 12 +
+        (today.getMonthValue - fy.getMonthValue)
+      fy.plusMonths((m / 3 * 3).toLong)
+    }
     val (lo, hi): (LocalDate, LocalDate) = d.kind match {
       case "TODAY" => (today, today.plusDays(1))
       case "YESTERDAY" => (today.minusDays(1), today)
@@ -717,18 +786,56 @@ object Soql {
       // deployment whose org uses another locale passes its own
       // anchor-day convention by adjusting `today` — the literal
       // itself stays deterministic rather than environment-sniffing
-      case "THIS_WEEK" =>
-        val mon = today.`with`(java.time.temporal.TemporalAdjusters
-          .previousOrSame(java.time.DayOfWeek.MONDAY))
-        (mon, mon.plusWeeks(1))
-      case "LAST_WEEK" =>
-        val mon = today.`with`(java.time.temporal.TemporalAdjusters
-          .previousOrSame(java.time.DayOfWeek.MONDAY))
-        (mon.minusWeeks(1), mon)
-      case "NEXT_WEEK" =>
-        val mon = today.`with`(java.time.temporal.TemporalAdjusters
-          .previousOrSame(java.time.DayOfWeek.MONDAY))
-        (mon.plusWeeks(1), mon.plusWeeks(2))
+      case "THIS_WEEK" => (weekStart, weekStart.plusWeeks(1))
+      case "LAST_WEEK" => (weekStart.minusWeeks(1), weekStart)
+      case "NEXT_WEEK" => (weekStart.plusWeeks(1), weekStart.plusWeeks(2))
+      // the granule-N families EXCLUDE the current period (documented
+      // SOQL semantics: "n months before the CURRENT month … to the
+      // end of the PREVIOUS month") — deliberately asymmetric with
+      // LAST_N_DAYS, which includes today
+      case "LAST_N_WEEKS" => (weekStart.minusWeeks(d.n.toLong), weekStart)
+      case "NEXT_N_WEEKS" =>
+        (weekStart.plusWeeks(1), weekStart.plusWeeks(1L + d.n))
+      case "LAST_N_MONTHS" =>
+        val f = today.withDayOfMonth(1); (f.minusMonths(d.n.toLong), f)
+      case "NEXT_N_MONTHS" =>
+        val f = today.withDayOfMonth(1)
+        (f.plusMonths(1), f.plusMonths(1L + d.n))
+      case "THIS_QUARTER" => (quarterStart, quarterStart.plusMonths(3))
+      case "LAST_QUARTER" => (quarterStart.minusMonths(3), quarterStart)
+      case "NEXT_QUARTER" =>
+        (quarterStart.plusMonths(3), quarterStart.plusMonths(6))
+      case "LAST_N_QUARTERS" =>
+        (quarterStart.minusMonths(3L * d.n), quarterStart)
+      case "NEXT_N_QUARTERS" =>
+        (quarterStart.plusMonths(3), quarterStart.plusMonths(3L + 3L * d.n))
+      case "LAST_N_YEARS" =>
+        val f = today.withDayOfYear(1); (f.minusYears(d.n.toLong), f)
+      case "NEXT_N_YEARS" =>
+        val f = today.withDayOfYear(1)
+        (f.plusYears(1), f.plusYears(1L + d.n))
+      // fiscal grid — same shapes over fiscalYearStart/fiscalQuarterStart
+      case "THIS_FISCAL_YEAR" =>
+        val f = fiscalYearStart; (f, f.plusYears(1))
+      case "LAST_FISCAL_YEAR" =>
+        val f = fiscalYearStart; (f.minusYears(1), f)
+      case "NEXT_FISCAL_YEAR" =>
+        val f = fiscalYearStart; (f.plusYears(1), f.plusYears(2))
+      case "LAST_N_FISCAL_YEARS" =>
+        val f = fiscalYearStart; (f.minusYears(d.n.toLong), f)
+      case "NEXT_N_FISCAL_YEARS" =>
+        val f = fiscalYearStart; (f.plusYears(1), f.plusYears(1L + d.n))
+      case "THIS_FISCAL_QUARTER" =>
+        val q = fiscalQuarterStart; (q, q.plusMonths(3))
+      case "LAST_FISCAL_QUARTER" =>
+        val q = fiscalQuarterStart; (q.minusMonths(3), q)
+      case "NEXT_FISCAL_QUARTER" =>
+        val q = fiscalQuarterStart; (q.plusMonths(3), q.plusMonths(6))
+      case "LAST_N_FISCAL_QUARTERS" =>
+        val q = fiscalQuarterStart; (q.minusMonths(3L * d.n), q)
+      case "NEXT_N_FISCAL_QUARTERS" =>
+        val q = fiscalQuarterStart
+        (q.plusMonths(3), q.plusMonths(3L + 3L * d.n))
       case "THIS_MONTH" =>
         val f = today.withDayOfMonth(1); (f, f.plusMonths(1))
       case "LAST_MONTH" =>
@@ -747,11 +854,24 @@ object Soql {
   }
 
   /** The Spark column a date function denotes (UTC session timezone —
-    * matches DuckDB's naive-timestamp semantics). */
-  private def dateFnCol(fn: String, c: Column): Column = fn match {
+    * matches DuckDB's naive-timestamp semantics). The FISCAL_* family
+    * shares dateRange's injectable start-month convention, with
+    * FISCAL_YEAR pinned to the calendar year the fiscal year STARTS in
+    * (the unambiguous choice — Salesforce's year-naming is itself an
+    * org setting no fixed convention can express). */
+  private def dateFnCol(fn: String, c: Column,
+      fiscalStartMonth: Int = 1): Column = fn match {
     case "CALENDAR_YEAR" => year(c)
     case "CALENDAR_MONTH" => month(c)
+    case "CALENDAR_QUARTER" => quarter(c)
     case "DAY_ONLY" => to_date(c)
+    case "FISCAL_MONTH" =>
+      (month(c) - fiscalStartMonth + 12) % 12 + 1
+    case "FISCAL_QUARTER" =>
+      floor(((month(c) - fiscalStartMonth + 12) % 12) / 3)
+        .cast("int") + 1
+    case "FISCAL_YEAR" =>
+      year(c) - when(month(c) < fiscalStartMonth, 1).otherwise(0)
     case other => sys.error(s"unsupported date function $other")
   }
 
@@ -762,7 +882,8 @@ object Soql {
   private final class Resolver(obj: String, graph: ObjectGraph,
       aggResolve: (String, Option[Seq[String]]) => Column =
         (fn, _) => sys.error(
-          s"aggregate call $fn(...) outside a HAVING clause")) {
+          s"aggregate call $fn(...) outside a HAVING clause"),
+      fiscalStartMonth: Int = 1) {
     /** chain key ("customer", "customer__nation", …) → (parent chain
       * key or "" for a base-object hop, the relationship). Insertion
       * is walk order, so a chain's prefix always joins first. */
@@ -771,7 +892,8 @@ object Soql {
     def col(path: Seq[String]): Column = path match {
       case AggMark +: fn +: rest =>
         aggResolve(fn, if (rest.isEmpty) None else Some(rest))
-      case FnMark +: fn +: rest => dateFnCol(fn, col(rest))
+      case FnMark +: fn +: rest =>
+        dateFnCol(fn, col(rest), fiscalStartMonth)
       case Seq(f) =>
         graph.derived.getOrElse(obj, Map.empty).get(f.toLowerCase) match {
           case Some(e) => e
@@ -807,7 +929,7 @@ object Soql {
         org.apache.spark.sql.functions.col(s"__${key}__$f")
     }
     def fieldCol(fd: Field): Column = fd.fn match {
-      case Some(fn) => dateFnCol(fn, col(fd.path))
+      case Some(fn) => dateFnCol(fn, col(fd.path), fiscalStartMonth)
       case None => col(fd.path)
     }
   }
@@ -821,11 +943,12 @@ object Soql {
   })
 
   private def cond(e: Expr, r: Resolver,
-      today: java.time.LocalDate): Column = e match {
+      today: java.time.LocalDate, fiscalStartMonth: Int = 1): Column =
+    e match {
     case Cmp(p, op, d: DLit) =>
       // SOQL range semantics: `=` is containment in the literal's
       // half-open day range, `<`/`>` are strictly before/after it
-      val (lo, hi) = dateRange(d, today)
+      val (lo, hi) = dateRange(d, today, fiscalStartMonth)
       val c = r.col(p)
       def ts(us: Long): Column = timestamp_micros(lit(us))
       op match {
@@ -867,9 +990,11 @@ object Soql {
           .reduce(_ && _)
       }.reduce(_ || _)
       if (neg) !pred else pred
-    case AndE(l, rr) => cond(l, r, today) && cond(rr, r, today)
-    case OrE(l, rr) => cond(l, r, today) || cond(rr, r, today)
-    case NotE(x) => !cond(x, r, today)
+    case AndE(l, rr) => cond(l, r, today, fiscalStartMonth) &&
+      cond(rr, r, today, fiscalStartMonth)
+    case OrE(l, rr) => cond(l, r, today, fiscalStartMonth) ||
+      cond(rr, r, today, fiscalStartMonth)
+    case NotE(x) => !cond(x, r, today, fiscalStartMonth)
   }
 
   /** Translate parsed SOQL to a DataFrame over the testdata tables.
@@ -886,13 +1011,15 @@ object Soql {
   def toDataFrame(q: Query, spark: SparkSession, dir: String,
       graph: ObjectGraph = testdataGraph,
       today: Option[java.time.LocalDate] = None,
-      eventsBase: Option[DataFrame] = None): DataFrame = {
+      eventsBase: Option[DataFrame] = None,
+      fiscalStartMonth: Int = 1): DataFrame = {
     val anchor = today.getOrElse(
       java.time.LocalDate.now(java.time.ZoneOffset.UTC))
-    val r = new Resolver(q.obj, graph)
+    val r = new Resolver(q.obj, graph,
+      fiscalStartMonth = fiscalStartMonth)
     // resolve every path first so `needed` is complete before joining
     val sel = q.fields.map(f => r.fieldCol(f).as(outName(f)))
-    val wcol = q.where.map(cond(_, r, anchor))
+    val wcol = q.where.map(cond(_, r, anchor, fiscalStartMonth))
     val ocols = q.orderBy.map { o =>
       val c0 = r.col(o.path)
       val c1 = if (o.asc) c0.asc else c0.desc
@@ -950,8 +1077,9 @@ object Soql {
         col(name)
       }
     }
-    val hr = new Resolver(q.obj, graph, aggResolve = aggColOf)
-    val hcond = q.having.map(cond(_, hr, anchor))
+    val hr = new Resolver(q.obj, graph, aggResolve = aggColOf,
+      fiscalStartMonth = fiscalStartMonth)
+    val hcond = q.having.map(cond(_, hr, anchor, fiscalStartMonth))
     require(hr.needed.isEmpty,
       "HAVING must not traverse parent relationships outside an " +
         "aggregate call")
@@ -978,7 +1106,7 @@ object Soql {
         val pushed = q.where.toSeq.flatMap(conjuncts).collect {
           case Cmp(Seq(f), op, dl: DLit)
               if f.equalsIgnoreCase("ts") && op != "!=" =>
-            val (lo, hi) = dateRange(dl, anchor)
+            val (lo, hi) = dateRange(dl, anchor, fiscalStartMonth)
             op match {
               case "=" =>
                 col("ts") >= lit(lo * div) && col("ts") < lit(hi * div)
@@ -1050,18 +1178,44 @@ object Soql {
           s"object ${q.obj} has no child relationship '${cq.rel}' — " +
             "known: " + graph.children.getOrElse(q.obj, Map.empty)
             .keys.mkString(", ")))
-      val childR = new Resolver(cr.table, graph)
+      val childR = new Resolver(cr.table, graph,
+        fiscalStartMonth = fiscalStartMonth)
       var child = graft.ops.t(spark, dir, cr.table)
-      cq.where.map(cond(_, childR, anchor))
+      cq.where.map(cond(_, childR, anchor, fiscalStartMonth))
         .foreach(c => child = child.filter(c))
       require(childR.needed.isEmpty,
         "nested subqueries must not traverse relationships")
-      val agg = child.groupBy(col(cr.fk).as("__ck"))
-        .agg(array_join(transform(
-          array_sort(collect_list(col(cq.field))),
-          x => x.cast("string")), ",")
-          .as(s"${cq.rel}_${cq.field}_list"))
-      (cr, agg, s"${cq.rel}_${cq.field}_list")
+      val listName = s"${cq.rel}_${cq.field}_list"
+      val agg =
+        if (cq.orderBy.isEmpty)
+          child.groupBy(col(cr.fk).as("__ck"))
+            .agg(array_join(transform(
+              array_sort(collect_list(col(cq.field))),
+              x => x.cast("string")), ",").as(listName))
+        else {
+          // child ORDER BY [LIMIT k] — top-k children per parent: a
+          // row_number window PARTITIONED ON THE FK (one shuffle, on
+          // the same key the parent attach joins), the selected field
+          // appended as a pinned tie-break so the emitted list stays
+          // deterministic under equal sort keys; the list joins in
+          // RANK order (SOQL returns child rows in their ORDER BY),
+          // not the unordered form's ascending-value convention
+          import org.apache.spark.sql.expressions.Window
+          val ocols = cq.orderBy.map { o =>
+            val c = col(o.path.head)
+            if (o.asc) c.asc else c.desc
+          } :+ col(cq.field).asc
+          val w = Window.partitionBy(col(cr.fk)).orderBy(ocols: _*)
+          val ranked = child.withColumn("__rk", row_number().over(w))
+          val capped = cq.limit
+            .map(k => ranked.filter(col("__rk") <= k)).getOrElse(ranked)
+          capped.groupBy(col(cr.fk).as("__ck"))
+            .agg(array_join(transform(
+              array_sort(collect_list(struct(col("__rk").as("r"),
+                col(cq.field).cast("string").as("v")))),
+              x => x.getField("v")), ",").as(listName))
+        }
+      (cr, agg, listName)
     }
     for ((cr, agg, name) <- childCols)
       df = df.join(agg, df(cr.pk) === agg("__ck"), "left")
@@ -1165,6 +1319,8 @@ object Soql {
 
   /** Parse + translate in one call — the `client.query(q)` analog. */
   def query(spark: SparkSession, dir: String, soql: String,
-      today: Option[java.time.LocalDate] = None): DataFrame =
-    toDataFrame(parse(soql), spark, dir, today = today)
+      today: Option[java.time.LocalDate] = None,
+      fiscalStartMonth: Int = 1): DataFrame =
+    toDataFrame(parse(soql), spark, dir, today = today,
+      fiscalStartMonth = fiscalStartMonth)
 }

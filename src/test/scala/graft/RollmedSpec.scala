@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   */
 class RollmedSpec extends SparkTestBase {
 
-  test("row-based and calendar-true rolling medians diverge across a " +
-      "day gap exactly as documented") {
+  /** Writes the shared gap fixture (counts 9,8,7,6,5,4 on d0..d5, a
+    * 3-day gap, then 3 and 2 on d9/d10) and returns its dir. */
+  private def gapFixture(): String = {
     import spark.implicits._
     val ns = 86400L * 1000000000L // one day in epoch nanos
     def day(d: Int): Long = (19000L + d) * ns
@@ -34,6 +35,12 @@ class RollmedSpec extends SparkTestBase {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("row-based and calendar-true rolling medians diverge across a " +
+      "day gap exactly as documented") {
+    val dir = gapFixture()
 
     def meds(q: String): Map[Int, (Long, Long)] =
       ops.Events.queries(q)(spark, dir).collect().map { r =>
@@ -60,5 +67,28 @@ class RollmedSpec extends SparkTestBase {
       s"calendar medians wrong: $cal")
     assert(cal(9)._2 != row(9)._2 && cal(10)._2 != row(10)._2,
       "the two variants failed to diverge on the gap fixture")
+  }
+
+  test("row-based and calendar-true forecast backtests diverge across " +
+      "the same gap: the week-ago anchor lands 10 vs 7 days back") {
+    val dir = gapFixture()
+
+    def eval(q: String): (Long, Long, Double) = {
+      val rs = ops.Events.queries(q)(spark, dir).collect()
+      assert(rs.length == 1, s"$q emitted ${rs.length} type rows")
+      (rs(0).getLong(1), rs(0).getLong(2), rs(0).getDouble(3))
+    }
+
+    // row-based: 8 observed days, so lag(c,7) only reaches d10, whose
+    // "7th prior observation" is d0 (TEN calendar days back): one
+    // evaluated day, |9-2|=7 error over actual 2
+    assert(eval("e_forecast_eval") == ((1L, 7L, 3.5)),
+      "row-based backtest moved")
+    // calendar-true: dense d0..d10, lag-7 anchors exactly 7 calendar
+    // days back, and the gap days THEMSELVES are evaluated (d7, d8
+    // forecast 9 and 8 against actual 0): four evaluated days,
+    // 9+8+4+4=25 error over actual 0+0+3+2=5
+    assert(eval("e_forecast_eval_cal") == ((4L, 25L, 5.0)),
+      "calendar-true backtest moved")
   }
 }

@@ -434,10 +434,53 @@ class SoqlSpec extends SparkTestBase {
     // a Monday anchor starts its own week (previousOrSame)
     val mon = java.time.LocalDate.of(2024, 1, 15)
     assert(dateRange(DLit("THIS_WEEK", 0), mon)._1 == us(mon))
-    // fiscal literals stay refused
+  }
+
+  test("quarter + fiscal date literals: grids, granule-N current-period " +
+      "exclusion, injectable fiscal start month (r15 refusal accepted)") {
+    import graft.soql.Soql.{dateRange, DLit}
+    def us(d: java.time.LocalDate) = d.toEpochDay * 86400000000L
+    def ld(y: Int, m: Int, d: Int) = java.time.LocalDate.of(y, m, d)
+    val t = ld(1998, 5, 10) // calendar Q2
+    assert(dateRange(DLit("THIS_QUARTER", 0), t) ==
+      ((us(ld(1998, 4, 1)), us(ld(1998, 7, 1)))))
+    // granule-N families EXCLUDE the current period (the documented
+    // SOQL asymmetry with LAST_N_DAYS, which includes today)
+    assert(dateRange(DLit("LAST_N_QUARTERS", 2), t) ==
+      ((us(ld(1997, 10, 1)), us(ld(1998, 4, 1)))))
+    assert(dateRange(DLit("LAST_N_MONTHS", 3), t) ==
+      ((us(ld(1998, 2, 1)), us(ld(1998, 5, 1)))))
+    assert(dateRange(DLit("NEXT_N_WEEKS", 2), ld(2024, 1, 17)) ==
+      ((us(ld(2024, 1, 22)), us(ld(2024, 2, 5)))))
+    assert(dateRange(DLit("LAST_N_YEARS", 2), t) ==
+      ((us(ld(1996, 1, 1)), us(ld(1998, 1, 1)))))
+    // fiscal grid, February start: quarters Feb-Apr/May-Jul/Aug-Oct/
+    // Nov-Jan; 1998-03-15 sits in [1998-02-01, 05-01)
+    val f = ld(1998, 3, 15)
+    assert(dateRange(DLit("THIS_FISCAL_QUARTER", 0), f, 2) ==
+      ((us(ld(1998, 2, 1)), us(ld(1998, 5, 1)))))
+    assert(dateRange(DLit("LAST_N_FISCAL_QUARTERS", 3), f, 2) ==
+      ((us(ld(1997, 5, 1)), us(ld(1998, 2, 1)))))
+    // an anchor BEFORE the start month falls in the PRIOR fiscal year
+    // (1998-01-15 with an April start is still FY starting 1997-04-01,
+    // in its Jan-Mar fourth quarter)
+    val jan = ld(1998, 1, 15)
+    assert(dateRange(DLit("THIS_FISCAL_YEAR", 0), jan, 4) ==
+      ((us(ld(1997, 4, 1)), us(ld(1998, 4, 1)))))
+    assert(dateRange(DLit("THIS_FISCAL_QUARTER", 0), jan, 4) ==
+      ((us(ld(1998, 1, 1)), us(ld(1998, 4, 1)))))
+    // January default = Salesforce's standard fiscal year: fiscal and
+    // calendar grids coincide
+    assert(dateRange(DLit("THIS_FISCAL_QUARTER", 0), t) ==
+      dateRange(DLit("THIS_QUARTER", 0), t))
+    // the fiscal literal parses through the grammar end-to-end
+    val q = Soql.parse("SELECT event_id FROM events" +
+      " WHERE ts >= THIS_FISCAL_QUARTER")
+    assert(q.where.nonEmpty)
+    // parameterized fiscal form needs its :n
     intercept[RuntimeException] {
       Soql.parse("SELECT event_id FROM events" +
-        " WHERE ts >= THIS_FISCAL_QUARTER")
+        " WHERE ts = LAST_N_FISCAL_QUARTERS")
     }
   }
 
