@@ -686,6 +686,35 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // DUPLICATE-AWARE SAMPLING WEIGHTS — the SOFT alternative to
+    // d_dedup_apply's hard drop (the data-constrained-scaling recipe:
+    // keep every near-dup copy but downweight it so each cluster
+    // contributes ONE document's worth of training mass): weight =
+    // 1/|cluster|, unclustered docs weigh 1 and cluster as themselves.
+    // Cluster sizes are a |clusters|-row aggregate of the CC labeling;
+    // the corpus attach is one hash left join on doc_id (the labeled
+    // side is bounded by the near-dup chain, tiny next to the corpus,
+    // so AQE broadcasts it); w_tokens = n_tok/|cluster| is the
+    // effective token mass t_mixture-style budgeting would consume.
+    "d_softdedup" -> ((s, d) => {
+      val cl = queries("d_clusters")(s, d).select("doc_id", "cluster_id")
+      val sizes = cl.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      val labeled = cl.join(sizes, "cluster_id")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tok"))
+        .join(labeled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+          roundf(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 4)
+            .as("weight"),
+          roundf(col("n_tok") / coalesce(col("cluster_size"), lit(1L)), 4)
+            .as("w_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL connected components — the maintenance shape of
     // d_clusters, completing the incremental dedup family (index:
     // d_index_maintained; semantic: d_semdedup_incr; clusters: here).
@@ -1213,7 +1242,32 @@ object Dedup {
                      HAVING node != min(m))
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT node FROM dropped)
-         ORDER BY doc_id""") ++ moreOracles
+         ORDER BY doc_id""",
+    // same recursive-CC truth; weight = 1/|cluster|, unclustered = 1
+    "d_softdedup" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
+         edges AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+         r(node, m) AS (
+           SELECT a AS node, a AS m FROM edges
+           UNION
+           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m),
+         cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+                FROM r GROUP BY node),
+         sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM cl GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(sz.cluster_size, 1) AS cluster_size,
+           floor(1.0 / COALESCE(sz.cluster_size, 1) * 10000.0 + 0.5)
+             / 10000.0 AS weight,
+           floor(len(string_split(d.text, ' '))
+               / COALESCE(sz.cluster_size, 1)::DOUBLE
+               * 10000.0 + 0.5) / 10000.0 AS w_tokens
+         FROM documents d
+         LEFT JOIN cl ON cl.doc_id = d.doc_id
+         LEFT JOIN sz ON sz.cluster_id = cl.cluster_id
+         ORDER BY d.doc_id""") ++ moreOracles
 
   /** The MinHash pipeline CTEs with a pluggable candidate-pair clause —
     * the self-join oracle and the incremental (corpus×batch) oracle

@@ -265,6 +265,55 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Threshold YIELD CURVE over the quality score — the artifact a
+    // real curation pipeline produces before picking its filter: for
+    // each cutoff on a fixed 0.05 grid, how many documents and tokens
+    // survive `score >= cutoff`, absolute and as corpus fractions.
+    // ONE corpus scan: per-doc scores bucket to floor(score*20)
+    // (21 buckets), the per-bucket doc/token sums aggregate (partial
+    // map-side), and the survivors-at-threshold curve is a DESCENDING
+    // cumulative sum over the 21-row densified grid — every window
+    // here runs on |grid| rows, never documents, so the single
+    // unpartitioned window is constant-size at any corpus scale. The
+    // bucket key is the ROUNDED score (t_quality's exact output), so
+    // boundary docs land identically on both engines.
+    "t_yield_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = words(col("text"))
+      val nTok = size(w).cast("double")
+      val nStop = size(filter(w, x => x.isin(stopwords.map(lit): _*)))
+        .cast("double")
+      val avgLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
+      val stopRatio = nStop / nTok
+      val score =
+        least(nTok, lit(500.0)) / lit(500.0) * lit(0.5) +
+        (lit(1.0) - stopRatio) * lit(0.3) +
+        least(avgLen, lit(8.0)) / lit(8.0) * lit(0.2)
+      val byBucket = t(s, d, "documents")
+        .select(floor(roundf(score, 4) * 20).cast("int").as("bucket"),
+          size(w).cast("long").as("n_tok"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("toks"))
+      val grid = s.range(21).select(col("id").cast("int").as("bucket"))
+      val wDesc = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      grid.join(byBucket, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("docs"), lit(0L)).as("dk"),
+          coalesce(col("toks"), lit(0L)).as("tk"))
+        .withColumn("n_docs", sum("dk").over(wDesc))
+        .withColumn("n_tokens", sum("tk").over(wDesc))
+        .withColumn("td", sum("dk").over(wAll))
+        .withColumn("tt", sum("tk").over(wAll))
+        .select(col("bucket"),
+          roundf(col("bucket") * lit(0.05), 2).as("threshold"),
+          col("n_docs"), col("n_tokens"),
+          roundf(col("n_docs") / col("td"), 4).as("pct_docs"),
+          roundf(col("n_tokens") / col("tt"), 4).as("pct_tokens"))
+        .orderBy("bucket")
+    }),
+
     // Language ID: marker-word scores per language, deterministic argmax
     // (ties break toward the earlier language in the case chain). Confusion
     // matrix against the labeled lang column.
@@ -1396,6 +1445,45 @@ object Text {
              least(avg_len, 8.0) / 8.0 * 0.2) * 10000.0 + 0.5) / 10000.0
              AS quality_score
          FROM q ORDER BY doc_id""",
+    // identical rounded score -> bucket, 21-row grid, descending cumsum
+    "t_yield_curve" ->
+      """WITH q AS (
+           SELECT
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','to','in'))) AS DOUBLE) AS n_stop,
+             (CAST(length(text) AS DOUBLE) -
+               (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_len
+           FROM documents),
+         b AS (
+           SELECT floor((floor((least(n_tok, 500.0) / 500.0 * 0.5 +
+               (1.0 - n_stop / n_tok) * 0.3 +
+               least(avg_len, 8.0) / 8.0 * 0.2) * 10000.0 + 0.5)
+               / 10000.0) * 20)::INT AS bucket,
+             COUNT(*) AS dk, CAST(SUM(n_tok) AS BIGINT) AS tk
+           FROM q GROUP BY 1),
+         g AS (
+           SELECT range::INT AS bucket, COALESCE(dk, 0) AS dk,
+             COALESCE(tk, 0) AS tk
+           FROM range(0, 21) LEFT JOIN b ON b.bucket = range)
+         SELECT bucket,
+           floor(bucket * 0.05 * 100.0 + 0.5) / 100.0 AS threshold,
+           CAST(SUM(dk) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_docs,
+           CAST(SUM(tk) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_tokens,
+           floor(SUM(dk) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SUM(dk) OVER ())::DOUBLE * 10000.0 + 0.5) / 10000.0
+             AS pct_docs,
+           floor(SUM(tk) OVER (ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / (SUM(tk) OVER ())::DOUBLE * 10000.0 + 0.5) / 10000.0
+             AS pct_tokens
+         FROM g ORDER BY bucket""",
     "t_langid" ->
       """WITH s AS (
            SELECT lang,
