@@ -86,6 +86,25 @@ object SoqlFront {
         " GROUP BY CALENDAR_YEAR(o_orderdate)," +
         " CALENDAR_MONTH(o_orderdate) ORDER BY yr, mo")),
 
+    // semi-join subquery — the j4_semi shape through the text grammar
+    // (SOQL's `WHERE Id IN (SELECT ...)` idiom): customers holding at
+    // least one >400k order; the subquery filter pushes into ITS scan
+    // and the key set dedups through the LEFT SEMI join itself
+    "soql_semi" -> ((s, d) => Soql.query(s, d,
+      "SELECT c_custkey, c_name FROM customer" +
+        " WHERE c_custkey IN (SELECT o_custkey FROM orders" +
+        " WHERE o_totalprice > 400000)" +
+        " ORDER BY c_custkey")),
+
+    // anti-join subquery (NOT IN): suppliers with NO max-quantity
+    // deep-discount line; null subquery keys are dropped (the pinned
+    // anti-join semantics, not SQL NOT IN's three-valued poison)
+    "soql_anti" -> ((s, d) => Soql.query(s, d,
+      "SELECT s_suppkey, s_name FROM supplier" +
+        " WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem" +
+        " WHERE l_quantity = 50 AND l_discount > 0.09)" +
+        " ORDER BY s_suppkey")),
+
     // FISCAL date functions over the injected February-start grid
     // (FISCAL_YEAR pinned to the year the fiscal year STARTS in; a
     // January 1998 order lands in fy=1997 fq=4 — only derivable
@@ -274,6 +293,19 @@ object SoqlFront {
            COUNT(*) AS n, MAX(o_totalprice) AS hi
          FROM orders WHERE o_orderstatus = 'F'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "soql_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+           WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    // mirror the pinned null-drop: the filtered key set never contains
+    // NULL here, so NOT IN and the anti join agree by construction
+    "soql_anti" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+           WHERE l_quantity = 50 AND l_discount > 0.09
+             AND l_suppkey IS NOT NULL)
+         ORDER BY s_suppkey""",
     // February-start fiscal grid: fy = year the fiscal year starts in,
     // fq = 3-month block index from the start month
     "soql_datefn2" ->

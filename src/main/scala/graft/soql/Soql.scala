@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   *     (top-k children per parent) ranks via one FK-partitioned
   *     row_number window and emits the list in rank order (a child
   *     LIMIT without ORDER BY refuses — no stable order exists);
+  *   - SEMI-JOIN subqueries `field [NOT] IN (SELECT f FROM obj
+  *     [WHERE …])` — LEFT SEMI / LEFT ANTI joins, valid only as
+  *     top-level AND conjuncts (SOQL's own restriction: no semi-joins
+  *     under OR/NOT); NOT IN pins anti-join semantics (null subquery
+  *     keys dropped, not three-valued-logic poison — see the
+  *     translation note);
   *   - AGGREGATE queries: COUNT()/COUNT/COUNT_DISTINCT/SUM/MIN/MAX/
   *     AVG(field-or-dot-path) with optional aliases (SOQL's default
   *     exprN naming otherwise), GROUP BY (plain fields, dot paths, or
@@ -113,6 +119,11 @@ object Soql {
   final case class Cmp(path: Seq[String], op: String, v: Lit) extends Expr
   final case class InList(path: Seq[String], vs: Seq[Lit],
       negated: Boolean) extends Expr
+  /** SOQL semi-join subquery: `path [NOT] IN (SELECT field FROM obj
+    * [WHERE ...])`. Only valid as a top-level AND conjunct — SOQL
+    * itself refuses semi-joins under OR/NOT. */
+  final case class InSubq(path: Seq[String], field: String, obj: String,
+      where: Option[Expr], negated: Boolean) extends Expr
   final case class LikeE(path: Seq[String], pattern: String) extends Expr
   /** Multipicklist INCLUDES/EXCLUDES: each item is a semicolon-joined
     * value SET ("A;F" = contains A AND F); items OR together. */
@@ -484,6 +495,15 @@ object Soql {
     }
     private def inList(p: Seq[String], negated: Boolean): Expr = {
       expectPunct("(")
+      if (kw("SELECT")) {
+        // semi-join subquery: [NOT] IN (SELECT f FROM obj [WHERE ...])
+        val f = ident()
+        expectKw("FROM")
+        val o = ident()
+        val w = if (kw("WHERE")) Some(expr()) else None
+        expectPunct(")")
+        return InSubq(p, f, o.toLowerCase, w, negated)
+      }
       val vs = Seq.newBuilder[Lit]
       vs += lit()
       while (punct(",")) vs += lit()
@@ -990,6 +1010,9 @@ object Soql {
           .reduce(_ && _)
       }.reduce(_ || _)
       if (neg) !pred else pred
+    case _: InSubq => sys.error(
+      "a semi-join subquery is only valid as a top-level AND " +
+        "conjunct (SOQL refuses semi-joins under OR/NOT)")
     case AndE(l, rr) => cond(l, r, today, fiscalStartMonth) &&
       cond(rr, r, today, fiscalStartMonth)
     case OrE(l, rr) => cond(l, r, today, fiscalStartMonth) ||
@@ -1019,7 +1042,18 @@ object Soql {
       fiscalStartMonth = fiscalStartMonth)
     // resolve every path first so `needed` is complete before joining
     val sel = q.fields.map(f => r.fieldCol(f).as(outName(f)))
-    val wcol = q.where.map(cond(_, r, anchor, fiscalStartMonth))
+    // semi-join subqueries peel off as top-level AND conjuncts (they
+    // translate to joins, not Columns); anything deeper refuses —
+    // SOQL itself disallows disjunctive semi-joins
+    def wconj(e: Expr): Seq[Expr] = e match {
+      case AndE(l, rr) => wconj(l) ++ wconj(rr)
+      case x => Seq(x)
+    }
+    val wconjs = q.where.toSeq.flatMap(wconj)
+    val subqs = wconjs.collect { case sq: InSubq => sq }
+    val wcol = wconjs.filterNot(_.isInstanceOf[InSubq])
+      .reduceOption(AndE.apply)
+      .map(cond(_, r, anchor, fiscalStartMonth))
     val ocols = q.orderBy.map { o =>
       val c0 = r.col(o.path)
       val c1 = if (o.asc) c0.asc else c0.desc
@@ -1221,6 +1255,34 @@ object Soql {
       df = df.join(agg, df(cr.pk) === agg("__ck"), "left")
         .drop("__ck")
         .withColumn(name, coalesce(col(name), lit("")))
+    // semi-join subqueries: LEFT SEMI (IN) / LEFT ANTI (NOT IN) on the
+    // base field against the subquery's projected key. The subquery's
+    // filter pushes into ITS scan, the key set dedups through the
+    // semi-join itself (no distinct needed), and dim-sized key sets
+    // broadcast under AQE exactly like the hand-written j4/j5 rows.
+    // NOT IN is pinned to anti-join semantics (null subquery keys are
+    // dropped, not three-valued-logic poison — Salesforce ID semi-join
+    // keys are never null, so the distinction never arises on real
+    // queries; the explicit filter keeps the pin honest at any input).
+    for (sq <- subqs) {
+      require(sq.path.length == 1,
+        s"semi-join left side must be a direct field, got " +
+          sq.path.mkString("."))
+      val subR = new Resolver(sq.obj, graph,
+        fiscalStartMonth = fiscalStartMonth)
+      var sub = graft.ops.t(spark, dir, sq.obj)
+      // build the condition FIRST: cond fills subR.needed, so the
+      // relationship refusal fires before Spark's analyzer can throw
+      // an opaque unresolved-column error
+      val subCond = sq.where.map(cond(_, subR, anchor, fiscalStartMonth))
+      require(subR.needed.isEmpty,
+        "a semi-join subquery WHERE supports direct fields only")
+      subCond.foreach(c => sub = sub.filter(c))
+      val proj = sub.select(col(sq.field).as("__inq"))
+        .filter(col("__inq").isNotNull)
+      df = df.join(proj, df(sq.path.head) === col("__inq"),
+        if (sq.negated) "left_anti" else "left_semi")
+    }
     wcol.foreach(c => df = df.filter(c))
     val out =
       if (q.fieldsMode.nonEmpty) {

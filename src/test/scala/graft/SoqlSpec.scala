@@ -92,10 +92,10 @@ class SoqlSpec extends SparkTestBase {
   test("parent-child nested subquery translates to the j3_nested shape") {
     val got = Soql.query(spark, dir,
       "SELECT c_custkey, (SELECT o_orderkey FROM orders WHERE" +
-        " o_totalprice > 200000) FROM customer ORDER BY c_custkey")
+        " o_totalprice > 450000) FROM customer ORDER BY c_custkey")
     val c = ops.t(spark, dir, "customer")
     val o = ops.t(spark, dir, "orders")
-      .filter(col("o_totalprice") > 200000L)
+      .filter(col("o_totalprice") > 450000L)
     val nested = o.groupBy("o_custkey")
       .agg(array_join(transform(
         array_sort(collect_list(col("o_orderkey"))),
@@ -607,6 +607,51 @@ class SoqlSpec extends SparkTestBase {
       Soql.parse("SELECT COUNT(), (SELECT o_orderkey FROM orders)" +
         " FROM customer")
     }
+  }
+
+  test("semi-join subqueries: IN (SELECT ...) is a LEFT SEMI join, " +
+      "NOT IN a LEFT ANTI join; OR-combined semi-joins refuse") {
+    val c = ops.t(spark, dir, "customer")
+    val o = ops.t(spark, dir, "orders")
+    // IN ≡ left_semi
+    val semi = Soql.query(spark, dir,
+      "SELECT c_custkey FROM customer WHERE c_custkey IN" +
+        " (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)")
+    val wantSemi = c.join(
+      o.filter(col("o_totalprice") > 450000L).select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+    same(semi, wantSemi)
+    assert(semi.count() > 0 && semi.count() < c.count(),
+      "semi fixture is degenerate")
+    // NOT IN ≡ left_anti; the two partition the base exactly
+    val anti = Soql.query(spark, dir,
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN" +
+        " (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)")
+    assert(semi.count() + anti.count() == c.count(),
+      "semi + anti must partition the base object")
+    // composes with a residual conjunct on either side of the AND
+    val mixed = Soql.query(spark, dir,
+      "SELECT c_custkey FROM customer WHERE c_acctbal > 0 AND" +
+        " c_custkey IN (SELECT o_custkey FROM orders" +
+        " WHERE o_totalprice > 450000)")
+    same(mixed, wantSemi.filter(col("c_acctbal") > 0)
+      .select("c_custkey"))
+    // SOQL's own restriction: no semi-joins under OR/NOT
+    val e1 = intercept[RuntimeException] {
+      Soql.query(spark, dir,
+        "SELECT c_custkey FROM customer WHERE c_acctbal < 0 OR" +
+          " c_custkey IN (SELECT o_custkey FROM orders)").collect()
+    }
+    assert(e1.getMessage.contains("semi-join"), e1.getMessage)
+    // subquery WHERE must not traverse relationships
+    val e2 = intercept[IllegalArgumentException] {
+      Soql.query(spark, dir,
+        "SELECT c_custkey FROM customer WHERE c_custkey IN" +
+          " (SELECT o_custkey FROM orders" +
+          " WHERE customer.c_acctbal > 0)").collect()
+    }
+    assert(e2.getMessage.contains("direct fields"), e2.getMessage)
   }
 
   test("null comparisons and NOT IN") {
