@@ -191,6 +191,16 @@ object SoqlFront {
         " ORDER BY o_orderkey",
       today = Some(java.time.LocalDate.of(1998, 5, 10)))),
 
+    // point-period literal: N_QUARTERS_AGO:2 from the same anchor is
+    // the SINGLE quarter [1997-10-01, 1998-01-01) — a strict subset of
+    // soql_datelit4's LAST_N_QUARTERS:2 window, so the pair pins the
+    // span-vs-point distinction against the oracle
+    "soql_datelit6" -> ((s, d) => Soql.query(s, d,
+      "SELECT o_orderkey, o_orderdate FROM orders" +
+        " WHERE o_orderdate = N_QUARTERS_AGO:2 AND o_totalprice > 280000" +
+        " ORDER BY o_orderkey",
+      today = Some(java.time.LocalDate.of(1998, 5, 10)))),
+
     // FISCAL grid with an injected February start month (quarters
     // Feb-Apr / May-Jul / Aug-Oct / Nov-Jan — deliberately misaligned
     // with the calendar grid, so these bounds are only derivable
@@ -382,6 +392,13 @@ object SoqlFront {
       """SELECT o_orderkey, o_orderdate FROM orders
          WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+           AND o_totalprice > 280000
+         ORDER BY o_orderkey""",
+    // anchor 1998-05-10 → N_QUARTERS_AGO:2 = [1997-10-01, 1998-01-01)
+    "soql_datelit6" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
            AND o_totalprice > 280000
          ORDER BY o_orderkey""",
     // Feb-start fiscal grid, anchor 1998-03-15 →

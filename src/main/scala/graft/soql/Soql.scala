@@ -384,7 +384,10 @@ object Soql {
     "LAST_N_WEEKS", "NEXT_N_WEEKS", "LAST_N_MONTHS", "NEXT_N_MONTHS",
     "LAST_N_QUARTERS", "NEXT_N_QUARTERS", "LAST_N_YEARS", "NEXT_N_YEARS",
     "LAST_N_FISCAL_QUARTERS", "NEXT_N_FISCAL_QUARTERS",
-    "LAST_N_FISCAL_YEARS", "NEXT_N_FISCAL_YEARS")
+    "LAST_N_FISCAL_YEARS", "NEXT_N_FISCAL_YEARS",
+    // point-period family: the SINGLE period exactly n back
+    "N_DAYS_AGO", "N_WEEKS_AGO", "N_MONTHS_AGO", "N_QUARTERS_AGO",
+    "N_YEARS_AGO", "N_FISCAL_QUARTERS_AGO", "N_FISCAL_YEARS_AGO")
 
   private final class P(toks: Vector[Tok], q: String) {
     private var pos = 0
@@ -856,6 +859,27 @@ object Soql {
       case "NEXT_N_FISCAL_QUARTERS" =>
         val q = fiscalQuarterStart
         (q.plusMonths(3), q.plusMonths(3L + 3L * d.n))
+      // point-period *_AGO family: the SINGLE period exactly n back
+      // (N_DAYS_AGO:0 = today, N_MONTHS_AGO:1 = last month — the
+      // documented SOQL equivalences)
+      case "N_DAYS_AGO" =>
+        val x = today.minusDays(d.n.toLong); (x, x.plusDays(1))
+      case "N_WEEKS_AGO" =>
+        val x = weekStart.minusWeeks(d.n.toLong); (x, x.plusWeeks(1))
+      case "N_MONTHS_AGO" =>
+        val x = today.withDayOfMonth(1).minusMonths(d.n.toLong)
+        (x, x.plusMonths(1))
+      case "N_QUARTERS_AGO" =>
+        val x = quarterStart.minusMonths(3L * d.n); (x, x.plusMonths(3))
+      case "N_YEARS_AGO" =>
+        val x = today.withDayOfYear(1).minusYears(d.n.toLong)
+        (x, x.plusYears(1))
+      case "N_FISCAL_QUARTERS_AGO" =>
+        val x = fiscalQuarterStart.minusMonths(3L * d.n)
+        (x, x.plusMonths(3))
+      case "N_FISCAL_YEARS_AGO" =>
+        val x = fiscalYearStart.minusYears(d.n.toLong)
+        (x, x.plusYears(1))
       case "THIS_MONTH" =>
         val f = today.withDayOfMonth(1); (f, f.plusMonths(1))
       case "LAST_MONTH" =>

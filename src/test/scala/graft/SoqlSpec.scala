@@ -473,6 +473,17 @@ class SoqlSpec extends SparkTestBase {
     // calendar grids coincide
     assert(dateRange(DLit("THIS_FISCAL_QUARTER", 0), t) ==
       dateRange(DLit("THIS_QUARTER", 0), t))
+    // point-period *_AGO family: the documented SOQL equivalences
+    assert(dateRange(DLit("N_DAYS_AGO", 0), t) ==
+      dateRange(DLit("TODAY", 0), t))
+    assert(dateRange(DLit("N_MONTHS_AGO", 1), t) ==
+      dateRange(DLit("LAST_MONTH", 0), t))
+    assert(dateRange(DLit("N_QUARTERS_AGO", 2), t) ==
+      ((us(ld(1997, 10, 1)), us(ld(1998, 1, 1)))))
+    assert(dateRange(DLit("N_FISCAL_QUARTERS_AGO", 1), f, 2) ==
+      dateRange(DLit("LAST_FISCAL_QUARTER", 0), f, 2))
+    assert(dateRange(DLit("N_FISCAL_YEARS_AGO", 1), jan, 4) ==
+      ((us(ld(1996, 4, 1)), us(ld(1997, 4, 1)))))
     // the fiscal literal parses through the grammar end-to-end
     val q = Soql.parse("SELECT event_id FROM events" +
       " WHERE ts >= THIS_FISCAL_QUARTER")
