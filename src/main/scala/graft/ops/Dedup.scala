@@ -715,6 +715,48 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // MIXTURE BUDGETING OVER THE DEDUP-WEIGHTED CORPUS — t_mixture's
+    // per-source token budgeting composed with d_softdedup's
+    // duplicate-aware mass: each source's capacity is its EFFECTIVE
+    // token count Σ n_tok/|cluster| (a near-dup cluster contributes
+    // one copy's worth), so sample rates and epochs answer "how much
+    // UNIQUE text does this source actually hold". The per-doc
+    // effective mass is computed in FIXED-POINT (n_tok·10⁴ div
+    // |cluster| — integer arithmetic end-to-end), so the per-source
+    // sums are exact longs on both engines and no float accumulation
+    // order can drift the hash; the only doubles are one final
+    // division each for eff_tokens and sample_rate.
+    "d_mixture_soft" -> ((s, d) => {
+      val budget = 42000L
+      val cl = queries("d_clusters")(s, d).select("doc_id", "cluster_id")
+      val sizes = cl.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cs"))
+      val labeled = cl.join(sizes, "cluster_id").select("doc_id", "cs")
+      val per = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("n_tok"))
+        .join(labeled, Seq("doc_id"), "left")
+        .withColumn("cs", coalesce(col("cs"), lit(1L)))
+        .withColumn("eff_i4", expr("n_tok * 10000L div cs"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("eff_i4").as("eff_i4"))
+        .withColumn("wt", coalesce(
+          nullif(regexp_extract(col("source"), "([0-9]+)$", 1), lit(""))
+            .cast("long") + 1L, lit(1L)))
+      val tot = per.agg(sum("wt").cast("long").as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr(s"$budget * wt div wsum"))
+        .select(col("source"), col("docs"),
+          roundf(col("eff_i4") / lit(10000.0), 4).as("eff_tokens"),
+          col("target_tokens"),
+          roundf(least(lit(1.0),
+            col("target_tokens") * lit(10000.0) / col("eff_i4")), 4)
+            .as("sample_rate"),
+          expr("greatest(1L, (target_tokens * 10000 + eff_i4 - 1)" +
+            " div eff_i4)").as("epochs"))
+        .orderBy("source")
+    }),
+
     // INCREMENTAL connected components — the maintenance shape of
     // d_clusters, completing the incremental dedup family (index:
     // d_index_maintained; semantic: d_semdedup_incr; clusters: here).
@@ -1267,7 +1309,43 @@ object Dedup {
          FROM documents d
          LEFT JOIN cl ON cl.doc_id = d.doc_id
          LEFT JOIN sz ON sz.cluster_id = cl.cluster_id
-         ORDER BY d.doc_id""") ++ moreOracles
+         ORDER BY d.doc_id""",
+    // same CC truth; fixed-point effective mass, t_mixture's budgeting
+    "d_mixture_soft" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
+         edges AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+         r(node, m) AS (
+           SELECT a AS node, a AS m FROM edges
+           UNION
+           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m),
+         cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+                FROM r GROUP BY node),
+         sz AS (SELECT cluster_id, COUNT(*) AS cs FROM cl GROUP BY 1),
+         per AS (
+           SELECT d.source,
+             len(string_split(d.text, ' '))::BIGINT * 10000
+               // COALESCE(sz.cs, 1) AS eff_i4
+           FROM documents d
+           LEFT JOIN cl ON cl.doc_id = d.doc_id
+           LEFT JOIN sz ON sz.cluster_id = cl.cluster_id),
+         agg AS (
+           SELECT source, COUNT(*) AS docs,
+             CAST(SUM(eff_i4) AS BIGINT) AS eff_i4,
+             COALESCE(CAST(NULLIF(regexp_extract(source,
+               '([0-9]+)$$', 1), '') AS BIGINT) + 1, 1) AS wt
+           FROM per GROUP BY source),
+         w AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM agg)
+         SELECT source, docs,
+           floor(eff_i4 / 10000.0 * 10000.0 + 0.5) / 10000.0
+             AS eff_tokens,
+           42000 * wt // wsum AS target_tokens,
+           floor(LEAST(1.0, (42000 * wt // wsum) * 10000.0
+             / eff_i4::DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS sample_rate,
+           GREATEST(1, ((42000 * wt // wsum) * 10000 + eff_i4 - 1)
+             // eff_i4) AS epochs
+         FROM agg, w ORDER BY source""") ++ moreOracles
 
   /** The MinHash pipeline CTEs with a pluggable candidate-pair clause —
     * the self-join oracle and the incremental (corpus×batch) oracle

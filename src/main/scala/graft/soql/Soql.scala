@@ -1060,6 +1060,9 @@ object Soql {
       today: Option[java.time.LocalDate] = None,
       eventsBase: Option[DataFrame] = None,
       fiscalStartMonth: Int = 1): DataFrame = {
+    require(fiscalStartMonth >= 1 && fiscalStartMonth <= 12,
+      s"fiscalStartMonth must be a month number 1-12, got " +
+        s"$fiscalStartMonth")
     val anchor = today.getOrElse(
       java.time.LocalDate.now(java.time.ZoneOffset.UTC))
     val r = new Resolver(q.obj, graph,
