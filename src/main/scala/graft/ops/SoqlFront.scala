@@ -215,6 +215,25 @@ object SoqlFront {
       today = Some(java.time.LocalDate.of(1998, 3, 15)),
       fiscalStartMonth = 2)),
 
+    // DECLARED 4-4-5 fiscal calendar (13-week quarters, Sunday-start
+    // retail year beginning 1997-02-02): N_FISCAL_QUARTERS_AGO:2 from
+    // the 1998-03-15 anchor is the single quarter [1997-08-03,
+    // 1997-11-02) — boundaries land mid-week/mid-month, derivable ONLY
+    // through the declared calendar, never from any start-month grid
+    "soql_datelit7" -> ((s, d) => {
+      def ld(y: Int, m: Int, dd: Int) = java.time.LocalDate.of(y, m, dd)
+      Soql.query(s, d,
+        "SELECT o_orderkey, o_orderdate FROM orders" +
+          " WHERE o_orderdate = N_FISCAL_QUARTERS_AGO:2" +
+          " AND o_totalprice > 260000" +
+          " ORDER BY o_orderkey",
+        today = Some(ld(1998, 3, 15)),
+        fiscalCalendar = Some(Seq(
+          ld(1997, 2, 2), ld(1997, 5, 4), ld(1997, 8, 3),
+          ld(1997, 11, 2), ld(1998, 2, 1), ld(1998, 5, 3),
+          ld(1998, 8, 2), ld(1998, 11, 1), ld(1999, 1, 31))))
+    }),
+
     // FIELDS(STANDARD) — the category-restricted width projection:
     // the object's describe-declared custom fields drop out of the
     // frozen-schema order (orders declares o_orderpriority custom in
@@ -408,6 +427,14 @@ object SoqlFront {
          WHERE o_orderdate >= TIMESTAMP '1997-05-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1998-02-01 00:00:00'
            AND o_totalprice > 290000
+         ORDER BY o_orderkey""",
+    // 4-4-5 calendar, anchor 1998-03-15 (quarter idx 4) →
+    // N_FISCAL_QUARTERS_AGO:2 = [cal(2), cal(3)) = [1997-08-03, 11-02)
+    "soql_datelit7" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-08-03 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-11-02 00:00:00'
+           AND o_totalprice > 260000
          ORDER BY o_orderkey""",
     // the frozen orders schema minus the declared custom field
     "soql_fieldsstd" ->

@@ -85,11 +85,12 @@ import org.apache.spark.sql.functions._
   *     `e_multipick` synthesizes it.
   *
   * Deliberately NOT covered (the reference itself never emits these
-  * through its typed API): custom fiscal calendars with
-  * non-month-aligned periods (the month-aligned standard fiscal year
-  * IS covered, with the start month injectable) and the FOR
-  * UPDATE/WITH clauses. The grammar refuses loudly rather than
-  * mistranslating.
+  * through its typed API): the FOR UPDATE/WITH clauses. The grammar
+  * refuses loudly rather than mistranslating. Custom fiscal calendars
+  * (4-4-5 retail and the like) ARE covered via an injectable
+  * declared-period calendar — see dateRange; a literal reaching
+  * outside the declared range refuses loudly because a declared
+  * calendar cannot be extrapolated.
   *
   * The relationship model is explicit (an [[ObjectGraph]] of parent
   * and child relationships with their key columns) because SOQL
@@ -767,7 +768,9 @@ object Soql {
     * UTC-naive and the session timezone is pinned to UTC, so the
     * day grid is unambiguous). */
   private[graft] def dateRange(d: DLit,
-      today: java.time.LocalDate, fiscalStartMonth: Int = 1): (Long, Long) = {
+      today: java.time.LocalDate, fiscalStartMonth: Int = 1,
+      fiscalCalendar: Option[Seq[java.time.LocalDate]] = None)
+      : (Long, Long) = {
     import java.time.LocalDate
     def us(x: LocalDate): Long = x.toEpochDay * 86400000000L
     // period-grid anchors shared by the granule families below
@@ -776,21 +779,62 @@ object Soql {
         .previousOrSame(java.time.DayOfWeek.MONDAY))
     def quarterStart: LocalDate = today.withDayOfMonth(1)
       .withMonth((today.getMonthValue - 1) / 3 * 3 + 1)
-    // the fiscal year containing `today` starts on day 1 of the org's
-    // fiscal start month (a per-org Salesforce setting — injectable
-    // here the way the week anchor is, defaulting to January, i.e.
-    // Salesforce's own "standard fiscal year = calendar year" default;
-    // custom fiscal calendars with non-month-aligned periods refuse at
-    // the call site because no start-month can express them)
-    def fiscalYearStart: LocalDate = {
+    // The fiscal grid has two implementations behind one navigation
+    // pair — fq(i)/fy(i), the fiscal quarter/year i steps from the one
+    // containing `today`:
+    //  - MONTH-ALIGNED (default): the fiscal year starts on day 1 of
+    //    the org's fiscal start month (a per-org Salesforce setting —
+    //    injectable like the week anchor; January default =
+    //    Salesforce's own "standard fiscal year = calendar year").
+    //  - DECLARED CALENDAR: a custom (e.g. 4-4-5 retail) calendar as
+    //    an ordered list of QUARTER START dates, every 4th entry a
+    //    year start, the final entry the terminal boundary (so a
+    //    k-year calendar has 4k+1 entries). Navigation is index
+    //    arithmetic over the declared boundaries; a literal that
+    //    reaches outside the declared range refuses loudly — a
+    //    declared calendar cannot be extrapolated.
+    def fiscalYearStartAligned: LocalDate = {
       val f = today.withDayOfMonth(1).withMonth(fiscalStartMonth)
       if (f.isAfter(today)) f.minusYears(1) else f
     }
-    def fiscalQuarterStart: LocalDate = {
-      val fy = fiscalYearStart
-      val m = (today.getYear - fy.getYear) * 12 +
-        (today.getMonthValue - fy.getMonthValue)
-      fy.plusMonths((m / 3 * 3).toLong)
+    def fq(i: Int): (LocalDate, LocalDate) = fiscalCalendar match {
+      case None =>
+        val fy = fiscalYearStartAligned
+        val m = (today.getYear - fy.getYear) * 12 +
+          (today.getMonthValue - fy.getMonthValue)
+        val q = fy.plusMonths((m / 3 * 3).toLong)
+        (q.plusMonths(3L * i), q.plusMonths(3L * i + 3))
+      case Some(cal) =>
+        val cur = calIdx(cal)
+        require(cur + i >= 0 && cur + i + 1 < cal.length,
+          s"the declared fiscal calendar does not cover quarter " +
+            s"${cur + i} (declared quarters 0..${cal.length - 2}) — " +
+            "a declared calendar cannot be extrapolated")
+        (cal(cur + i), cal(cur + i + 1))
+    }
+    def fy(i: Int): (LocalDate, LocalDate) = fiscalCalendar match {
+      case None =>
+        val f = fiscalYearStartAligned
+        (f.plusYears(i.toLong), f.plusYears(i.toLong + 1))
+      case Some(cal) =>
+        val y = calIdx(cal) / 4 + i
+        require(y >= 0 && 4 * y + 4 <= cal.length - 1,
+          s"the declared fiscal calendar does not cover fiscal year " +
+            s"$y (declared years 0..${(cal.length - 1) / 4 - 1})")
+        (cal(4 * y), cal(4 * y + 4))
+    }
+    def calIdx(cal: Seq[LocalDate]): Int = {
+      require(cal.length >= 5 && (cal.length - 1) % 4 == 0,
+        "a declared fiscal calendar lists quarter starts with every " +
+          "4th entry a year start plus the terminal boundary " +
+          s"(4k+1 entries, k >= 1) — got ${cal.length}")
+      require(cal.sliding(2).forall(p => p(0).isBefore(p(1))),
+        "declared fiscal calendar boundaries must be strictly ascending")
+      val i = cal.lastIndexWhere(!_.isAfter(today))
+      require(i >= 0 && i < cal.length - 1,
+        s"anchor $today is outside the declared fiscal calendar " +
+          s"[${cal.head}, ${cal.last})")
+      i
     }
     val (lo, hi): (LocalDate, LocalDate) = d.kind match {
       case "TODAY" => (today, today.plusDays(1))
@@ -837,28 +881,19 @@ object Soql {
       case "NEXT_N_YEARS" =>
         val f = today.withDayOfYear(1)
         (f.plusYears(1), f.plusYears(1L + d.n))
-      // fiscal grid — same shapes over fiscalYearStart/fiscalQuarterStart
-      case "THIS_FISCAL_YEAR" =>
-        val f = fiscalYearStart; (f, f.plusYears(1))
-      case "LAST_FISCAL_YEAR" =>
-        val f = fiscalYearStart; (f.minusYears(1), f)
-      case "NEXT_FISCAL_YEAR" =>
-        val f = fiscalYearStart; (f.plusYears(1), f.plusYears(2))
-      case "LAST_N_FISCAL_YEARS" =>
-        val f = fiscalYearStart; (f.minusYears(d.n.toLong), f)
-      case "NEXT_N_FISCAL_YEARS" =>
-        val f = fiscalYearStart; (f.plusYears(1), f.plusYears(1L + d.n))
-      case "THIS_FISCAL_QUARTER" =>
-        val q = fiscalQuarterStart; (q, q.plusMonths(3))
-      case "LAST_FISCAL_QUARTER" =>
-        val q = fiscalQuarterStart; (q.minusMonths(3), q)
-      case "NEXT_FISCAL_QUARTER" =>
-        val q = fiscalQuarterStart; (q.plusMonths(3), q.plusMonths(6))
-      case "LAST_N_FISCAL_QUARTERS" =>
-        val q = fiscalQuarterStart; (q.minusMonths(3L * d.n), q)
-      case "NEXT_N_FISCAL_QUARTERS" =>
-        val q = fiscalQuarterStart
-        (q.plusMonths(3), q.plusMonths(3L + 3L * d.n))
+      // fiscal grid — every shape expressed through fq/fy, so the
+      // month-aligned and declared-calendar implementations cannot
+      // drift apart per-literal
+      case "THIS_FISCAL_YEAR" => fy(0)
+      case "LAST_FISCAL_YEAR" => fy(-1)
+      case "NEXT_FISCAL_YEAR" => fy(1)
+      case "LAST_N_FISCAL_YEARS" => (fy(-d.n)._1, fy(0)._1)
+      case "NEXT_N_FISCAL_YEARS" => (fy(1)._1, fy(d.n + 1)._1)
+      case "THIS_FISCAL_QUARTER" => fq(0)
+      case "LAST_FISCAL_QUARTER" => fq(-1)
+      case "NEXT_FISCAL_QUARTER" => fq(1)
+      case "LAST_N_FISCAL_QUARTERS" => (fq(-d.n)._1, fq(0)._1)
+      case "NEXT_N_FISCAL_QUARTERS" => (fq(1)._1, fq(d.n + 1)._1)
       // point-period *_AGO family: the SINGLE period exactly n back
       // (N_DAYS_AGO:0 = today, N_MONTHS_AGO:1 = last month — the
       // documented SOQL equivalences)
@@ -874,12 +909,8 @@ object Soql {
       case "N_YEARS_AGO" =>
         val x = today.withDayOfYear(1).minusYears(d.n.toLong)
         (x, x.plusYears(1))
-      case "N_FISCAL_QUARTERS_AGO" =>
-        val x = fiscalQuarterStart.minusMonths(3L * d.n)
-        (x, x.plusMonths(3))
-      case "N_FISCAL_YEARS_AGO" =>
-        val x = fiscalYearStart.minusYears(d.n.toLong)
-        (x, x.plusYears(1))
+      case "N_FISCAL_QUARTERS_AGO" => fq(-d.n)
+      case "N_FISCAL_YEARS_AGO" => fy(-d.n)
       case "THIS_MONTH" =>
         val f = today.withDayOfMonth(1); (f, f.plusMonths(1))
       case "LAST_MONTH" =>
@@ -987,12 +1018,14 @@ object Soql {
   })
 
   private def cond(e: Expr, r: Resolver,
-      today: java.time.LocalDate, fiscalStartMonth: Int = 1): Column =
+      today: java.time.LocalDate, fiscalStartMonth: Int = 1,
+      fiscalCalendar: Option[Seq[java.time.LocalDate]] = None): Column =
     e match {
     case Cmp(p, op, d: DLit) =>
       // SOQL range semantics: `=` is containment in the literal's
       // half-open day range, `<`/`>` are strictly before/after it
-      val (lo, hi) = dateRange(d, today, fiscalStartMonth)
+      val (lo, hi) = dateRange(d, today, fiscalStartMonth,
+        fiscalCalendar)
       val c = r.col(p)
       def ts(us: Long): Column = timestamp_micros(lit(us))
       op match {
@@ -1037,11 +1070,13 @@ object Soql {
     case _: InSubq => sys.error(
       "a semi-join subquery is only valid as a top-level AND " +
         "conjunct (SOQL refuses semi-joins under OR/NOT)")
-    case AndE(l, rr) => cond(l, r, today, fiscalStartMonth) &&
-      cond(rr, r, today, fiscalStartMonth)
-    case OrE(l, rr) => cond(l, r, today, fiscalStartMonth) ||
-      cond(rr, r, today, fiscalStartMonth)
-    case NotE(x) => !cond(x, r, today, fiscalStartMonth)
+    case AndE(l, rr) =>
+      cond(l, r, today, fiscalStartMonth, fiscalCalendar) &&
+        cond(rr, r, today, fiscalStartMonth, fiscalCalendar)
+    case OrE(l, rr) =>
+      cond(l, r, today, fiscalStartMonth, fiscalCalendar) ||
+        cond(rr, r, today, fiscalStartMonth, fiscalCalendar)
+    case NotE(x) => !cond(x, r, today, fiscalStartMonth, fiscalCalendar)
   }
 
   /** Translate parsed SOQL to a DataFrame over the testdata tables.
@@ -1059,7 +1094,9 @@ object Soql {
       graph: ObjectGraph = testdataGraph,
       today: Option[java.time.LocalDate] = None,
       eventsBase: Option[DataFrame] = None,
-      fiscalStartMonth: Int = 1): DataFrame = {
+      fiscalStartMonth: Int = 1,
+      fiscalCalendar: Option[Seq[java.time.LocalDate]] = None)
+      : DataFrame = {
     require(fiscalStartMonth >= 1 && fiscalStartMonth <= 12,
       s"fiscalStartMonth must be a month number 1-12, got " +
         s"$fiscalStartMonth")
@@ -1080,7 +1117,7 @@ object Soql {
     val subqs = wconjs.collect { case sq: InSubq => sq }
     val wcol = wconjs.filterNot(_.isInstanceOf[InSubq])
       .reduceOption(AndE.apply)
-      .map(cond(_, r, anchor, fiscalStartMonth))
+      .map(cond(_, r, anchor, fiscalStartMonth, fiscalCalendar))
     val ocols = q.orderBy.map { o =>
       val c0 = r.col(o.path)
       val c1 = if (o.asc) c0.asc else c0.desc
@@ -1140,7 +1177,8 @@ object Soql {
     }
     val hr = new Resolver(q.obj, graph, aggResolve = aggColOf,
       fiscalStartMonth = fiscalStartMonth)
-    val hcond = q.having.map(cond(_, hr, anchor, fiscalStartMonth))
+    val hcond = q.having.map(
+      cond(_, hr, anchor, fiscalStartMonth, fiscalCalendar))
     require(hr.needed.isEmpty,
       "HAVING must not traverse parent relationships outside an " +
         "aggregate call")
@@ -1167,7 +1205,8 @@ object Soql {
         val pushed = q.where.toSeq.flatMap(conjuncts).collect {
           case Cmp(Seq(f), op, dl: DLit)
               if f.equalsIgnoreCase("ts") && op != "!=" =>
-            val (lo, hi) = dateRange(dl, anchor, fiscalStartMonth)
+            val (lo, hi) = dateRange(dl, anchor, fiscalStartMonth,
+              fiscalCalendar)
             op match {
               case "=" =>
                 col("ts") >= lit(lo * div) && col("ts") < lit(hi * div)
@@ -1242,7 +1281,8 @@ object Soql {
       val childR = new Resolver(cr.table, graph,
         fiscalStartMonth = fiscalStartMonth)
       var child = graft.ops.t(spark, dir, cr.table)
-      cq.where.map(cond(_, childR, anchor, fiscalStartMonth))
+      cq.where.map(cond(_, childR, anchor, fiscalStartMonth,
+          fiscalCalendar))
         .foreach(c => child = child.filter(c))
       require(childR.needed.isEmpty,
         "nested subqueries must not traverse relationships")
@@ -1301,7 +1341,8 @@ object Soql {
       // build the condition FIRST: cond fills subR.needed, so the
       // relationship refusal fires before Spark's analyzer can throw
       // an opaque unresolved-column error
-      val subCond = sq.where.map(cond(_, subR, anchor, fiscalStartMonth))
+      val subCond = sq.where.map(
+        cond(_, subR, anchor, fiscalStartMonth, fiscalCalendar))
       require(subR.needed.isEmpty,
         "a semi-join subquery WHERE supports direct fields only")
       subCond.foreach(c => sub = sub.filter(c))
@@ -1409,7 +1450,10 @@ object Soql {
   /** Parse + translate in one call — the `client.query(q)` analog. */
   def query(spark: SparkSession, dir: String, soql: String,
       today: Option[java.time.LocalDate] = None,
-      fiscalStartMonth: Int = 1): DataFrame =
+      fiscalStartMonth: Int = 1,
+      fiscalCalendar: Option[Seq[java.time.LocalDate]] = None)
+      : DataFrame =
     toDataFrame(parse(soql), spark, dir, today = today,
-      fiscalStartMonth = fiscalStartMonth)
+      fiscalStartMonth = fiscalStartMonth,
+      fiscalCalendar = fiscalCalendar)
 }

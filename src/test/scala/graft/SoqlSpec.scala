@@ -495,6 +495,60 @@ class SoqlSpec extends SparkTestBase {
     }
   }
 
+  test("declared 4-4-5 fiscal calendar: index navigation over quarter " +
+      "boundaries; out-of-range and malformed calendars refuse") {
+    import graft.soql.Soql.{dateRange, DLit}
+    def us(d: java.time.LocalDate) = d.toEpochDay * 86400000000L
+    def ld(y: Int, m: Int, d: Int) = java.time.LocalDate.of(y, m, d)
+    // two 4-4-5 years (13-week quarters) + the terminal boundary
+    val cal = Some(Seq(
+      ld(1997, 2, 2), ld(1997, 5, 4), ld(1997, 8, 3), ld(1997, 11, 2),
+      ld(1998, 2, 1), ld(1998, 5, 3), ld(1998, 8, 2), ld(1998, 11, 1),
+      ld(1999, 1, 31)))
+    val t = ld(1998, 3, 15) // inside quarter idx 4
+    assert(dateRange(DLit("THIS_FISCAL_QUARTER", 0), t, 1, cal) ==
+      ((us(ld(1998, 2, 1)), us(ld(1998, 5, 3)))))
+    assert(dateRange(DLit("N_FISCAL_QUARTERS_AGO", 2), t, 1, cal) ==
+      ((us(ld(1997, 8, 3)), us(ld(1997, 11, 2)))))
+    assert(dateRange(DLit("LAST_N_FISCAL_QUARTERS", 3), t, 1, cal) ==
+      ((us(ld(1997, 5, 4)), us(ld(1998, 2, 1)))))
+    // fiscal years are every-4th-entry groups
+    assert(dateRange(DLit("THIS_FISCAL_YEAR", 0), t, 1, cal) ==
+      ((us(ld(1998, 2, 1)), us(ld(1999, 1, 31)))))
+    assert(dateRange(DLit("LAST_FISCAL_YEAR", 0), t, 1, cal) ==
+      ((us(ld(1997, 2, 2)), us(ld(1998, 2, 1)))))
+    // the declared grid diverges from EVERY month-aligned grid: no
+    // start month puts a quarter boundary on 1998-02-01 AND 1998-05-03
+    assert((1 to 12).forall(m =>
+      dateRange(DLit("THIS_FISCAL_QUARTER", 0), t, m) !=
+        dateRange(DLit("THIS_FISCAL_QUARTER", 0), t, 1, cal)))
+    // a literal reaching outside the declared range refuses loudly
+    val e1 = intercept[IllegalArgumentException] {
+      dateRange(DLit("LAST_N_FISCAL_QUARTERS", 9), t, 1, cal)
+    }
+    assert(e1.getMessage.contains("cannot be extrapolated"))
+    intercept[IllegalArgumentException] { // NEXT_FISCAL_YEAR undeclared
+      dateRange(DLit("NEXT_FISCAL_YEAR", 0), t, 1, cal)
+    }
+    // anchor outside the declared span refuses
+    intercept[IllegalArgumentException] {
+      dateRange(DLit("THIS_FISCAL_QUARTER", 0), ld(1996, 6, 1), 1, cal)
+    }
+    // malformed calendars refuse: wrong arity, non-ascending
+    intercept[IllegalArgumentException] {
+      dateRange(DLit("THIS_FISCAL_QUARTER", 0), t, 1,
+        Some(Seq(ld(1997, 2, 2), ld(1997, 5, 4))))
+    }
+    intercept[IllegalArgumentException] {
+      dateRange(DLit("THIS_FISCAL_QUARTER", 0), t, 1,
+        Some(Seq(ld(1997, 2, 2), ld(1997, 5, 4), ld(1997, 5, 4),
+          ld(1997, 11, 2), ld(1998, 2, 1))))
+    }
+    // non-fiscal literals ignore the calendar entirely
+    assert(dateRange(DLit("THIS_MONTH", 0), t, 1, cal) ==
+      dateRange(DLit("THIS_MONTH", 0), t))
+  }
+
   test("a derived field behind a relationship path refuses loudly") {
     // derived (describe-computed) fields exist only on their own
     // object's scan; traversal would surface an opaque
