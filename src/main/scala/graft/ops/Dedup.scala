@@ -21,6 +21,30 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Duplicate-aware sampling weights over a (doc_id, cluster_id)
+    * labeling: weight = 1/|cluster|, unclustered docs weigh 1 and
+    * cluster as themselves — shared by d_softdedup (batch CC) and
+    * d_softdedup_maintained (incremental CC), so both rows pin to ONE
+    * oracle and a labeling drift in either chain goes hash-red. */
+  private def softWeights(s: org.apache.spark.sql.SparkSession,
+      d: String, cl: DataFrame): DataFrame = {
+    val sizes = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val labeled = cl.join(sizes, "cluster_id")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        roundf(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 4)
+          .as("weight"),
+        roundf(col("n_tok") / coalesce(col("cluster_size"), lit(1L)), 4)
+          .as("w_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct k-word shingle set. */
   private[graft] def shingles(c: Column, k: Int): Column = {
     val w = words(c)
@@ -696,24 +720,22 @@ object Dedup {
     // side is bounded by the near-dup chain, tiny next to the corpus,
     // so AQE broadcasts it); w_tokens = n_tok/|cluster| is the
     // effective token mass t_mixture-style budgeting would consume.
-    "d_softdedup" -> ((s, d) => {
-      val cl = queries("d_clusters")(s, d).select("doc_id", "cluster_id")
-      val sizes = cl.groupBy("cluster_id")
-        .agg(count(lit(1)).as("cluster_size"))
-      val labeled = cl.join(sizes, "cluster_id")
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          size(words(col("text"))).cast("long").as("n_tok"))
-        .join(labeled, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
-          roundf(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 4)
-            .as("weight"),
-          roundf(col("n_tok") / coalesce(col("cluster_size"), lit(1L)), 4)
-            .as("w_tokens"))
-        .orderBy("doc_id")
-    }),
+    "d_softdedup" -> ((s, d) =>
+      softWeights(s, d, queries("d_clusters")(s, d)
+        .select("doc_id", "cluster_id"))),
+
+    // d_softdedup over the MAINTAINED labeling — the weights consume
+    // d_clusters_incr's incrementally merged components instead of the
+    // from-scratch CC, completing the soft-dedup family's maintenance
+    // story: as a delta batch merges clusters, every member's weight
+    // drops to 1/|merged cluster| with NO corpus rescan (the weight
+    // attach is the same |clusters|-row aggregate + one hash join).
+    // The oracle is d_softdedup's VERBATIM, so a missed merge or stale
+    // label in the maintained chain changes a cluster size and goes
+    // hash-red.
+    "d_softdedup_maintained" -> ((s, d) =>
+      softWeights(s, d, queries("d_clusters_incr")(s, d)
+        .select("doc_id", "cluster_id"))),
 
     // MIXTURE BUDGETING OVER THE DEDUP-WEIGHTED CORPUS — t_mixture's
     // per-source token budgeting composed with d_softdedup's
@@ -1216,6 +1238,32 @@ object Dedup {
   // deduplicates, so the iteration terminates): min reachable node id
   // == the Spark fixpoint's min component label. Shared verbatim by
   // d_clusters and d_clusters_incr.
+  /** d_softdedup / d_softdedup_maintained shared oracle. */
+  private lazy val softdedupSql =
+    s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
+         edges AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+         r(node, m) AS (
+           SELECT a AS node, a AS m FROM edges
+           UNION
+           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m),
+         cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+                FROM r GROUP BY node),
+         sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM cl GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(sz.cluster_size, 1) AS cluster_size,
+           floor(1.0 / COALESCE(sz.cluster_size, 1) * 10000.0 + 0.5)
+             / 10000.0 AS weight,
+           floor(len(string_split(d.text, ' '))
+               / COALESCE(sz.cluster_size, 1)::DOUBLE
+               * 10000.0 + 0.5) / 10000.0 AS w_tokens
+         FROM documents d
+         LEFT JOIN cl ON cl.doc_id = d.doc_id
+         LEFT JOIN sz ON sz.cluster_id = cl.cluster_id
+         ORDER BY d.doc_id"""
+
   private lazy val ccTruthSql =
     s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
        edges AS (SELECT a, b FROM pairs
@@ -1286,30 +1334,10 @@ object Dedup {
          WHERE doc_id NOT IN (SELECT node FROM dropped)
          ORDER BY doc_id""",
     // same recursive-CC truth; weight = 1/|cluster|, unclustered = 1
-    "d_softdedup" ->
-      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
-         edges AS (SELECT a, b FROM pairs
-                   UNION ALL SELECT b AS a, a AS b FROM pairs),
-         r(node, m) AS (
-           SELECT a AS node, a AS m FROM edges
-           UNION
-           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m),
-         cl AS (SELECT node AS doc_id, min(m) AS cluster_id
-                FROM r GROUP BY node),
-         sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
-                FROM cl GROUP BY 1)
-         SELECT d.doc_id,
-           COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
-           COALESCE(sz.cluster_size, 1) AS cluster_size,
-           floor(1.0 / COALESCE(sz.cluster_size, 1) * 10000.0 + 0.5)
-             / 10000.0 AS weight,
-           floor(len(string_split(d.text, ' '))
-               / COALESCE(sz.cluster_size, 1)::DOUBLE
-               * 10000.0 + 0.5) / 10000.0 AS w_tokens
-         FROM documents d
-         LEFT JOIN cl ON cl.doc_id = d.doc_id
-         LEFT JOIN sz ON sz.cluster_id = cl.cluster_id
-         ORDER BY d.doc_id""",
+    "d_softdedup" -> softdedupSql,
+    // the incremental labeling must land exactly where the from-scratch
+    // CC lands — d_softdedup's oracle verbatim
+    "d_softdedup_maintained" -> softdedupSql,
     // same CC truth; fixed-point effective mass, t_mixture's budgeting
     "d_mixture_soft" ->
       s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
