@@ -140,6 +140,46 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** BANDWIDTH sentinel (round-16 finding): the CPU sentinel above
+    * cannot see a neighbor saturating the MEMORY BUS — the r16 steady
+    * capture took three attempts because /proc/stat steal read ~0
+    * while the bandwidth-bound rows (embeddings fdot scans, image
+    * codecs) ran 2x slow and CPU-bound rows were unaffected. This
+    * sentinel is deliberately bus-bound: 8 threads stream a 512 MiB
+    * long array (far past LLC, pure sequential loads, ~no ALU work),
+    * so bus contention moves THIS number while the CPU sentinel
+    * holds — the roaming-cluster pattern becomes a one-line diagnosis.
+    * Timed best-of-3 at sweep start and end like the CPU sentinel;
+    * recorded observationally this round (normalization can join the
+    * above_min_norm lens once history carries it). */
+  private lazy val bwBlock: Array[Long] = {
+    val a = new Array[Long](1 << 26) // 64M longs = 512 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong; i += 1 }
+    a
+  }
+
+  private def sentinelBwSec(): Double = (1 to 3).map { _ =>
+    val threads = 8
+    val part = bwBlock.length / threads
+    val sums = new java.util.concurrent.atomic.LongAdder
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var acc = 0L
+        var i = t * part
+        val end = i + part
+        while (i < end) { acc += bwBlock(i); i += 1 }
+        sums.add(acc)
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    // keep the loads live (the sum over 0..n-1 is never 42)
+    require(sums.sum != 42L, "bandwidth sentinel sum sanity")
+    (System.nanoTime() - t0) / 1e9
+  }.min
+
   private def median(xs: Vector[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -242,6 +282,9 @@ object Bench {
     // not JVM startup), again at sweep end; min of the two normalizes
     val sentinelStart = sentinelSec(spark)
     System.err.println(f"[bench] sentinel_start $sentinelStart%.3f s")
+    val sentinelBwStart = sentinelBwSec()
+    System.err.println(
+      f"[bench] sentinel_bw_start $sentinelBwStart%.3f s")
     skew.drainWorstRatio() // don't charge warmup stages to the first query
     // headline subset (SparkEntry.benchQueries) — representative, bounded
     val timed = selected.map { name =>
@@ -300,7 +343,10 @@ object Bench {
     // per-query MINs against a clean re-run before calling a regression.
     val sentinelEnd = sentinelSec(spark)
     System.err.println(f"[bench] sentinel_end $sentinelEnd%.3f s")
+    val sentinelBwEnd = sentinelBwSec()
+    System.err.println(f"[bench] sentinel_bw_end $sentinelBwEnd%.3f s")
     val sentinelNow = math.min(sentinelStart, sentinelEnd)
+    val sentinelBwNow = math.min(sentinelBwStart, sentinelBwEnd)
     val runSteal1 = stealJiffies()
     val loadEnd = loadAvg1m()
     val runStealSec =
@@ -377,6 +423,9 @@ object Bench {
       f""""sentinel_sec":$sentinelNow%.3f,""" +
         f""""sentinel_start":$sentinelStart%.3f,""" +
         f""""sentinel_end":$sentinelEnd%.3f,""" +
+        f""""sentinel_bw_sec":$sentinelBwNow%.3f,""" +
+        f""""sentinel_bw_start":$sentinelBwStart%.3f,""" +
+        f""""sentinel_bw_end":$sentinelBwEnd%.3f,""" +
         s""""above_min_norm":$aboveMinNormJson,""" +
         s""""n_minima_norm":${minimaNorm.size}"""
     val json =
