@@ -92,10 +92,10 @@ class SoqlSpec extends SparkTestBase {
   test("parent-child nested subquery translates to the j3_nested shape") {
     val got = Soql.query(spark, dir,
       "SELECT c_custkey, (SELECT o_orderkey FROM orders WHERE" +
-        " o_totalprice > 450000) FROM customer ORDER BY c_custkey")
+        " o_totalprice > 200000) FROM customer ORDER BY c_custkey")
     val c = ops.t(spark, dir, "customer")
     val o = ops.t(spark, dir, "orders")
-      .filter(col("o_totalprice") > 450000L)
+      .filter(col("o_totalprice") > 200000L)
     val nested = o.groupBy("o_custkey")
       .agg(array_join(transform(
         array_sort(collect_list(col("o_orderkey"))),
