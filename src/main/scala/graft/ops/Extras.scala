@@ -114,6 +114,14 @@ object Extras {
   private[graft] val KcoreW = 12
   private[graft] val KcoreMaxRounds = 12
 
+  /** g_sssp's landmark count and BFS round cap, shared with its
+    * oracle (which unrolls the frontier recurrence to dist <
+    * SsspMaxRounds - 1 — the last Spark round must come back empty for
+    * the fixpoint require, so a converged run's max distance is
+    * SsspMaxRounds - 1 and the two bounds coincide). */
+  private[graft] val SsspLandmarks = 3
+  private[graft] val SsspMaxRounds = 12
+
   /** g_triangles' edge-weight threshold, shared with its oracle. The
     * w≥3 graph is a NEAR-CLIQUE at every scale, and triangle counting
     * on a near-clique is inherently cubic — C(1500,3) ≈ 4.4e8
@@ -169,6 +177,30 @@ object Extras {
         col("w")))
       .localCheckpoint()
   }
+
+  /** w≥KcoreW symmetrized co-activity edge list over an events slice —
+    * the g_kcore substrate, shared by g_sssp and g_sssp_incr (which
+    * needs it over BOTH the half-events and full-events slices).
+    * localCheckpointed: the BFS loop re-reads it every round. */
+  private def ssspEdges(ev: DataFrame): DataFrame = {
+    val act = capHourBand(ev
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct())
+    val pairs = act.as("a").join(act.as("b"), Seq("h"))
+      .filter(col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= KcoreW)
+    pairs.select(col("u"), col("v"))
+      .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+  }
+
+  /** The SsspLandmarks smallest node ids of an edge list, as a one-
+    * column (lm) frame — deterministic, and recomputed per graph so
+    * the incremental run notices a landmark retirement. */
+  private def ssspLandmarks(edges: DataFrame): DataFrame =
+    edges.select("u").distinct().orderBy("u").limit(SsspLandmarks)
+      .select(col("u").as("lm"))
 
   /** One synchronous-LPA adoption step over tallied votes
     * (u, lab, wsum): each node takes the label with the largest total
@@ -337,6 +369,45 @@ object Extras {
         roundf((dx(col("sy")) - cov / varx * dx(col("sx"))) / nd, 6)
           .as("intercept"),
         roundf(cov * cov / (varx * vary), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pearson-correlation sufficient statistics per return flag —
+    * shared by x_corr (one pass) and x_corr_maintained (streaming
+    * re-sum). Same discipline as [[linregMoments]]: the five sums are
+    * decimal-EXACT (so batch partials re-sum to the corpus truth
+    * bit-for-bit), and each sum is cast to a FIXED wide type so the
+    * maintained state schema cannot drift as Spark widens sum
+    * precision across generation merges. */
+  private def corrMoments(li: DataFrame): DataFrame = {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * p).as("sxy"), sum(q * q).as("sxx"),
+        sum(p * p).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        col("sx").cast("decimal(38,2)").as("sx"),
+        col("sy").cast("decimal(38,2)").as("sy"),
+        col("sxy").cast("decimal(38,4)").as("sxy"),
+        col("sxx").cast("decimal(38,4)").as("sxx"),
+        col("syy").cast("decimal(38,4)").as("syy"))
+  }
+
+  /** Pearson r + population covariance from a corr-moments frame —
+    * IEEE arithmetic over decimal-exact operands (the [[olsOf]]
+    * shape). */
+  private def corrOf(st: DataFrame): DataFrame = {
+    val nd = col("n").cast("double")
+    val dx = (c: Column) => c.cast("double")
+    val num = nd * dx(col("sxy")) - dx(col("sx")) * dx(col("sy"))
+    st.select(col("l_returnflag"), col("n"),
+        roundf(num / (sqrt(nd * dx(col("sxx")) -
+            dx(col("sx")) * dx(col("sx"))) *
+          sqrt(nd * dx(col("syy")) - dx(col("sy")) * dx(col("sy")))), 6)
+          .as("corr_qty_price"),
+        roundf(num / (nd * nd), 4).as("cov_pop"))
       .orderBy("l_returnflag")
   }
 
@@ -1110,6 +1181,160 @@ object Extras {
           "— refusing to return a non-fixpoint")
       deg.select(col("u").as("user_id"), col("deg").as("core_deg"))
         .orderBy("user_id")
+    }),
+
+    // Landmark BFS — unweighted single-source shortest paths from the
+    // [[ssspLandmarks]] of the w≥KcoreW co-activity graph, run
+    // simultaneously (state keyed (landmark, node)). The
+    // landmark-distance table is the classic graph FEATURE for
+    // embedding/routing pipelines, and hop distance is the primitive
+    // under effective-diameter and closeness work (g_neighborhood
+    // estimates the same balls by sketch; this is the exact per-node
+    // truth from a constant number of sources). Scale shape: pure
+    // frontier iteration (Pregel's BFS) — per round ONE frontier⋈edges
+    // hash join + a distinct + an anti-join against the settled set,
+    // so total work is O(diameter · |E|) with the frontier never
+    // larger than |V|·landmarks; localCheckpoint per round keeps
+    // lineage O(1) (swap for reliable checkpoint on a real cluster),
+    // one driver count per round, loud failure past the cap (the
+    // g_kcore discipline). The oracle unrolls the SAME recurrence as a
+    // recursive CTE with min-dist aggregation.
+    "g_sssp" -> ((s, d) => {
+      val edges = ssspEdges(t(s, d, "events"))
+      var dist = ssspLandmarks(edges)
+        .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
+        .localCheckpoint()
+      var frontier = dist
+      var rounds = 0
+      var fsize = frontier.count()
+      while (fsize > 0 && rounds < SsspMaxRounds) {
+        val next = frontier.join(edges, "u")
+          .select(col("lm"), col("v").as("u"),
+            (col("dist") + lit(1)).as("dist"))
+          .distinct()
+          .join(dist.select("lm", "u"), Seq("lm", "u"), "left_anti")
+          .localCheckpoint()
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next
+        fsize = next.count()
+        rounds += 1
+        System.err.println(s"[g_sssp] round=$rounds frontier=$fsize")
+      }
+      require(fsize == 0,
+        s"BFS frontier still alive after $SsspMaxRounds rounds — " +
+          "refusing to return truncated distances")
+      dist.select(col("lm").as("landmark"), col("u").as("user_id"),
+          col("dist"))
+        .orderBy("landmark", "user_id")
+    }),
+
+    // Incremental landmark BFS — g_sssp's distances MAINTAINED under
+    // edge additions (the g_labelprop_incr / g_wpagerank_incr story
+    // for the distance table). Co-activity edge weights only grow as
+    // events accumulate, so the half-events edge set is (cap caveat
+    // below) a SUBSET of the full set and distances are monotone
+    // non-increasing: the classic dynamic-BFS insertion rule applies —
+    // every node whose distance drops lies downstream of an inserted
+    // edge, so seeding the relaxation frontier from DELTA-EDGE
+    // endpoints (plus any new landmark's 0-row) and propagating
+    // improvements to a fixpoint reproduces the full-graph truth
+    // exactly. Phase-2 work is DELTA-PROPORTIONAL: the initial
+    // frontier is |delta|-sized, each round is one frontier⋈edges join
+    // + a min-collapse + an improving filter against the maintained
+    // state, and untouched regions of the graph are never re-walked.
+    // The one way monotonicity can break is capHourBand's per-hour
+    // cap displacing a previously-kept user under new data — checked
+    // with a loud require rather than assumed. Oracle = g_sssp's
+    // VERBATIM: a missed cascade, a stale landmark, or a lost
+    // improvement leaves a wrong distance and goes hash-red.
+    "g_sssp_incr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      // phase 1: the maintained distance table (previous run's output
+      // on the old graph), landed as parquet like every maintained row
+      val edgesOld = ssspEdges(ev.filter(unix_micros(col("ts")) <
+        lit(cut)))
+      var prev = ssspLandmarks(edgesOld)
+        .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
+        .localCheckpoint()
+      var pf = prev
+      var pr = 0
+      var pn = pf.count()
+      while (pn > 0 && pr < SsspMaxRounds) {
+        val nx = pf.join(edgesOld, "u")
+          .select(col("lm"), col("v").as("u"),
+            (col("dist") + lit(1)).as("dist"))
+          .distinct()
+          .join(prev.select("lm", "u"), Seq("lm", "u"), "left_anti")
+          .localCheckpoint()
+        prev = prev.unionByName(nx).localCheckpoint()
+        pf = nx; pn = nx.count(); pr += 1
+      }
+      require(pn == 0, "old-graph BFS did not converge")
+      val base = Replay.scratchDir("sssp_incr", d)
+      val dPath = new java.io.File(base, "dists").getPath
+      prev.write.mode("overwrite").parquet(dPath)
+      val maintained = s.read.parquet(dPath)
+      // phase 2: full graph — delta edges + maintained upper bounds
+      val edges = ssspEdges(ev)
+      require(edgesOld.join(edges, Seq("u", "v"), "left_anti")
+          .isEmpty,
+        "an old edge vanished under new data (capHourBand displacement)" +
+          " — monotone insertion maintenance does not apply; rebuild")
+      val delta = edges.join(edgesOld, Seq("u", "v"), "left_anti")
+        .localCheckpoint()
+      val marks = ssspLandmarks(edges).localCheckpoint()
+      val seeds = marks
+        .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
+      // maintained rows restricted to the CURRENT landmark set (a new
+      // smallest node id retires an old landmark's rows), plus fresh
+      // 0-seeds; min-collapse dedups the shared (lm, lm, 0) rows
+      var state = maintained.join(marks, "lm").unionByName(seeds)
+        .groupBy("lm", "u").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      def improving(cand: DataFrame, st: DataFrame): DataFrame =
+        cand.join(st.withColumnRenamed("dist", "__sd"),
+            Seq("lm", "u"), "left")
+          .filter(col("__sd").isNull || col("dist") < col("__sd"))
+          .select("lm", "u", "dist")
+      // initial frontier: delta-edge relaxations that improve on the
+      // maintained bounds, plus any state row prev didn't carry (a
+      // brand-new landmark's seed)
+      val cand0 = state.join(delta, "u")
+        .select(col("lm"), col("v").as("u"),
+          (col("dist") + lit(1)).as("dist"))
+        .groupBy("lm", "u").agg(min("dist").as("dist"))
+      var frontier = improving(cand0, state)
+        .unionByName(state.join(maintained, Seq("lm", "u", "dist"),
+          "left_anti"))
+        .groupBy("lm", "u").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      state = state.unionByName(frontier)
+        .groupBy("lm", "u").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      var rounds = 0
+      var fsize = frontier.count()
+      while (fsize > 0 && rounds < SsspMaxRounds) {
+        val cand = frontier.join(edges, "u")
+          .select(col("lm"), col("v").as("u"),
+            (col("dist") + lit(1)).as("dist"))
+          .groupBy("lm", "u").agg(min("dist").as("dist"))
+        val next = improving(cand, state).localCheckpoint()
+        state = state.unionByName(next)
+          .groupBy("lm", "u").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        frontier = next
+        fsize = next.count()
+        rounds += 1
+        System.err.println(s"[g_sssp_incr] round=$rounds improved=$fsize")
+      }
+      require(fsize == 0,
+        s"improvement cascade still alive after $SsspMaxRounds rounds")
+      state.select(col("lm").as("landmark"), col("u").as("user_id"),
+          col("dist"))
+        .orderBy("landmark", "user_id")
     }),
 
     // Neighborhood function via mergeable sketches — HyperANF (Boldi &
@@ -1933,23 +2158,89 @@ object Extras {
     // corr/cov arithmetic runs once per group in IEEE doubles with an
     // identical expression tree on both engines. Rounded to a grid that
     // absorbs the decimal→double cast's last-ulp ambiguity.
-    "x_corr" -> ((s, d) => {
-      val q = col("l_quantity").cast("decimal(18,2)")
-      val p = col("l_extendedprice").cast("decimal(18,2)")
-      val nd = col("n").cast("double")
-      val dbl = (c: String) => col(c).cast("double")
-      val num = nd * dbl("sxy") - dbl("sx") * dbl("sy")
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(q).as("sx"), sum(p).as("sy"), sum(q * p).as("sxy"),
-          sum(q * q).as("sxx"), sum(p * p).as("syy"))
-        .select(col("l_returnflag"), col("n"),
-          roundf(num / (sqrt(nd * dbl("sxx") - dbl("sx") * dbl("sx")) *
-            sqrt(nd * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
-            .as("corr_qty_price"),
-          roundf(num / (nd * nd), 4).as("cov_pop"))
-        .orderBy("l_returnflag")
+    "x_corr" -> ((s, d) => corrOf(corrMoments(t(s, d, "lineitem")))),
+
+    // Kaplan-Meier survival — time-to-event with RIGHT-CENSORING, the
+    // statistical family none of the moment/rank tests cover: duration
+    // = signup → first HIGH-VALUE purchase (value ≥ 150, the
+    // conversion event; ~55% of users never convert and are
+    // administratively censored at the observation end, so the naive
+    // "average days to convert" is biased and KM is the correct
+    // estimator). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) evaluated as
+    // exp(Σ ln(1 − dᵢ/nᵢ)) with each ln term IEEE-rounded to the
+    // 1e-6 grid and summed EXACTLY in decimal (the dsum4 discipline in
+    // a window), so the cumulative product is aggregation-order-free;
+    // the d=n full-extinction row forces S=0 via a flag instead of
+    // feeding ln(0) into the grid. Scale shape: per-user reduction is
+    // two partial-agg'd hash aggs + one broadcast-scalar attach; the
+    // KM table itself is |distinct durations| rows — bounded by the
+    // observation span in DAYS, not by users — so the unpartitioned
+    // windows run on a constant-size frame at any corpus scale.
+    "x_survival" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val pu = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 150.0)
+        .join(su, "user_id")
+        .filter(col("ts") >= col("t0"))
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val end = ev.agg(max("ts").as("obs_end"))
+      val durs = su.join(pu, Seq("user_id"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          datediff(to_date(coalesce(col("t1"), col("obs_end"))),
+            to_date(col("t0"))).as("duration_days"),
+          col("t1").isNotNull.cast("long").as("ev"))
+      val byT = durs.groupBy("duration_days")
+        .agg(count(lit(1)).as("n_total"), sum("ev").as("n_events"))
+      val risk = Window.orderBy("duration_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cum = Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = col("n_events").cast("double")
+      val nd = col("n_risk").cast("double")
+      val term = when(col("n_events") > 0 &&
+          col("n_events") < col("n_risk"),
+        roundf(log(lit(1.0) - dd / nd), 6)).otherwise(lit(0.0))
+      byT.withColumn("n_risk", sum("n_total").over(risk))
+        .withColumn("__t", term.cast("decimal(22,6)"))
+        .withColumn("__dead",
+          max((col("n_events") === col("n_risk")).cast("int")).over(cum))
+        .select(col("duration_days"), col("n_risk"), col("n_events"),
+          (col("n_total") - col("n_events")).as("n_censored"),
+          when(col("__dead") === 1, lit(0.0))
+            .otherwise(roundf(
+              exp(sum(col("__t")).over(cum).cast("double")), 4))
+            .as("survival"))
+        .orderBy("duration_days")
+    }),
+
+    // x_corr with the moments table MAINTAINED by the streaming re-sum
+    // sink over a 2-batch lineitem replay (the x_linreg_maintained
+    // shape): the five sufficient statistics are decimal-exact and
+    // additive, so per-batch partials merge to the corpus truth
+    // EXACTLY; correlating reads the |groups|-row state parquet — the
+    // fact table is never rescanned. Oracle = x_corr's VERBATIM: a
+    // lost batch, a double merge, or sum-width drift moves r and goes
+    // hash-red.
+    "x_corr_maintained" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val mid = li.agg(max("l_orderkey")).head.getLong(0) / 2
+      val (base, stream) = Replay.twoBatchStream(s, "corr_mom", d,
+        graft.etl.Tables.schemas("lineitem"), "li",
+        li.filter(col("l_orderkey") < mid),
+        li.filter(col("l_orderkey") >= mid))
+      val mPath = new java.io.File(base, "moments").getPath
+      val q = graft.streaming.Streams.sumsMaintain(stream,
+        Seq("l_returnflag"), Seq("n", "sx", "sy", "sxy", "sxx", "syy"),
+        mPath)(corrMoments)
+      require(q.awaitTermination(600000),
+        "moments maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the re-sum merge is " +
+          "untested")
+      corrOf(graft.streaming.Streams.readGenMaintained(s, mPath))
     }),
 
     // Exact interpolated percentiles per group (both engines implement
@@ -2530,6 +2821,54 @@ object Extras {
            / 1000000.0 AS auc
        FROM folded ORDER BY event_type"""
 
+  private lazy val ssspSql: String =
+    s"""WITH RECURSIVE act AS (
+           SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+           FROM events),
+         pairs AS (
+           SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+           FROM act a JOIN act b USING (h)
+           WHERE a.user_id < b.user_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= $KcoreW),
+         edges AS (SELECT u, v FROM pairs
+                   UNION ALL SELECT v, u FROM pairs),
+         marks AS (SELECT u FROM (SELECT DISTINCT u FROM edges)
+                   ORDER BY u LIMIT $SsspLandmarks),
+         bfs (lm, u, dist) AS (
+           SELECT u, u, 0 FROM marks
+           UNION
+           SELECT b.lm, e.v, b.dist + 1
+           FROM bfs b JOIN edges e ON b.u = e.u
+           WHERE b.dist < ${SsspMaxRounds - 1})
+         SELECT lm AS landmark, u AS user_id, MIN(dist) AS dist
+         FROM bfs GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  private lazy val corrSql: String =
+    """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             * 10000.0 + 0.5) / 10000.0 AS cov_pop
+         FROM m ORDER BY l_returnflag"""
+
   private lazy val linregSql: String = {
       val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
       val varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
@@ -2989,6 +3328,16 @@ object Extras {
          SELECT u AS user_id, deg AS core_deg FROM a$KcoreMaxRounds
          ORDER BY user_id"""
     },
+    // The same frontier recurrence as a recursive CTE: UNION dedups
+    // (lm, u, dist) states, the depth guard bounds the walk at the
+    // Spark cap (a converged Spark run's max distance is
+    // SsspMaxRounds-1 — deeper graphs fail loudly there, never
+    // silently diverge here), min-dist per node collapses the
+    // level-set enumeration to BFS distance. g_sssp_incr shares it
+    // VERBATIM: the maintained-table relaxation must land on the
+    // full-graph truth exactly.
+    "g_sssp" -> ssspSql,
+    "g_sssp_incr" -> ssspSql,
     // exact ball sizes by set-union recompute; the sketch-accuracy
     // verdict pinned to TRUE
     "g_neighborhood" ->
@@ -3525,31 +3874,61 @@ object Extras {
            floor(MIN(wp) * 10000.0 + 0.5) / 10000.0 AS min_wins,
            floor(MAX(wp) * 10000.0 + 0.5) / 10000.0 AS max_wins
          FROM w GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "x_corr" ->
-      """WITH m AS (
-           SELECT l_returnflag, COUNT(*) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))
-               * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-             SUM(CAST(l_quantity AS DECIMAL(18,2))
-               * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-           FROM lineitem GROUP BY l_returnflag)
-         SELECT l_returnflag, n,
-           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
-           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-             * 10000.0 + 0.5) / 10000.0 AS cov_pop
-         FROM m ORDER BY l_returnflag""",
+    // The same five decimal moments; r / population covariance
+    // evaluated as the identical IEEE expression trees over
+    // decimal-exact operands. The maintained row shares it VERBATIM —
+    // additive moments re-sum to the one-pass values exactly.
+    "x_corr" -> corrSql,
+    "x_corr_maintained" -> corrSql,
+    // identical KM recurrence: same duration/censoring derivation, the
+    // same 1e-6 ln-term grid summed exactly in decimal through the
+    // cumulative window, the same d=n extinction flag; window SUMs
+    // cast back to BIGINT (DuckDB widens to HUGEINT)
+    "x_survival" ->
+      """WITH su AS (
+           SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         pu AS (
+           SELECT e.user_id, MIN(e.ts) AS t1
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.value >= 150
+             AND e.ts >= su.t0
+           GROUP BY 1),
+         oend AS (SELECT MAX(ts) AS obs_end FROM events),
+         durs AS (
+           SELECT date_diff('day', CAST(su.t0 AS DATE),
+               CAST(COALESCE(pu.t1, oend.obs_end) AS DATE))
+               AS duration_days,
+             CASE WHEN pu.t1 IS NULL THEN 0 ELSE 1 END AS ev
+           FROM su LEFT JOIN pu USING (user_id), oend),
+         byt AS (
+           SELECT duration_days, COUNT(*) AS n_total,
+             CAST(SUM(ev) AS BIGINT) AS n_events
+           FROM durs GROUP BY 1),
+         r AS (
+           SELECT *,
+             CAST(SUM(n_total) OVER (ORDER BY duration_days
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+           FROM byt),
+         tt AS (
+           SELECT *,
+             CASE WHEN n_events > 0 AND n_events < n_risk
+               THEN CAST(floor(ln(1.0 - n_events::DOUBLE
+                 / n_risk::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(22,6))
+               ELSE CAST(0 AS DECIMAL(22,6)) END AS term,
+             MAX(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY duration_days ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS dead
+           FROM r)
+         SELECT duration_days, n_risk, n_events,
+           n_total - n_events AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+             ELSE floor(exp(CAST(SUM(term) OVER (ORDER BY duration_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS survival
+         FROM tt ORDER BY duration_days""",
     "x_percentile" ->
       """SELECT l_returnflag,
            floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0

@@ -523,6 +523,41 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // Word-unigram Shannon entropy per document — the distribution-
+    // shape quality lens the ratio signals miss: t_repetition flags
+    // verbatim n-gram copies and t_rarity flags corpus-rare mass, but
+    // a doc cycling a tiny vocabulary with no exact repeats (template
+    // spam, keyword stuffing) passes both and shows up here as low
+    // normalized entropy (RedPajama-v2 ships exactly this signal).
+    // Identity H = log2(n) − Σ c·log2(c) / n keeps ONE transcendental
+    // per distinct (doc, word) count; each c·log2(c) term is
+    // IEEE-rounded to the 4-decimal grid and summed EXACTLY (dsum4) so
+    // the per-doc fold is aggregation-order-independent — the same
+    // rounded terms sum to the same decimal in both engines. Scale
+    // shape: two hash aggs, both partial-combining map-side; nothing
+    // is doc-length-quadratic and nothing leaves the (doc, word)
+    // grain.
+    "t_entropy" -> ((s, d) => {
+      val tc = t(s, d, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val cd = col("c").cast("double")
+      tc.groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          dsum4(cd * log2(cd)).as("clog"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          roundf(log2(col("n_tokens").cast("double")) -
+            col("clog") / col("n_tokens").cast("double"), 4)
+            .as("entropy_bits"))
+        .withColumn("norm_entropy",
+          when(col("n_distinct") > 1,
+            roundf(col("entropy_bits") /
+              log2(col("n_distinct").cast("double")), 4))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    }),
+
     "t_termfreq" -> ((s, d) => {
       t(s, d, "documents")
         .select(explode(words(col("text"))).as("word"))
@@ -1624,6 +1659,35 @@ object Text {
              / CAST(SUM(tc.c) AS DOUBLE) AS rare_ratio
          FROM tc JOIN dfreq ON tc.word = dfreq.word
          GROUP BY tc.doc_id ORDER BY tc.doc_id""",
+    // Same identity, same 4-decimal term grid, same exact decimal
+    // fold; SUM(c) cast to BIGINT (DuckDB widens integer sums to
+    // HUGEINT); the normalized column divides the ALREADY-rounded
+    // entropy, mirroring the Spark evaluation order exactly.
+    "t_entropy" ->
+      """WITH tc AS (
+           SELECT doc_id, word, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             CAST(SUM(CAST(floor(c::DOUBLE * log2(c::DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS DECIMAL(22,4)))
+               AS DOUBLE) AS clog
+           FROM tc GROUP BY 1),
+         e AS (
+           SELECT doc_id, n_tokens, n_distinct,
+             floor((log2(n_tokens::DOUBLE) - clog / n_tokens::DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS entropy_bits
+           FROM agg)
+         SELECT doc_id, n_tokens, n_distinct, entropy_bits,
+           CASE WHEN n_distinct > 1
+             THEN floor(entropy_bits / log2(n_distinct::DOUBLE)
+               * 10000.0 + 0.5) / 10000.0
+             ELSE 0.0 END AS norm_entropy
+         FROM e ORDER BY doc_id""",
+
     "t_termfreq" ->
       """SELECT word, COUNT(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkTestBase {
       "shuffle must carry |groups| (partial agg), not |rows|")
   }
 
+  test("t_entropy: both grains partial-aggregate, no wide op touches " +
+      "the exploded token stream") {
+    val p = plan("t_entropy")
+    assert(p.contains("partial_"),
+      "the (doc, word) count must partial-combine map-side")
+    assert(nodeCount(p, "Window") == 0 && nodeCount(p, "Sort") <= 1,
+      "entropy is two hash aggs + the output sort — anything else " +
+        "is a regression:\n" + p)
+  }
+
   test("l_scd2: ONE user_id exchange serves both window passes") {
     val p = plan("l_scd2")
     assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
@@ -362,6 +372,12 @@ class PlanAuditSpec extends SparkTestBase {
       "OLS should fit from the maintained moments state")
     assert(!plr.contains("lineitem.parquet"),
       "x_linreg_maintained rescans lineitem — the moments state " +
+        "should serve it")
+    val pcr = plan("x_corr_maintained")
+    assert(pcr.contains("graft_corr_mom"),
+      "correlation should derive from the maintained moments state")
+    assert(!pcr.contains("lineitem.parquet"),
+      "x_corr_maintained rescans lineitem — the moments state " +
         "should serve it")
     val pei = plan("d_exact_incr")
     assert(pei.contains("graft_exact_idx"),
