@@ -207,6 +207,23 @@ object Bench {
       k -> ((med, scale, xs.length))
     }
 
+  /** Static contention-sensitivity tag per query (ROADMAP r17 #5),
+    * derived from the round-16 roaming-contention adjudication: with a
+    * neighbor saturating the MEMORY BUS (steal ≈ 0 throughout), the
+    * rows that inflated ~2× in-sweep while measuring clean in isolated
+    * A/Bs were exactly the embeddings-heavy vector cluster (v_*,
+    * d_embed_*: float-array streaming dominates) and the image/audio
+    * codec cluster (m_*: pixel/PCM buffers) — the CPU-bound rest of
+    * the registry ran at or under its historical times on the same
+    * passes (run-2 median ratio 0.927). The tag is advisory metadata:
+    * above_min / var_flagged entries carry it so a bandwidth-
+    * contention day reads as "the flagged set is the bandwidth set"
+    * without a fresh adjudication, and the bandwidth sentinel is the
+    * confirming signal. */
+  private def sensitivityOf(q: String): String =
+    if (q.startsWith("v_") || q.startsWith("m_") ||
+        q.startsWith("d_embed")) "bandwidth" else "cpu"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -377,7 +394,8 @@ object Bench {
     val aboveMin = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       minima.get(k).collect {
         case m if m > 0 && v > m * 1.5 && v - m > 0.5 =>
-          f""""$k":{"sec":$v%.2f,"min":$m%.2f,"ratio":${v / m}%.2f}"""
+          f""""$k":{"sec":$v%.2f,"min":$m%.2f,"ratio":${v / m}%.2f,""" +
+            s""""sens":"${sensitivityOf(k)}"}"""
       }
     }
     val aboveMinJson = aboveMin.mkString("{", ",", "}")
@@ -393,7 +411,8 @@ object Bench {
           case m if m > 0 && vn > m * 1.5 &&
               (vn - m) * sentinelNow > 0.5 =>
             f""""$k":{"sec":$v%.2f,"norm":$vn%.2f,"min_norm":$m%.2f,""" +
-              f""""ratio":${vn / m}%.2f}"""
+              f""""ratio":${vn / m}%.2f,""" +
+              s""""sens":"${sensitivityOf(k)}"}"""
         }
       }
     val aboveMinNormJson = aboveMinNorm.mkString("{", ",", "}")
@@ -406,10 +425,16 @@ object Bench {
       model.get(k).collect {
         case (med, s, n) if (v - med) / s > 3.0 && v - med > 0.5 =>
           f""""$k":{"sec":$v%.2f,"med":$med%.2f,""" +
-            f""""z":${(v - med) / s}%.1f,"n":$n}"""
+            f""""z":${(v - med) / s}%.1f,"n":$n,""" +
+            s""""sens":"${sensitivityOf(k)}"}"""
       }
     }
     val varFlaggedJson = varFlagged.mkString("{", ",", "}")
+    // full static tag map in the side file only (the compact stdout
+    // line stays bounded; flagged entries already carry their tag)
+    val sensJson = selected.sorted
+      .map(k => s""""$k":"${sensitivityOf(k)}"""")
+      .mkString("{", ",", "}")
     val varModelJson = model.toSeq.sortBy(_._1)
       .map { case (k, (med, s, n)) =>
         f""""$k":{"med":$med%.3f,"scale":$s%.3f,"n":$n}"""
@@ -443,7 +468,7 @@ object Bench {
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
         s"""$sentinelFields,""" +
         s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
-        s""""var_model":$varModelJson,""" +
+        s""""var_model":$varModelJson,"sens_tags":$sensJson,""" +
         s""""minima":$minimaJson,"skew_above":$skewAbove,"sf":"$sfDir"}"""
     System.err.println(s"[bench] passes: $allPasses")
     System.err.println(s"[bench] steal_sec_per_pass: $allSteal")
