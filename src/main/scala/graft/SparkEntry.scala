@@ -79,7 +79,10 @@ object SparkEntry {
       // IVF-PQ refine
       "l_ivm_joinagg", "v_ivfpq_rerank",
       // round-16 headliner: filtered + maintained + adaptive-nprobe ANN
-      "v_ann_filtered_maintained")
+      "v_ann_filtered_maintained",
+      // round-16 second-wave headliners: incremental BFS maintenance,
+      // KM survival, real-PCM VAD segmentation
+      "g_sssp_incr", "x_survival", "m_vad")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

@@ -426,6 +426,52 @@ object Multimodal {
       .toDF()
   }
 
+  /** One fixed-length analysis frame of a decoded clip: `energy` is
+    * Σ|sample| over the frame — an integer fold, so it is exact,
+    * order-independent, and closed-form for a synthesized fixture. */
+  final case class AudioFrame(
+      media_id: Long, frame_idx: Int, energy: Long)
+
+  /** Per-frame energies of the DECODED PCM through the same typed
+    * mapPartitions path: decode once per clip, emit n DIV frameLen
+    * full frames (a trailing partial frame is dropped — at a real
+    * frame hop the tail is sub-perceptual, and the oracle mirrors the
+    * same DIV). The frame stream is the input every acoustic
+    * segmentation (VAD, silence trim, scene split) runs on; only the
+    * decode lives here — thresholding and segment assembly stay
+    * declarative on the DataFrame so Catalyst owns them. */
+  def audioFrameEnergies(s: SparkSession, media: DataFrame,
+      frameLen: Int, partitions: Int): DataFrame = {
+    import s.implicits._
+    media.as[MediaRow]
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.flatMap { m =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian,
+            s"media_id=${m.media_id}: expected 16-bit LE mono PCM, got " +
+              fmt)
+          val bytes = ais.readAllBytes()
+          val nFrames = (bytes.length / 2) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            var j = f * frameLen
+            var acc = 0L
+            while (j < (f + 1) * frameLen) {
+              val v = ((bytes(2 * j + 1) << 8) |
+                (bytes(2 * j) & 0xff)).toShort.toLong
+              acc += math.abs(v)
+              j += 1
+            }
+            AudioFrame(m.media_id, f, acc)
+          }
+        })
+      }
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Decode + per-kind feature aggregation through the typed
@@ -732,6 +778,56 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // Energy VAD over REAL decoded PCM — the speech-curation pass every
+    // audio training pipeline runs before transcription (silence/noise
+    // trim). Fixtures are WAVs with a PLANTED voiced/silence region
+    // structure ((id + region) mod 3, regions = analysis frames of 200
+    // samples): loud regions draw ±1000, quiet ±20, so the detector
+    // must rediscover exactly the planted segmentation or go hash-red.
+    // Split of labor: the codec emits per-frame Σ|amp| integer
+    // energies (audioFrameEnergies — the only non-Catalyst step, like
+    // every codec); thresholding, run detection (voiced rising edge
+    // via lag), segment ids (running sum) and per-segment bounds are
+    // all declarative window/agg work Spark owns. Scale shape: frames
+    // partition by clip, both windows share the ONE (media_id) hash
+    // partitioning, and the output is |voiced segments| rows. Oracle
+    // replays the synthesized samples closed-form (the synthGrayPng
+    // discipline, transposed to PCM) and mirrors the rising-edge
+    // recurrence with the same window functions.
+    "m_vad" -> ((s, d) => {
+      import s.implicits._
+      val rows = t(s, d, "documents").filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (800 + (id % 5) * 400).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          MediaRow(id, "audio", synthWavOf(n, rate, { i =>
+            val r = i / 200
+            if ((id + r) % 3 != 0)
+              (((id * 31 + i.toLong * 17) % 2001) - 1000).toInt
+            else (((id * 31 + i.toLong * 17) % 41) - 20).toInt
+          }), 0, 0, rate, 0L)
+        }
+      val fr = audioFrameEnergies(s, rows.toDF(), 200,
+        s.sparkContext.defaultParallelism)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fr.withColumn("voiced", (col("energy") >= 20000L).cast("int"))
+        .withColumn("newseg",
+          when(col("voiced") === 1 &&
+            coalesce(lag("voiced", 1).over(w), lit(0)) === 0, 1L)
+            .otherwise(0L))
+        .withColumn("seg_id", sum("newseg").over(cum))
+        .filter(col("voiced") === 1)
+        .groupBy("media_id", "seg_id")
+        .agg(min("frame_idx").as("start_frame"),
+          max("frame_idx").as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum("energy").as("sum_energy"))
+        .orderBy("media_id", "seg_id")
+    }),
+
     // Frame sampling: 4 evenly-spaced frames per video, each with a
     // deterministic per-frame feature (hash of payload ++ frame index) —
     // declarative explode, no UDF, so it scales as a plain generator.
@@ -822,6 +918,43 @@ object Multimodal {
          FROM documents, range(0, 2400) t(i)
          WHERE i < 800 + (doc_id % 5) * 400
          GROUP BY doc_id ORDER BY media_id""",
+    // closed-form PCM replay: same planted region rule, same Σ|amp|
+    // per 200-sample frame, same rising-edge/running-sum segmenter
+    "m_vad" ->
+      """WITH a AS (
+           SELECT doc_id AS media_id,
+             CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT media_id, i // 200 AS frame_idx,
+             CASE WHEN (media_id + (i // 200)) % 3 <> 0
+               THEN abs((media_id * 31 + i * 17) % 2001 - 1000)
+               ELSE abs((media_id * 31 + i * 17) % 41 - 20) END AS amp
+           FROM a, LATERAL (SELECT unnest(range(0, n)) AS i) r),
+         fr AS (
+           SELECT media_id, frame_idx, CAST(SUM(amp) AS BIGINT) AS energy
+           FROM sm GROUP BY 1, 2),
+         fl AS (
+           SELECT *, CASE WHEN energy >= 20000 THEN 1 ELSE 0 END AS voiced
+           FROM fr),
+         ns AS (
+           SELECT *,
+             CASE WHEN voiced = 1 AND COALESCE(LAG(voiced) OVER (
+                 PARTITION BY media_id ORDER BY frame_idx), 0) = 0
+               THEN 1 ELSE 0 END AS newseg
+           FROM fl),
+         sg AS (
+           SELECT *, CAST(SUM(newseg) OVER (PARTITION BY media_id
+             ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS seg_id
+           FROM ns)
+         SELECT media_id, seg_id,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(MAX(frame_idx) AS INT) AS end_frame,
+           COUNT(*) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS sum_energy
+         FROM sg WHERE voiced = 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "m_frames" ->
       """SELECT doc_id AS media_id, f AS frame_idx,
            (f * (1000 + (doc_id % 60) * 250)) // 4 AS frame_ts_ms,
