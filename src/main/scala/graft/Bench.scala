@@ -83,20 +83,52 @@ object Bench {
     files.toVector.flatMap { f =>
       try {
         val node = mapper.readTree(f)
-        if (node.path("contended").asBoolean(false)) None
-        else if (sfToken(node.path("sf").asText("")) != sfToken(sf)) None
+        val contended = node.path("contended").asBoolean(false)
+        val perPass = node.path("steal_sec_per_pass")
+        if (sfToken(node.path("sf").asText("")) != sfToken(sf)) None
+        else if (contended && !perPass.isObject) None
         else {
+          // Per-QUERY clean minima when per-pass steal is recorded: a
+          // min taken over burst-free passes (steal ≤ stealFlagAt) is
+          // valid history regardless of what hit OTHER queries' passes
+          // — the old whole-artifact drop threw away ~200 clean
+          // observations because 1-2 passes elsewhere caught a burst,
+          // which on a shared box starves the minima/norm history
+          // forever (three r16 captures, every one flagged by a
+          // different 1-2 s burst). Artifacts without per-pass data
+          // keep the conservative all-or-nothing rule.
+          val flagAt = sys.env.get("SPARK_GRAFT_STEAL_FLAG")
+            .flatMap(_.toDoubleOption).getOrElse(1.0)
           val qs = node.path("queries")
+          val passes = node.path("passes")
           var m = Map.empty[String, Double]
           if (qs.isObject) {
             val it = qs.fields()
             while (it.hasNext) {
               val e = it.next()
+              val k = e.getKey
               val v = e.getValue.asDouble(-1.0)
-              if (v >= 0) m = m.updated(e.getKey, v)
+              if (perPass.isObject && passes.isObject &&
+                  perPass.path(k).isArray && passes.path(k).isArray) {
+                val ps = passes.path(k)
+                val ss = perPass.path(k)
+                var best = Double.MaxValue
+                var i = 0
+                while (i < ps.size() && i < ss.size()) {
+                  val st = ss.get(i).asDouble(-1.0)
+                  val t = ps.get(i).asDouble(-1.0)
+                  if (t >= 0 && st >= 0 && st <= flagAt && t < best)
+                    best = t
+                  i += 1
+                }
+                if (best < Double.MaxValue) m = m.updated(k, best)
+                // no clean pass → this query contributes nothing
+              } else if (!contended && v >= 0) m = m.updated(k, v)
             }
           }
-          Some(HistArtifact(node.path("sentinel_sec").asDouble(-1.0), m))
+          if (m.isEmpty) None
+          else Some(HistArtifact(
+            node.path("sentinel_sec").asDouble(-1.0), m))
         }
       } catch { case _: Throwable => None }
     }
