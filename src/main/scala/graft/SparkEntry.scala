@@ -80,9 +80,12 @@ object SparkEntry {
       "l_ivm_joinagg", "v_ivfpq_rerank",
       // round-16 headliner: filtered + maintained + adaptive-nprobe ANN
       "v_ann_filtered_maintained",
-      // round-16 second-wave headliners: incremental BFS maintenance,
-      // KM survival, real-PCM VAD segmentation
-      "g_sssp_incr", "x_survival", "m_vad")
+      // round-16 second-wave headliners: KM survival, real-PCM VAD
+      // segmentation, Matryoshka two-stage retrieval (g_sssp_incr was
+      // measured 11.4 s — representative of the already-headlined
+      // iterative-graph family, so it stays full-sweep-only to keep
+      // the headline set bounded)
+      "x_survival", "m_vad", "v_matryoshka")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

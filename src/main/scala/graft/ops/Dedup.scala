@@ -691,6 +691,47 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Cluster LABELING — the human-readable audit output of the
+    // near-dup chain: each verified cluster tagged with its 3 most
+    // distinctive terms (cluster term frequency × corpus rarity, the
+    // t_tfidf rational score — no transcendental touches the hash
+    // surface) so a reviewer can see WHAT is duplicated ("boilerplate
+    // license header", "product spam template") without opening docs.
+    // Scale shape: the corpus-side token/df work is t_tfidf's (two
+    // partial-agg'd hash aggs), the cluster join attaches the BOUNDED
+    // CC labeling (|clustered docs| rows, tiny next to the corpus),
+    // and the rank window partitions by cluster over |clusters×vocab∩|
+    // rows. Oracle recomputes over the recursive-CC truth + the same
+    // rational score, ties on (score DESC, word ASC).
+    "d_cluster_topics" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cl = queries("d_clusters")(s, d)
+        .select("doc_id", "cluster_id")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val dfreq = toks.distinct().groupBy("word")
+        .agg(count("*").as("df"))
+      val nDocs = docs.agg(count("*").cast("double").as("n_docs"))
+      val tf = toks.join(cl, "doc_id")
+        .groupBy("cluster_id", "word").agg(count("*").as("tf"))
+      val sizes = cl.groupBy("cluster_id")
+        .agg(count("*").as("n_members"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(desc("score"), asc("word"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(nDocs))
+        .select(col("cluster_id"), col("word"),
+          roundf(col("tf").cast("double") * col("n_docs") /
+            col("df").cast("double"), 4).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("n_members"), col("word"),
+          col("score"), col("rn"))
+        .orderBy("cluster_id", "rn")
+    }),
+
     // The DEDUPLICATED CORPUS itself — the capstone the whole near-dup
     // chain exists to produce: verified pairs → connected components →
     // keep ONE canonical doc per cluster (the min doc_id — the same
@@ -1318,6 +1359,43 @@ object Dedup {
     // identical truth: the incremental merge must land exactly where a
     // from-scratch CC over all pairs lands
     "d_clusters_incr" -> ccTruthSql,
+    // recursive-CC truth + the t_tfidf rational score, same
+    // (score DESC, word ASC) ties
+    "d_cluster_topics" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($minhashPairsSql)),
+         edges AS (SELECT a, b FROM pairs
+                   UNION ALL SELECT b AS a, a AS b FROM pairs),
+         r(node, m) AS (
+           SELECT a AS node, a AS m FROM edges
+           UNION
+           SELECT r.node, e.b AS m FROM r JOIN edges e ON e.a = r.m),
+         cl AS (
+           SELECT node AS doc_id, min(m) AS cluster_id
+           FROM r GROUP BY node),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dfreq AS (
+           SELECT word, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1),
+         n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+         tf AS (
+           SELECT cl.cluster_id, t.word, COUNT(*) AS tf
+           FROM toks t JOIN cl USING (doc_id) GROUP BY 1, 2),
+         sizes AS (
+           SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY 1),
+         scored AS (
+           SELECT tf.cluster_id, tf.word,
+             floor(tf.tf::DOUBLE * n.n_docs / d.df::DOUBLE
+               * 10000.0 + 0.5) / 10000.0 AS score
+           FROM tf JOIN dfreq d USING (word), n),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY score DESC, word ASC) AS rn
+           FROM scored)
+         SELECT rk.cluster_id, s.n_members, rk.word, rk.score, rk.rn
+         FROM ranked rk JOIN sizes s USING (cluster_id)
+         WHERE rk.rn <= 3 ORDER BY rk.cluster_id, rk.rn""",
     // the kept corpus = everything except clustered non-canonical docs
     // (same recursive-CC truth, same min-id keep rule)
     "d_dedup_apply" ->

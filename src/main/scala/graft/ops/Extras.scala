@@ -411,6 +411,80 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** x_psi's time split: (reference, current) = (early, late) halves
+    * of events by the timestamp midpoint (the x_drift split). */
+  private def psiHalves(ev0: DataFrame): (DataFrame, DataFrame) = {
+    val mm = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val ev = ev0.select(col("event_type"), col("value"), col("event_id"),
+      (unix_micros(col("ts")) >= lit(cut)).cast("int").as("late"))
+    (ev.filter(col("late") === 0), ev.filter(col("late") === 1))
+  }
+
+  /** Per-type reference deciles, grid-rounded driver-side with the
+    * roundf formula — 45 bounded scalars (the w5_ntile precedent). */
+  private def psiCuts(ref: DataFrame): Map[String, Array[Double]] = {
+    val qs = (1 to 9).map(_ / 10.0)
+    ref.groupBy("event_type")
+      .agg(expr(s"percentile(value, array(${qs.mkString(",")}))")
+        .as("qs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)
+        .map(v => math.floor(v * 10000.0 + 0.5) / 10000.0).toArray)
+      .toMap
+  }
+
+  /** Decile-bucket index (0..9) of `value` against the frozen per-type
+    * cut literals — one codegen'd array scan per row, no join. */
+  private def psiBucket(cutsOf: Map[String, Array[Double]]): Column =
+    cutsOf.foldLeft(lit(-1)) { case (acc, (ty, cs)) =>
+      when(col("event_type") === ty,
+        size(filter(array(cs.map(lit): _*), x => col("value") > x)))
+        .otherwise(acc)
+    }
+
+  /** (event_type, bucket, c) counts of one window under a bucket
+    * expression — partial-agg'd, |types×10| rows. */
+  private def psiCounts(half: DataFrame, bucket: Column): DataFrame =
+    half.select(col("event_type"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+
+  /** PSI from two (event_type, bucket, c) count frames — Laplace
+    * smoothing over the full bucket spine, 1e-6-grid terms summed
+    * exactly in decimal, the fixed 0.1/0.2 action thresholds on the
+    * unrounded sum. Shared by x_psi (both windows scanned) and
+    * x_psi_maintained (current window read from maintained state). */
+  private def psiOf(refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val nRef = refCounts.groupBy("event_type").agg(sum("c").as("n_ref"))
+    val nCur = curCounts.groupBy("event_type").agg(sum("c").as("n_cur"))
+    val spine = refCounts.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(9))).as("bucket"))
+    spine
+      .join(nRef, "event_type").join(nCur, "event_type")
+      .join(refCounts.select(col("event_type"), col("bucket"),
+        col("c").as("c_ref")), Seq("event_type", "bucket"), "left")
+      .join(curCounts.select(col("event_type"), col("bucket"),
+        col("c").as("c_cur")), Seq("event_type", "bucket"), "left")
+      .select(col("event_type"),
+        ((coalesce(col("c_ref"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("n_ref").cast("double") + lit(5.0))).as("p"),
+        ((coalesce(col("c_cur"), lit(0L)).cast("double") + lit(0.5)) /
+          (col("n_cur").cast("double") + lit(5.0))).as("q"))
+      .select(col("event_type"),
+        roundf((col("p") - col("q")) * log(col("p") / col("q")), 6)
+          .cast("decimal(22,6)").as("term"))
+      .groupBy("event_type")
+      .agg(sum("term").cast("double").as("psi0"))
+      .select(col("event_type"), roundf(col("psi0"), 6).as("psi"),
+        when(col("psi0") >= 0.2, "major")
+          .when(col("psi0") >= 0.1, "moderate")
+          .otherwise("stable").as("verdict"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Pivot with explicit status values: one wide row per priority.
@@ -1885,6 +1959,68 @@ object Extras {
     // critical value 9.4877 a fixed constant. Per-type observed
     // early/late counts + contribution columns localize WHICH
     // category drifted; the verdict rides every row.
+    // Population stability index — the industry-standard ML feature-
+    // drift metric (x_drift's chi-squared answers "is the shift
+    // significant"; PSI answers "how big is it" on the fixed
+    // 0.1/0.2 action thresholds every model-monitoring runbook uses).
+    // Reference = early half by time, current = late half; buckets =
+    // the reference's OWN deciles per event_type (9 cut points × 5
+    // types collected to the driver — bounded scalars, the w5_ntile
+    // precedent — then applied as broadcast literals so bucketing is
+    // one codegen'd array scan per row, no join). Both halves' decile
+    // proportions get Laplace smoothing ((c+0.5)/(n+5)) over a
+    // generated bucket spine so an empty current bucket contributes a
+    // finite term instead of ln(0); each (p−q)·ln(p/q) term rounds to
+    // the 1e-6 grid and sums EXACTLY in decimal. Cut points round to
+    // the 1e-4 grid on BOTH sides before comparison (the x_percentile
+    // agreement surface), so bucketing is bit-identical across
+    // engines.
+    "x_psi" -> ((s, d) => {
+      val (ref, cur) = psiHalves(t(s, d, "events"))
+      val b = psiBucket(psiCuts(ref))
+      psiOf(psiCounts(ref, b), psiCounts(cur, b))
+    }),
+
+    // x_psi with the CURRENT window's bucket counts MAINTAINED by the
+    // streaming re-sum sink — the deployment shape of drift
+    // monitoring: the reference deciles and proportions are frozen at
+    // fit time, production traffic streams in, and the monitor's state
+    // is the |types×buckets| count table (bucket counts are additive,
+    // so per-batch partials merge exactly). Scoring reads the
+    // maintained parquet + the reference aggregate — the current
+    // window is never rescanned. Oracle = x_psi's VERBATIM: a lost
+    // batch or double merge shifts q and goes hash-red.
+    "x_psi_maintained" -> ((s, d) => {
+      val (ref, cur) = psiHalves(t(s, d, "events"))
+      val b = psiBucket(psiCuts(ref))
+      // pre-bucketed current rows (bucket is a row-local pure function
+      // of frozen literals — the mw_maint pre-projection precedent),
+      // replayed as two micro-batches split on event_id
+      val rows = cur.select(col("event_type"), b.as("bucket"),
+        col("event_id"))
+      val mid = rows.agg(max("event_id")).head.getLong(0) / 2
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("bucket", IntegerType),
+        StructField("event_id", LongType)))
+      val (base, stream) = Replay.twoBatchStream(s, "psi_cur", d,
+        schema, "rows", rows.filter(col("event_id") < mid),
+        rows.filter(col("event_id") >= mid))
+      val cPath = new java.io.File(base, "counts").getPath
+      val q = graft.streaming.Streams.sumsMaintain(stream,
+        Seq("event_type", "bucket"), Seq("c"), cPath)(batch =>
+          batch.groupBy("event_type", "bucket")
+            .agg(count(lit(1)).as("c")))
+      require(q.awaitTermination(600000),
+        "count maintenance stream must drain (AvailableNow)")
+      require(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "replay must span two micro-batches or the re-sum merge is " +
+          "untested")
+      psiOf(psiCounts(ref, b),
+        graft.streaming.Streams.readGenMaintained(s, cPath))
+    }),
+
     "x_drift" -> ((s, d) => {
       val ev0 = t(s, d, "events")
       val mm = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
@@ -2843,6 +2979,61 @@ object Extras {
          SELECT lm AS landmark, u AS user_id, MIN(dist) AS dist
          FROM bfs GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  private lazy val psiSql: String =
+    """WITH mm AS (
+           SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi
+           FROM events),
+         ev AS (
+           SELECT event_type, value,
+             CASE WHEN epoch_us(ts) >=
+               (SELECT lo + (hi - lo) // 2 FROM mm) THEN 1 ELSE 0 END
+               AS late
+           FROM events),
+         cuts AS (
+           SELECT event_type,
+             [floor(q * 10000.0 + 0.5) / 10000.0 for q in
+               quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                 0.6, 0.7, 0.8, 0.9])] AS qs
+           FROM ev WHERE late = 0 GROUP BY 1),
+         b AS (
+           SELECT e.event_type, e.late,
+             len([q for q in c.qs if e.value > q]) AS bucket
+           FROM ev e JOIN cuts c USING (event_type)),
+         counts AS (
+           SELECT event_type, late, bucket, COUNT(*) AS c
+           FROM b GROUP BY 1, 2, 3),
+         tot AS (
+           SELECT event_type, late, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type, bk AS bucket
+           FROM (SELECT DISTINCT event_type FROM ev),
+             (SELECT unnest(range(0, 10)) AS bk)),
+         sm AS (
+           SELECT s.event_type, s.bucket,
+             (COALESCE(r.c, 0) + 0.5) / (tr.n + 5.0) AS p,
+             (COALESCE(cu.c, 0) + 0.5) / (tc.n + 5.0) AS q
+           FROM spine s
+           JOIN tot tr ON tr.event_type = s.event_type AND tr.late = 0
+           JOIN tot tc ON tc.event_type = s.event_type AND tc.late = 1
+           LEFT JOIN counts r ON r.event_type = s.event_type
+             AND r.late = 0 AND r.bucket = s.bucket
+           LEFT JOIN counts cu ON cu.event_type = s.event_type
+             AND cu.late = 1 AND cu.bucket = s.bucket),
+         terms AS (
+           SELECT event_type,
+             CAST(floor((p - q) * ln(p / q) * 1000000.0 + 0.5)
+               / 1000000.0 AS DECIMAL(22,6)) AS term
+           FROM sm),
+         agg AS (
+           SELECT event_type, CAST(SUM(term) AS DOUBLE) AS psi0
+           FROM terms GROUP BY 1)
+         SELECT event_type,
+           floor(psi0 * 1000000.0 + 0.5) / 1000000.0 AS psi,
+           CASE WHEN psi0 >= 0.2 THEN 'major'
+             WHEN psi0 >= 0.1 THEN 'moderate'
+             ELSE 'stable' END AS verdict
+         FROM agg ORDER BY event_type"""
+
   private lazy val corrSql: String =
     """WITH m AS (
            SELECT l_returnflag, COUNT(*) AS n,
@@ -3201,6 +3392,17 @@ object Extras {
          FROM ecdf GROUP BY n1, n2""",
     // same two-stage evaluation as x_chisq over the time-split
     // contingency; the µs midpoint mirrors the Scala floor division
+    // identical split, identical grid-rounded reference deciles
+    // (quantile_cont ≡ Spark's interpolated percentile at the 1e-4
+    // grid — the x_percentile agreement surface), identical Laplace
+    // smoothing over the full bucket spine, identical 1e-6 term grid
+    // with an exact decimal fold; the verdict thresholds compare the
+    // UNROUNDED sum on both sides (equal because the summed terms are
+    // equal decimals)
+    "x_psi" -> psiSql,
+    // the maintained count table must score identically — a lost batch
+    // or double merge shifts q and goes hash-red
+    "x_psi_maintained" -> psiSql,
     "x_drift" ->
       """WITH mm AS (
            SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi

@@ -113,6 +113,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.peak == samples.map(math.abs).max)
   }
 
+  test("audioFrameEnergies: per-frame Σ|amp| of the DECODED PCM, " +
+      "trailing partial frame dropped") {
+    import spark.implicits._
+    // 10 full frames of 100 samples + a 37-sample tail that must NOT
+    // produce an 11th frame; energies must equal the closed-form fold
+    val id = 7L
+    val n = 1037
+    val wav = Multimodal.synthWavOf(n, 8000,
+      i => (((id * 31 + i.toLong * 17) % 2001) - 1000).toInt)
+    val rows = Seq(MediaRow(id, "audio", wav, 0, 0, 8000, 0L)).toDF()
+    val fr = Multimodal.audioFrameEnergies(spark, rows, 100, 2)
+      .orderBy("frame_idx").collect()
+    assert(fr.length == 10, s"expected 10 full frames, got ${fr.length}")
+    val samples = (0 until n).map(i => ((id * 31 + i * 17) % 2001) - 1000)
+    for (f <- 0 until 10) {
+      val want = samples.slice(f * 100, (f + 1) * 100).map(math.abs).sum
+      assert(fr(f).getAs[Long]("energy") == want, s"frame $f")
+    }
+  }
+
   test("JavaSoundCodec runs through the SAME Spark plumbing as images") {
     import Multimodal.JavaSoundCodec
     import spark.implicits._

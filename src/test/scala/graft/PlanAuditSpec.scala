@@ -373,6 +373,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plr.contains("lineitem.parquet"),
       "x_linreg_maintained rescans lineitem — the moments state " +
         "should serve it")
+    // the CURRENT window's counts must come from the maintained state
+    // (the reference side legitimately rescans events once — the
+    // frozen-at-fit-time deciles and reference proportions are the
+    // exact truth being compared against, the l_cm carve-out)
+    val psi = plan("x_psi_maintained")
+    assert(psi.contains("graft_psi_cur"),
+      "PSI scoring should read the maintained current-window counts")
     val pcr = plan("x_corr_maintained")
     assert(pcr.contains("graft_corr_mom"),
       "correlation should derive from the maintained moments state")

@@ -20,6 +20,35 @@ class PropertySpec extends SparkTestBase {
     assert(once.count() == docs.count())
   }
 
+  test("x_survival: KM structural invariants — telescoping risk set, " +
+      "non-increasing survival, full-cohort start") {
+    val ev = etl.Tables.load(spark, dir, "events")
+    val cohort = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    val rows = SparkEntry.queries("x_survival")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the first risk set is the whole signup cohort
+    assert(rows.head.getAs[Long]("n_risk") == cohort)
+    var prevS = 1.0
+    var prevRisk = -1L
+    var prevTot = -1L
+    for (r <- rows) {
+      val nRisk = r.getAs[Long]("n_risk")
+      val nTot = r.getAs[Long]("n_events") + r.getAs[Long]("n_censored")
+      val s = r.getAs[Double]("survival")
+      // risk sets telescope exactly: whoever isn't counted at t is at
+      // risk strictly later — a lost or double-counted user breaks it
+      if (prevRisk >= 0) assert(nRisk == prevRisk - prevTot,
+        s"risk set must telescope at duration ${r.get(0)}")
+      assert(s <= prevS + 1e-9, "KM survival must be non-increasing")
+      assert(s >= 0.0 && s <= 1.0)
+      prevS = s; prevRisk = nRisk; prevTot = nTot
+    }
+    // everyone is accounted for exactly once
+    assert(rows.map(r => r.getAs[Long]("n_events") +
+      r.getAs[Long]("n_censored")).sum == cohort)
+  }
+
   test("SOQL date-literal ranges: half-open day alignment, adjacency, " +
       "and composition identities over a year of anchors") {
     import graft.soql.Soql
