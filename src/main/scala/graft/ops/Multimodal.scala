@@ -343,6 +343,44 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One video frame as an opaque image payload. */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, content: Array[Byte])
+
+  /** Integer mean luma of one decoded frame. */
+  final case class FrameLuma(media_id: Long, frame_idx: Int, luma: Long)
+
+  /** Per-frame mean luma of REAL decoded rasters through the typed
+    * mapPartitions path — the per-frame feature every visual
+    * segmentation (scene cut, shot boundary, black-frame trim) runs
+    * on. Integer mean (sum DIV pixels) so the fold is exact and the
+    * synthesized-fixture oracle is closed-form. */
+  def frameMeanLumas(s: SparkSession, frames: DataFrame,
+      partitions: Int): DataFrame = {
+    import s.implicits._
+    frames.as[FrameRow]
+      .repartition(partitions, col("media_id"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += (img.getRGB(x, y) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          FrameLuma(r.media_id, r.frame_idx,
+            sum / (img.getWidth.toLong * img.getHeight.toLong))
+        })
+      }
+      .toDF()
+  }
+
   /** dHash through the same typed mapPartitions micro-batch path. */
   def dhashAll(s: SparkSession, media: DataFrame,
       partitions: Int): DataFrame = {
@@ -778,6 +816,56 @@ object Multimodal {
         .orderBy("media_id")
     }),
 
+    // Scene-cut segmentation over REAL decoded frames — m_vad's
+    // pattern on the video modality, completing the curation triad
+    // (image near-dup, audio VAD, video scene split). Fixtures: each
+    // "video" is 12 genuine 16×12 PNGs with a PLANTED scene structure
+    // (scene = frame DIV 3; per-scene base luma b jumps scene to
+    // scene; within a scene only a fixed texture varies per pixel, so
+    // the decoded mean luma is constant) — the detector must
+    // rediscover the planted cuts, except where two adjacent scenes'
+    // bases land within the threshold, which the oracle reproduces
+    // identically (both sides run the same rule on the same closed
+    // form). Codec side = frameMeanLumas (integer mean of actual
+    // decoded pixels); cut detection (|Δ luma| ≥ 8 rising edge),
+    // scene ids and per-scene bounds are declarative windows sharing
+    // ONE (media_id) partitioning. At scale: |frames| rows in, one
+    // shuffle, |scenes| rows out.
+    "m_scenecut" -> ((s, d) => {
+      import s.implicits._
+      val frames = t(s, d, "documents").filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          (0 until 12).map { f =>
+            // scene index s advances every 3 frames, but the BASE only
+            // moves on s − s/3 — so scenes 2 and 3 of every video share
+            // a base and must come out MERGED: the detector segments by
+            // decoded content, not by the frame arithmetic
+            val sIdx = f / 3
+            val b = (((id * 20 + (sIdx - sIdx / 3)) * 37) % 200).toInt
+            FrameRow(id, f, synthGrayPng(16, 12,
+              (x, y) => b + (x * 3 + y * 5) % 17))
+          }
+        }
+      val lum = frameMeanLumas(s, frames.toDF(),
+        s.sparkContext.defaultParallelism)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      val cum = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      lum.withColumn("prev", lag("luma", 1).over(w))
+        .withColumn("newscene",
+          when(col("prev").isNull ||
+            abs(col("luma") - col("prev")) >= 8, 1L).otherwise(0L))
+        .withColumn("scene_id", sum("newscene").over(cum))
+        .groupBy("media_id", "scene_id")
+        .agg(min("frame_idx").as("start_frame"),
+          max("frame_idx").as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          min("luma").as("luma_lo"), max("luma").as("luma_hi"))
+        .orderBy("media_id", "scene_id")
+    }),
+
     // Energy VAD over REAL decoded PCM — the speech-curation pass every
     // audio training pipeline runs before transcription (silence/noise
     // trim). Fixtures are WAVs with a PLANTED voiced/silence region
@@ -918,6 +1006,39 @@ object Multimodal {
          FROM documents, range(0, 2400) t(i)
          WHERE i < 800 + (doc_id % 5) * 400
          GROUP BY doc_id ORDER BY media_id""",
+    // closed-form raster replay: gray-pixel luma IS the gray level, so
+    // the decoded mean luma is floor((192·b + Σ texture)/192) with the
+    // texture sum a constant of the 16×12 grid; same rising-edge/
+    // running-sum segmenter as m_vad's oracle
+    "m_scenecut" ->
+      """WITH tex AS (
+           SELECT CAST(SUM((x * 3 + y * 5) % 17) AS BIGINT) AS tsum
+           FROM range(0, 16) tx(x), range(0, 12) ty(y)),
+         fr AS (
+           SELECT doc_id AS media_id, f AS frame_idx,
+             (192 * (((doc_id * 20 + (f // 3 - (f // 3) // 3)) * 37)
+               % 200) + tex.tsum) // 192 AS luma
+           FROM documents, range(0, 12) t(f), tex
+           WHERE doc_id % 3 = 2),
+         lg AS (
+           SELECT *, LAG(luma) OVER (PARTITION BY media_id
+             ORDER BY frame_idx) AS prev
+           FROM fr),
+         ns AS (
+           SELECT *, CASE WHEN prev IS NULL OR abs(luma - prev) >= 8
+             THEN 1 ELSE 0 END AS newscene
+           FROM lg),
+         sg AS (
+           SELECT *, CAST(SUM(newscene) OVER (PARTITION BY media_id
+             ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS scene_id
+           FROM ns)
+         SELECT media_id, scene_id,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(MAX(frame_idx) AS INT) AS end_frame,
+           COUNT(*) AS n_frames,
+           MIN(luma) AS luma_lo, MAX(luma) AS luma_hi
+         FROM sg GROUP BY 1, 2 ORDER BY 1, 2""",
     // closed-form PCM replay: same planted region rule, same Σ|amp|
     // per 200-sample frame, same rising-edge/running-sum segmenter
     "m_vad" ->
