@@ -202,6 +202,74 @@ object Extras {
     edges.select("u").distinct().orderBy("u").limit(SsspLandmarks)
       .select(col("u").as("lm"))
 
+  /** Frontier BFS to a fixpoint from (lm, u, dist) seeds over a
+    * symmetric (u, v) edge list — g_sssp's loop, factored so
+    * GraphIncrSpec can drive it on controlled graphs. */
+  private[graft] def ssspBfs(edges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    var dist = seeds.localCheckpoint()
+    var frontier = dist
+    var rounds = 0
+    var fsize = frontier.count()
+    while (fsize > 0 && rounds < SsspMaxRounds) {
+      val next = frontier.join(edges, "u")
+        .select(col("lm"), col("v").as("u"),
+          (col("dist") + lit(1)).as("dist"))
+        .distinct()
+        .join(dist.select("lm", "u"), Seq("lm", "u"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
+      fsize = next.count()
+      rounds += 1
+      System.err.println(s"[g_sssp] round=$rounds frontier=$fsize")
+    }
+    require(fsize == 0,
+      s"BFS frontier still alive after $SsspMaxRounds rounds — " +
+        "refusing to return truncated distances")
+    dist
+  }
+
+  /** Min-merge relaxation to a fixpoint from maintained upper bounds —
+    * g_sssp_incr's loop, factored for the spec. Returns the settled
+    * (lm, u, dist) state and the per-round improved-row counts (the
+    * delta-proportionality evidence: only rows that strictly improve
+    * ever enter a frontier). */
+  private[graft] def ssspRelax(edges: DataFrame, state0: DataFrame,
+      frontier0: DataFrame): (DataFrame, Seq[Long]) = {
+    def improving(cand: DataFrame, st: DataFrame): DataFrame =
+      cand.join(st.withColumnRenamed("dist", "__sd"),
+          Seq("lm", "u"), "left")
+        .filter(col("__sd").isNull || col("dist") < col("__sd"))
+        .select("lm", "u", "dist")
+    var state = state0.unionByName(frontier0)
+      .groupBy("lm", "u").agg(min("dist").as("dist"))
+      .localCheckpoint()
+    var frontier = frontier0.localCheckpoint()
+    var rounds = 0
+    var fsize = frontier.count()
+    val sizes = Seq.newBuilder[Long]
+    if (fsize > 0) sizes += fsize
+    while (fsize > 0 && rounds < SsspMaxRounds) {
+      val cand = frontier.join(edges, "u")
+        .select(col("lm"), col("v").as("u"),
+          (col("dist") + lit(1)).as("dist"))
+        .groupBy("lm", "u").agg(min("dist").as("dist"))
+      val next = improving(cand, state).localCheckpoint()
+      state = state.unionByName(next)
+        .groupBy("lm", "u").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      frontier = next
+      fsize = next.count()
+      if (fsize > 0) sizes += fsize
+      rounds += 1
+      System.err.println(s"[g_sssp_incr] round=$rounds improved=$fsize")
+    }
+    require(fsize == 0,
+      s"improvement cascade still alive after $SsspMaxRounds rounds")
+    (state, sizes.result())
+  }
+
   /** One synchronous-LPA adoption step over tallied votes
     * (u, lab, wsum): each node takes the label with the largest total
     * edge weight, ties to the SMALLEST label. Argmax via TWO hash aggs,
@@ -1275,29 +1343,10 @@ object Extras {
     // recursive CTE with min-dist aggregation.
     "g_sssp" -> ((s, d) => {
       val edges = ssspEdges(t(s, d, "events"))
-      var dist = ssspLandmarks(edges)
+      val seeds = ssspLandmarks(edges)
         .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
-        .localCheckpoint()
-      var frontier = dist
-      var rounds = 0
-      var fsize = frontier.count()
-      while (fsize > 0 && rounds < SsspMaxRounds) {
-        val next = frontier.join(edges, "u")
-          .select(col("lm"), col("v").as("u"),
-            (col("dist") + lit(1)).as("dist"))
-          .distinct()
-          .join(dist.select("lm", "u"), Seq("lm", "u"), "left_anti")
-          .localCheckpoint()
-        dist = dist.unionByName(next).localCheckpoint()
-        frontier = next
-        fsize = next.count()
-        rounds += 1
-        System.err.println(s"[g_sssp] round=$rounds frontier=$fsize")
-      }
-      require(fsize == 0,
-        s"BFS frontier still alive after $SsspMaxRounds rounds — " +
-          "refusing to return truncated distances")
-      dist.select(col("lm").as("landmark"), col("u").as("user_id"),
+      ssspBfs(edges, seeds)
+        .select(col("lm").as("landmark"), col("u").as("user_id"),
           col("dist"))
         .orderBy("landmark", "user_id")
     }),
@@ -1330,23 +1379,8 @@ object Extras {
       // on the old graph), landed as parquet like every maintained row
       val edgesOld = ssspEdges(ev.filter(unix_micros(col("ts")) <
         lit(cut)))
-      var prev = ssspLandmarks(edgesOld)
-        .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
-        .localCheckpoint()
-      var pf = prev
-      var pr = 0
-      var pn = pf.count()
-      while (pn > 0 && pr < SsspMaxRounds) {
-        val nx = pf.join(edgesOld, "u")
-          .select(col("lm"), col("v").as("u"),
-            (col("dist") + lit(1)).as("dist"))
-          .distinct()
-          .join(prev.select("lm", "u"), Seq("lm", "u"), "left_anti")
-          .localCheckpoint()
-        prev = prev.unionByName(nx).localCheckpoint()
-        pf = nx; pn = nx.count(); pr += 1
-      }
-      require(pn == 0, "old-graph BFS did not converge")
+      val prev = ssspBfs(edgesOld, ssspLandmarks(edgesOld)
+        .select(col("lm"), col("lm").as("u"), lit(0).as("dist")))
       val base = Replay.scratchDir("sssp_incr", d)
       val dPath = new java.io.File(base, "dists").getPath
       prev.write.mode("overwrite").parquet(dPath)
@@ -1365,47 +1399,26 @@ object Extras {
       // maintained rows restricted to the CURRENT landmark set (a new
       // smallest node id retires an old landmark's rows), plus fresh
       // 0-seeds; min-collapse dedups the shared (lm, lm, 0) rows
-      var state = maintained.join(marks, "lm").unionByName(seeds)
+      val state0 = maintained.join(marks, "lm").unionByName(seeds)
         .groupBy("lm", "u").agg(min("dist").as("dist"))
         .localCheckpoint()
-      def improving(cand: DataFrame, st: DataFrame): DataFrame =
-        cand.join(st.withColumnRenamed("dist", "__sd"),
-            Seq("lm", "u"), "left")
-          .filter(col("__sd").isNull || col("dist") < col("__sd"))
-          .select("lm", "u", "dist")
       // initial frontier: delta-edge relaxations that improve on the
       // maintained bounds, plus any state row prev didn't carry (a
       // brand-new landmark's seed)
-      val cand0 = state.join(delta, "u")
+      val cand0 = state0.join(delta, "u")
         .select(col("lm"), col("v").as("u"),
           (col("dist") + lit(1)).as("dist"))
         .groupBy("lm", "u").agg(min("dist").as("dist"))
-      var frontier = improving(cand0, state)
-        .unionByName(state.join(maintained, Seq("lm", "u", "dist"),
+      val improving0 = cand0
+        .join(state0.withColumnRenamed("dist", "__sd"),
+          Seq("lm", "u"), "left")
+        .filter(col("__sd").isNull || col("dist") < col("__sd"))
+        .select("lm", "u", "dist")
+      val frontier0 = improving0
+        .unionByName(state0.join(maintained, Seq("lm", "u", "dist"),
           "left_anti"))
         .groupBy("lm", "u").agg(min("dist").as("dist"))
-        .localCheckpoint()
-      state = state.unionByName(frontier)
-        .groupBy("lm", "u").agg(min("dist").as("dist"))
-        .localCheckpoint()
-      var rounds = 0
-      var fsize = frontier.count()
-      while (fsize > 0 && rounds < SsspMaxRounds) {
-        val cand = frontier.join(edges, "u")
-          .select(col("lm"), col("v").as("u"),
-            (col("dist") + lit(1)).as("dist"))
-          .groupBy("lm", "u").agg(min("dist").as("dist"))
-        val next = improving(cand, state).localCheckpoint()
-        state = state.unionByName(next)
-          .groupBy("lm", "u").agg(min("dist").as("dist"))
-          .localCheckpoint()
-        frontier = next
-        fsize = next.count()
-        rounds += 1
-        System.err.println(s"[g_sssp_incr] round=$rounds improved=$fsize")
-      }
-      require(fsize == 0,
-        s"improvement cascade still alive after $SsspMaxRounds rounds")
+      val (state, _) = ssspRelax(edges, state0, frontier0)
       state.select(col("lm").as("landmark"), col("u").as("user_id"),
           col("dist"))
         .orderBy("landmark", "user_id")

@@ -51,6 +51,57 @@ class GraphIncrSpec extends SparkTestBase {
     assert(lab.count() == nNodes)
   }
 
+  test("g_sssp_incr relaxation: exact on a controlled insertion, and " +
+      "DELTA-PROPORTIONAL — untouched regions never enter a frontier") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus an off-path appendage 2-7; insert the
+    // shortcut (1, 5). Landmark = 1. True new distances: 5 improves
+    // 4→1, then its neighbors 4 (3→2) and 6 (5→2) — exactly THREE
+    // nodes change, one improvement each; nodes 2, 3, 7 must never
+    // appear in any relaxation frontier.
+    def sym(p: Seq[(Long, Long)]) =
+      (p ++ p.map(e => (e._2, e._1))).toDF("u", "v")
+    val pathE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 7L))
+    val edgesOld = sym(pathE)
+    val edges = sym(pathE :+ ((1L, 5L)))
+    val seeds = Seq((1L, 1L, 0)).toDF("lm", "u", "dist")
+    val prev = graft.ops.Extras.ssspBfs(edgesOld, seeds)
+    // old-graph truth sanity
+    val pd = prev.collect().map(r =>
+      r.getLong(1) -> r.getInt(2)).toMap
+    assert(pd == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4,
+      6L -> 5, 7L -> 2))
+    // incremental: frontier seeded from the inserted edge only
+    val delta = Seq((1L, 5L), (5L, 1L)).toDF("u", "v")
+    val cand0 = prev.join(delta, "u")
+      .select(col("lm"), col("v").as("u"),
+        (col("dist") + lit(1)).as("dist"))
+      .groupBy("lm", "u").agg(min("dist").as("dist"))
+    val frontier0 = cand0
+      .join(prev.withColumnRenamed("dist", "__sd"), Seq("lm", "u"),
+        "left")
+      .filter(col("__sd").isNull || col("dist") < col("__sd"))
+      .select("lm", "u", "dist")
+    val (state, sizes) = graft.ops.Extras.ssspRelax(edges, prev,
+      frontier0)
+    // exactness: must equal from-scratch BFS on the full graph
+    val full = graft.ops.Extras.ssspBfs(edges, seeds)
+    assert(state.exceptAll(full).isEmpty &&
+      full.exceptAll(state).isEmpty,
+      "incremental relaxation must land on the full-graph truth")
+    // delta-proportionality: total frontier work = the 3 nodes whose
+    // distance actually changed (5, then 4 and 6), one improvement
+    // each — nothing outside the cascade ever enters a frontier
+    assert(sizes.sum == 3, s"frontier sizes $sizes — relaxation " +
+      "touched rows outside the improvement cascade")
+    val changed = state.withColumnRenamed("dist", "nd")
+      .join(prev.withColumnRenamed("dist", "od"), Seq("lm", "u"))
+      .filter(col("nd") < col("od"))
+      .select("u").collect().map(_.getLong(0)).toSet
+    assert(changed == Set(4L, 5L, 6L))
+  }
+
   test("warm-started PageRank: both starts are mixing-dominated here") {
     // The honest measurement behind g_wpagerank_incr (the
     // j_fuzzy_blocked precedent — ship the discipline, disclose what
