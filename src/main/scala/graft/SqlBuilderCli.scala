@@ -19,7 +19,7 @@ import graft.schema.{Ddl, Mapping}
   *     [--decimal-mode]    map Currency/Percent to DECIMAL(p,s) instead of
   *                         the reference-faithful sized varchar
   *                         (describe-file mode only)
-  *     [--dialect pg|mysql] target dialect (default pg) — selects the
+  *     [--dialect pg|mysql|duckdb] target dialect (default pg) — selects the
   *                         SqlGenerator instance, like `generate::<Pg>()`
   *
   * `--object NAME` is the live-pipeline parity mode (main.rs:50-82 runs
@@ -54,12 +54,12 @@ object SqlBuilderCli {
     require((o.in.nonEmpty ^ o.obj.nonEmpty) && o.out.nonEmpty,
       "usage: SqlBuilderCli (--in describe.json | --object NAME)" +
         " --out table.sql [--table NAME] [--decimal-mode]" +
-        " [--dialect pg|mysql]")
+        " [--dialect pg|mysql|duckdb]")
     require(o.obj.isEmpty || !o.decimalMode,
       "--decimal-mode applies to describe-file mode only: --object" +
         " schemas are already typed")
-    require(Set("pg", "mysql")(o.dialect),
-      s"unknown dialect ${o.dialect}: expected pg or mysql")
+    require(Set("pg", "mysql", "duckdb")(o.dialect),
+      s"unknown dialect ${o.dialect}: expected pg, mysql or duckdb")
     o
   }
 
@@ -74,7 +74,8 @@ object SqlBuilderCli {
         s"unknown object $name: expected one of " +
           etl.Tables.schemas.keys.toSeq.sorted.mkString(", ")))
     val g: graft.schema.SqlGenerator =
-      if (dialect == "mysql") Ddl.MySql else Ddl.Pg
+      if (dialect == "mysql") Ddl.MySql
+      else if (dialect == "duckdb") Ddl.DuckDb else Ddl.Pg
     g.createTable(tableOverride.getOrElse(name), schema)
   }
 
@@ -89,7 +90,8 @@ object SqlBuilderCli {
         base.copy(dataType = Mapping.dataTypeOf(f, decimalMode = true))
       })
     val g: graft.schema.SqlGenerator =
-      if (dialect == "mysql") Ddl.MySql else Ddl.Pg
+      if (dialect == "mysql") Ddl.MySql
+      else if (dialect == "duckdb") Ddl.DuckDb else Ddl.Pg
     g.createTable(tableOverride.getOrElse(d.name), schema)
   }
 

@@ -101,6 +101,67 @@ object Ddl {
     * silently ignores it — only a `FOREIGN KEY (...) REFERENCES ...`
     * table clause creates a real constraint).
     */
+  /** DuckDB dialect — the THIRD instance, and the one that closes the
+    * loop with this repo's own correctness rig: DDL generated here is
+    * executable by the same DuckDB that replays every oracle (the
+    * golden output is execution-validated there, not just
+    * string-compared). Divergences the typeclass absorbs:
+    * double-quoted identifiers and native `INNER[]` array recursion
+    * (Pg-style); `json` (extension type — no jsonb variant); DuckDB
+    * parses but does NOT enforce VARCHAR lengths, so declared lengths
+    * are emitted for documentation value only; TIMESTAMP is natively
+    * microsecond; inline column `REFERENCES` creates a real FK (unlike
+    * MySQL's silent ignore). */
+  implicit object DuckDb extends SqlGenerator {
+
+    def typeName(dt: DataType, md: Metadata): String = dt match {
+      case StringType if md.contains(Mapping.K.Json) => "json"
+      case StringType if md.contains(Mapping.K.SfType) &&
+          md.getString(Mapping.K.SfType) == FieldType.Time.wireName =>
+        "time"
+      case StringType if md.contains(Mapping.K.Length) =>
+        s"varchar(${md.getLong(Mapping.K.Length)})"
+      case StringType => "varchar"
+      case BooleanType => "boolean"
+      case ByteType => "tinyint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case FloatType => "real"
+      case DoubleType => "double"
+      case DateType => "date"
+      case TimestampType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case ArrayType(inner, _) => s"${typeName(inner, Metadata.empty)}[]"
+      case other =>
+        throw new IllegalArgumentException(s"no duckdb mapping for $other")
+    }
+
+    def createColumn(f: StructField): String = {
+      val parts = Seq.newBuilder[String]
+      parts += s""""${f.name}""""
+      parts += typeName(f.dataType, f.metadata)
+      if (f.metadata.contains(Mapping.K.Primary)) parts += "PRIMARY KEY"
+      if (f.metadata.contains(Mapping.K.Default))
+        parts += s"DEFAULT '${f.metadata.getString(Mapping.K.Default)}'"
+      if (!f.metadata.contains(Mapping.K.Primary)) {
+        if (!f.nullable) parts += "NOT NULL"
+        if (f.metadata.contains(Mapping.K.Unique)) parts += "UNIQUE"
+      }
+      if (f.metadata.contains(Mapping.K.FkTable)) {
+        val t = f.metadata.getString(Mapping.K.FkTable)
+        val ks = f.metadata.getStringArray(Mapping.K.FkKeys)
+          .map(k => s""""$k"""").mkString(", ")
+        parts += s"""REFERENCES "$t" ($ks)"""
+      }
+      parts.result().mkString(" ")
+    }
+
+    def createTable(table: String, schema: StructType): String = {
+      val cols = schema.fields.map(f => s"  ${createColumn(f)}")
+      s"""CREATE TABLE IF NOT EXISTS "$table" (\n${cols.mkString(",\n")}\n);"""
+    }
+  }
+
   implicit object MySql extends SqlGenerator {
 
     /** utf8mb4 varchar limit in CHARACTERS (65535-byte row / 4 bytes). */

@@ -145,6 +145,31 @@ class SchemaSpec extends AnyFunSuite {
     assert(ddl == expected)
   }
 
+  test("golden DuckDB DDL: the oracle engine's own dialect, third " +
+      "instance through the same typeclass") {
+    // execution-validated: this exact string runs green under the
+    // DuckDB that replays every oracle (varchar lengths parsed-not-
+    // enforced, json extension type, native arrays, inline FK)
+    val ddl = Ddl.generate("Case",
+      Mapping.describeToStructType(describeJson))(Ddl.DuckDb)
+    val expected =
+      """CREATE TABLE IF NOT EXISTS "Case" (
+        |  "Id" varchar(18) PRIMARY KEY,
+        |  "AccountId" varchar(18) REFERENCES "Account" ("Id"),
+        |  "Description" varchar(32000),
+        |  "Tags__c" varchar[],
+        |  "Payload__c" json,
+        |  "IsEscalated" boolean NOT NULL,
+        |  "CreatedDate" timestamp NOT NULL,
+        |  "DueDate" date,
+        |  "SlaTime" time,
+        |  "Amount" double,
+        |  "CaseNumber" varchar(30) NOT NULL UNIQUE,
+        |  "Votes" integer
+        |);""".stripMargin
+    assert(ddl == expected)
+  }
+
   test("MySQL length caps: over-limit strings collapse safely") {
     // non-keyed 32000-char column would exceed both the utf8mb4 varchar
     // limit (16383 chars) and the 65535-byte row — must become TEXT
