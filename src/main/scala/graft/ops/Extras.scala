@@ -1988,6 +1988,36 @@ object Extras {
     // the 1e-4 grid on BOTH sides before comparison (the x_percentile
     // agreement surface), so bucketing is bit-identical across
     // engines.
+    // Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    // (IPL 2006) A-ES: each row draws key = u^(1/w) from a uniform u
+    // and the k largest keys are exactly a w-weighted sample without
+    // replacement. The variant x_sample/x_stratified/x_topk_sample
+    // don't cover: here inclusion probability scales with a per-row
+    // WEIGHT (n_chars — longer docs proportionally likelier), the
+    // data-mixing primitive for length-balanced subcorpora. u derives
+    // from the portable 60-bit md5 hash (deterministic, mirrored in
+    // SQL); ranking uses ln(u)/w — the same order as u^(1/w) (ln is
+    // monotone, w > 0) without a pow in either engine. Scale shape:
+    // one scan + TakeOrderedAndProject — the k-row heap per partition,
+    // never a global sort.
+    "x_wsample" -> ((s, d) => {
+      val h = Text.portableHash(concat(lit("wsample:"),
+        col("doc_id").cast("string")))
+      val u = (h.cast("double") + lit(1.0)) /
+        lit(1152921504606846976.0) // 2^60 — u ∈ (0, 1]
+      val wgt = greatest(col("n_chars"), lit(1L)).cast("double")
+      val top = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          roundf(log(u) / wgt, 9).as("key"))
+        .orderBy(desc("key"), asc("doc_id"))
+        .limit(50)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("key"), asc("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("n_chars"), col("key"))
+        .orderBy("rank")
+    }),
+
     "x_psi" -> ((s, d) => {
       val (ref, cur) = psiHalves(t(s, d, "events"))
       val b = psiBucket(psiCuts(ref))
@@ -3412,6 +3442,26 @@ object Extras {
     // with an exact decimal fold; the verdict thresholds compare the
     // UNROUNDED sum on both sides (equal because the summed terms are
     // equal decimals)
+    // same 60-bit md5 uniform, same ln(u)/w key on the 1e-9 grid,
+    // same (key DESC, doc_id ASC) order
+    "x_wsample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+             ('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT
+               AS hv
+           FROM documents),
+         scored AS (
+           SELECT doc_id, n_chars,
+             floor(ln((hv::DOUBLE + 1.0) / 1152921504606846976.0)
+               / greatest(n_chars, 1)::DOUBLE * 1000000000.0 + 0.5)
+               / 1000000000.0 AS key
+           FROM h),
+         top AS (
+           SELECT * FROM scored ORDER BY key DESC, doc_id ASC LIMIT 50)
+         SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
+             AS INT) AS rank,
+           doc_id, n_chars, key
+         FROM top ORDER BY rank""",
     "x_psi" -> psiSql,
     // the maintained count table must score identically — a lost batch
     // or double merge shifts q and goes hash-red
