@@ -440,6 +440,65 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Two-regressor OLS per return flag — the moments discipline in
+    * matrix form: revenue ~ b0 + b1·quantity + b2·discount, fitted
+    * from the TEN decimal-exact sufficient statistics of one agg pass
+    * (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) by solving
+    * the 3×3 normal equations with Cramer's rule — four 3×3
+    * determinants as IEEE expression trees over decimal-exact
+    * operands, every product/sub written in the SAME order as the
+    * oracle so the doubles match bit-for-bit. Narrow operand widths
+    * keep products inside DECIMAL(38) in BOTH engines (the
+    * linregMoments discipline). R² = 1 − SSE/SST with SSE folded from
+    * the same moments — the training rows are read ONCE. */
+  private def ols2Of(li: DataFrame): DataFrame = {
+    val x1 = col("l_quantity").cast("decimal(9,2)")
+    val x2 = col("l_discount").cast("decimal(5,4)")
+    val y = roundf(col("l_extendedprice") * (lit(1.0) -
+      col("l_discount")), 4).cast("decimal(13,4)")
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum((x1 * x1).cast("decimal(38,4)")).as("s11"),
+      sum((x2 * x2).cast("decimal(38,8)")).as("s22"),
+      sum((x1 * x2).cast("decimal(38,6)")).as("s12"),
+      sum((x1 * y).cast("decimal(38,6)")).as("s1y"),
+      sum((x2 * y).cast("decimal(38,8)")).as("s2y"),
+      sum((y * y).cast("decimal(38,8)")).as("syy"))
+    val d = (c: String) => col(c).cast("double")
+    val nd = col("n").cast("double")
+    // det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], cofactor expansion
+    // along the first row — the oracle writes the SAME expansion
+    def det3(a11: Column, a12: Column, a13: Column,
+        a21: Column, a22: Column, a23: Column,
+        a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) -
+        a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val dd = det3(nd, d("s1"), d("s2"),
+      d("s1"), d("s11"), d("s12"),
+      d("s2"), d("s12"), d("s22"))
+    val d0 = det3(d("sy"), d("s1"), d("s2"),
+      d("s1y"), d("s11"), d("s12"),
+      d("s2y"), d("s12"), d("s22"))
+    val d1 = det3(nd, d("sy"), d("s2"),
+      d("s1"), d("s1y"), d("s12"),
+      d("s2"), d("s2y"), d("s22"))
+    val d2 = det3(nd, d("s1"), d("sy"),
+      d("s1"), d("s11"), d("s1y"),
+      d("s2"), d("s12"), d("s2y"))
+    val b0 = d0 / dd
+    val b1 = d1 / dd
+    val b2 = d2 / dd
+    val sse = d("syy") - (b0 * d("sy") + b1 * d("s1y") + b2 * d("s2y"))
+    val sst = d("syy") - d("sy") * d("sy") / nd
+    m.select(col("l_returnflag"), col("n"),
+        roundf(b0, 6).as("b0"), roundf(b1, 6).as("b1"),
+        roundf(b2, 6).as("b2"),
+        roundf(lit(1.0) - sse / sst, 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pearson-correlation sufficient statistics per return flag —
     * shared by x_corr (one pass) and x_corr_maintained (streaming
     * re-sum). Same discipline as [[linregMoments]]: the five sums are
@@ -1988,6 +2047,9 @@ object Extras {
     // the 1e-4 grid on BOTH sides before comparison (the x_percentile
     // agreement surface), so bucketing is bit-identical across
     // engines.
+    // Multivariate OLS — see [[ols2Of]].
+    "x_ols2" -> ((s, d) => ols2Of(t(s, d, "lineitem"))),
+
     // Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
     // (IPL 2006) A-ES: each row draws key = u^(1/w) from a uniform u
     // and the k largest keys are exactly a w-weighted sample without
@@ -3103,6 +3165,53 @@ object Extras {
              * 10000.0 + 0.5) / 10000.0 AS cov_pop
          FROM m ORDER BY l_returnflag"""
 
+  private lazy val ols2Sql: String = {
+    def det3(a11: String, a12: String, a13: String,
+        a21: String, a22: String, a23: String,
+        a31: String, a32: String, a33: String) =
+      s"($a11 * ($a22 * $a33 - $a23 * $a32) - " +
+        s"$a12 * ($a21 * $a33 - $a23 * $a31) + " +
+        s"$a13 * ($a21 * $a32 - $a22 * $a31))"
+    val (n, s1, s2, sy) = ("n::DOUBLE", "s1::DOUBLE", "s2::DOUBLE",
+      "sy::DOUBLE")
+    val (s11, s22, s12) = ("s11::DOUBLE", "s22::DOUBLE", "s12::DOUBLE")
+    val (s1y, s2y, syy) = ("s1y::DOUBLE", "s2y::DOUBLE", "syy::DOUBLE")
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val (b0, b1, b2) = (s"($d0 / $dd)", s"($d1 / $dd)", s"($d2 / $dd)")
+    val sse = s"($syy - ($b0 * $sy + $b1 * $s1y + $b2 * $s2y))"
+    val sst = s"($syy - $sy * $sy / $n)"
+    s"""WITH b AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(9,2)) AS x1,
+             CAST(l_discount AS DECIMAL(5,4)) AS x2,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+               + 0.5) / 10000.0 AS DECIMAL(13,4)) AS y
+           FROM lineitem),
+         st AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+             SUM(CAST(x1 * x1 AS DECIMAL(38,4))) AS s11,
+             SUM(CAST(x2 * x2 AS DECIMAL(38,8))) AS s22,
+             SUM(CAST(x1 * x2 AS DECIMAL(38,6))) AS s12,
+             SUM(CAST(x1 * y AS DECIMAL(38,6))) AS s1y,
+             SUM(CAST(x2 * y AS DECIMAL(38,8))) AS s2y,
+             -- widen one operand: the (13,4)² product needs DuckDB's
+             -- int128 multiply path (the linregSql fix, verbatim)
+             SUM(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(38,8)))
+               AS syy
+           FROM b GROUP BY 1)
+         SELECT l_returnflag, n,
+           floor($b0 * 1000000.0 + 0.5) / 1000000.0 AS b0,
+           floor($b1 * 1000000.0 + 0.5) / 1000000.0 AS b1,
+           floor($b2 * 1000000.0 + 0.5) / 1000000.0 AS b2,
+           floor((1.0 - $sse / $sst) * 1000000.0 + 0.5) / 1000000.0
+             AS r2
+         FROM st ORDER BY l_returnflag"""
+  }
+
   private lazy val linregSql: String = {
       val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
       val varx = "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
@@ -3442,6 +3551,9 @@ object Extras {
     // with an exact decimal fold; the verdict thresholds compare the
     // UNROUNDED sum on both sides (equal because the summed terms are
     // equal decimals)
+    // identical ten moments, identical cofactor expansion — every
+    // product and subtraction in the same order, so the doubles match
+    "x_ols2" -> ols2Sql,
     // same 60-bit md5 uniform, same ln(u)/w key on the 1e-9 grid,
     // same (key DESC, doc_id ASC) order
     "x_wsample" ->
