@@ -44,18 +44,31 @@ def fam(t):
             else t)
 
 
-def main():
-    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
-    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+def connect(sfdir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    sfdir, outdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # fresh connection per query: a single long-lived connection
+    # accumulates buffer-pool state across ~300 heavy replays
+    # (recursive CTEs, wide window frames) and eventually throws
+    # "Out of Memory Error: Failed to allocate block" on queries that
+    # replay green in isolation — observed twice while regenerating
+    # the sf0.1 artifact. Per-query reconnects cost ~ms each and make
+    # every replay independent; re-registering the views is the whole
+    # setup.
     result = {}
     n_pass = 0
     for name in sorted(oracle):
+        con = connect(sfdir)
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None}
