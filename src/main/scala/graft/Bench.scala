@@ -71,7 +71,7 @@ object Bench {
   /** One clean historical artifact: its per-query times plus the
     * host-day sentinel it recorded (-1 for pre-sentinel artifacts). */
   private final case class HistArtifact(sentinel: Double,
-      queries: Map[String, Double])
+      contended: Boolean, queries: Map[String, Double])
 
   private def benchArtifacts(root: java.io.File,
       sf: String): Vector[HistArtifact] = {
@@ -128,7 +128,7 @@ object Bench {
           }
           if (m.isEmpty) None
           else Some(HistArtifact(
-            node.path("sentinel_sec").asDouble(-1.0), m))
+            node.path("sentinel_sec").asDouble(-1.0), contended, m))
         }
       } catch { case _: Throwable => None }
     }
@@ -419,10 +419,24 @@ object Bench {
     val hist = benchHistory(arts)
     val minima = benchMinima(hist)
     // sentinel-normalized minima: each artifact's times in units of its
-    // own sentinel (sentinel-less history is skipped — no guessing)
+    // own sentinel (sentinel-less history is skipped — no guessing).
+    // CONTENDED artifacts need one more gate (r16 advice): the per-pass
+    // steal filter cleans their query times, but nothing cleans their
+    // SENTINEL — a burst landing on both sentinel windows inflates it,
+    // deflating every normalized time and permanently poisoning
+    // min_norm (future clean runs then flag above_min_norm forever).
+    // A contended artifact's sentinel is trusted only if it sits inside
+    // the clean-artifact sentinel envelope (≤ 1.25× the clean median);
+    // otherwise the artifact contributes nothing normalized.
+    val cleanSents = arts.collect {
+      case a if !a.contended && a.sentinel > 0 => a.sentinel }
+    val sentEnvelope =
+      if (cleanSents.nonEmpty) median(cleanSents) * 1.25 else -1.0
     val minimaNorm = benchMinima(benchHistory(
-      arts.filter(_.sentinel > 0).map(a => a.copy(queries =
-        a.queries.view.mapValues(_ / a.sentinel).toMap))))
+      arts.filter(a => a.sentinel > 0 && (!a.contended ||
+          (sentEnvelope > 0 && a.sentinel <= sentEnvelope)))
+        .map(a => a.copy(queries =
+          a.queries.view.mapValues(_ / a.sentinel).toMap))))
     val aboveMin = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       minima.get(k).collect {
         case m if m > 0 && v > m * 1.5 && v - m > 0.5 =>

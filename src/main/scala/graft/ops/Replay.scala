@@ -35,6 +35,38 @@ private[graft] object Replay {
     base
   }
 
+  /** PERSISTENT maintained-state dir for `tag`/`d`, keyed by a caller-
+    * supplied fingerprint — the deployment shape of maintenance: the
+    * state table OUTLIVES a run, and the next tick pays only the
+    * delta. Returns (dir, alreadyBuilt): alreadyBuilt is true iff a
+    * prior run finished a build under the SAME key (marker file), in
+    * which case the caller skips its build phase and reads the state
+    * as-is — exactly what the steady passes of a bench measure. The
+    * key must encode every input the state depends on (data cut,
+    * thresholds, algorithm caps); a key change lands in a fresh dir so
+    * stale state from another configuration can never be read, and the
+    * registered row's full-graph oracle still hash-checks whatever is
+    * read. Unlike [[scratchDir]] this does NOT wipe — the build phase
+    * must write atomically-enough (parquet overwrite + marker last).
+    */
+  def maintainedDir(tag: String, d: String,
+      key: String): (java.io.File, Boolean) = {
+    val base = new java.io.File(
+      s"/tmp/graft_$tag/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}_" +
+        s"k${key.replaceAll("[^0-9a-zA-Z.-]", "_")}")
+    base.mkdirs()
+    val marker = new java.io.File(base, "_BUILT")
+    (base, marker.isFile)
+  }
+
+  /** Marks a [[maintainedDir]] build complete (write LAST, after all
+    * state parquet has landed). */
+  def markBuilt(base: java.io.File): Unit = {
+    java.nio.file.Files.write(new java.io.File(base, "_BUILT").toPath,
+      Array.emptyByteArray)
+    ()
+  }
+
   /** Write `df` as exactly one parquet file named `name` under `base`
     * (staged single-part write, then the part file is copied to the
     * target name so the glob filter can address it).

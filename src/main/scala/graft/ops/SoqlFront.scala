@@ -251,6 +251,32 @@ object SoqlFront {
         " c_mktsegment WHEN Supplier THEN s_name, s_acctbal END" +
         " FROM events WHERE ts >= LAST_N_DAYS:2 AND value > 90" +
         " ORDER BY event_id",
+      today = Some(java.time.LocalDate.of(2024, 1, 28)))),
+
+    // IN-list NULL + date literals (r16 verdict #5, two refusals now
+    // defined semantics): `category` is the nullable derived field
+    // (null below value 50), so IN (null, 'click') matches low-value
+    // rows AND high-value clicks; `ts IN (YESTERDAY, TODAY)` is the
+    // union of two half-open day ranges; the NOT IN conjunct proves
+    // the negation excludes null rows
+    "soql_inlist" -> ((s, d) => Soql.query(s, d,
+      "SELECT event_id, event_type, value FROM events" +
+        " WHERE category IN (null, 'click')" +
+        " AND ts IN (YESTERDAY, TODAY)" +
+        " AND event_type NOT IN ('error', null)" +
+        " ORDER BY event_id",
+      today = Some(java.time.LocalDate.of(2024, 1, 28)))),
+
+    // TYPEOF with ELSE (r16 verdict #4): branch-matched rows project
+    // their branch fields; every OTHER type's rows get the ELSE
+    // fields, which must be COMMON to all declared targets (Id/Name —
+    // the PolyTarget.common standard-field identity); here Supplier
+    // rows flow through ELSE
+    "soql_typeof2" -> ((s, d) => Soql.query(s, d,
+      "SELECT event_id, TYPEOF actor WHEN Customer THEN c_name," +
+        " c_acctbal ELSE Name, Id END" +
+        " FROM events WHERE ts >= LAST_N_DAYS:2 AND value > 90" +
+        " ORDER BY event_id",
       today = Some(java.time.LocalDate.of(2024, 1, 28)))))
 
   val oracles: Map[String, String] = Map(
@@ -453,6 +479,38 @@ object SoqlFront {
            c.c_mktsegment AS actor_customer_c_mktsegment,
            s.s_name AS actor_supplier_s_name,
            s.s_acctbal AS actor_supplier_s_acctbal
+         FROM events
+           LEFT JOIN customer c
+             ON user_id = c.c_custkey AND user_id % 2 = 0
+           LEFT JOIN supplier s
+             ON user_id = s.s_suppkey AND user_id % 2 = 1
+         WHERE ts >= TIMESTAMP '2024-01-26 00:00:00' AND value > 90
+         ORDER BY event_id""",
+    // category = event_type when value >= 50 else NULL; IN with a
+    // NULL item ORs an IS NULL test; date literals are day ranges
+    // (anchor 2024-01-28); NOT IN ('error', null) = type != 'error'
+    // AND type IS NOT NULL (no-op on this null-free column, pinned
+    // anyway)
+    "soql_inlist" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE ((CASE WHEN value >= 50 THEN event_type END) = 'click'
+                OR (CASE WHEN value >= 50 THEN event_type END) IS NULL)
+           AND ((ts >= TIMESTAMP '2024-01-27 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-28 00:00:00')
+                OR (ts >= TIMESTAMP '2024-01-28 00:00:00'
+                    AND ts < TIMESTAMP '2024-01-29 00:00:00'))
+           AND NOT (event_type = 'error' OR event_type IS NULL)
+         ORDER BY event_id""",
+    // ELSE = the unmatched target's shared standard fields (Supplier
+    // here), null on branch-matched rows
+    "soql_typeof2" ->
+      """SELECT event_id,
+           CASE WHEN user_id % 2 = 0 THEN 'Customer'
+                ELSE 'Supplier' END AS actor_type,
+           c.c_name AS actor_customer_c_name,
+           c.c_acctbal AS actor_customer_c_acctbal,
+           s.s_name AS actor_else_name,
+           s.s_suppkey AS actor_else_id
          FROM events
            LEFT JOIN customer c
              ON user_id = c.c_custkey AND user_id % 2 = 0

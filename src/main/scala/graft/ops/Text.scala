@@ -27,6 +27,50 @@ object Text {
   /** Single-space word split (the documents corpus is single-spaced). */
   private def words(c: Column): Column = split(c, " ")
 
+  /** Shared BPE merge training (t_bpe_merges / t_bpe_encode): three
+    * byte-pair merge rounds over the word corpus — DISTRIBUTED pair
+    * counting (the shuffle carries pair strings, never sequences),
+    * global argmax (count DESC, pair ASC), one literal delimiter-
+    * bounded replace per round. Both engines' replace() scans left to
+    * right without rescanning replacements, so CONSECUTIVE overlapping
+    * occurrences merge on the next round rather than within one — a
+    * disclosed, engine-agreed convention. Returns the per-round
+    * (round, pair, merged, cnt) single-row frames (each backed by a
+    * materialized top-1, so callers can collect them for free). At
+    * 100 TB, training runs on a deterministic hash sample of the
+    * corpus (the x_sample / pqCodebooksK discipline) — pair counts
+    * converge long before corpus scale; full-corpus here keeps the
+    * oracle total.
+    */
+  private def bpeTrainRounds(docs: DataFrame): Seq[DataFrame] = {
+    var seqs = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(concat(lit(" "),
+        concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
+      .localCheckpoint()
+    (1 to 3).map { r =>
+      val pairs = seqs
+        .select(split(trim(col("seq")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), " +
+            "i -> struct(a[i] as x, a[i+1] as y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("cnt"))
+      val top1 = pairs
+        .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1)
+        .localCheckpoint()
+      seqs = seqs.crossJoin(broadcast(top1))
+        .select(expr("replace(seq, ' ' || x || ' ' || y || ' ', " +
+          "' ' || x || y || ' ')").as("seq"))
+        .localCheckpoint()
+      top1.select(lit(r).as("round"),
+        concat_ws(" ", col("x"), col("y")).as("pair"),
+        concat(col("x"), col("y")).as("merged"), col("cnt"))
+    }
+  }
+
   private val stopwords = Seq("the", "a", "of", "to", "in")
 
   /** t_chunkpack body, parameterized by shard width so PropertySpec can
@@ -392,34 +436,71 @@ object Text {
     // corpus (the x_sample / pqCodebooksK discipline) — pair counts
     // converge long before corpus scale; full-corpus here keeps the
     // oracle total.
-    "t_bpe_merges" -> ((s, d) => {
-      var seqs = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .select(concat(lit(" "),
-          concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
-        .localCheckpoint()
-      val rounds = (1 to 3).map { r =>
-        val pairs = seqs
-          .select(split(trim(col("seq")), " ").as("a"))
-          .filter(size(col("a")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(a) - 2), " +
-              "i -> struct(a[i] as x, a[i+1] as y))")).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(count(lit(1)).as("cnt"))
-        val top1 = pairs
-          .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1)
-          .localCheckpoint()
-        seqs = seqs.crossJoin(broadcast(top1))
-          .select(expr("replace(seq, ' ' || x || ' ' || y || ' ', " +
-            "' ' || x || y || ' ')").as("seq"))
-          .localCheckpoint()
-        top1.select(lit(r).as("round"),
-          concat_ws(" ", col("x"), col("y")).as("pair"),
-          concat(col("x"), col("y")).as("merged"), col("cnt"))
+    "t_bpe_merges" -> ((s, d) =>
+      bpeTrainRounds(t(s, d, "documents"))
+        .reduce(_ unionByName _).orderBy("round")),
+
+    // BPE ENCODE — apply the learned merge table to the corpus (the
+    // tokenizer's APPLY side t_bpe_merges trains but never runs): per
+    // document, every word's character sequence is rewritten through
+    // the 3 merges IN TRAINING ORDER (the same literal delimiter-
+    // bounded replace, so apply ≡ the training rewrite by
+    // construction), final symbols map to dense vocabulary ids
+    // (lexicographic — deterministic in both engines), and the output
+    // is per-doc token count + the id sequence. Scale shape: the merge
+    // table (3 rows) and the vocabulary (|alphabet| + merges — BOUNDED
+    // metadata, not corpus data) are the only driver collects; the
+    // rewrite is a codegen'd per-row expression chain, id lookup is a
+    // literal-map element_at (no join, no explode of symbols), and the
+    // per-doc reassembly is one hash aggregation with an array_sort
+    // over word positions. The PropertySpec round-trip pins
+    // decode(encode(x)) = x: merged symbols concatenate back to the
+    // exact word list.
+    "t_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = bpeTrainRounds(docs)
+        .map(_.select("pair", "merged").head())
+        .map(r => (r.getString(0), r.getString(1)))
+      val vmapCol = {
+        // final vocabulary: distinct surviving symbols, dense-ranked
+        // lexicographically (binary UTF-8 order — DuckDB's default
+        // collation, so the oracle's row_number agrees)
+        val seqCol = merges.foldLeft(concat(lit(" "),
+            concat_ws(" ", split(col("w"), "")), lit(" "))) {
+          case (c, (p, m)) =>
+            val Array(x, y) = p.split(" ", 2)
+            replace(c, lit(s" $x $y "), lit(s" $m "))
+        }
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .select(explode(split(trim(seqCol), " ")).as("sym"))
+          .distinct().orderBy("sym")
+          .collect().map(_.getString(0))
+        map(vocab.zipWithIndex.flatMap { case (sym, i) =>
+          Seq(lit(sym), lit(i + 1L)) }: _*)
       }
-      rounds.reduce(_ unionByName _).orderBy("round")
+      val seqCol = merges.foldLeft(concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" "))) {
+        case (c, (p, m)) =>
+          val Array(x, y) = p.split(" ", 2)
+          replace(c, lit(s" $x $y "), lit(s" $m "))
+      }
+      val toks = split(trim(seqCol), " ")
+      val ids = transform(toks, tk =>
+        element_at(vmapCol, tk).cast("string"))
+      docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) >= 1)
+        .select(col("doc_id"), col("pos"), size(toks).as("n"),
+          concat_ws(" ", ids).as("ws"))
+        .groupBy("doc_id")
+        .agg(sum(col("n").cast("long")).as("n_tokens"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("ws")))),
+            x => x.getField("ws"))).as("token_ids"))
+        .orderBy("doc_id")
     }),
 
     // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
@@ -1316,6 +1397,71 @@ object Text {
          UNION ALL
          SELECT 3, x || ' ' || y, x || y, cnt FROM t3
          ORDER BY round"""
+    },
+    // training replay (identical CTE chain to t_bpe_merges) + apply:
+    // per-doc positional words rewritten through the same 3 replaces,
+    // symbols dense-ranked lexicographically (binary collation on both
+    // engines), ids string-joined in (pos, symbol-pos) order
+    "t_bpe_encode" -> {
+      def round(r: Int): String = {
+        val prev = s"w${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           SELECT a[i] AS x, a[i+1] AS y, COUNT(*) AS cnt
+           FROM (SELECT string_split(trim(seq), ' ') AS a FROM $prev),
+                LATERAL (SELECT unnest(range(1, len(a))) AS i)
+           WHERE len(a) >= 2
+           GROUP BY 1, 2),
+         t$r AS (SELECT x, y, cnt FROM p$r
+                 ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         w$r AS MATERIALIZED (
+           SELECT replace(seq, ' ' || t$r.x || ' ' || t$r.y || ' ',
+             ' ' || t$r.x || t$r.y || ' ') AS seq
+           FROM $prev, t$r)"""
+      }
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+             || ' ' AS seq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE len(w) >= 1),
+         ${round(1)},
+         ${round(2)},
+         ${round(3)},
+         wd AS (
+           SELECT doc_id, i AS pos,
+             ' ' || array_to_string(string_split(ws[i], ''), ' ')
+               || ' ' AS seq
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+                LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+           WHERE len(ws[i]) >= 1),
+         e1 AS MATERIALIZED (
+           SELECT doc_id, pos, replace(seq,
+             ' ' || t1.x || ' ' || t1.y || ' ',
+             ' ' || t1.x || t1.y || ' ') AS seq FROM wd, t1),
+         e2 AS MATERIALIZED (
+           SELECT doc_id, pos, replace(seq,
+             ' ' || t2.x || ' ' || t2.y || ' ',
+             ' ' || t2.x || t2.y || ' ') AS seq FROM e1, t2),
+         e3 AS MATERIALIZED (
+           SELECT doc_id, pos, replace(seq,
+             ' ' || t3.x || ' ' || t3.y || ' ',
+             ' ' || t3.x || t3.y || ' ') AS seq FROM e2, t3),
+         sym AS (
+           SELECT doc_id, pos, i, a[i] AS s
+           FROM (SELECT doc_id, pos, string_split(trim(seq), ' ') AS a
+                 FROM e3),
+                LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)),
+         vocab AS (
+           SELECT s, row_number() OVER (ORDER BY s) AS id
+           FROM (SELECT DISTINCT s FROM sym) q),
+         wid AS (
+           SELECT doc_id, pos, COUNT(*) AS n,
+             string_agg(v.id::VARCHAR, ' ' ORDER BY i) AS ws
+           FROM sym JOIN vocab v USING (s) GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           string_agg(ws, ' ' ORDER BY pos) AS token_ids
+         FROM wid GROUP BY doc_id ORDER BY doc_id"""
     },
     "t_lmscore3" ->
       """WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS sid FROM documents),

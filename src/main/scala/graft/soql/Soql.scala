@@ -157,7 +157,8 @@ object Soql {
     * polymorphic relationship: each branch names the fields to emit
     * when the row's target resolves to that type. */
   final case class TypeofBranch(typeName: String, fields: Seq[String])
-  final case class TypeofItem(rel: String, branches: Seq[TypeofBranch])
+  final case class TypeofItem(rel: String, branches: Seq[TypeofBranch],
+      elseFields: Seq[String] = Seq.empty)
   /** `fieldsMode` marks a `SELECT FIELDS(...)` projection: "" (none),
     * "ALL" (full width — the p2_star shape), "STANDARD"/"CUSTOM"
     * (category-restricted width from the object's describe field
@@ -198,8 +199,13 @@ object Soql {
   final case class ChildRel(name: String, table: String, fk: String,
       pk: String)
 
-  /** One target type of a polymorphic relationship. */
-  final case class PolyTarget(table: String, pk: String)
+  /** One target type of a polymorphic relationship. `common` maps the
+    * lower-cased SHARED standard field names (what Salesforce lets a
+    * TYPEOF ELSE project — Id, Name, …) to this target's own column —
+    * the cross-type field identity a live describe carries for
+    * standard fields present on every object. */
+  final case class PolyTarget(table: String, pk: String,
+      common: Map[String, String] = Map.empty)
 
   /** A POLYMORPHIC parent relationship (Salesforce WhoId/WhatId): one
     * FK whose target TYPE varies per row. `typeExpr` is the
@@ -285,7 +291,13 @@ object Soql {
       // e_multipick (ops/Etl.scala) synthesizes it
       "lineitem" -> Map(
         "flags" -> concat_ws(";", col("l_returnflag"),
-          col("l_linestatus")))),
+          col("l_linestatus"))),
+      // a genuinely NULLABLE field (the testdata parquet carries no
+      // nulls anywhere): category is the event type only for
+      // high-value events — the fixture the IN-list NULL semantics
+      // are exercised against
+      "events" -> Map(
+        "category" -> when(col("value") >= 50, col("event_type")))),
     // the field-category stand-in for describe `custom` flags (the
     // testdata parquet has no __c fields; a live org's categories come
     // through customFieldsOf over the describe-frozen schema — see
@@ -303,8 +315,13 @@ object Soql {
           when(col("user_id") % 2 === 0, "Customer")
             .otherwise("Supplier"),
           Seq(
-            "Customer" -> PolyTarget("customer", "c_custkey"),
-            "Supplier" -> PolyTarget("supplier", "s_suppkey"))))))
+            // `common` = the shared standard fields a TYPEOF ELSE may
+            // project (Salesforce: Id, Name, …), mapped to each
+            // target's own column
+            "Customer" -> PolyTarget("customer", "c_custkey",
+              Map("id" -> "c_custkey", "name" -> "c_name")),
+            "Supplier" -> PolyTarget("supplier", "s_suppkey",
+              Map("id" -> "s_suppkey", "name" -> "s_name")))))))
 
   // ---------- tokenizer ----------
 
@@ -641,11 +658,26 @@ object Soql {
             branches += TypeofBranch(tn, fs.result())
             more = p.kw("WHEN")
           }
-          require(!p.kw("ELSE"),
-            s"TYPEOF ELSE is not supported (its fields must be common " +
-              s"to every target type — name them per-branch instead): $q")
+          // ELSE projects fields COMMON to every possible target type
+          // (Salesforce restricts them to shared standard fields — the
+          // graph's PolyTarget.common map carries that identity);
+          // validation against the declared targets happens at
+          // translation, where the relationship is resolved
+          val elseFs =
+            if (p.kw("ELSE")) {
+              val fs = Seq.newBuilder[String]
+              fs += p.ident()
+              require(!p.punct("."),
+                s"TYPEOF ELSE fields are direct shared fields only: $q")
+              while (p.punct(",")) {
+                fs += p.ident()
+                require(!p.punct("."),
+                  s"TYPEOF ELSE fields are direct shared fields only: $q")
+              }
+              fs.result()
+            } else Seq.empty
           p.expectKw("END")
-          typeofs += TypeofItem(rel, branches.result())
+          typeofs += TypeofItem(rel, branches.result(), elseFs)
         } else if (aggFns(first.toUpperCase) && p.punct("(")) {
           // aggregate item: COUNT() | FN(field-or-dot-path) [alias]
           val f = if (p.punct(")")) None else {
@@ -1047,15 +1079,32 @@ object Soql {
     case Cmp(p, ">=", v) => r.col(p) >= litCol(v)
     case Cmp(_, op, _) => sys.error(s"unsupported operator $op")
     case InList(p, vs, neg) =>
-      val c = r.col(p).isin(vs.map {
-        case SLit(s) => s: Any
-        case NLit(n) => (if (n.isValidLong) n.toLong else n.toDouble): Any
-        case BLit(b) => b: Any
-        case NullLit => sys.error("NULL inside IN list is not supported")
-        case _: DLit =>
-          sys.error("date literals inside IN lists are not supported")
-      }: _*)
-      if (neg) !c else c
+      // IN = OR over per-value membership tests (r16 verdict #5, two
+      // refusals now defined):
+      //  - NULL matches null-valued fields (SOQL treats null as a
+      //    comparable value inside IN); NOT IN with a NULL item
+      //    therefore EXCLUDES null rows — the negation of (… OR
+      //    isNull) is null-free by construction;
+      //  - a date literal expands to containment in its half-open day
+      //    range (the Cmp `=` semantics), so IN over date literals is
+      //    a union of ranges.
+      // Plain values keep the engine's pinned SQL comparison
+      // convention (the Cmp family's, oracle-mirrored): without a
+      // NULL item, null rows satisfy neither IN nor NOT IN.
+      val c = r.col(p)
+      val pred = vs.map {
+        case NullLit => c.isNull
+        case d: DLit =>
+          val (lo, hi) = dateRange(d, today, fiscalStartMonth,
+            fiscalCalendar)
+          c >= timestamp_micros(lit(lo)) &&
+            c < timestamp_micros(lit(hi))
+        case SLit(s) => c === org.apache.spark.sql.functions.lit(s)
+        case NLit(n) => c === org.apache.spark.sql.functions.lit(
+          if (n.isValidLong) n.toLong else n.toDouble)
+        case BLit(b) => c === org.apache.spark.sql.functions.lit(b)
+      }.reduce(_ || _)
+      if (neg) !pred else pred
     case LikeE(p, pat) => r.col(p).like(pat)
     case IncludesE(p, items, neg) =>
       // multipicklist membership over the semicolon-joined wire format:
@@ -1269,6 +1318,43 @@ object Soql {
             pr.typeExpr === lit(tname), "left")
         typeofCols ++= b.fields.map(f => col(s"__${key}__$f")
           .as(s"${pr.name}_${tname.toLowerCase}_$f"))
+      }
+      // ELSE: fields common to EVERY target type (validated against
+      // each target's declared `common` map — an unshared field
+      // refuses loudly), populated only for rows whose type matched NO
+      // WHEN branch (the Salesforce semantics). One type-gated LEFT
+      // join per UNMATCHED target; each ELSE column coalesces the
+      // per-target columns — branch-matched rows stay null because
+      // their targets are never joined for ELSE.
+      if (tf.elseFields.nonEmpty) {
+        for (f <- tf.elseFields; (tn, tgt) <- pr.targets)
+          require(tgt.common.contains(f.toLowerCase),
+            s"TYPEOF ELSE field '$f' is not common to every target " +
+              s"type of ${pr.name} (missing from $tn — shared fields: " +
+              pr.targets.flatMap(_._2.common.keys).distinct
+                .mkString(", ") + ")")
+        val unmatched = pr.targets.filterNot { case (tn, _) =>
+          tf.branches.exists(_.typeName.equalsIgnoreCase(tn)) }
+        val keyed = unmatched.map { case (tname, tgt) =>
+          val key = s"${pr.name}__else_${tname.toLowerCase}"
+          val parent = graft.ops.t(spark, dir, tgt.table).columns
+            .foldLeft(graft.ops.t(spark, dir, tgt.table)) { (d2, c) =>
+              d2.withColumnRenamed(c, s"__${key}__$c")
+            }
+          df = df.join(parent,
+            df(pr.fk) === parent(s"__${key}__${tgt.pk}") &&
+              pr.typeExpr === lit(tname), "left")
+          (key, tgt)
+        }
+        typeofCols ++= tf.elseFields.map { f =>
+          val srcs = keyed.map { case (key, tgt) =>
+            col(s"__${key}__${tgt.common(f.toLowerCase)}")
+          }
+          (if (srcs.isEmpty) lit(null)
+           else if (srcs.size == 1) srcs.head
+           else coalesce(srcs: _*))
+            .as(s"${pr.name}_else_${f.toLowerCase}")
+        }
       }
     }
     // nested child subqueries: per-parent ordered comma-joined string

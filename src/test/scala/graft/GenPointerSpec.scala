@@ -134,6 +134,75 @@ class GenPointerSpec extends SparkTestBase {
     } finally GenPointerStore.unbind(storePath)
   }
 
+  test("list-after-put: a reader of a just-flipped pointer sees the " +
+      "FULL generation under a strong-list store, for every " +
+      "publisher/reader interleaving — and the legacy eventual-LIST " +
+      "model has a concrete counter-example (the REQUIRED guarantee)") {
+    // The gen layout's data plane is write-once files + pointer-LAST:
+    // every gen=N object is PUT strictly before the pointer flip, and
+    // a reader only lists gen=N after it has READ a pointer naming N.
+    // That protocol is safe iff the store guarantees list-after-put
+    // ORDERING across keys: a LIST issued after a GET that returned
+    // the pointer must include every object PUT before the pointer's
+    // PUT. S3 (since its Dec 2020 strong-consistency change) and GCS
+    // both provide this; the legacy eventual-LIST model does NOT, and
+    // under it a reader can resolve gen=N yet list a PARTIAL
+    // generation — which is why the layout's store contract REQUIRES
+    // strong list-after-put (documented on GenPointerStore), not just
+    // the conditional PUT.
+    final class ModelDataPlane(strongList: Boolean) {
+      private val objects = scala.collection.mutable.Set[String]()
+      private val unlisted = scala.collection.mutable.Set[String]()
+      def put(k: String): Unit = synchronized {
+        objects += k; if (!strongList) unlisted += k; ()
+      }
+      def list(prefix: String): Set[String] = synchronized {
+        objects.diff(unlisted).filter(_.startsWith(prefix)).toSet
+      }
+      def settle(): Unit = synchronized { unlisted.clear() }
+    }
+    val files = (1 to 4).map(i => s"gen=1/part-$i.parquet")
+    // STRONG model: enumerate every reader position relative to the
+    // publisher's steps (after each put, and after the flip). The
+    // reader proceeds only once the pointer names gen 1 — and must
+    // then list ALL four files. Write-once + pointer-last makes this
+    // a theorem under the strong model; the loop checks every
+    // interleaving anyway (the proof obligation, made executable).
+    for (readerAt <- 0 to files.size) {
+      val plane = new ModelDataPlane(strongList = true)
+      val ptr = new FakeObjectStore
+      var readerSawGen = Option.empty[Long]
+      files.zipWithIndex.foreach { case (f, i) =>
+        plane.put(f)
+        // reader polls the pointer mid-publish: sees nothing yet
+        if (i == readerAt && readerSawGen.isEmpty)
+          readerSawGen = ptr.read("/p").map(_._1)
+      }
+      assert(readerSawGen.isEmpty,
+        "reader resolved a generation before the flip")
+      assert(ptr.putIf("/p", 1L, None))
+      // reader now observes the flipped pointer, then lists
+      val gen = ptr.read("/p").get._1
+      assert(gen == 1L)
+      assert(plane.list(s"gen=$gen/") == files.toSet,
+        s"strong-list reader saw a partial generation at $readerAt")
+    }
+    // WEAK model: same protocol, eventual LIST — the reader resolves
+    // the pointer but the list misses every file until the plane
+    // settles. This is the counter-example that makes the strong
+    // guarantee a REQUIREMENT, not an optimization.
+    val plane = new ModelDataPlane(strongList = false)
+    val ptr = new FakeObjectStore
+    files.foreach(plane.put)
+    assert(ptr.putIf("/p", 1L, None))
+    assert(ptr.read("/p").get._1 == 1L)
+    assert(plane.list("gen=1/").isEmpty,
+      "the weak model unexpectedly listed fresh puts — the " +
+        "counter-example this test documents no longer demonstrates")
+    plane.settle()
+    assert(plane.list("gen=1/") == files.toSet)
+  }
+
   test("POSIX pointer compare-and-set: a stale content token is " +
       "rejected the same way (the default store honors the contract)") {
     val statePath = tmpDir("genstore_posix") + "/st"

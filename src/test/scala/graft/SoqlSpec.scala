@@ -209,12 +209,15 @@ class SoqlSpec extends SparkTestBase {
           !(col("o_orderdate") >= ts("1998-01-01 00:00:00") &&
             col("o_orderdate") < ts("1999-01-01 00:00:00")))
         .select("o_orderkey"))
-    // a date literal outside a comparison RHS refuses loudly
-    intercept[RuntimeException] {
+    // a date literal inside IN expands to its range test (r16 refusal
+    // now defined): IN (TODAY) ≡ = TODAY
+    same(
       Soql.query(spark, dir,
         "SELECT o_orderkey FROM orders WHERE o_orderdate IN (TODAY)",
-        today = t0)
-    }
+        today = t0),
+      Soql.query(spark, dir,
+        "SELECT o_orderkey FROM orders WHERE o_orderdate = TODAY",
+        today = t0))
     intercept[IllegalArgumentException] {
       Soql.parse("SELECT a FROM b WHERE c >= LAST_N_DAYS:0")
     }
@@ -393,11 +396,85 @@ class SoqlSpec extends SparkTestBase {
       rows.exists(r => !r.isNullAt(3)))
   }
 
-  test("TYPEOF refusals: ELSE, unknown relationship, undeclared type, " +
-      "aggregate mix, dotted branch fields") {
-    intercept[RuntimeException] {
+  test("IN-list NULL and date literals (r16 refusals now defined): " +
+      "NULL matches null fields, NOT IN excludes them, dates are ranges") {
+    val today = Some(java.time.LocalDate.of(2024, 1, 28))
+    // category (derived) is null below value 50 — IN (null, 'x')
+    // matches every low-value row plus high-value x rows
+    val in = Soql.query(spark, dir,
+      "SELECT event_id, value, event_type FROM events" +
+        " WHERE category IN (null, 'click') AND ts >= LAST_N_DAYS:2",
+      today = today).collect()
+    assert(in.nonEmpty)
+    assert(in.forall(r =>
+      r.getDouble(1) < 50 || r.getString(2) == "click"))
+    assert(in.exists(_.getDouble(1) < 50) &&
+      in.exists(r => r.getDouble(1) >= 50 &&
+        r.getString(2) == "click"))
+    // NOT IN with a NULL item excludes null-category rows entirely
+    val notIn = Soql.query(spark, dir,
+      "SELECT event_id, value, event_type FROM events" +
+        " WHERE category NOT IN (null, 'click') AND ts >= LAST_N_DAYS:2",
+      today = today).collect()
+    assert(notIn.nonEmpty)
+    assert(notIn.forall(r =>
+      r.getDouble(1) >= 50 && r.getString(2) != "click"))
+    // the two sides partition the base set exactly
+    val base = Soql.query(spark, dir,
+      "SELECT event_id FROM events WHERE ts >= LAST_N_DAYS:2",
+      today = today).count()
+    assert(in.length + notIn.length == base)
+    // date literals inside IN = union of half-open day ranges
+    val dl = Soql.query(spark, dir,
+      "SELECT event_id FROM events WHERE ts IN (YESTERDAY, TODAY)",
+      today = today).count()
+    val y = Soql.query(spark, dir,
+      "SELECT event_id FROM events WHERE ts = YESTERDAY",
+      today = today).count()
+    val t = Soql.query(spark, dir,
+      "SELECT event_id FROM events WHERE ts = TODAY",
+      today = today).count()
+    assert(dl == y + t && dl > 0)
+  }
+
+  test("TYPEOF ELSE (r16 refusal now accepted): shared standard fields " +
+      "populate only on rows no WHEN branch matched") {
+    val got = Soql.query(spark, dir,
+      "SELECT event_id, TYPEOF actor WHEN Customer THEN c_name" +
+        " ELSE Name, Id END FROM events ORDER BY event_id LIMIT 500")
+    assert(got.columns.toSeq == Seq("event_id", "actor_type",
+      "actor_customer_c_name", "actor_else_name", "actor_else_id"))
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getString(1) == "Customer")
+        assert(r.isNullAt(3) && r.isNullAt(4),
+          s"ELSE populated on a branch-matched row: $r")
+      else
+        // fixture caveat: an odd user_id above the supplier keyspace
+        // dangles (no parent row — oracle-mirrored), so ELSE fields
+        // are null TOGETHER or populated together
+        assert(r.isNullAt(3) == r.isNullAt(4),
+          s"ELSE fields partially populated: $r")
+    }
+    assert(rows.exists(_.getString(1) == "Customer") &&
+      rows.exists(r => r.getString(1) == "Supplier" && !r.isNullAt(3)),
+      "no resolved Supplier row exercised the ELSE projection")
+  }
+
+  test("TYPEOF refusals: non-common ELSE field, unknown relationship, " +
+      "undeclared type, aggregate mix, dotted branch fields") {
+    // ELSE fields must be common to EVERY target type — event_id is
+    // not in any target's shared standard-field map
+    intercept[IllegalArgumentException] {
+      Soql.query(spark, dir,
+        "SELECT TYPEOF actor WHEN Customer THEN c_name" +
+          " ELSE event_id END FROM events")
+    }
+    // and dotted ELSE fields refuse at parse
+    intercept[IllegalArgumentException] {
       Soql.parse("SELECT TYPEOF actor WHEN Customer THEN c_name" +
-        " ELSE event_id END FROM events")
+        " ELSE nation.n_name END FROM events")
     }
     intercept[RuntimeException] {
       Soql.query(spark, dir,
