@@ -132,6 +132,51 @@ object Vectors {
         col("c")))), s => s.getField("c")).as("cv"))
       .select(col("k").as("cl"), col("cv"))
 
+  /** Lloyd-to-fixpoint over `e` (vec_id, label, embedding): the
+    * v_kmeans_conv loop, factored so the sampled-training variant can
+    * reuse it. Returns (converged assignment, converged centroids).
+    * Body unchanged from the r16-proven shape — an r17 attempt to fuse
+    * the changed-count join into the assignment checkpoint measured 2×
+    * SLOWER (19.9 → 43 s one-shot at sf0.1), so the two-action round
+    * (checkpoint, then join-count over two cached frames) stays.
+    */
+  private def kmeansLoop(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, tag: String): (DataFrame, DataFrame) = {
+    val cap = KmeansMaxRounds
+    var cent = fxCentroids(
+      e.select(col("label").as("k"), col("embedding")))
+    var prev: DataFrame = null
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < cap) {
+      val asg = ivfRanked(e, cent).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+        .localCheckpoint(true)
+      changed =
+        if (prev == null) asg.count()
+        else asg.as("a").join(prev.as("p"), "vec_id")
+          .filter(col("a.cluster") =!= col("p.cluster")).count()
+      if (changed > 0)
+        cent = fxCentroids(asg.select(col("cluster").as("k"),
+          col("v").as("embedding")))
+      prev = asg
+      rounds += 1
+      // the d_clusters attribution discipline: per-round progress on
+      // stderr so convergence behavior is visible in any run log
+      System.err.println(s"[$tag] round=$rounds changed=$changed")
+    }
+    require(changed == 0,
+      s"k-means did not converge within $cap rounds (oscillating " +
+        "fixture?) — refusing to return a non-fixpoint")
+    (prev.select(col("vec_id"), col("cluster")), cent)
+  }
+
+  private def kmeansFixpoint(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, tag: String): DataFrame = kmeansLoop(s, e, tag)._1
+
+  private def kmeansCentroids(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, tag: String): DataFrame = kmeansLoop(s, e, tag)._2
+
   /** Every vector ranked against every centroid → (vec_id, v, cl, cc,
     * rn): rn = 1 is the assignment, rn <= nprobe are a probe's search
     * cells. Pure-double arithmetic over the broadcast centroid list —
@@ -731,35 +776,29 @@ object Vectors {
     // MATERIALIZED, see ivfRoundsSql). Measured convergence: round 17
     // at sf0.01 (500 -> 80 -> 41 -> ... -> 0), round 22 at sf0.1 —
     // the cap leaves ~1.5x headroom.
-    "v_kmeans_conv" -> ((s, d) => {
+    "v_kmeans_conv" -> ((s, d) =>
+      kmeansFixpoint(s, t(s, d, "embeddings"), "v_kmeans_conv")
+        .orderBy("vec_id")),
+
+    // K-means at the PRODUCTION TRAINING SHAPE (r16 verdict #6): the
+    // fixpoint loop runs on a DETERMINISTIC 25% salted-hash sample
+    // (v_pq256's discipline — at 100 TB, Lloyd needs enough vectors to
+    // place k centroids, not the corpus), then ONE full-corpus
+    // assignment pass against the converged centroids. The full-
+    // training point (v_kmeans_conv) stays registered as the exact
+    // reference; IvfSpec measures and pins the sampled point's
+    // agreement with it. The oracle replays the same salted sample, so
+    // training is bit-identical across engines; convergence stays
+    // oracle-exact by the absorbing-fixpoint argument (the chain
+    // unrolls to the cap).
+    "v_kmeans_sampled" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val cap = KmeansMaxRounds
-      var cent = fxCentroids(
-        e.select(col("label").as("k"), col("embedding")))
-      var prev: DataFrame = null
-      var rounds = 0
-      var changed = 1L
-      while (changed > 0 && rounds < cap) {
-        val asg = ivfRanked(e, cent).filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("cl").as("cluster"))
-          .localCheckpoint(true)
-        changed =
-          if (prev == null) asg.count()
-          else asg.as("a").join(prev.as("p"), "vec_id")
-            .filter(col("a.cluster") =!= col("p.cluster")).count()
-        if (changed > 0)
-          cent = fxCentroids(asg.select(col("cluster").as("k"),
-            col("v").as("embedding")))
-        prev = asg
-        rounds += 1
-        // the d_clusters attribution discipline: per-round progress on
-        // stderr so convergence behavior is visible in any run log
-        System.err.println(s"[v_kmeans_conv] round=$rounds changed=$changed")
-      }
-      require(changed == 0,
-        s"k-means did not converge within $cap rounds (oscillating " +
-          "fixture?) — refusing to return a non-fixpoint")
-      prev.select(col("vec_id"), col("cluster"))
+      val train = graft.ops.Text.portableHash(concat(lit("kms:"),
+        col("vec_id").cast("string"))) % 4 === 0
+      val sample = e.filter(train)
+      val cent = kmeansCentroids(s, sample, "v_kmeans_sampled")
+      ivfRanked(e, cent).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl").as("cluster"))
         .orderBy("vec_id")
     }),
 
@@ -1953,6 +1992,25 @@ object Vectors {
     "v_kmeans_conv" ->
       s"""WITH ${ivfRoundsSql(KmeansMaxRounds)}
          SELECT vec_id, k AS cluster FROM rk$KmeansMaxRounds
+         WHERE rn = 1 ORDER BY vec_id""",
+    // the sampled-training twin: the SAME unrolled chain over the
+    // salted 25% sample (absorbing fixpoint at the cap), then one
+    // full-corpus assignment against the converged centroids
+    "v_kmeans_sampled" ->
+      s"""WITH tsamp AS MATERIALIZED (
+           SELECT * FROM embeddings
+           WHERE ('0x' || substr(md5('kms:' || vec_id), 1, 15))::BIGINT
+             % 4 = 0),
+         ${ivfRoundsSql(KmeansMaxRounds, table = "tsamp")},
+         rkf AS (
+           SELECT vec_id, k,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cc DESC, k ASC) AS rn
+           FROM (
+             SELECT e.vec_id, cl$KmeansMaxRounds.k,
+               ${cosVCSql("e.embedding", "cv")} AS cc
+             FROM embeddings e CROSS JOIN cl$KmeansMaxRounds))
+         SELECT vec_id, k AS cluster FROM rkf
          WHERE rn = 1 ORDER BY vec_id""",
     // v_ann_maintained shares v_ann_ivf's oracle VERBATIM: the
     // streaming-maintained inverted file must reproduce the batch-built
