@@ -85,7 +85,12 @@ object SparkEntry {
       // measured 11.4 s — representative of the already-headlined
       // iterative-graph family, so it stays full-sweep-only to keep
       // the headline set bounded)
-      "x_survival", "m_vad", "v_matryoshka")
+      "x_survival", "m_vad", "v_matryoshka",
+      // round-17 headliners: the tokenizer apply side and the sampled
+      // production k-means point; g_sssp_incr joins now that the 95/5
+      // maintained-state refit makes it the incremental-win
+      // demonstration row (5.0 s steady vs 5.8-6.3 from-scratch)
+      "t_bpe_encode", "v_kmeans_sampled", "g_sssp_incr")
     val have = queries.keySet
     val unknown = preferred.filterNot(have)
     // a typo here would silently drop a query from every bench artifact

@@ -49,6 +49,19 @@ object SoqlFront {
         " ORDER BY o_totalprice DESC LIMIT 3)" +
         " FROM customer ORDER BY c_custkey")),
 
+    // child ORDER BY with explicit NULLS FIRST/LAST (r16's last SOQL
+    // refusal, closed r17): the null placement rides the same
+    // top-k-per-parent window; fixture caveat disclosed — the child
+    // tables carry no nulls, so this row pins grammar + translation
+    // (the null-ordering mechanics are Spark's own asc_nulls_* /
+    // DuckDB's NULLS keywords, mirrored verbatim)
+    "soql_children3" -> ((s, d) => Soql.query(s, d,
+      "SELECT c_custkey, (SELECT o_orderkey FROM orders" +
+        " WHERE o_totalprice > 250000" +
+        " ORDER BY o_orderdate ASC NULLS LAST, o_totalprice DESC" +
+        " NULLS FIRST LIMIT 2)" +
+        " FROM customer ORDER BY c_custkey")),
+
     // aggregate shape: COUNT() + exact MIN/MAX (no floating
     // accumulation — the grid discipline stays trivial) with GROUP BY,
     // aliases, and SOQL's default exprN naming exercised via the alias
@@ -324,6 +337,25 @@ object SoqlFront {
                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
              FROM orders WHERE o_orderstatus = 'O')
            WHERE rk <= 3
+           GROUP BY o_custkey) n
+           ON c_custkey = n.o_custkey
+         ORDER BY c_custkey""",
+    // explicit NULLS placement mirrored verbatim in the window order
+    "soql_children3" ->
+      """SELECT c_custkey,
+           COALESCE(n.orders_o_orderkey_list, '')
+             AS orders_o_orderkey_list
+         FROM customer LEFT JOIN (
+           SELECT o_custkey,
+             array_to_string(list(o_orderkey ORDER BY rk), ',')
+               AS orders_o_orderkey_list
+           FROM (
+             SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS LAST,
+                   o_totalprice DESC NULLS FIRST, o_orderkey) AS rk
+             FROM orders WHERE o_totalprice > 250000)
+           WHERE rk <= 2
            GROUP BY o_custkey) n
            ON c_custkey = n.o_custkey
          ORDER BY c_custkey""",

@@ -608,8 +608,6 @@ object Soql {
         ob.foreach { o =>
           require(o.path.length == 1,
             s"child ORDER BY keys are direct child fields only: $q")
-          require(o.nullsFirst.isEmpty,
-            s"NULLS FIRST/LAST in a child subquery is not supported: $q")
         }
         // an unordered LIMIT returns engine-order rows — refuse rather
         // than mistranslate (SOQL itself gives no stable order there)
@@ -1388,9 +1386,20 @@ object Soql {
           // RANK order (SOQL returns child rows in their ORDER BY),
           // not the unordered form's ascending-value convention
           import org.apache.spark.sql.expressions.Window
+          // NULLS FIRST/LAST honored like the top-level ORDER BY path
+          // (r16 refusal closed — the window's sort order carries the
+          // explicit null placement; fixture caveat: the testdata
+          // child tables carry no nulls, so the grammar + translation
+          // are what the registered row pins)
           val ocols = cq.orderBy.map { o =>
             val c = col(o.path.head)
-            if (o.asc) c.asc else c.desc
+            o.nullsFirst match {
+              case Some(true) =>
+                if (o.asc) c.asc_nulls_first else c.desc_nulls_first
+              case Some(false) =>
+                if (o.asc) c.asc_nulls_last else c.desc_nulls_last
+              case None => if (o.asc) c.asc else c.desc
+            }
           } :+ col(cq.field).asc
           val w = Window.partitionBy(col(cr.fk)).orderBy(ocols: _*)
           val ranked = child.withColumn("__rk", row_number().over(w))
