@@ -48,6 +48,12 @@ private[graft] object Replay {
     * registered row's full-graph oracle still hash-checks whatever is
     * read. Unlike [[scratchDir]] this does NOT wipe — the build phase
     * must write atomically-enough (parquet overwrite + marker last).
+    * SINGLE-PUBLISHER assumption: two processes building the same key
+    * concurrently could interleave their overwrites (the test-scale
+    * stand-in has no conditional PUT); production maintenance commits
+    * through [[graft.streaming.GenPointerStore]]'s conditional-PUT
+    * generation layout instead — this helper exists for the
+    * registered-query fixtures, which run single-driver.
     */
   def maintainedDir(tag: String, d: String,
       key: String): (java.io.File, Boolean) = {
