@@ -71,7 +71,8 @@ object Bench {
   /** One clean historical artifact: its per-query times plus the
     * host-day sentinel it recorded (-1 for pre-sentinel artifacts). */
   private final case class HistArtifact(sentinel: Double,
-      contended: Boolean, queries: Map[String, Double])
+      sentinelBw: Double, contended: Boolean,
+      queries: Map[String, Double])
 
   private def benchArtifacts(root: java.io.File,
       sf: String): Vector[HistArtifact] = {
@@ -128,7 +129,8 @@ object Bench {
           }
           if (m.isEmpty) None
           else Some(HistArtifact(
-            node.path("sentinel_sec").asDouble(-1.0), contended, m))
+            node.path("sentinel_sec").asDouble(-1.0),
+            node.path("sentinel_bw_sec").asDouble(-1.0), contended, m))
         }
       } catch { case _: Throwable => None }
     }
@@ -418,25 +420,47 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")), sfDir)
     val hist = benchHistory(arts)
     val minima = benchMinima(hist)
-    // sentinel-normalized minima: each artifact's times in units of its
-    // own sentinel (sentinel-less history is skipped — no guessing).
-    // CONTENDED artifacts need one more gate (r16 advice): the per-pass
-    // steal filter cleans their query times, but nothing cleans their
-    // SENTINEL — a burst landing on both sentinel windows inflates it,
-    // deflating every normalized time and permanently poisoning
-    // min_norm (future clean runs then flag above_min_norm forever).
-    // A contended artifact's sentinel is trusted only if it sits inside
-    // the clean-artifact sentinel envelope (≤ 1.25× the clean median);
-    // otherwise the artifact contributes nothing normalized.
-    val cleanSents = arts.collect {
-      case a if !a.contended && a.sentinel > 0 => a.sentinel }
-    val sentEnvelope =
-      if (cleanSents.nonEmpty) median(cleanSents) * 1.25 else -1.0
-    val minimaNorm = benchMinima(benchHistory(
-      arts.filter(a => a.sentinel > 0 && (!a.contended ||
-          (sentEnvelope > 0 && a.sentinel <= sentEnvelope)))
-        .map(a => a.copy(queries =
-          a.queries.view.mapValues(_ / a.sentinel).toMap))))
+    // sentinel-normalized minima: each artifact's times in units of
+    // its own SENS-APPROPRIATE sentinel (r17, ROADMAP r18 #4 pulled
+    // forward): bandwidth-tagged rows normalize by the BANDWIDTH
+    // sentinel, cpu rows by the CPU sentinel — the r17 clean capture's
+    // only above_min_norm rows were bandwidth rows whose RATIO
+    // inflated because the CPU sentinel ran fast on a quiet day while
+    // memory-bound work held flat; the CPU sentinel is simply the
+    // wrong normalizer for that cluster. Sentinel-less history is
+    // skipped — no guessing (pre-r16 artifacts carry no bw sentinel,
+    // so bandwidth rows' normalized history warms up from r16b on).
+    // CONTENDED artifacts need one more gate (r16 advice): the
+    // per-pass steal filter cleans their query times, but nothing
+    // cleans their SENTINELS — a burst landing on both sentinel
+    // windows inflates them, deflating every normalized time and
+    // permanently poisoning min_norm. A contended artifact's sentinel
+    // is trusted only if it sits inside the clean-artifact envelope
+    // (≤ 1.25× the clean median) for THAT sentinel; otherwise the
+    // artifact contributes nothing normalized for rows of that class.
+    def cleanEnv(sent: HistArtifact => Double): Double = {
+      val xs = arts.collect {
+        case a if !a.contended && sent(a) > 0 => sent(a) }
+      if (xs.nonEmpty) median(xs) * 1.25 else -1.0
+    }
+    val envCpu = cleanEnv(_.sentinel)
+    val envBw = cleanEnv(_.sentinelBw)
+    def sentOf(a: HistArtifact, q: String): Double = {
+      val bw = sensitivityOf(q) == "bandwidth"
+      val sv = if (bw) a.sentinelBw else a.sentinel
+      val env = if (bw) envBw else envCpu
+      if (sv <= 0) -1.0
+      else if (a.contended && !(env > 0 && sv <= env)) -1.0
+      else sv
+    }
+    val minimaNorm = benchMinima(
+      arts.foldLeft(Map.empty[String, Vector[Double]]) { (acc, a) =>
+        a.queries.foldLeft(acc) { case (m, (k, v)) =>
+          val sv = sentOf(a, k)
+          if (sv > 0) m.updated(k, m.getOrElse(k, Vector.empty) :+ v / sv)
+          else m
+        }
+      })
     val aboveMin = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       minima.get(k).collect {
         case m if m > 0 && v > m * 1.5 && v - m > 0.5 =>
@@ -446,19 +470,24 @@ object Bench {
     }
     val aboveMinJson = aboveMin.mkString("{", ",", "}")
     // the normalized lens: same 1.5×/0.5 s envelope, but in sentinel
-    // units — a uniform host-day shift moves v and sentinelNow
+    // units — a uniform host-day shift moves v and today's sentinel
     // together, so only drift the host does NOT explain survives (the
-    // absolute threshold converts back to today's seconds)
+    // absolute threshold converts back to today's seconds). Each row
+    // uses its sens-appropriate sentinel, matching the history above.
     val aboveMinNorm =
-      if (sentinelNow <= 0) Seq.empty
-      else results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-        val vn = v / sentinelNow
-        minimaNorm.get(k).collect {
-          case m if m > 0 && vn > m * 1.5 &&
-              (vn - m) * sentinelNow > 0.5 =>
-            f""""$k":{"sec":$v%.2f,"norm":$vn%.2f,"min_norm":$m%.2f,""" +
-              f""""ratio":${vn / m}%.2f,""" +
-              s""""sens":"${sensitivityOf(k)}"}"""
+      results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        val sNow = if (sensitivityOf(k) == "bandwidth") sentinelBwNow
+          else sentinelNow
+        if (sNow <= 0) Seq.empty
+        else {
+          val vn = v / sNow
+          minimaNorm.get(k).collect {
+            case m if m > 0 && vn > m * 1.5 &&
+                (vn - m) * sNow > 0.5 =>
+              f""""$k":{"sec":$v%.2f,"norm":$vn%.2f,"min_norm":$m%.2f,""" +
+                f""""ratio":${vn / m}%.2f,""" +
+                s""""sens":"${sensitivityOf(k)}"}"""
+          }
         }
       }
     val aboveMinNormJson = aboveMinNorm.mkString("{", ",", "}")
