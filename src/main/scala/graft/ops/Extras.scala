@@ -1241,10 +1241,16 @@ object Extras {
       // tick pays the delta frontier only. Oracle cut mirrored at
       // 9//10 (the oracle generates BOTH chains from the split).
       val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 9 / 10
+      // hb: the complete-hour boundary (the g_sssp_incr frozen
+      // pair-count design, applied to the w≥3 substrate): pair-hour
+      // counts over hours < hb never change, so the tick enumerates
+      // only hours >= hb and merges the counts of TOUCHED pairs —
+      // the full-history self-join is never re-paid.
+      val hb = cut - java.lang.Math.floorMod(cut, 3600000000L)
       val (base, built) = Replay.maintainedDir("lpa_maint", d,
-        s"$cut-$LpaMaxRounds")
+        s"$cut-$LpaMaxRounds-v2")
       val labPath = new java.io.File(base, "labels").getPath
-      val oePath = new java.io.File(base, "edges").getPath
+      val pcPath = new java.io.File(base, "pairs").getPath
       if (!built) {
         val edgesOld0 = coactivityEdges(
           ev.filter(unix_micros(col("ts")) < lit(cut)))
@@ -1252,23 +1258,55 @@ object Extras {
           edgesOld0.select(col("u")).distinct()
             .select(col("u"), col("u").as("lab")))
           .write.mode("overwrite").parquet(labPath)
-        edgesOld0.write.mode("overwrite").parquet(oePath)
+        ssspPairCounts(ev.filter(col("ts") < timestamp_micros(lit(hb))))
+          .write.mode("overwrite").parquet(pcPath)
         Replay.markBuilt(base)
       }
       val prev = s.read.parquet(labPath)
-      val edgesOld = s.read.parquet(oePath)
-      // phase 2: full graph, seeded from the maintained labeling
-      val edges = coactivityEdges(ev)
+      // phase 2: full-graph w≥3 edges via the maintained pair table.
+      // Only fresh-touched pairs can have a CHANGED weight, so the
+      // merged totals are computed for exactly those (broadcast-small)
+      // and the untouched frozen pairs keep their counts from the scan
+      // — no corpus merge, no frozen shuffle.
+      val fresh = ssspPairCounts(
+        ev.filter(col("ts") >= timestamp_micros(lit(hb))))
+        .localCheckpoint()
+      val frozen = s.read.parquet(pcPath)
+      val cand = frozen
+        .join(broadcast(fresh.select(col("u"), col("v"),
+          col("w").as("__fw"))), Seq("u", "v"))
+        .localCheckpoint()
+      val touched = cand
+        .select(col("u"), col("v"), (col("w") + col("__fw")).as("w"))
+        .unionByName(fresh.join(cand.select("u", "v"),
+          Seq("u", "v"), "left_anti"))
+        .localCheckpoint()
+      val untouched = frozen.filter(col("w") >= 3)
+        .join(broadcast(touched.select("u", "v")),
+          Seq("u", "v"), "left_anti")
+      val pairs3 = untouched.unionByName(
+        touched.filter(col("w") >= 3))
+      val edges = pairs3.select(col("u"), col("v"), col("w"))
+        .unionByName(pairs3.select(col("v").as("u"),
+          col("u").as("v"), col("w")))
+        .localCheckpoint()
       var lab = edges.select(col("u")).distinct()
         .join(prev.select(col("u"), col("lab").as("plab")),
           Seq("u"), "left")
         .select(col("u"), coalesce(col("plab"), col("u")).as("lab"))
         .localCheckpoint()
-      // changed edges: new pairs or grown weights — events only
-      // accrue, so the old edge set is a subset and a triple anti-join
-      // finds exactly the delta
-      var frontier = edges.join(edgesOld, Seq("u", "v", "w"), "left_anti")
-        .select("u").distinct().localCheckpoint()
+      // changed edges: new pairs or grown weights — exactly the
+      // fresh-touched pairs that clear the threshold. This frontier is
+      // a SUPERSET of the strictly-changed set (a pair whose fresh
+      // co-hours all predate the cut has an unchanged total and is
+      // seeded anyway) — sound because re-evaluating an unchanged
+      // node's adoption yields its current label and the seed dies out
+      // in round one; still delta-proportional (bounded by the fresh
+      // slice's pairs, never the graph).
+      val fpairs = touched.filter(col("w") >= 3)
+      var frontier = fpairs.select("u")
+        .unionByName(fpairs.select(col("v").as("u")))
+        .distinct().localCheckpoint()
       var fsize = frontier.count()
       var rounds = 0
       while (fsize > 0 && rounds < LpaMaxRounds) {
