@@ -464,33 +464,49 @@ object Bench {
     val aboveMin = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       minima.get(k).collect {
         case m if m > 0 && v > m * 1.5 && v - m > 0.5 =>
-          f""""$k":{"sec":$v%.2f,"min":$m%.2f,"ratio":${v / m}%.2f,""" +
-            s""""sens":"${sensitivityOf(k)}"}"""
+          k -> (f""""$k":{"sec":$v%.2f,"min":$m%.2f,""" +
+            f""""ratio":${v / m}%.2f,""" +
+            s""""sens":"${sensitivityOf(k)}"}""")
       }
     }
-    val aboveMinJson = aboveMin.mkString("{", ",", "}")
+    val aboveMinJson = aboveMin.map(_._2).mkString("{", ",", "}")
     // the normalized lens: same 1.5×/0.5 s envelope, but in sentinel
     // units — a uniform host-day shift moves v and today's sentinel
     // together, so only drift the host does NOT explain survives (the
     // absolute threshold converts back to today's seconds). Each row
     // uses its sens-appropriate sentinel, matching the history above.
+    // TODAY'S sentinels get the same clean-envelope gate historical
+    // contended artifacts get (r17 advice): on a contended run, a
+    // burst landing on both sentinel windows inflates sentinelNow and
+    // DEFLATES every normalized ratio — silencing this lens exactly
+    // when it is needed. An untrusted class contributes NOTHING
+    // normalized today (rows of that class drop out of above_min_norm)
+    // and the artifact carries an explicit sentinel_untrusted marker
+    // so an empty lens is readable as "not checked", never "clean".
+    val untrustedClasses = if (!contended) Seq.empty[String] else
+      Seq("cpu" -> (sentinelNow, envCpu),
+          "bandwidth" -> (sentinelBwNow, envBw)).collect {
+        case (cls, (sNow, env)) if !(env > 0 && sNow <= env) => cls
+      }
     val aboveMinNorm =
       results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
-        val sNow = if (sensitivityOf(k) == "bandwidth") sentinelBwNow
-          else sentinelNow
-        if (sNow <= 0) Seq.empty
+        val bw = sensitivityOf(k) == "bandwidth"
+        val sNow = if (bw) sentinelBwNow else sentinelNow
+        val cls = if (bw) "bandwidth" else "cpu"
+        if (sNow <= 0 || untrustedClasses.contains(cls)) Seq.empty
         else {
           val vn = v / sNow
           minimaNorm.get(k).collect {
             case m if m > 0 && vn > m * 1.5 &&
                 (vn - m) * sNow > 0.5 =>
-              f""""$k":{"sec":$v%.2f,"norm":$vn%.2f,"min_norm":$m%.2f,""" +
+              k -> (f""""$k":{"sec":$v%.2f,"norm":$vn%.2f,""" +
+                f""""min_norm":$m%.2f,""" +
                 f""""ratio":${vn / m}%.2f,""" +
-                s""""sens":"${sensitivityOf(k)}"}"""
+                s""""sens":"${sensitivityOf(k)}"}""")
           }
         }
       }
-    val aboveMinNormJson = aboveMinNorm.mkString("{", ",", "}")
+    val aboveMinNormJson = aboveMinNorm.map(_._2).mkString("{", ",", "}")
     val minimaJson = minima.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // variance-model verdicts: a computed per-query confidence
@@ -499,12 +515,41 @@ object Bench {
     val varFlagged = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
       model.get(k).collect {
         case (med, s, n) if (v - med) / s > 3.0 && v - med > 0.5 =>
-          f""""$k":{"sec":$v%.2f,"med":$med%.2f,""" +
+          k -> (f""""$k":{"sec":$v%.2f,"med":$med%.2f,""" +
             f""""z":${(v - med) / s}%.1f,"n":$n,""" +
-            s""""sens":"${sensitivityOf(k)}"}"""
+            s""""sens":"${sensitivityOf(k)}"}""")
       }
     }
-    val varFlaggedJson = varFlagged.mkString("{", ",", "}")
+    val varFlaggedJson = varFlagged.map(_._2).mkString("{", ",", "}")
+    // automated drift adjudication (ROADMAP r18 #1 institutionalized):
+    // a row flagged by ALL THREE lenses (absolute minima, sentinel-
+    // normalized, variance model) historically cost a MANUAL isolated
+    // best-of-3 to separate in-sweep inflation (page-cache
+    // displacement by preceding heavy queries — the d_cluster_topics
+    // r17 profile) from real code creep. Rerun exactly those rows in
+    // isolation at sweep end and record `isolated_sec`: an isolated
+    // min near the historical minimum reads as in-sweep inflation in
+    // one line; an isolated min near the flagged time corroborates a
+    // regression.
+    val tripleFlagged = aboveMin.map(_._1).toSet
+      .intersect(aboveMinNorm.map(_._1).toSet)
+      .intersect(varFlagged.map(_._1).toSet)
+    val isolatedSec = tripleFlagged.toSeq.sorted.map { k =>
+      val fn = SparkEntry.queries(k)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      System.err.println(
+        f"[bench] isolated rerun $k%-22s min ${ts.min}%.2f s " +
+          s"(passes ${ts.map(t => f"$t%.2f").mkString(" ")})")
+      k -> ts.min
+    }
+    val isolatedJson = isolatedSec
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     // full static tag map in the side file only (the compact stdout
     // line stays bounded; flagged entries already carry their tag)
     val sensJson = selected.sorted
@@ -527,6 +572,9 @@ object Bench {
         f""""sentinel_bw_start":$sentinelBwStart%.3f,""" +
         f""""sentinel_bw_end":$sentinelBwEnd%.3f,""" +
         s""""above_min_norm":$aboveMinNormJson,""" +
+        s""""sentinel_untrusted":${
+          untrustedClasses.map(c => s""""$c"""").mkString("[", ",", "]")
+        },""" +
         s""""n_minima_norm":${minimaNorm.size}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -534,6 +582,7 @@ object Bench {
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
         s"""$sentinelFields,""" +
         s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
+        s""""isolated_sec":$isolatedJson,""" +
         s""""skew_above":$skewAbove,"sf":"$sfDir"}"""
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -543,6 +592,7 @@ object Bench {
         s""""above_min":$aboveMinJson,"n_minima":${minima.size},""" +
         s"""$sentinelFields,""" +
         s""""var_flagged":$varFlaggedJson,"n_model":${model.size},""" +
+        s""""isolated_sec":$isolatedJson,""" +
         s""""var_model":$varModelJson,"sens_tags":$sensJson,""" +
         s""""minima":$minimaJson,"skew_above":$skewAbove,"sf":"$sfDir"}"""
     System.err.println(s"[bench] passes: $allPasses")

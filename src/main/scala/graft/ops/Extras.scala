@@ -304,6 +304,129 @@ object Extras {
       sizes.result())
   }
 
+  /** One landmark-BFS maintenance tick, factored out of g_sssp_incr
+    * (r18) so the second-tick row g_sssp_incr2 composes it: given the
+    * maintained distance table, the substrate's edge set, the frozen
+    * complete-hour pair counts (+ their already-over-threshold
+    * subset), and the fresh slice's pair counts, compute the target
+    * graph's w≥KcoreW edges WITHOUT a corpus merge (counts only grow,
+    * so a target edge is frozen-hi, a broadcast-detected crosser, or
+    * fresh-only), audit monotonicity against the old edge set (loud
+    * require — capHourBand displacement breaks insert-only
+    * maintenance), seed the relaxation frontier from the delta edges
+    * plus landmark churn, and relax to a fixpoint. Returns the
+    * settled (lm, u, dist) state (localCheckpointed) and the new
+    * symmetrized edge list — both ready to commit as the next
+    * generation's state or to project as output.
+    */
+  private def ssspAdvance(tag: String, maintained: DataFrame,
+      edgesOld: DataFrame, frozen: DataFrame, hi: DataFrame,
+      fresh: DataFrame): (DataFrame, DataFrame) = {
+    def tick(phase: String, t0: Long): Long = {
+      val now = System.nanoTime()
+      System.err.println(
+        f"[$tag] phase $phase ${(now - t0) / 1e9}%.2f s")
+      now
+    }
+    var t0 = System.nanoTime()
+    // frozen rows for fresh-touched pairs — at most |fresh| rows, so
+    // every set op below is small-vs-small
+    val cand = frozen
+      .join(broadcast(fresh.select(col("u"), col("v"),
+        col("w").as("__fw"))), Seq("u", "v"))
+      .localCheckpoint()
+    val crossed = cand
+      .filter(col("w") + col("__fw") >= KcoreW)
+      .select("u", "v")
+    // fresh-only pairs (no frozen row at all) that clear the bar on
+    // fresh hours alone
+    val freshOnly = fresh.join(cand.select("u", "v"),
+        Seq("u", "v"), "left_anti")
+      .filter(col("w") >= KcoreW).select("u", "v")
+    val newPairs = hi.unionByName(crossed).unionByName(freshOnly)
+      .distinct()
+    val edges = newPairs.select(col("u"), col("v"))
+      .unionByName(newPairs.select(col("v").as("u"),
+        col("u").as("v")))
+      .localCheckpoint()
+    t0 = tick("edges", t0)
+    // ONE full-outer pass over the SMALL edge sets yields both the
+    // monotonicity audit and the delta: old-only rows are cap-
+    // displacement violations (loud require), new-only rows are the
+    // inserted edges
+    val diff = edges.select(col("u"), col("v"), lit(1).as("__new"))
+      .join(edgesOld.select(col("u"), col("v"), lit(1).as("__old")),
+        Seq("u", "v"), "full_outer")
+      .filter(col("__new").isNull || col("__old").isNull)
+      .localCheckpoint()
+    require(diff.filter(col("__new").isNull).isEmpty,
+      "an old edge vanished under new data (capHourBand displacement)" +
+        " — monotone insertion maintenance does not apply; rebuild")
+    // no extra checkpoint: diff is already materialized and delta is
+    // a filter over it
+    val delta = diff.filter(col("__old").isNull).select("u", "v")
+    t0 = tick("delta", t0)
+    val marks = ssspLandmarks(edges).localCheckpoint()
+    val seeds = marks
+      .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
+    // maintained rows restricted to the CURRENT landmark set (a new
+    // smallest node id retires an old landmark's rows), plus fresh
+    // 0-seeds; min-collapse dedups the shared (lm, lm, 0) rows
+    val state0 = maintained.join(marks, "lm").unionByName(seeds)
+      .groupBy("lm", "u").agg(min("dist").as("dist"))
+      .localCheckpoint()
+    // initial frontier: delta-edge relaxations that improve on the
+    // maintained bounds, plus any state row prev didn't carry (a
+    // brand-new landmark's seed)
+    val cand0 = state0.join(delta, "u")
+      .select(col("lm"), col("v").as("u"),
+        (col("dist") + lit(1)).as("dist"))
+      .groupBy("lm", "u").agg(min("dist").as("dist"))
+    val improving0 = cand0
+      .join(state0.withColumnRenamed("dist", "__sd"),
+        Seq("lm", "u"), "left")
+      .filter(col("__sd").isNull || col("dist") < col("__sd"))
+      .select("lm", "u", "dist")
+    val frontier0 = improving0
+      .unionByName(state0.join(maintained, Seq("lm", "u", "dist"),
+        "left_anti"))
+      .groupBy("lm", "u").agg(min("dist").as("dist"))
+    t0 = tick("seed", t0)
+    val (st, _) = ssspRelax(edges, state0, frontier0)
+    val state = st.localCheckpoint() // evaluated twice (require + out)
+    t0 = tick("relax", t0)
+    (state, edges)
+  }
+
+  /** Exact pair-count merge of a frozen complete-hour table with a
+    * fresh disjoint-hour slice — the COMPACTION write of the
+    * maintained pair table (r18, the second-tick composition): only
+    * fresh-touched pairs can change (counts are additive over
+    * disjoint hour sets), so merged totals are computed for exactly
+    * those (broadcast-small) and untouched pairs stream through from
+    * the frozen scan unshuffled. The result is the frozen table for
+    * the NEXT tick's hour boundary. At 100 TB this is one linear
+    * pass + rewrite of the pair table per compaction — the standard
+    * log-structured trade (append deltas per tick, compact
+    * periodically); the fixture rows compact every tick because the
+    * table is small.
+    */
+  private def mergedPairCounts(frozen: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val cand = frozen
+      .join(broadcast(fresh.select(col("u"), col("v"),
+        col("w").as("__fw"))), Seq("u", "v"))
+      .localCheckpoint()
+    val touched = cand
+      .select(col("u"), col("v"), (col("w") + col("__fw")).as("w"))
+      .unionByName(fresh.join(cand.select("u", "v"),
+        Seq("u", "v"), "left_anti"))
+      .localCheckpoint()
+    frozen.join(broadcast(touched.select("u", "v")),
+        Seq("u", "v"), "left_anti")
+      .unionByName(touched)
+  }
+
   /** One synchronous-LPA adoption step over tallied votes
     * (u, lab, wsum): each node takes the label with the largest total
     * edge weight, ties to the SMALLEST label. Argmax via TWO hash aggs,
@@ -1247,22 +1370,30 @@ object Extras {
       // only hours >= hb and merges the counts of TOUCHED pairs —
       // the full-history self-join is never re-paid.
       val hb = cut - java.lang.Math.floorMod(cut, 3600000000L)
-      val (base, built) = Replay.maintainedDir("lpa_maint", d,
-        s"$cut-$LpaMaxRounds-v2")
-      val labPath = new java.io.File(base, "labels").getPath
-      val pcPath = new java.io.File(base, "pairs").getPath
+      // r18: generation-layout commit (conditional pointer PUT) —
+      // uniform loud-lost-update guarantee, see g_wpagerank_incr
+      val (statePath, built) = Replay.maintainedGen("lpa_maint", d,
+        s"$cut-$LpaMaxRounds-v3-g1")
       if (!built) {
         val edgesOld0 = coactivityEdges(
           ev.filter(unix_micros(col("ts")) < lit(cut)))
-        lpaFixpoint(edgesOld0,
-          edgesOld0.select(col("u")).distinct()
-            .select(col("u"), col("u").as("lab")))
-          .write.mode("overwrite").parquet(labPath)
-        ssspPairCounts(ev.filter(col("ts") < timestamp_micros(lit(hb))))
-          .write.mode("overwrite").parquet(pcPath)
-        Replay.markBuilt(base)
+        graft.streaming.Streams.publishGen(statePath, 0L) { g =>
+          lpaFixpoint(edgesOld0,
+            edgesOld0.select(col("u")).distinct()
+              .select(col("u"), col("u").as("lab")))
+            .write.mode("overwrite").parquet(s"$g/labels")
+          ssspPairCounts(
+            ev.filter(col("ts") < timestamp_micros(lit(hb))))
+            .write.mode("overwrite").parquet(s"$g/pairs")
+          // the OLD graph's w≥3 pair set (canonical u<v half of the
+          // symmetrized edge list), persisted for the tick-time
+          // displacement audit below
+          edgesOld0.filter(col("u") < col("v")).select("u", "v")
+            .write.mode("overwrite").parquet(s"$g/pairs_old")
+        }
       }
-      val prev = s.read.parquet(labPath)
+      val prev = graft.streaming.Streams.readGenArtifact(s, statePath,
+        "labels")
       // phase 2: full-graph w≥3 edges via the maintained pair table.
       // Only fresh-touched pairs can have a CHANGED weight, so the
       // merged totals are computed for exactly those (broadcast-small)
@@ -1271,7 +1402,8 @@ object Extras {
       val fresh = ssspPairCounts(
         ev.filter(col("ts") >= timestamp_micros(lit(hb))))
         .localCheckpoint()
-      val frozen = s.read.parquet(pcPath)
+      val frozen = graft.streaming.Streams.readGenArtifact(s, statePath,
+        "pairs")
       val cand = frozen
         .join(broadcast(fresh.select(col("u"), col("v"),
           col("w").as("__fw"))), Seq("u", "v"))
@@ -1290,6 +1422,26 @@ object Extras {
         .unionByName(pairs3.select(col("v").as("u"),
           col("u").as("v"), col("w")))
         .localCheckpoint()
+      // displacement audit (g_sssp_incr's monotonicity discipline,
+      // r17 advice): prev's labels assume the OLD w≥3 substrate. The
+      // merged counts are exact by hour-additivity, but capHourBand
+      // can DISPLACE actives in the hour straddling the cut — the old
+      // build counted that hour from the partial [hb, cut) slice, so
+      // a pair's full-hour weight can come out LOWER and an old edge
+      // can drop below w≥3 WITHOUT appearing in the fresh pair set.
+      // Such a node is never seeded into the frontier and the
+      // restricted/unrestricted LPA equivalence breaks — fail loudly
+      // here instead of surfacing as an oracle hash mismatch.
+      // Anti-join runs against the already-materialized edge
+      // checkpoint (canonical u<v rows are present in it).
+      val vanished = graft.streaming.Streams
+        .readGenArtifact(s, statePath, "pairs_old")
+        .join(edges.select("u", "v"), Seq("u", "v"), "left_anti")
+        .count()
+      require(vanished == 0L,
+        s"$vanished old w>=3 edges vanished under new data " +
+          "(capHourBand displacement in the cut-straddling hour) — " +
+          "frontier-restricted maintenance does not apply; rebuild")
       var lab = edges.select(col("u")).distinct()
         .join(prev.select(col("u"), col("lab").as("plab")),
           Seq("u"), "left")
@@ -1370,17 +1522,22 @@ object Extras {
       // persistent across runs like g_sssp_incr's distance table; the
       // first run builds it, steady reruns warm-start straight from
       // the parquet.
-      val (base, built) = Replay.maintainedDir("wpr_maint", d,
-        s"$cut-r3")
-      val prPath = new java.io.File(base, "ranks").getPath
+      // r18: maintained state commits through the generation layout
+      // (conditional pointer PUT) — the loud-lost-update guarantee is
+      // now uniform with the streaming merge sinks, not an assumed
+      // single-publisher marker file
+      val (statePath, built) = Replay.maintainedGen("wpr_maint", d,
+        s"$cut-r3-g1")
       if (!built) {
         val edgesOld = coactivityEdges(
           ev.filter(unix_micros(col("ts")) < lit(cut)))
-        wprChain(edgesOld, wprUniformSeed(edgesOld), 3)
-          .write.mode("overwrite").parquet(prPath)
-        Replay.markBuilt(base)
+        graft.streaming.Streams.publishGen(statePath, 0L) { g =>
+          wprChain(edgesOld, wprUniformSeed(edgesOld), 3)
+            .write.mode("overwrite").parquet(s"$g/ranks")
+        }
       }
-      val prev = s.read.parquet(prPath)
+      val prev = graft.streaming.Streams.readGenArtifact(s, statePath,
+        "ranks")
       // phase 2: full graph, warm-started from the maintained ranks
       val edges = coactivityEdges(ev)
       val str = edges.groupBy("u").agg(sum("w").as("s"))
@@ -1581,49 +1738,40 @@ object Extras {
       // overhead here — let AQE coalesce tiny shuffles to their data
       // size for the eager phases below, exactly what it does on a
       // real cluster when advisory-size coalescing is allowed to win.
-      val (base, built) = Replay.maintainedDir("sssp_incr", d,
-        s"$cut-$SsspMaxRounds-$SsspLandmarks-$KcoreW-v2")
-      val dPath = new java.io.File(base, "dists").getPath
+      // r18: maintained state commits through the generation layout
+      // (conditional pointer PUT, uniform with the streaming sinks)
+      val (statePath, built) = Replay.maintainedGen("sssp_incr", d,
+        s"$cut-$SsspMaxRounds-$SsspLandmarks-$KcoreW-v2-g1")
       if (!built) {
-        val edgesOld = ssspEdges(ev.filter(unix_micros(col("ts")) <
+        val edgesOld0 = ssspEdges(ev.filter(unix_micros(col("ts")) <
           lit(cut)))
         // phase-1 BFS gets DOUBLE the round cap: the old graph is an
         // internal maintenance artifact (the oracle's depth bound only
         // constrains the FULL-graph output, guarded by the require
-        // after ssspRelax below), and a 90% graph missing a few
+        // after ssspAdvance below), and a 90% graph missing a few
         // shortcut edges can legitimately be deeper than the full
         // graph's 12-round contract. Convergence stays loudly required
         // at the wider cap. Persisted alongside: the old edge set (the
         // monotonicity audit's left side) and the frozen pair counts.
-        val prev = ssspBfs(edgesOld, ssspLandmarks(edgesOld)
-          .select(col("lm"), col("lm").as("u"), lit(0).as("dist")),
-          maxRounds = SsspMaxRounds * 2)
-        prev.write.mode("overwrite").parquet(dPath)
-        edgesOld.write.mode("overwrite").parquet(
-          new java.io.File(base, "edges").getPath)
-        val pc = ssspPairCounts(
-          ev.filter(col("ts") < timestamp_micros(lit(hb))))
-          .localCheckpoint()
-        pc.write.mode("overwrite").parquet(
-          new java.io.File(base, "pairs").getPath)
-        // the already-over-threshold subset, persisted separately so a
-        // tick reads 14k rows for it instead of filtering the full
-        // pair table a second time
-        pc.filter(col("w") >= KcoreW).select("u", "v")
-          .write.mode("overwrite").parquet(
-            new java.io.File(base, "pairs_hi").getPath)
-        Replay.markBuilt(base)
+        graft.streaming.Streams.publishGen(statePath, 0L) { g =>
+          ssspBfs(edgesOld0, ssspLandmarks(edgesOld0)
+            .select(col("lm"), col("lm").as("u"), lit(0).as("dist")),
+            maxRounds = SsspMaxRounds * 2)
+            .write.mode("overwrite").parquet(s"$g/dists")
+          edgesOld0.write.mode("overwrite").parquet(s"$g/edges")
+          val pc = ssspPairCounts(
+            ev.filter(col("ts") < timestamp_micros(lit(hb))))
+            .localCheckpoint()
+          pc.write.mode("overwrite").parquet(s"$g/pairs")
+          // the already-over-threshold subset, persisted separately
+          // so a tick reads 14k rows for it instead of filtering the
+          // full pair table a second time
+          pc.filter(col("w") >= KcoreW).select("u", "v")
+            .write.mode("overwrite").parquet(s"$g/pairs_hi")
+        }
       }
-      val maintained = s.read.parquet(dPath)
-      val edgesOld = s.read.parquet(
-        new java.io.File(base, "edges").getPath)
-      def tick(tag: String, t0: Long): Long = {
-        val now = System.nanoTime()
-        System.err.println(
-          f"[g_sssp_incr] phase $tag ${(now - t0) / 1e9}%.2f s")
-        now
-      }
-      var t0 = System.nanoTime()
+      def art(name: String): DataFrame =
+        graft.streaming.Streams.readGenArtifact(s, statePath, name)
       // phase 2: full-graph edges via the MAINTAINED pair table,
       // WITHOUT a corpus-wide merge: counts only grow, so an edge
       // either (a) was already over threshold on frozen hours alone —
@@ -1639,79 +1787,8 @@ object Extras {
       val fresh = ssspPairCounts(
         ev.filter(col("ts") >= timestamp_micros(lit(hb))))
         .localCheckpoint()
-      t0 = tick("fresh", t0)
-      val frozen = s.read.parquet(
-        new java.io.File(base, "pairs").getPath)
-      val hi = s.read.parquet(
-        new java.io.File(base, "pairs_hi").getPath)
-      // frozen rows for fresh-touched pairs — at most |fresh| rows, so
-      // every set op below is small-vs-small
-      val cand = frozen
-        .join(broadcast(fresh.select(col("u"), col("v"),
-          col("w").as("__fw"))), Seq("u", "v"))
-        .localCheckpoint()
-      val crossed = cand
-        .filter(col("w") + col("__fw") >= KcoreW)
-        .select("u", "v")
-      // fresh-only pairs (no frozen row at all) that clear the bar on
-      // fresh hours alone
-      val freshOnly = fresh.join(cand.select("u", "v"),
-          Seq("u", "v"), "left_anti")
-        .filter(col("w") >= KcoreW).select("u", "v")
-      val newPairs = hi.unionByName(crossed).unionByName(freshOnly)
-        .distinct()
-      val edges = newPairs.select(col("u"), col("v"))
-        .unionByName(newPairs.select(col("v").as("u"),
-          col("u").as("v")))
-        .localCheckpoint()
-      t0 = tick("edges", t0)
-      // ONE full-outer pass over the SMALL edge sets yields both the
-      // monotonicity audit and the delta: old-only rows are cap-
-      // displacement violations (loud require), new-only rows are the
-      // inserted edges
-      val diff = edges.select(col("u"), col("v"), lit(1).as("__new"))
-        .join(edgesOld.select(col("u"), col("v"), lit(1).as("__old")),
-          Seq("u", "v"), "full_outer")
-        .filter(col("__new").isNull || col("__old").isNull)
-        .localCheckpoint()
-      require(diff.filter(col("__new").isNull).isEmpty,
-        "an old edge vanished under new data (capHourBand displacement)" +
-          " — monotone insertion maintenance does not apply; rebuild")
-      // no extra checkpoint: diff is already materialized and delta is
-      // a filter over it
-      val delta = diff.filter(col("__old").isNull).select("u", "v")
-      t0 = tick("delta", t0)
-      val marks = ssspLandmarks(edges).localCheckpoint()
-      val seeds = marks
-        .select(col("lm"), col("lm").as("u"), lit(0).as("dist"))
-      // maintained rows restricted to the CURRENT landmark set (a new
-      // smallest node id retires an old landmark's rows), plus fresh
-      // 0-seeds; min-collapse dedups the shared (lm, lm, 0) rows
-      val state0 = maintained.join(marks, "lm").unionByName(seeds)
-        .groupBy("lm", "u").agg(min("dist").as("dist"))
-        .localCheckpoint()
-      // initial frontier: delta-edge relaxations that improve on the
-      // maintained bounds, plus any state row prev didn't carry (a
-      // brand-new landmark's seed)
-      val cand0 = state0.join(delta, "u")
-        .select(col("lm"), col("v").as("u"),
-          (col("dist") + lit(1)).as("dist"))
-        .groupBy("lm", "u").agg(min("dist").as("dist"))
-      val improving0 = cand0
-        .join(state0.withColumnRenamed("dist", "__sd"),
-          Seq("lm", "u"), "left")
-        .filter(col("__sd").isNull || col("dist") < col("__sd"))
-        .select("lm", "u", "dist")
-      val frontier0 = improving0
-        .unionByName(state0.join(maintained, Seq("lm", "u", "dist"),
-          "left_anti"))
-        .groupBy("lm", "u").agg(min("dist").as("dist"))
-      t0 = tick("seed", t0)
-      val (state, _) = {
-        val (st, sz) = ssspRelax(edges, state0, frontier0)
-        (st.localCheckpoint(), sz) // evaluated twice below (require + output)
-      }
-      t0 = tick("relax", t0)
+      val (state, _) = ssspAdvance("g_sssp_incr", art("dists"),
+        art("edges"), art("pairs"), art("pairs_hi"), fresh)
       // depth-cap parity with ssspBfs (r16 advice): relaxation rounds
       // != BFS depth — a brand-new node at true distance SsspMaxRounds
       // can settle inside the round cap (the cascade starts from
@@ -1719,12 +1796,131 @@ object Extras {
       // recursion guard truncates at SsspMaxRounds-1. Make depth
       // overflow fail IN-ENGINE like g_sssp's ssspBfs does, never as
       // an oracle hash mismatch.
-      require(state.agg(max("dist")).head.getInt(0) <=
-          SsspMaxRounds - 1,
-        s"maintained distances exceed the $SsspMaxRounds-round BFS " +
-          "depth contract — refusing to return distances the shared " +
-          "oracle cannot reach")
+      // counted as violating ROWS (not max().getInt) so an empty or
+      // degenerate state reads as zero violations instead of an
+      // opaque NPE, and the check is agnostic to dist's integral type
+      val depthViolations =
+        state.filter(col("dist") > lit(SsspMaxRounds - 1)).count()
+      require(depthViolations == 0L,
+        s"$depthViolations maintained distances exceed the " +
+          s"$SsspMaxRounds-round BFS depth contract — refusing to " +
+          "return distances the shared oracle cannot reach")
       state.select(col("lm").as("landmark"), col("u").as("user_id"),
+          col("dist"))
+        .orderBy("landmark", "user_id")
+      } finally {
+        s.conf.set(pfKey, pfOld)
+        s.conf.set(apKey, apOld)
+        s.conf.set(spKey, spOld)
+      }
+    }),
+
+    // SECOND-TICK landmark BFS maintenance — the production loop, not
+    // just the bootstrap (r17 verdict #5): every *_incr row so far
+    // demonstrated cold-build + ONE tick; this row advances the cut
+    // TWICE through the SAME generation-layout state dir, so tick 2
+    // consumes tick 1's COMMITTED output — proving the maintenance
+    // composes. Shape: cold build at the 90% cut (gen=0: dists,
+    // edges, frozen pair counts at hb1); tick 1 advances to the 95%
+    // cut with the delta-frontier relax AND commits the updated state
+    // as gen=1 (dists+edges at cut2, pair table COMPACTED to hb2 via
+    // [[mergedPairCounts]] — the log-structured compaction write);
+    // tick 2 advances from that committed state to the full graph and
+    // is the row's output. Each commit is a conditional pointer PUT
+    // (publishGen) with the tick index as the batch marker, so a
+    // replayed tick 1 is idempotent (lastAppliedBatchGen guard) and a
+    // raced one fails loudly. Oracle = g_sssp's VERBATIM: whatever
+    // two-hop maintenance path produced the final distance table, it
+    // must hash-match the from-scratch full-graph truth.
+    "g_sssp_incr2" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+      val apKey = "spark.sql.parquet.aggregatePushdown"
+      val spKey = "spark.sql.shuffle.partitions"
+      val pfOld = s.conf.get(pfKey, "true")
+      val apOld = s.conf.get(apKey, "false")
+      val spOld = s.conf.get(spKey, "200")
+      s.conf.set(pfKey, "false")
+      s.conf.set(apKey, "true")
+      s.conf.set(spKey, "4")
+      try {
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val lo = mm.getLong(0)
+      val span = mm.getLong(1) - lo
+      val cut1 = lo + span * 9 / 10
+      val cut2 = lo + span * 19 / 20
+      val hb1 = cut1 - java.lang.Math.floorMod(cut1, 3600000000L)
+      val hb2 = cut2 - java.lang.Math.floorMod(cut2, 3600000000L)
+      val st = graft.streaming.Streams
+      val (statePath, built) = Replay.maintainedGen("sssp_incr2", d,
+        s"$cut1-$cut2-$SsspMaxRounds-$SsspLandmarks-$KcoreW-g1")
+      def art(name: String): DataFrame =
+        st.readGenArtifact(s, statePath, name)
+      if (!built) {
+        // cold build: the 90%-graph state (same discipline as
+        // g_sssp_incr's phase 1, doubled BFS cap for the sparser
+        // internal graph)
+        val edgesOld0 = ssspEdges(ev.filter(unix_micros(col("ts")) <
+          lit(cut1)))
+        st.publishGen(statePath, 0L) { g =>
+          ssspBfs(edgesOld0, ssspLandmarks(edgesOld0)
+            .select(col("lm"), col("lm").as("u"), lit(0).as("dist")),
+            maxRounds = SsspMaxRounds * 2)
+            .write.mode("overwrite").parquet(s"$g/dists")
+          edgesOld0.write.mode("overwrite").parquet(s"$g/edges")
+          val pc = ssspPairCounts(
+            ev.filter(col("ts") < timestamp_micros(lit(hb1))))
+            .localCheckpoint()
+          pc.write.mode("overwrite").parquet(s"$g/pairs")
+          pc.filter(col("w") >= KcoreW).select("u", "v")
+            .write.mode("overwrite").parquet(s"$g/pairs_hi")
+        }
+      }
+      // tick 1 (90% → 95%), applied once: relax to the cut2 graph and
+      // COMMIT the advanced state as the next generation. The batch
+      // marker (1) makes a rerun skip it; a concurrent publisher
+      // fails the pointer flip loudly.
+      if (st.lastAppliedBatchGen(statePath).forall(_ < 1L)) {
+        val freshT1 = ssspPairCounts(
+          ev.filter(col("ts") >= timestamp_micros(lit(hb1)) &&
+            col("ts") < timestamp_micros(lit(cut2))))
+          .localCheckpoint()
+        // no final depth require here: this state is an INTERNAL
+        // maintenance artifact like phase 1's (the cut2 graph may be
+        // deeper than the full-graph contract); ssspRelax still
+        // requires convergence
+        val (state1, edges1) = ssspAdvance("g_sssp_incr2:t1",
+          art("dists"), art("edges"), art("pairs"), art("pairs_hi"),
+          freshT1)
+        // compact the frozen pair table forward to hb2: merge the
+        // complete hours [hb1, hb2) — exact by hour-additivity
+        val frozen2 = mergedPairCounts(art("pairs"), ssspPairCounts(
+          ev.filter(col("ts") >= timestamp_micros(lit(hb1)) &&
+            col("ts") < timestamp_micros(lit(hb2)))))
+          .localCheckpoint()
+        st.publishGen(statePath, 1L) { g =>
+          state1.write.mode("overwrite").parquet(s"$g/dists")
+          edges1.write.mode("overwrite").parquet(s"$g/edges")
+          frozen2.write.mode("overwrite").parquet(s"$g/pairs")
+          frozen2.filter(col("w") >= KcoreW).select("u", "v")
+            .write.mode("overwrite").parquet(s"$g/pairs_hi")
+        }
+      }
+      // tick 2 (95% → full), every run: consumes tick 1's COMMITTED
+      // state — the steady-state production tick
+      val fresh2 = ssspPairCounts(
+        ev.filter(col("ts") >= timestamp_micros(lit(hb2))))
+        .localCheckpoint()
+      val (state2, _) = ssspAdvance("g_sssp_incr2:t2", art("dists"),
+        art("edges"), art("pairs"), art("pairs_hi"), fresh2)
+      val depthViolations =
+        state2.filter(col("dist") > lit(SsspMaxRounds - 1)).count()
+      require(depthViolations == 0L,
+        s"$depthViolations maintained distances exceed the " +
+          s"$SsspMaxRounds-round BFS depth contract — refusing to " +
+          "return distances the shared oracle cannot reach")
+      state2.select(col("lm").as("landmark"), col("u").as("user_id"),
           col("dist"))
         .orderBy("landmark", "user_id")
       } finally {
@@ -2376,13 +2572,10 @@ object Extras {
             .agg(count(lit(1)).as("c")))
       require(q.awaitTermination(600000),
         "count maintenance stream must drain (AvailableNow)")
-      // both batches must carry ROWS (not just exist as triggers): an
-      // empty parquet file forms its own micro-batch, so a batchId
-      // count alone passes even when all data flowed through one batch
-      require(q.recentProgress.filter(_.numInputRows > 0)
-          .map(_.batchId).distinct.length >= 2,
-        "replay must span two NONEMPTY micro-batches or the re-sum " +
-          "merge is untested")
+      // two-NONEMPTY-batches is now guaranteed structurally by
+      // Replay.twoBatchStream (loud require on the written halves'
+      // footer counts) — the local recentProgress check this row
+      // carried in r16/r17 is subsumed by the shared rig.
       psiOf(psiCounts(ref, b),
         graft.streaming.Streams.readGenMaintained(s, cPath))
     }),
@@ -3976,6 +4169,9 @@ object Extras {
     // full-graph truth exactly.
     "g_sssp" -> ssspSql,
     "g_sssp_incr" -> ssspSql,
+    // the two-tick maintenance chain must land on the SAME full-graph
+    // truth — the from-scratch recursive CTE is shared verbatim
+    "g_sssp_incr2" -> ssspSql,
     // exact ball sizes by set-union recompute; the sketch-accuracy
     // verdict pinned to TRUE
     "g_neighborhood" ->

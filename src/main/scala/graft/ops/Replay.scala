@@ -57,12 +57,48 @@ private[graft] object Replay {
     */
   def maintainedDir(tag: String, d: String,
       key: String): (java.io.File, Boolean) = {
+    // sanitization maps disallowed characters to '_', which can MERGE
+    // distinct (tag, d, key) triples onto one directory — so the raw
+    // triple's hash is appended, making the mapping injective up to
+    // hash collision (2^-32 per pair; a collision would still be
+    // caught by the registered row's oracle, this just removes the
+    // systematic aliasing)
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$tag $d $key"))
     val base = new java.io.File(
       s"/tmp/graft_$tag/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}_" +
-        s"k${key.replaceAll("[^0-9a-zA-Z.-]", "_")}")
+        s"k${key.replaceAll("[^0-9a-zA-Z.-]", "_")}_h$fp")
     base.mkdirs()
     val marker = new java.io.File(base, "_BUILT")
     (base, marker.isFile)
+  }
+
+  /** Generation-layout counterpart of [[maintainedDir]] (round-18
+    * unification): same persistent path discipline (key pins every
+    * input, hash suffix keeps sanitization injective), but commitment
+    * goes through [[graft.streaming.GenPointerStore]]'s conditional-
+    * PUT generation layout instead of a `_BUILT` marker — so the
+    * loud-lost-update guarantee is UNIFORM across every maintained
+    * artifact in the repo: two concurrent builders of the same key
+    * race the pointer flip and exactly one wins; the loser fails
+    * loudly instead of silently interleaving overwrites (the
+    * single-publisher assumption [[maintainedDir]] documents is no
+    * longer assumed here, it is enforced). Returns (statePath,
+    * alreadyBuilt): alreadyBuilt is true iff a generation has been
+    * COMMITTED (pointer resolves). Callers build cold state via
+    * `Streams.publishGen(statePath, 0L) { gen => ...writes... }` and
+    * read artifacts via `Streams.readGenArtifact`.
+    */
+  def maintainedGen(tag: String, d: String,
+      key: String): (String, Boolean) = {
+    val fp = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$tag $d $key"))
+    val base = new java.io.File(
+      s"/tmp/graft_$tag/x${d.replaceAll("[^0-9a-zA-Z.]", "_")}_" +
+        s"k${key.replaceAll("[^0-9a-zA-Z.-]", "_")}_h$fp")
+    base.mkdirs()
+    (base.getPath,
+      graft.streaming.Streams.currentGen(base.getPath).isDefined)
   }
 
   /** Marks a [[maintainedDir]] build complete (write LAST, after all
@@ -75,10 +111,13 @@ private[graft] object Replay {
 
   /** Write `df` as exactly one parquet file named `name` under `base`
     * (staged single-part write, then the part file is copied to the
-    * target name so the glob filter can address it).
+    * target name so the glob filter can address it). Returns the
+    * written row count, read from the parquet footer — metadata only,
+    * no second Spark job — so callers can assert non-emptiness for
+    * the cost of a footer read.
     */
   def writeOneFile(df: DataFrame, base: java.io.File,
-      name: String): Unit = {
+      name: String): Long = {
     val stage = new java.io.File(base, s"stage_$name")
     df.coalesce(1).write.parquet(stage.getPath)
     val part = stage.listFiles()
@@ -86,7 +125,11 @@ private[graft] object Replay {
       .getOrElse(sys.error(s"no parquet part under $stage"))
     java.nio.file.Files.copy(part.toPath,
       new java.io.File(base, name).toPath)
-    ()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getPath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** The full rig: wipe+create the scratch dir, land the two halves as
@@ -95,13 +138,27 @@ private[graft] object Replay {
     * `schema` must be the halves' schema (streaming sources need it
     * upfront); rows outside the glob (sink state written later under
     * the same dir) are invisible to the source.
+    *
+    * STRUCTURAL GUARANTEE: both halves must be NONEMPTY, enforced
+    * here (loud require on the written footer counts) rather than at
+    * each call site. An empty parquet half still forms its own
+    * trigger, so a downstream `batchId >= 2` check passes while all
+    * data flows through one micro-batch and the sink's cross-batch
+    * merge path silently goes untested; with one-file-per-trigger, a
+    * nonempty file IS a nonempty micro-batch, so requiring both
+    * halves nonempty at write time gives every replay caller the
+    * two-nonempty-batches guarantee for free.
     */
   def twoBatchStream(s: SparkSession, tag: String, d: String,
       schema: StructType, fileTag: String,
       a: DataFrame, b: DataFrame): (java.io.File, DataFrame) = {
     val base = scratchDir(tag, d)
-    writeOneFile(a, base, s"a_$fileTag.parquet")
-    writeOneFile(b, base, s"b_$fileTag.parquet")
+    val na = writeOneFile(a, base, s"a_$fileTag.parquet")
+    val nb = writeOneFile(b, base, s"b_$fileTag.parquet")
+    require(na > 0 && nb > 0,
+      s"twoBatchStream($tag): both replay halves must be NONEMPTY " +
+        s"(got a=$na, b=$nb rows) — an empty half forms its own " +
+        "trigger and the cross-batch merge path would go untested")
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", s"*_$fileTag.parquet")

@@ -42,14 +42,15 @@ object Text {
     * converge long before corpus scale; full-corpus here keeps the
     * oracle total.
     */
-  private def bpeTrainRounds(docs: DataFrame): Seq[DataFrame] = {
+  private def bpeTrainRounds(docs: DataFrame,
+      n: Int = 3): Seq[DataFrame] = {
     var seqs = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .select(concat(lit(" "),
         concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
       .localCheckpoint()
-    (1 to 3).map { r =>
+    (1 to n).map { r =>
       val pairs = seqs
         .select(split(trim(col("seq")), " ").as("a"))
         .filter(size(col("a")) >= 2)
@@ -69,6 +70,126 @@ object Text {
         concat_ws(" ", col("x"), col("y")).as("pair"),
         concat(col("x"), col("y")).as("merged"), col("cnt"))
     }
+  }
+
+  /** Representative merge count for the t_bpe_encode16 operating
+    * point (r17 verdict #6): 3 merges exercises the mechanism; 16
+    * stresses the replace-chain codegen and the literal-map id lookup
+    * at a production-ish table depth while the driver collects stay
+    * bounded metadata (16 merge rows + the vocabulary). */
+  private[graft] val BpeMergesFull = 16
+
+  /** t_bpe_encode body, parameterized by merge count `n` (r18): train
+    * `n` merges, collect the n-row merge table + bounded vocabulary
+    * (the ONLY driver collects), rewrite every word through the merges
+    * in training order as a codegen'd replace chain, map final
+    * symbols to dense lexicographic ids via a literal map (no join,
+    * no symbol explode), and reassemble per doc. */
+  private def bpeEncode(s: SparkSession, d: String,
+      n: Int): DataFrame = {
+    val docs = t(s, d, "documents")
+    val merges = bpeTrainRounds(docs, n)
+      .map(_.select("pair", "merged").head())
+      .map(r => (r.getString(0), r.getString(1)))
+    val vmapCol = {
+      // final vocabulary: distinct surviving symbols, dense-ranked
+      // lexicographically (binary UTF-8 order — DuckDB's default
+      // collation, so the oracle's row_number agrees)
+      val seqCol = merges.foldLeft(concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" "))) {
+        case (c, (p, m)) =>
+          val Array(x, y) = p.split(" ", 2)
+          replace(c, lit(s" $x $y "), lit(s" $m "))
+      }
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .select(explode(split(trim(seqCol), " ")).as("sym"))
+        .distinct().orderBy("sym")
+        .collect().map(_.getString(0))
+      map(vocab.zipWithIndex.flatMap { case (sym, i) =>
+        Seq(lit(sym), lit(i + 1L)) }: _*)
+    }
+    val seqCol = merges.foldLeft(concat(lit(" "),
+        concat_ws(" ", split(col("w"), "")), lit(" "))) {
+      case (c, (p, m)) =>
+        val Array(x, y) = p.split(" ", 2)
+        replace(c, lit(s" $x $y "), lit(s" $m "))
+    }
+    val toks = split(trim(seqCol), " ")
+    val ids = transform(toks, tk =>
+      element_at(vmapCol, tk).cast("string"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"), col("pos"), size(toks).as("n"),
+        concat_ws(" ", ids).as("ws"))
+      .groupBy("doc_id")
+      .agg(sum(col("n").cast("long")).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("ws")))),
+          x => x.getField("ws"))).as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] at merge count `n`: the training
+    * CTE chain unrolled n rounds (identical to t_bpe_merges'), the
+    * per-word apply chain e1..eN, then vocab ranking + reassembly. */
+  private def bpeEncodeSql(n: Int): String = {
+    def round(r: Int): String = {
+      val prev = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         SELECT a[i] AS x, a[i+1] AS y, COUNT(*) AS cnt
+         FROM (SELECT string_split(trim(seq), ' ') AS a FROM $prev),
+              LATERAL (SELECT unnest(range(1, len(a))) AS i)
+         WHERE len(a) >= 2
+         GROUP BY 1, 2),
+       t$r AS (SELECT x, y, cnt FROM p$r
+               ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+       w$r AS MATERIALIZED (
+         SELECT replace(seq, ' ' || t$r.x || ' ' || t$r.y || ' ',
+           ' ' || t$r.x || t$r.y || ' ') AS seq
+         FROM $prev, t$r)"""
+    }
+    def applyRound(r: Int): String = {
+      val prev = if (r == 1) "wd" else s"e${r - 1}"
+      s"""e$r AS MATERIALIZED (
+         SELECT doc_id, pos, replace(seq,
+           ' ' || t$r.x || ' ' || t$r.y || ' ',
+           ' ' || t$r.x || t$r.y || ' ') AS seq FROM $prev, t$r)"""
+    }
+    s"""WITH w0 AS MATERIALIZED (
+         SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+           || ' ' AS seq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE len(w) >= 1),
+       ${(1 to n).map(round).mkString(",\n         ")},
+       wd AS (
+         SELECT doc_id, i AS pos,
+           ' ' || array_to_string(string_split(ws[i], ''), ' ')
+             || ' ' AS seq
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+              LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+         WHERE len(ws[i]) >= 1),
+       ${(1 to n).map(applyRound).mkString(",\n         ")},
+       sym AS (
+         SELECT doc_id, pos, i, a[i] AS s
+         FROM (SELECT doc_id, pos, string_split(trim(seq), ' ') AS a
+               FROM e$n),
+              LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)),
+       vocab AS (
+         SELECT s, row_number() OVER (ORDER BY s) AS id
+         FROM (SELECT DISTINCT s FROM sym) q),
+       wid AS (
+         SELECT doc_id, pos, COUNT(*) AS n,
+           string_agg(v.id::VARCHAR, ' ' ORDER BY i) AS ws
+         FROM sym JOIN vocab v USING (s) GROUP BY 1, 2)
+       SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         string_agg(ws, ' ' ORDER BY pos) AS token_ids
+       FROM wid GROUP BY doc_id ORDER BY doc_id"""
   }
 
   private val stopwords = Seq("the", "a", "of", "to", "in")
@@ -456,52 +577,17 @@ object Text {
     // over word positions. The PropertySpec round-trip pins
     // decode(encode(x)) = x: merged symbols concatenate back to the
     // exact word list.
-    "t_bpe_encode" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val merges = bpeTrainRounds(docs)
-        .map(_.select("pair", "merged").head())
-        .map(r => (r.getString(0), r.getString(1)))
-      val vmapCol = {
-        // final vocabulary: distinct surviving symbols, dense-ranked
-        // lexicographically (binary UTF-8 order — DuckDB's default
-        // collation, so the oracle's row_number agrees)
-        val seqCol = merges.foldLeft(concat(lit(" "),
-            concat_ws(" ", split(col("w"), "")), lit(" "))) {
-          case (c, (p, m)) =>
-            val Array(x, y) = p.split(" ", 2)
-            replace(c, lit(s" $x $y "), lit(s" $m "))
-        }
-        val vocab = docs
-          .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) >= 1)
-          .select(explode(split(trim(seqCol), " ")).as("sym"))
-          .distinct().orderBy("sym")
-          .collect().map(_.getString(0))
-        map(vocab.zipWithIndex.flatMap { case (sym, i) =>
-          Seq(lit(sym), lit(i + 1L)) }: _*)
-      }
-      val seqCol = merges.foldLeft(concat(lit(" "),
-          concat_ws(" ", split(col("w"), "")), lit(" "))) {
-        case (c, (p, m)) =>
-          val Array(x, y) = p.split(" ", 2)
-          replace(c, lit(s" $x $y "), lit(s" $m "))
-      }
-      val toks = split(trim(seqCol), " ")
-      val ids = transform(toks, tk =>
-        element_at(vmapCol, tk).cast("string"))
-      docs
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .filter(length(col("w")) >= 1)
-        .select(col("doc_id"), col("pos"), size(toks).as("n"),
-          concat_ws(" ", ids).as("ws"))
-        .groupBy("doc_id")
-        .agg(sum(col("n").cast("long")).as("n_tokens"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("pos"), col("ws")))),
-            x => x.getField("ws"))).as("token_ids"))
-        .orderBy("doc_id")
-    }),
+    "t_bpe_encode" -> ((s, d) => bpeEncode(s, d, 3)),
+
+    // the SAME apply pipeline at the representative merge depth
+    // (r17 verdict #6): N = BpeMergesFull lifts the replace chain to
+    // 16 codegen'd literal replaces and a correspondingly larger
+    // vocabulary literal-map — the operating point a real tokenizer
+    // would run — while t_bpe_encode stays registered at N=3 as the
+    // history-tracked cheap variant (the v_kmeans_conv /
+    // v_kmeans_sampled both-operating-points precedent). Oracle is
+    // the same replay chain unrolled to 16.
+    "t_bpe_encode16" -> ((s, d) => bpeEncode(s, d, BpeMergesFull)),
 
     // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     // the MOSS algorithm): from every window of w=4 consecutive 5-gram
@@ -1399,70 +1485,12 @@ object Text {
          ORDER BY round"""
     },
     // training replay (identical CTE chain to t_bpe_merges) + apply:
-    // per-doc positional words rewritten through the same 3 replaces,
+    // per-doc positional words rewritten through the same N replaces,
     // symbols dense-ranked lexicographically (binary collation on both
-    // engines), ids string-joined in (pos, symbol-pos) order
-    "t_bpe_encode" -> {
-      def round(r: Int): String = {
-        val prev = s"w${r - 1}"
-        s"""p$r AS MATERIALIZED (
-           SELECT a[i] AS x, a[i+1] AS y, COUNT(*) AS cnt
-           FROM (SELECT string_split(trim(seq), ' ') AS a FROM $prev),
-                LATERAL (SELECT unnest(range(1, len(a))) AS i)
-           WHERE len(a) >= 2
-           GROUP BY 1, 2),
-         t$r AS (SELECT x, y, cnt FROM p$r
-                 ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
-         w$r AS MATERIALIZED (
-           SELECT replace(seq, ' ' || t$r.x || ' ' || t$r.y || ' ',
-             ' ' || t$r.x || t$r.y || ' ') AS seq
-           FROM $prev, t$r)"""
-      }
-      s"""WITH w0 AS MATERIALIZED (
-           SELECT ' ' || array_to_string(string_split(w, ''), ' ')
-             || ' ' AS seq
-           FROM (SELECT unnest(string_split(text, ' ')) AS w
-                 FROM documents)
-           WHERE len(w) >= 1),
-         ${round(1)},
-         ${round(2)},
-         ${round(3)},
-         wd AS (
-           SELECT doc_id, i AS pos,
-             ' ' || array_to_string(string_split(ws[i], ''), ' ')
-               || ' ' AS seq
-           FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents),
-                LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
-           WHERE len(ws[i]) >= 1),
-         e1 AS MATERIALIZED (
-           SELECT doc_id, pos, replace(seq,
-             ' ' || t1.x || ' ' || t1.y || ' ',
-             ' ' || t1.x || t1.y || ' ') AS seq FROM wd, t1),
-         e2 AS MATERIALIZED (
-           SELECT doc_id, pos, replace(seq,
-             ' ' || t2.x || ' ' || t2.y || ' ',
-             ' ' || t2.x || t2.y || ' ') AS seq FROM e1, t2),
-         e3 AS MATERIALIZED (
-           SELECT doc_id, pos, replace(seq,
-             ' ' || t3.x || ' ' || t3.y || ' ',
-             ' ' || t3.x || t3.y || ' ') AS seq FROM e2, t3),
-         sym AS (
-           SELECT doc_id, pos, i, a[i] AS s
-           FROM (SELECT doc_id, pos, string_split(trim(seq), ' ') AS a
-                 FROM e3),
-                LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i)),
-         vocab AS (
-           SELECT s, row_number() OVER (ORDER BY s) AS id
-           FROM (SELECT DISTINCT s FROM sym) q),
-         wid AS (
-           SELECT doc_id, pos, COUNT(*) AS n,
-             string_agg(v.id::VARCHAR, ' ' ORDER BY i) AS ws
-           FROM sym JOIN vocab v USING (s) GROUP BY 1, 2)
-         SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
-           string_agg(ws, ' ' ORDER BY pos) AS token_ids
-         FROM wid GROUP BY doc_id ORDER BY doc_id"""
-    },
+    // engines), ids string-joined in (pos, symbol-pos) order. The
+    // generator is shared by the N=3 and N=16 operating points.
+    "t_bpe_encode" -> bpeEncodeSql(3),
+    "t_bpe_encode16" -> bpeEncodeSql(BpeMergesFull),
     "t_lmscore3" ->
       """WITH s AS (SELECT (MAX(doc_id) * 4) // 5 AS sid FROM documents),
          tri AS (

@@ -203,6 +203,49 @@ class GenPointerSpec extends SparkTestBase {
     assert(plane.list("gen=1/") == files.toSet)
   }
 
+  test("raced graph-row publisher: two concurrent cold builders of " +
+      "one maintainedGen state dir — exactly one commit wins, the " +
+      "loser fails loudly (the g_sssp_incr / g_labelprop_incr / " +
+      "g_wpagerank_incr commit shape after the r18 unification)") {
+    import spark.implicits._
+    // wipe the tag dir so reruns of this suite start unbuilt
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File("/tmp/graft_spec_graph_race"))
+    val (statePath, built) = ops.Replay.maintainedGen(
+      "spec_graph_race", "/spec", "k1-race")
+    assert(!built, "fresh key reported built")
+    val store = new FakeObjectStore
+    GenPointerStore.bind(statePath, store)
+    try {
+      val dists = Seq((1L, 1L, 0)).toDF("lm", "u", "dist")
+      // builder A resolves the (absent) pointer; DURING its artifact
+      // writes, builder B completes the same cold build and flips
+      // first. A's conditional flip must fail loudly — the
+      // single-publisher ASSUMPTION maintainedDir documented is an
+      // ENFORCED guarantee under the generation layout.
+      val e = intercept[IllegalArgumentException] {
+        Streams.publishGen(statePath, 0L) { g =>
+          dists.write.mode("overwrite").parquet(s"$g/dists")
+          Streams.publishGen(statePath, 0L) { g2 =>
+            dists.write.mode("overwrite").parquet(s"$g2/dists")
+          }
+        }
+      }
+      assert(e.getMessage.contains("lost a race"))
+      assert(store.rejected == 1)
+      // the winner's state is committed, readable through the
+      // pointer, and the same key now reports built
+      assert(Streams.readGenArtifact(spark, statePath, "dists")
+        .count() == 1L)
+      assert(ops.Replay.maintainedGen(
+        "spec_graph_race", "/spec", "k1-race")._2,
+        "committed generation not visible to maintainedGen")
+    } finally GenPointerStore.unbind(statePath)
+  }
+
   test("POSIX pointer compare-and-set: a stale content token is " +
       "rejected the same way (the default store honors the contract)") {
     val statePath = tmpDir("genstore_posix") + "/st"

@@ -87,6 +87,28 @@ class StreamsSpec extends SparkTestBase {
       .select("actor_type").distinct().count() == 2)
   }
 
+  test("twoBatchStream refuses an EMPTY half loudly — the structural " +
+      "two-NONEMPTY-batches guarantee every maintained replay " +
+      "inherits (r17 verdict: an empty parquet half forms its own " +
+      "trigger, so a batch-count check passes while the cross-batch " +
+      "merge path silently goes untested)") {
+    val ev = graft.etl.Tables.load(spark, dir, "events")
+    val e = intercept[IllegalArgumentException] {
+      ops.Replay.twoBatchStream(spark, "empty_half_t", dir,
+        graft.etl.Tables.events, "ev",
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(lit(false)))
+    }
+    assert(e.getMessage.contains("NONEMPTY"),
+      s"wrong failure: ${e.getMessage}")
+    // and the passing shape still reports true footer counts
+    val (_, stream) = ops.Replay.twoBatchStream(spark, "empty_half_t",
+      dir, graft.etl.Tables.events, "ev",
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    assert(stream.isStreaming)
+  }
+
   test("windowedCounts over a drained stream equals the batch aggregation") {
     val stream = Streams.eventsStream(spark, dir)
     val q = Streams.runAvailableNow(Streams.windowedCounts(stream),
