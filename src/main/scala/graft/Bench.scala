@@ -534,19 +534,44 @@ object Bench {
     val tripleFlagged = aboveMin.map(_._1).toSet
       .intersect(aboveMinNorm.map(_._1).toSet)
       .intersect(varFlagged.map(_._1).toSet)
-    val isolatedSec = tripleFlagged.toSeq.sorted.map { k =>
+    // r19 extension (r18 verdict #3): a row can clear the variance
+    // model yet exceed its sentinel-normalized minimum (the
+    // l_rollup_maintained / m_decode_real r18d profile) — rerun ANY
+    // normalized-flagged row too, triple-flagged first, capped so a
+    // broadly-flagged contended sweep can't double its own wall-clock;
+    // dropped rows are named on stderr (no silent caps).
+    val isolateCap = 8
+    val isolateAll = tripleFlagged.toSeq.sorted ++
+      aboveMinNorm.map(_._1).filterNot(tripleFlagged)
+    val toIsolate = isolateAll.distinct.take(isolateCap)
+    if (isolateAll.distinct.size > isolateCap)
+      System.err.println("[bench] isolated rerun CAPPED at " +
+        s"$isolateCap — not rerun: " +
+        isolateAll.distinct.drop(isolateCap).mkString(", "))
+    val isolatedSec = toIsolate.map { k =>
       val fn = SparkEntry.queries(k)
+      // a crashing pass records -1, NEVER its elapsed time-to-failure
+      // (r18 advice: a fast failure would read as "in-sweep
+      // inflation, not a regression" — the opposite of the truth)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated rerun $k FAILED: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
+      val good = ts.filter(_ >= 0)
+      val best = if (good.nonEmpty) good.min else -1.0
       System.err.println(
-        f"[bench] isolated rerun $k%-22s min ${ts.min}%.2f s " +
+        f"[bench] isolated rerun $k%-22s min $best%.2f s " +
           s"(passes ${ts.map(t => f"$t%.2f").mkString(" ")})")
-      k -> ts.min
+      k -> best
     }
     val isolatedJson = isolatedSec
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")

@@ -35,9 +35,13 @@ object Verify {
       try {
         val df = fn(spark, sfDir)
         if (dumpPlans)
+          // gen-layout scan paths carry a publisher-unique nonce
+          // (gen=N-<hex>); strip it so the plans dir stays a stable
+          // round-over-round text diff
           try Files.writeString(Paths.get(s"$plansDir/$name.txt"),
             df.queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode))
+              org.apache.spark.sql.execution.FormattedMode)
+              .replaceAll("(gen=\\d+)-[0-9a-f]+", "$1"))
           catch { case e: Throwable =>
             System.err.println(s"[verify] plan dump $name: ${e.getMessage}")
           }

@@ -81,9 +81,14 @@ private[graft] object Replay {
     * loud-lost-update guarantee is UNIFORM across every maintained
     * artifact in the repo: two concurrent builders of the same key
     * race the pointer flip and exactly one wins; the loser fails
-    * loudly instead of silently interleaving overwrites (the
-    * single-publisher assumption [[maintainedDir]] documents is no
-    * longer assumed here, it is enforced). Returns (statePath,
+    * loudly, and because each publish attempt writes into its own
+    * uniquely-named gen dir (r19: `gen=N-<nonce>`, the label recorded
+    * in the pointer), the loser's parquet writes land in an orphan
+    * dir and can never interleave with — or clobber — the generation
+    * the winner committed (the single-publisher assumption
+    * [[maintainedDir]] documents is no longer assumed here, it is
+    * enforced on BOTH the pointer and the data plane). Returns
+    * (statePath,
     * alreadyBuilt): alreadyBuilt is true iff a generation has been
     * COMMITTED (pointer resolves). Callers build cold state via
     * `Streams.publishGen(statePath, 0L) { gen => ...writes... }` and

@@ -2097,25 +2097,34 @@ object Streams {
   // renamed. A failed condition means a concurrent publisher committed
   // since the read — publishGen refuses LOUDLY instead of silently
   // orphaning the winner's generation (the lost-update rejection
-  // GenPointerSpec races against a fake object store). The default
+  // GenPointerSpec races against a fake object store) — and because
+  // every attempt writes into a publisher-unique `gen=N-<nonce>` dir
+  // whose label the pointer records, the LOSER'S DATA WRITES land in
+  // its own orphan dir, never inside the generation the winner
+  // committed (r18 advice: with a shared `gen=N` dir the pointer race
+  // was loud but the data-plane interleave was not). The default
   // binding is [[PosixGenPointer]] (pointer file + advisory-locked
   // compare-and-set). Each gen dir carries its own batch marker, so
   // the exactly-once retry guard reads through the pointer. Crash
-  // windows: before the flip, the old pointer stands and the retry
-  // overwrites the orphan gen; after the flip, the new state is live
+  // windows: before the flip, the old pointer stands, the retry
+  // publishes a fresh uniquely-named gen, and the crashed attempt's
+  // dir is unreferenced garbage; after the flip, the new state is live
   // and any stale gens are garbage. GC keeps the current AND previous
-  // generation (a reader that resolved the pointer just before a flip
-  // still has its files — the grace window stagedSwap never had) and
-  // deletes older ones best-effort.
+  // generation NUMBER (a reader that resolved the pointer just before
+  // a flip still has its files — the grace window stagedSwap never
+  // had) and deletes older ones — including crash/loser orphans whose
+  // number has aged out — best-effort.
 
   private def pointerOf(statePath: String): GenPointerStore =
     GenPointerStore.forPath(statePath)
 
   private[graft] def currentGen(statePath: String): Option[Long] =
-    pointerOf(statePath).read(statePath).map(_._1)
+    pointerOf(statePath).read(statePath)
+      .map(c => GenPointerStore.genOf(c._1))
 
   private[graft] def currentGenPath(statePath: String): Option[String] =
-    currentGen(statePath).map(g => s"$statePath/gen=$g")
+    pointerOf(statePath).read(statePath)
+      .map(c => s"$statePath/gen=${c._1}")
 
   /** Read a generation-layout maintained table: resolve the pointer,
     * scan that generation only. */
@@ -2183,7 +2192,7 @@ object Streams {
         require(f.renameTo(new java.io.File(gen0, f.getName)),
           s"migration move failed for ${f.getPath}")
       }
-    require(pointerOf(statePath).putIf(statePath, 0L, None),
+    require(pointerOf(statePath).putIf(statePath, "0", None),
       s"migration pointer flip lost a race under $statePath — " +
         "another publisher committed during the one-time migration")
   }
@@ -2207,26 +2216,35 @@ object Streams {
   }
 
   /** Commit one batch under the generation layout: `write` lands the
-    * new state into the next gen dir (a plain overwrite parquet write
-    * — an interrupted attempt is re-overwritten on retry), the batch
+    * new state into a PUBLISHER-UNIQUE next-gen dir (`gen=N-<nonce>`
+    * — so a concurrent publisher racing the same generation number,
+    * or a retry after a crash, physically cannot write into a dir
+    * another attempt produced; the r18-advice data-plane interleave
+    * is closed by construction, not by the pointer check), the batch
     * marker lands inside it, and the CONDITIONAL PUT of the pointer —
-    * If-Match on the version token this publish resolved — is the
-    * single atomic commit point. A failed condition (a concurrent
-    * publisher committed since the read) refuses loudly: the orphan
-    * gen dir is garbage, never state, and the caller knows its batch
-    * did NOT commit. Then GC generations beyond the [[genKeep]]
-    * retention depth. */
+    * If-Match on the version token this publish resolved, committing
+    * this attempt's dir LABEL — is the single atomic commit point. A
+    * failed condition (a concurrent publisher committed since the
+    * read) refuses loudly: the uniquely-named orphan gen dir is
+    * garbage, never state — no pointer value ever names it — and the
+    * caller knows its batch did NOT commit. Then GC generations whose
+    * numeric prefix falls beyond the [[genKeep]] retention depth
+    * (which also sweeps crash/loser orphans once the cutoff passes
+    * their generation number). */
   private[graft] def publishGen(statePath: String, id: Long)(
       write: String => Unit): Unit = {
     val keep = genKeep // validate the knob BEFORE any state mutation
     requireNotLegacy(statePath)
     val store = pointerOf(statePath)
     val cur = store.read(statePath)
-    val next = cur.map(_._1 + 1).getOrElse(0L)
-    val dir = s"$statePath/gen=$next"
+    val next = cur.map(c => GenPointerStore.genOf(c._1) + 1).getOrElse(0L)
+    val nonce = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val label = s"$next-$nonce"
+    val dir = s"$statePath/gen=$label"
     write(dir)
     markBatch(dir, id)
-    require(store.putIf(statePath, next, cur.map(_._2)),
+    require(store.putIf(statePath, label, cur.map(_._2)),
       s"generation pointer flip under $statePath lost a race: " +
         "another publisher committed after this batch resolved the " +
         "pointer — this batch's write is an uncommitted orphan " +
@@ -2236,7 +2254,8 @@ object Streams {
       .getOrElse(Array.empty)
       .filter { f =>
         f.getName.startsWith("gen=") &&
-          scala.util.Try(f.getName.stripPrefix("gen=").toLong)
+          scala.util.Try(
+            GenPointerStore.genOf(f.getName.stripPrefix("gen=")))
             .toOption.exists(_ < cutoff)
       }
       .foreach(rmTree)

@@ -13,24 +13,28 @@ import graft.streaming.{GenPointerStore, PosixGenPointer, Streams}
   * content-as-token impl. */
 final class FakeObjectStore extends GenPointerStore {
   private val objects =
-    scala.collection.mutable.Map[String, (Long, String)]()
+    scala.collection.mutable.Map[String, (String, String)]()
   private var etagSeq = 0L
   /** Conditional failures observed — the lost-update rejections. */
   @volatile var rejected = 0
 
-  def read(statePath: String): Option[(Long, String)] =
+  def read(statePath: String): Option[(String, String)] =
     synchronized(objects.get(statePath))
 
-  def putIf(statePath: String, gen: Long,
+  def putIf(statePath: String, label: String,
       expect: Option[String]): Boolean = synchronized {
     if (objects.get(statePath).map(_._2) != expect) {
       rejected += 1; false
     } else {
       etagSeq += 1
-      objects(statePath) = (gen, s"etag-$etagSeq")
+      objects(statePath) = (label, s"etag-$etagSeq")
       true
     }
   }
+
+  /** Committed generation NUMBER (the label's numeric prefix). */
+  def genNum(statePath: String): Long =
+    read(statePath).map(c => c._1.takeWhile(_.isDigit).toLong).get
 }
 
 /** The gen layout's object-store contract: commits go through ONE
@@ -47,20 +51,23 @@ class GenPointerSpec extends SparkTestBase {
       "publishers that read the same version, exactly one commits") {
     val store = new FakeObjectStore
     val key = "/state/counts"
-    assert(store.putIf(key, 0L, None), "create-if-absent must succeed")
+    assert(store.putIf(key, "0", None), "create-if-absent must succeed")
     val a = store.read(key).get
     val b = store.read(key).get
     assert(a == b)
-    // both writers resolved gen 0; writer A flips first
-    assert(store.putIf(key, 1L, Some(a._2)))
+    // both writers resolved gen 0; writer A flips first — note the
+    // DISTINCT nonce-suffixed labels: racing publishers name distinct
+    // dirs even for the same generation number
+    assert(store.putIf(key, "1-aaaa", Some(a._2)))
     // writer B holds a now-stale token: must be rejected even though
     // it proposes the SAME generation number (version check, not
     // value check)
-    assert(!store.putIf(key, 1L, Some(b._2)),
+    assert(!store.putIf(key, "1-bbbb", Some(b._2)),
       "a stale token committed — lost update")
     // and a blind create against an existing pointer is rejected too
-    assert(!store.putIf(key, 2L, None))
-    assert(store.read(key).get._1 == 1L)
+    assert(!store.putIf(key, "2", None))
+    assert(store.read(key).get._1 == "1-aaaa")
+    assert(store.genNum(key) == 1L)
     assert(store.rejected == 2)
   }
 
@@ -78,7 +85,7 @@ class GenPointerSpec extends SparkTestBase {
           tag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       Streams.publishGen(statePath, 0L)(writeMarkerFileOnly("base"))
-      assert(store.read(statePath).get._1 == 0L)
+      assert(store.genNum(statePath) == 0L)
       assert(!new java.io.File(statePath, PosixGenPointer.Marker)
         .exists(), "a bound object store still wrote the POSIX pointer")
       // interleave: publisher A resolves the pointer, and DURING its
@@ -94,10 +101,25 @@ class GenPointerSpec extends SparkTestBase {
       assert(e.getMessage.contains("lost a race"))
       assert(store.rejected == 1)
       // the winner's commit stands and readers resolve it
-      val gen = store.read(statePath).get._1
-      assert(gen == 1L)
-      assert(new java.io.File(s"$statePath/gen=$gen/b.txt").exists(),
+      val label = store.read(statePath).get._1
+      assert(label.takeWhile(_.isDigit).toLong == 1L)
+      val winDir = new java.io.File(s"$statePath/gen=$label")
+      assert(new java.io.File(winDir, "b.txt").exists(),
         "pointer does not resolve the winning publisher's generation")
+      // the r18-advice data-plane guarantee: the LOSER'S writes went
+      // into its own uniquely-named orphan dir, so the committed
+      // generation holds ONLY the winner's files — a shared gen=N dir
+      // would have let A's overwrite clobber B's committed data
+      assert(!new java.io.File(winDir, "a.txt").exists(),
+        "the losing publisher's data interleaved into the committed " +
+          "generation")
+      val loserDirs = new java.io.File(statePath).listFiles()
+        .filter(f => f.getName.startsWith("gen=1") &&
+          f.getName != s"gen=$label")
+      assert(loserDirs.length == 1 &&
+        new java.io.File(loserDirs.head, "a.txt").exists(),
+        "the losing attempt's orphan dir is missing — where did its " +
+          "write land?")
     } finally GenPointerStore.unbind(statePath)
   }
 
@@ -128,8 +150,12 @@ class GenPointerSpec extends SparkTestBase {
       // committed via the store — and GC ran identically on both
       assert(new java.io.File(posixPath, PosixGenPointer.Marker).exists())
       assert(!new java.io.File(storePath, PosixGenPointer.Marker).exists())
+      // compare generation NUMBERS — the nonce suffix is
+      // publisher-unique by design, so raw dir names differ
       def gens(p: String) = new java.io.File(p).listFiles()
-        .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+        .map(_.getName).filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").takeWhile(_.isDigit).toLong)
+        .sorted.toSeq
       assert(gens(posixPath) == gens(storePath))
     } finally GenPointerStore.unbind(storePath)
   }
@@ -171,7 +197,7 @@ class GenPointerSpec extends SparkTestBase {
     for (readerAt <- 0 to files.size) {
       val plane = new ModelDataPlane(strongList = true)
       val ptr = new FakeObjectStore
-      var readerSawGen = Option.empty[Long]
+      var readerSawGen = Option.empty[String]
       files.zipWithIndex.foreach { case (f, i) =>
         plane.put(f)
         // reader polls the pointer mid-publish: sees nothing yet
@@ -180,10 +206,10 @@ class GenPointerSpec extends SparkTestBase {
       }
       assert(readerSawGen.isEmpty,
         "reader resolved a generation before the flip")
-      assert(ptr.putIf("/p", 1L, None))
+      assert(ptr.putIf("/p", "1", None))
       // reader now observes the flipped pointer, then lists
       val gen = ptr.read("/p").get._1
-      assert(gen == 1L)
+      assert(gen == "1")
       assert(plane.list(s"gen=$gen/") == files.toSet,
         s"strong-list reader saw a partial generation at $readerAt")
     }
@@ -194,8 +220,8 @@ class GenPointerSpec extends SparkTestBase {
     val plane = new ModelDataPlane(strongList = false)
     val ptr = new FakeObjectStore
     files.foreach(plane.put)
-    assert(ptr.putIf("/p", 1L, None))
-    assert(ptr.read("/p").get._1 == 1L)
+    assert(ptr.putIf("/p", "1", None))
+    assert(ptr.read("/p").get._1 == "1")
     assert(plane.list("gen=1/").isEmpty,
       "the weak model unexpectedly listed fresh puts — the " +
         "counter-example this test documents no longer demonstrates")
@@ -249,13 +275,13 @@ class GenPointerSpec extends SparkTestBase {
   test("POSIX pointer compare-and-set: a stale content token is " +
       "rejected the same way (the default store honors the contract)") {
     val statePath = tmpDir("genstore_posix") + "/st"
-    assert(PosixGenPointer.putIf(statePath, 0L, None))
+    assert(PosixGenPointer.putIf(statePath, "0", None))
     val tok = PosixGenPointer.read(statePath).get._2
-    assert(PosixGenPointer.putIf(statePath, 1L, Some(tok)))
-    assert(!PosixGenPointer.putIf(statePath, 2L, Some(tok)),
+    assert(PosixGenPointer.putIf(statePath, "1-cafe", Some(tok)))
+    assert(!PosixGenPointer.putIf(statePath, "2", Some(tok)),
       "stale POSIX token committed — the advisory-locked CAS is not " +
         "a CAS")
-    assert(!PosixGenPointer.putIf(statePath, 2L, None))
-    assert(PosixGenPointer.read(statePath).get._1 == 1L)
+    assert(!PosixGenPointer.putIf(statePath, "2", None))
+    assert(PosixGenPointer.read(statePath).get._1 == "1-cafe")
   }
 }

@@ -1437,7 +1437,8 @@ class StreamsSpec extends SparkTestBase {
     def gens(): Seq[Long] = Option(
         new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("gen="))
-      .map(_.getName.stripPrefix("gen=").toLong).sorted.toSeq
+      .map(_.getName.stripPrefix("gen=").takeWhile(_.isDigit).toLong)
+      .sorted.toSeq
     // default depth 2: after three publishes only {current, previous}
     // remain — one flip of reader grace
     put(0L); put(1L); put(2L)
@@ -1622,7 +1623,8 @@ class StreamsSpec extends SparkTestBase {
       "reader resolved the orphan marks instead of the committed ones")
     // the foreachBatch retry redelivers batch 1: the late t1.5:B must
     // classify against the COMMITTED gen-0 marks (late path → split +
-    // resurrect), and the orphan gen=1 is overwritten by the real one
+    // resurrect); the real publish lands in its own uniquely-named
+    // gen-1 dir and the poisoned orphan stays unreferenced garbage
     Streams.scd2LateBatch(df((1L, "B", 15, 102L)), basePath, 1L)
     assert(Streams.currentGen(basePath).contains(1L))
     val logRows = Streams.readGenArtifact(spark, basePath, "log")
@@ -1632,16 +1634,20 @@ class StreamsSpec extends SparkTestBase {
       (1L, "A", 101L)),
       s"retry over the orphan generation produced $logRows")
     // atomic pair: the committed generation's marks were rebuilt from
-    // gen 0 + the batch — the poisoned orphan mark (999) is gone, and
-    // the watermark stays at the newest event (101 — the late row is
-    // OLDER, so it must NOT advance the mark)
+    // gen 0 + the batch — the poisoned orphan mark (999) is invisible
+    // through the pointer, and the watermark stays at the newest event
+    // (101 — the late row is OLDER, so it must NOT advance the mark)
     assert(Streams.readGenArtifact(spark, basePath, "marks")
       .as[(Long, (java.sql.Timestamp, Long))].head()._2._2 == 101L,
       "retry absorbed the orphan marks instead of rebuilding from the " +
         "committed generation")
-    // and both artifacts live inside the SAME committed gen dir
-    assert(new java.io.File(s"$basePath/gen=1/marks").isDirectory &&
-      new java.io.File(s"$basePath/gen=1/log").isDirectory,
+    // and both artifacts live inside the SAME committed gen dir (the
+    // pointer-resolved one — NOT the fabricated orphan `gen=1`)
+    val committed = Streams.currentGenPath(basePath).get
+    assert(committed != s"$basePath/gen=1",
+      "retry reused the crashed attempt's dir instead of a unique one")
+    assert(new java.io.File(s"$committed/marks").isDirectory &&
+      new java.io.File(s"$committed/log").isDirectory,
       "marks and log did not commit together in one generation")
     assert(Streams.lastAppliedBatchGen(basePath).contains(1L))
   }

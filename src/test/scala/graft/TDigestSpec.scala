@@ -116,7 +116,8 @@ class TDigestSpec extends SparkTestBase {
       Option(new java.io.File(statePath).listFiles())
         .getOrElse(Array.empty)
         .filter(_.getName.startsWith("gen="))
-        .map(_.getName.stripPrefix("gen=").toLong).toSet
+        .map(_.getName.stripPrefix("gen=").takeWhile(_.isDigit).toLong)
+        .toSet
     def batch(vs: Seq[Double], id: Long): Unit =
       Streams.tdigestBatch(vs.map(("g", _)).toDF("k", "v"),
         "k", "v", statePath, 200, id)
@@ -136,8 +137,9 @@ class TDigestSpec extends SparkTestBase {
       .head()._2.n
     assert(n() == 4L)
     // crash window A: a gen dir written but the pointer never flipped
-    // — the stale orphan must be invisible to readers and simply be
-    // overwritten by the retry
+    // — the stale orphan must be invisible to readers; the retry
+    // publishes its own uniquely-named gen dir (never touching the
+    // orphan) and the orphan ages out of GC with its number
     val orphan = new java.io.File(s"$statePath/gen=3")
     orphan.mkdirs()
     java.nio.file.Files.write(
@@ -145,7 +147,7 @@ class TDigestSpec extends SparkTestBase {
     assert(n() == 4L, "reader followed an uncommitted generation")
     batch(Seq(5.0), 3L)
     assert(Streams.currentGen(statePath).contains(3L) && n() == 5L,
-      "retry must overwrite the orphan generation and commit")
+      "retry must commit a fresh generation past the orphan")
     // crash window B: pointer flipped but old-gen GC never ran — the
     // next publish must clean up without touching the live state
     val stale = new java.io.File(s"$statePath/gen=0")
