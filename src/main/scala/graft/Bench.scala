@@ -69,9 +69,14 @@ object Bench {
   }
 
   /** One clean historical artifact: its per-query times plus the
-    * host-day sentinel it recorded (-1 for pre-sentinel artifacts). */
+    * host-day sentinel it recorded (-1 for pre-sentinel artifacts) and
+    * — since r19 — the steal each sentinel's OWN measurement window
+    * caught (-1 for older artifacts), so a contended capture whose
+    * sentinel windows were nonetheless steal-clean can still be
+    * normalized against. */
   private final case class HistArtifact(sentinel: Double,
-      sentinelBw: Double, contended: Boolean,
+      sentinelBw: Double, sentinelSteal: Double,
+      sentinelBwSteal: Double, contended: Boolean,
       queries: Map[String, Double])
 
   private def benchArtifacts(root: java.io.File,
@@ -130,7 +135,10 @@ object Bench {
           if (m.isEmpty) None
           else Some(HistArtifact(
             node.path("sentinel_sec").asDouble(-1.0),
-            node.path("sentinel_bw_sec").asDouble(-1.0), contended, m))
+            node.path("sentinel_bw_sec").asDouble(-1.0),
+            node.path("sentinel_steal_sec").asDouble(-1.0),
+            node.path("sentinel_bw_steal_sec").asDouble(-1.0),
+            contended, m))
         }
       } catch { case _: Throwable => None }
     }
@@ -330,10 +338,25 @@ object Bench {
       else SparkEntry.benchQueries
     val selected = base.filter(n => only.forall(_.contains(n)))
     // host-day sentinel: timed AFTER warmup (so it measures the host,
-    // not JVM startup), again at sweep end; min of the two normalizes
+    // not JVM startup), again at sweep end; min of the two normalizes.
+    // r19: steal is measured ACROSS each sentinel window — a sentinel
+    // whose own ~1-4 s window saw no steal is a TRUE host reading even
+    // when the sweep's total steal tripped `contended` (this session's
+    // host ran the ALU sentinel 4.5× above the r17/r18 clean median
+    // ALL day with ~0 steal during the windows; the historical clean
+    // envelope alone would leave every capture unnormalizable on a
+    // genuinely-slower host, which is exactly the drift the sentinel
+    // exists to normalize).
+    val ss0 = stealJiffies()
     val sentinelStart = sentinelSec(spark)
+    val ss1 = stealJiffies()
     System.err.println(f"[bench] sentinel_start $sentinelStart%.3f s")
     val sentinelBwStart = sentinelBwSec()
+    val ss2 = stealJiffies()
+    val sentinelStartSteal =
+      if (ss0 >= 0 && ss1 >= 0) (ss1 - ss0) / 100.0 else -1.0
+    val sentinelBwStartSteal =
+      if (ss1 >= 0 && ss2 >= 0) (ss2 - ss1) / 100.0 else -1.0
     System.err.println(
       f"[bench] sentinel_bw_start $sentinelBwStart%.3f s")
     skew.drainWorstRatio() // don't charge warmup stages to the first query
@@ -392,12 +415,34 @@ object Bench {
     // clean passes on this host measure <=0.2 s; the r8 phantom
     // regression showed 1.15-9.59 s bursts). A true flag means: compare
     // per-query MINs against a clean re-run before calling a regression.
+    val se0 = stealJiffies()
     val sentinelEnd = sentinelSec(spark)
+    val se1 = stealJiffies()
     System.err.println(f"[bench] sentinel_end $sentinelEnd%.3f s")
     val sentinelBwEnd = sentinelBwSec()
+    val se2 = stealJiffies()
+    val sentinelEndSteal =
+      if (se0 >= 0 && se1 >= 0) (se1 - se0) / 100.0 else -1.0
+    val sentinelBwEndSteal =
+      if (se1 >= 0 && se2 >= 0) (se2 - se1) / 100.0 else -1.0
     System.err.println(f"[bench] sentinel_bw_end $sentinelBwEnd%.3f s")
-    val sentinelNow = math.min(sentinelStart, sentinelEnd)
-    val sentinelBwNow = math.min(sentinelBwStart, sentinelBwEnd)
+    // per class, prefer the min over STEAL-CLEAN windows (≤0.05 s
+    // across the window — a trusted host reading); only when both
+    // windows caught steal fall back to the plain min, which then
+    // faces the historical clean-envelope gate below
+    def pickSentinel(start: Double, startSteal: Double,
+        end: Double, endSteal: Double): (Double, Double) = {
+      val all = Seq((start, startSteal), (end, endSteal))
+        .filter(_._1 > 0)
+      val clean = all.filter { case (_, st) => st >= 0 && st <= 0.05 }
+      (if (clean.nonEmpty) clean else all)
+        .minByOption(_._1).getOrElse((-1.0, -1.0))
+    }
+    val (sentinelNow, sentinelNowSteal) = pickSentinel(
+      sentinelStart, sentinelStartSteal, sentinelEnd, sentinelEndSteal)
+    val (sentinelBwNow, sentinelBwNowSteal) = pickSentinel(
+      sentinelBwStart, sentinelBwStartSteal,
+      sentinelBwEnd, sentinelBwEndSteal)
     val runSteal1 = stealJiffies()
     val loadEnd = loadAvg1m()
     val runStealSec =
@@ -448,9 +493,14 @@ object Bench {
     def sentOf(a: HistArtifact, q: String): Double = {
       val bw = sensitivityOf(q) == "bandwidth"
       val sv = if (bw) a.sentinelBw else a.sentinel
+      val ownSteal = if (bw) a.sentinelBwSteal else a.sentinelSteal
       val env = if (bw) envBw else envCpu
       if (sv <= 0) -1.0
-      else if (a.contended && !(env > 0 && sv <= env)) -1.0
+      // r19: a measured steal-clean sentinel window is trusted
+      // outright; the clean-envelope check remains the fallback for
+      // artifacts (pre-r19) that never recorded their windows' steal
+      else if (a.contended && !(ownSteal >= 0 && ownSteal <= 0.05) &&
+          !(env > 0 && sv <= env)) -1.0
       else sv
     }
     val minimaNorm = benchMinima(
@@ -475,18 +525,26 @@ object Bench {
     // together, so only drift the host does NOT explain survives (the
     // absolute threshold converts back to today's seconds). Each row
     // uses its sens-appropriate sentinel, matching the history above.
-    // TODAY'S sentinels get the same clean-envelope gate historical
-    // contended artifacts get (r17 advice): on a contended run, a
-    // burst landing on both sentinel windows inflates sentinelNow and
-    // DEFLATES every normalized ratio — silencing this lens exactly
-    // when it is needed. An untrusted class contributes NOTHING
-    // normalized today (rows of that class drop out of above_min_norm)
-    // and the artifact carries an explicit sentinel_untrusted marker
-    // so an empty lens is readable as "not checked", never "clean".
+    // TODAY'S sentinels get a trust gate on contended runs (r17
+    // advice): a burst landing on both sentinel windows inflates
+    // sentinelNow and DEFLATES every normalized ratio — silencing
+    // this lens exactly when it is needed. Trust (r19 refinement) is
+    // now MEASURED first: a sentinel whose own window was steal-clean
+    // (sentinelNowSteal ≤ 0.05 s) is a true host reading whatever the
+    // sweep total did — that is precisely the slower-host case the
+    // normalization exists for; only a sentinel whose windows BOTH
+    // caught steal falls back to the historical clean-envelope check.
+    // An untrusted class contributes NOTHING normalized today (rows
+    // of that class drop out of above_min_norm) and the artifact
+    // carries an explicit sentinel_untrusted marker so an empty lens
+    // is readable as "not checked", never "clean".
     val untrustedClasses = if (!contended) Seq.empty[String] else
-      Seq("cpu" -> (sentinelNow, envCpu),
-          "bandwidth" -> (sentinelBwNow, envBw)).collect {
-        case (cls, (sNow, env)) if !(env > 0 && sNow <= env) => cls
+      Seq("cpu" -> ((sentinelNow, sentinelNowSteal, envCpu)),
+          "bandwidth" ->
+            ((sentinelBwNow, sentinelBwNowSteal, envBw))).collect {
+        case (cls, (sNow, ownSteal, env))
+            if !(ownSteal >= 0 && ownSteal <= 0.05) &&
+              !(env > 0 && sNow <= env) => cls
       }
     val aboveMinNorm =
       results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
@@ -593,9 +651,11 @@ object Bench {
       f""""sentinel_sec":$sentinelNow%.3f,""" +
         f""""sentinel_start":$sentinelStart%.3f,""" +
         f""""sentinel_end":$sentinelEnd%.3f,""" +
+        f""""sentinel_steal_sec":$sentinelNowSteal%.2f,""" +
         f""""sentinel_bw_sec":$sentinelBwNow%.3f,""" +
         f""""sentinel_bw_start":$sentinelBwStart%.3f,""" +
         f""""sentinel_bw_end":$sentinelBwEnd%.3f,""" +
+        f""""sentinel_bw_steal_sec":$sentinelBwNowSteal%.2f,""" +
         s""""above_min_norm":$aboveMinNormJson,""" +
         s""""sentinel_untrusted":${
           untrustedClasses.map(c => s""""$c"""").mkString("[", ",", "]")
