@@ -452,9 +452,31 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(1.0)
     val contended = timed.exists { case (_, (ts, _)) =>
       ts.exists(_._2 > stealFlagAt) }
+    // contended-bit granularity (ROADMAP r20 #3): the strict bit flips
+    // on ANY single pass whose steal delta exceeds the threshold — over
+    // a 27-minute, ~580-pass full sweep this hypervisor never stayed
+    // under it for a whole session while 15-minute headline windows
+    // did, so the strictly-false bit on FULL sweeps was structurally
+    // unreachable even on runs whose every row had burst-free evidence.
+    // The artifact now carries its own per-pass verdict alongside:
+    //  - n_dirty_passes: how many (query, pass) timings caught a burst
+    //    (the damage is bounded and countable, not a boolean);
+    //  - effectively_clean: every query has at least one MEASURED
+    //    steal-clean pass — exactly the evidence standard the minima
+    //    fold already applies per query, so an effectively_clean
+    //    capture's per-query mins are all burst-free observations even
+    //    when the strict bit is true. Strict `contended` keeps its
+    //    meaning (and keeps gating sentinel trust above).
+    val dirtyPasses = timed.map { case (_, (ts, _)) =>
+      ts.count(_._2 > stealFlagAt) }.sum
+    val effectivelyClean = timed.nonEmpty && timed.forall {
+      case (_, (ts, _)) =>
+        ts.exists { case (_, s) => s >= 0 && s <= stealFlagAt } }
     val hostFields =
       f""""run_steal_sec":$runStealSec%.2f,"load_start":$loadStart%.2f,""" +
-        f""""load_end":$loadEnd%.2f,"contended":$contended"""
+        f""""load_end":$loadEnd%.2f,"contended":$contended,""" +
+        s""""n_dirty_passes":$dirtyPasses,""" +
+        s""""effectively_clean":$effectivelyClean"""
     // minima lens: which of THIS run's times exceed the per-query
     // historical clean minimum beyond the noise envelope (>1.5× AND
     // >0.5 s over). On a contended run the list is the steal damage
