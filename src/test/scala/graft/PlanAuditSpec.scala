@@ -102,7 +102,7 @@ class PlanAuditSpec extends SparkTestBase {
     for (q <- Seq("d_minhash_pairs", "d_minhash_idf", "d_ngram_jaccard",
         "v_ann_lsh", "j_fuzzy_blocked", "d_embed_lsh", "d_embed_lsh2",
         "d_simhash_hamming", "d_incremental", "d_index_maintained",
-        "d_index_deletes")) {
+        "d_index_deletes", "d_index_incr2")) {
       val p = plan(q)
       assert(nodeCount(p, "CartesianProduct") == 0, s"$q plans cartesian")
       assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0,
@@ -319,6 +319,16 @@ class PlanAuditSpec extends SparkTestBase {
     val pidx = plan("d_index_deletes")
     assert(pidx.contains("graft_minhash_del"),
       "netted candidates should scan the maintained band index")
+    // the second-tick index: the corpus side must be the COMMITTED
+    // generation (tick 1's merged index), never a corpus re-fingerprint
+    // — exactly one shingle_minhashes projection may appear (the probe
+    // batch's own signatures)
+    val pi2 = plan("d_index_incr2")
+    assert(pi2.contains("graft_minhash_incr2"),
+      "candidates should scan the committed generation of the band index")
+    assert("shingle_minhashes".r.findAllIn(pi2).length
+        <= "shingle_minhashes".r.findAllIn(plan("d_incremental")).length,
+      "d_index_incr2 re-fingerprints the corpus — gen state should serve it")
     val p = plan("l_cm_maintained")
     assert(p.contains("partial_count"),
       "cm exact-truth counts must map-side combine")
