@@ -56,7 +56,87 @@ def normalize(text: str) -> str:
                   ", P), REPARTITION_BY_NUM", text)
     text = re.sub(r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
                   r"[0-9a-f]{12}", "UUID", text)
+    # Range splits follow local[N] (SPARK_GRAFT_CPUS — a session
+    # setting, not a plan property): snapshots captured at 4 vs 32
+    # threads differed only here
+    text = re.sub(r"splits=Some\(\d+\)", "splits=Some(P)", text)
     return text
+
+
+def _canon_seq(s: str) -> str:
+    """Canonicalize one bracketed expression string: recursively sort
+    the comma-separated items inside every []/() pair. Multiset content
+    and nesting are preserved; only ordering is normalized."""
+    def parse(i):
+        # returns (canonical string for one item, next index)
+        parts = []
+        buf = []
+        while i < len(s):
+            ch = s[i]
+            if ch in "[(":
+                close = "]" if ch == "[" else ")"
+                inner, i = parse_list(i + 1, close)
+                buf.append(ch + inner + close)
+            elif ch in "])" or ch == ",":
+                break
+            else:
+                buf.append(ch)
+                i += 1
+        parts.append("".join(buf))
+        return "".join(parts), i
+
+    def parse_list(i, close):
+        items = []
+        while i < len(s):
+            item, i = parse(i)
+            items.append(item.strip())
+            if i < len(s) and s[i] == ",":
+                i += 1
+                continue
+            break
+        if i < len(s) and s[i] == close:
+            return ", ".join(sorted(items)), i + 1
+        return ", ".join(sorted(items)), i
+
+    out = []
+    i = 0
+    while i < len(s):
+        item, j = parse(i)
+        out.append(item)
+        if j < len(s) and s[j] == ",":
+            out.append(",")
+            j += 1
+        elif j == i:  # stray closer — copy through
+            out.append(s[j])
+            j += 1
+        i = j
+    return "".join(out)
+
+
+def sort_attr_lists(text: str) -> str:
+    """Per-file exception for plans built by Spark's multi-countDistinct
+    rewrite (RewriteDistinctAggregates): the Expand projection per
+    distinct group — and every downstream Keys/Input/Results list — is
+    ordered by an ExpressionSet whose iteration order hashes expression
+    ids, so two JVM runs of the IDENTICAL query disagree on group ORDER
+    (both orders observed in one session, r19). Recursively sorting the
+    items inside every bracket pair makes the snapshot order-canonical
+    while keeping structure (node types, exchanges, aggregate modes)
+    fully diffable. Applied ONLY to files named in ORDER_CANONICAL so
+    genuine key-order regressions elsewhere stay visible.
+
+    The distinct-group NUMBERING (gid literal per group, and the
+    FILTER (WHERE gid = k) routing in the aggregate) is equally
+    id-order-dependent, so the gid literals are masked to K first —
+    after which the recursive sort is fully canonical."""
+    text = re.sub(r"\(gid#N = \d+\)", "(gid#N = K)", text)
+    text = re.sub(r", \d+, (null|cast)", r", K, \1", text)
+    return "\n".join(
+        _canon_seq(ln) if ("[" in ln or "(" in ln) else ln
+        for ln in text.split("\n"))
+
+
+ORDER_CANONICAL = {"x_profile.txt"}
 
 
 def main() -> None:
@@ -66,6 +146,8 @@ def main() -> None:
     for n in names:
         with open(os.path.join(plans_dir, n)) as f:
             norm = normalize(f.read())
+        if n in ORDER_CANONICAL:
+            norm = sort_attr_lists(norm)
         with open(os.path.join(out_dir, n), "w") as f:
             f.write(norm)
     print(f"snapshotted {len(names)} plans -> {out_dir}")
