@@ -505,24 +505,49 @@ object Bench {
     // is trusted only if it sits inside the clean-artifact envelope
     // (≤ 1.25× the clean median) for THAT sentinel; otherwise the
     // artifact contributes nothing normalized for rows of that class.
-    def cleanEnv(sent: HistArtifact => Double): Double = {
+    def cleanMed(sent: HistArtifact => Double): Double = {
       val xs = arts.collect {
         case a if !a.contended && sent(a) > 0 => sent(a) }
-      if (xs.nonEmpty) median(xs) * 1.25 else -1.0
+      if (xs.nonEmpty) median(xs) else -1.0
     }
-    val envCpu = cleanEnv(_.sentinel)
-    val envBw = cleanEnv(_.sentinelBw)
+    val medCpu = cleanMed(_.sentinel)
+    val medBw = cleanMed(_.sentinelBw)
+    val envCpu = if (medCpu > 0) medCpu * 1.25 else -1.0
+    val envBw = if (medBw > 0) medBw * 1.25 else -1.0
+    // PROPORTIONALITY BAND (r19 continuation — the normalized-lens
+    // validation on the new silicon FAILED and this is the
+    // adjudication): sentinel-normalization assumes query times shift
+    // WITH the sentinel (the uniform host-day drift the lens was built
+    // for, r14/r15 +8%). The r19 slow-ALU silicon broke that: its
+    // sentinel ran 4.5× the clean median while most query minima held
+    // flat — only ALU-tight loops paid the factor — so folding those
+    // (genuinely steal-clean!) sentinels into normalized history
+    // deflated min_norm for every cpu row and the next fast-silicon
+    // capture flagged 4-7× ratios across the board. A sentinel outside
+    // [med/1.25, med·1.25] of the clean history is a TRUE reading of a
+    // DIFFERENT silicon profile, not a uniform shift — proportional
+    // normalization is invalid in both directions, so such artifacts
+    // contribute nothing normalized and such days read nothing
+    // normalized (the lens goes explicitly dark via
+    // sentinel_untrusted, never silently wrong).
+    def inBand(sv: Double, med: Double): Boolean =
+      med <= 0 || (sv <= med * 1.25 && sv >= med / 1.25)
     def sentOf(a: HistArtifact, q: String): Double = {
       val bw = sensitivityOf(q) == "bandwidth"
       val sv = if (bw) a.sentinelBw else a.sentinel
       val ownSteal = if (bw) a.sentinelBwSteal else a.sentinelSteal
       val env = if (bw) envBw else envCpu
+      val med = if (bw) medBw else medCpu
       if (sv <= 0) -1.0
       // r19: a measured steal-clean sentinel window is trusted
-      // outright; the clean-envelope check remains the fallback for
-      // artifacts (pre-r19) that never recorded their windows' steal
+      // outright as a HOST READING; the clean-envelope check remains
+      // the fallback for artifacts (pre-r19) that never recorded
+      // their windows' steal
       else if (a.contended && !(ownSteal >= 0 && ownSteal <= 0.05) &&
           !(env > 0 && sv <= env)) -1.0
+      // ...but a true reading outside the proportionality band is a
+      // silicon-profile change — normalization by it is invalid
+      else if (!inBand(sv, med)) -1.0
       else sv
     }
     val minimaNorm = benchMinima(
@@ -560,13 +585,20 @@ object Bench {
     // of that class drop out of above_min_norm) and the artifact
     // carries an explicit sentinel_untrusted marker so an empty lens
     // is readable as "not checked", never "clean".
-    val untrustedClasses = if (!contended) Seq.empty[String] else
-      Seq("cpu" -> ((sentinelNow, sentinelNowSteal, envCpu)),
+    // A class is untrusted today when (a) on a contended run its
+    // sentinel windows caught steal AND it sits outside the clean
+    // envelope (burst suspicion — can't tell burst from host), or
+    // (b) the sentinel is a true reading OUTSIDE the proportionality
+    // band (silicon-profile day — normalizing by it would be wrong,
+    // not just noisy; see the band comment above).
+    val untrustedClasses =
+      Seq("cpu" -> ((sentinelNow, sentinelNowSteal, envCpu, medCpu)),
           "bandwidth" ->
-            ((sentinelBwNow, sentinelBwNowSteal, envBw))).collect {
-        case (cls, (sNow, ownSteal, env))
-            if !(ownSteal >= 0 && ownSteal <= 0.05) &&
-              !(env > 0 && sNow <= env) => cls
+            ((sentinelBwNow, sentinelBwNowSteal, envBw, medBw))).collect {
+        case (cls, (sNow, ownSteal, env, med))
+            if (contended && !(ownSteal >= 0 && ownSteal <= 0.05) &&
+              !(env > 0 && sNow <= env)) ||
+              !inBand(sNow, med) => cls
       }
     val aboveMinNorm =
       results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
