@@ -653,8 +653,18 @@ object Bench {
     // broadly-flagged contended sweep can't double its own wall-clock;
     // dropped rows are named on stderr (no silent caps).
     val isolateCap = 8
+    // norm-dark fallback (r19 continuation): when a class's normalized
+    // lens is untrusted, triple-flagging is impossible for its rows —
+    // a row flagged by BOTH remaining lenses (absolute minima AND
+    // variance model) would never isolate. Treat that pair as
+    // triple-equivalent for rows of an untrusted class.
+    val doubleFlaggedDark = aboveMin.map(_._1).toSet
+      .intersect(varFlagged.map(_._1).toSet)
+      .filter(k => untrustedClasses.contains(sensitivityOf(k)))
     val isolateAll = tripleFlagged.toSeq.sorted ++
-      aboveMinNorm.map(_._1).filterNot(tripleFlagged)
+      doubleFlaggedDark.toSeq.sorted.filterNot(tripleFlagged) ++
+      aboveMinNorm.map(_._1)
+        .filterNot(k => tripleFlagged(k) || doubleFlaggedDark(k))
     val toIsolate = isolateAll.distinct.take(isolateCap)
     if (isolateAll.distinct.size > isolateCap)
       System.err.println("[bench] isolated rerun CAPPED at " +
