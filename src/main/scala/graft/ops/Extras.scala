@@ -3298,6 +3298,68 @@ object Extras {
         .orderBy("event_type")
     }),
 
+    // SECOND-TICK per-key HLL maintenance — the FOURTH (and final)
+    // state shape of the two-commit pattern, completing the taxonomy:
+    // relaxation state (g_sssp_incr2), disjoint-union index + additive
+    // stats (t_bm25_incr2), pure append index (d_index_incr2), and
+    // here a NON-ADDITIVE sketch merge — distinct counts cannot be
+    // re-summed, so the cross-tick merge is the per-key HLL UNION of
+    // KB blobs through a full-outer join, never arithmetic. Each tick
+    // reuses Streams.hllByKeyBatch — the SAME mergeOnceGen-guarded
+    // merge the streaming sink runs — so a replayed tick is a no-op
+    // (batch marker), a raced publisher fails loudly, and state per
+    // generation is |keys| KB-sized rows whatever the event volume.
+    // Cold build folds the first time-half and commits gen=0; tick 1
+    // folds [50%, 75%) onto the COMMITTED gen=0 and commits gen=1;
+    // tick 2 unions the newest quarter in memory and verdict-checks
+    // the estimate against the exact recompute. The time splits
+    // guarantee cross-tick user overlap within every event type, so a
+    // re-sum regression (double-counting repeat users) breaks the 5%
+    // verdict immediately. x_hll_bykey's oracle VERBATIM, cold and
+    // warm.
+    "x_hll_incr2" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).head()
+      val cut1 = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val cut2 = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 3 / 4
+      val st = graft.streaming.Streams
+      val (statePath, _) = Replay.maintainedGen("hll_incr2", d,
+        s"$cut1-$cut2-g1")
+      // both ticks are replay-idempotent via the in-state batch marker
+      st.hllByKeyBatch(ev.filter(unix_micros(col("ts")) < lit(cut1)),
+        "event_type", "user_id", statePath, 12, 0L)
+      st.hllByKeyBatch(ev.filter(unix_micros(col("ts")) >= lit(cut1) &&
+          unix_micros(col("ts")) < lit(cut2)),
+        "event_type", "user_id", statePath, 12, 1L)
+      // tick 2 — the query tick, every run: newest quarter in memory,
+      // non-additive union with the committed generation
+      val part2 = ev.filter(unix_micros(col("ts")) >= lit(cut2))
+        .groupBy(col("event_type").cast("string").as("key"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("bh"),
+          count(lit(1)).as("bn"))
+      val est = graft.streaming.Streams.readGenMaintained(s, statePath)
+        .select(col("key"), col("hll").as("ph"), col("n").as("pn"))
+        .join(part2, Seq("key"), "full_outer")
+        .select(col("key").as("event_type"),
+          hll_sketch_estimate(
+            when(col("ph").isNull, col("bh"))
+              .when(col("bh").isNull, col("ph"))
+              .otherwise(hll_union(col("ph"), col("bh")))).as("approx"),
+          (coalesce(col("pn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+            .as("n_seen"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))
+        .join(broadcast(est), "event_type")
+        .select(col("event_type"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05 &&
+            col("n_seen") === col("n")).as("within_bound"),
+          col("exact_users"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // Deterministic 7% hash sample: reproducible across runs, engines,
     // and partitionings; the filter pushes to the scan output (no
     // shuffle, no seed state).
@@ -4910,6 +4972,12 @@ object Extras {
     // verdict-column oracle: exact per-key distincts recomputed here,
     // the union-accuracy verdict pinned to TRUE
     "x_hll_bykey" ->
+      """SELECT event_type, TRUE AS within_bound,
+           COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // identical truth: the two-commit union must estimate the same
+    // whole-table distincts whatever generation the probe consumed
+    "x_hll_incr2" ->
       """SELECT event_type, TRUE AS within_bound,
            COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -316,6 +316,11 @@ class PlanAuditSpec extends SparkTestBase {
       "l_topk_maintained rescans the replay inputs")
     assert(plan("x_hll_maintained").contains("graft_hll"),
       "the distinct estimate should scan the maintained HLL state")
+    // the second-tick union: the estimate's state side must be the
+    // COMMITTED generation (events rescan is the by-design exact-
+    // recompute verdict side, same as x_hll_bykey)
+    assert(plan("x_hll_incr2").contains("graft_hll_incr2"),
+      "the two-commit estimate should scan the committed HLL generation")
     val pidx = plan("d_index_deletes")
     assert(pidx.contains("graft_minhash_del"),
       "netted candidates should scan the maintained band index")
