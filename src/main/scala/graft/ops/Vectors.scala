@@ -149,7 +149,7 @@ object Vectors {
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < cap) {
-      val asg = ivfRanked(e, cent).filter(col("rn") === 1)
+      val asg = ivfArgmin(e, cent)
         .select(col("vec_id"), col("v"), col("cl").as("cluster"))
         .localCheckpoint(true)
       changed =
@@ -183,22 +183,48 @@ object Vectors {
     * |cells| rows per vector, never a shuffle of the vector table.
     */
   private def ivfRanked(e: DataFrame, cent: DataFrame): DataFrame = {
-    val dotdc = (v: Column, c: Column) => aggregate(
-      zip_with(v, c, (x, y) => x.cast("double") * y),
-      lit(0.0), (a, b) => a + b)
-    val vnrm = (v: Column) => sqrt(aggregate(
-      transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (a, b) => a + b))
-    val cnrm = (c: Column) => sqrt(aggregate(
-      transform(c, x => x * x), lit(0.0), (a, b) => a + b))
     val wA = Window.partitionBy(col("vec_id"))
       .orderBy(desc("cc"), asc("cl"))
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding").as("v"), col("cl"),
-        (dotdc(col("embedding"), col("cv")) /
-          (vnrm(col("embedding")) * cnrm(col("cv")))).as("cc"))
-      .withColumn("rn", row_number().over(wA))
+    ivfScored(e, cent).withColumn("rn", row_number().over(wA))
   }
+
+  /** The (vector × centroid) cosine table feeding both ivfRanked (full
+    * ranking, window rn) and ivfArgmin (assignment only, hash-agg
+    * argmax). r19 optimization (guide §4 + §2.3): the dot/norm folds
+    * are the codegen'd VecFold expressions instead of interpreted
+    * zip_with/aggregate lambdas, and both norms are HOISTED — |v| is
+    * computed once per vector and |c| once per centroid BEFORE the
+    * crossJoin instead of once per (vector × centroid) pair (the
+    * projection below the join cannot be factored by Catalyst because
+    * each output row recomputed it independently). cc is the identical
+    * IEEE expression dot/(|v|·|c|) — same folds, same operand order —
+    * so results are bit-unchanged (oracle-verified).
+    */
+  private def ivfScored(e: DataFrame, cent: DataFrame): DataFrame = {
+    val ev = e.select(col("vec_id"), col("embedding").as("v"),
+      sqrt(vdot(col("embedding"), col("embedding"))).as("vn"))
+    val cn = cent.select(col("cl"), col("cv"),
+      sqrt(vdot(col("cv"), col("cv"))).as("cn"))
+    ev.crossJoin(broadcast(cn))
+      .select(col("vec_id"), col("v"), col("cl"),
+        (vdot(col("v"), col("cv")) / (col("vn") * col("cn"))).as("cc"))
+  }
+
+  /** `ivfRanked(e, cent).filter(rn === 1).select(vec_id, v, cl)`
+    * without the window: the assignment is an ARGMAX per vec_id, so a
+    * hash aggregate of max(struct(cc, −cl)) replaces sort + window +
+    * rank-limit over the n·|cells| scored rows (guide §2.4 — the sort
+    * existed only to pick row 1). Tie semantics are identical to the
+    * window's (cc DESC, cl ASC): struct max compares cc first (NaN
+    * greatest — same as the sort's NaN-first under DESC), then −cl,
+    * which is cl ascending; `v` rides along and is never compared
+    * because cl is unique within a vec_id group. */
+  private def ivfArgmin(e: DataFrame, cent: DataFrame): DataFrame =
+    ivfScored(e, cent)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cc"), negate(col("cl")).as("ncl"),
+        col("cl").as("cl"), col("v").as("v"))).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"), col("b.cl").as("cl"))
 
   /** Coarse quantizer: label-seeded centroids refined by `lloydRounds`
     * Lloyd iterations (assign every vector to its nearest centroid by
@@ -210,9 +236,15 @@ object Vectors {
     var cent = fxCentroids(
       e.select(col("label").as("k"), col("embedding")))
     for (_ <- 1 to lloydRounds)
-      cent = fxCentroids(ivfRanked(e, cent).filter(col("rn") === 1)
+      cent = fxCentroids(ivfArgmin(e, cent)
         .select(col("cl").as("k"), col("v").as("embedding")))
-    cent
+    // |cells| rows. Materialize once: every caller references the
+    // trained quantizer from ≥2 places (assignment + probe ranking),
+    // and Spark does not dedupe common subplans — un-checkpointed, the
+    // whole training chain (label seed + Lloyd rounds over the corpus)
+    // re-executes per reference (guide §3.3 / §5; the coactivityEdges
+    // precedent). At 100 TB those are full corpus passes.
+    cent.localCheckpoint(true)
   }
 
   /** Cluster assignment under the label-seeded coarse quantizer:
@@ -220,7 +252,7 @@ object Vectors {
     * Dedup.d_semdedup so the dedup pass and the ANN index agree on one
     * partition of the space. */
   private[graft] def ivfAssign(e: DataFrame, lloydRounds: Int): DataFrame =
-    ivfRanked(e, ivfCentroids(e, lloydRounds)).filter(col("rn") === 1)
+    ivfArgmin(e, ivfCentroids(e, lloydRounds))
       .select(col("vec_id"), col("v"), col("cl").as("cluster"))
 
   /** Assignment against an EXISTING (cl, cv) centroid frame — e.g. one
@@ -228,7 +260,7 @@ object Vectors {
     * SemDeDup: new batches rank against the trained quantizer without
     * retraining it. */
   private[graft] def ivfAssignTo(e: DataFrame, cent: DataFrame): DataFrame =
-    ivfRanked(e, cent).filter(col("rn") === 1)
+    ivfArgmin(e, cent)
       .select(col("vec_id"), col("v"), col("cl").as("cluster"))
 
   // ---- Product quantization (v_pq; Jégou/Douze/Schmid, PAMI 2011) ----
@@ -274,13 +306,11 @@ object Vectors {
         col("c")))), s => s.getField("c")).as("cv"))
       .select(col("m"), col("k").as("cl"), col("cv"))
 
-  /** Squared L2 between a float sub-vector and a double centroid — the
-    * ordered left-fold shape shared with the cosine folds, so DuckDB's
-    * list_sum mirror is bit-identical. */
-  private def pqD2(sv: Column, cv: Column): Column =
-    aggregate(zip_with(sv, cv, (x, y) =>
-      (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (a, b) => a + b)
+  /** Squared L2 between a float/double sub-vector and a double
+    * centroid — the codegen'd VecL2SqD left fold (r19: was the
+    * interpreted zip_with/aggregate shape; identical index-order IEEE
+    * fold, so DuckDB's list_sum mirror stays bit-identical). */
+  private def pqD2(sv: Column, cv: Column): Column = vl2sq(sv, cv)
 
   /** Every sub-vector ranked against its sub-space's centroids by L2,
     * ties to the smaller centroid id — rn = 1 is the PQ code. Centroids
@@ -293,6 +323,23 @@ object Vectors {
         pqD2(col("sv"), col("cv")).as("dd"))
       .withColumn("rn", row_number().over(w))
   }
+
+  /** `pqRanked(subs, cent).filter(rn === 1)` without the window: the
+    * PQ code is an ARGMIN per (vec_id, m), so a hash aggregate of
+    * min(struct(dd, cl)) replaces sort + window + rank-limit over the
+    * n·M·K exploded rows (guide §2.4 — for K=256 that sort processed
+    * 2048 rows per vector just to keep 8). Tie semantics identical to
+    * the window's (dd ASC, cl ASC); `sv` rides along, never compared
+    * (cl unique within the group). Returns (vec_id, m, cl, sv). */
+  private def pqArgmin(subs: DataFrame, cent: DataFrame): DataFrame =
+    subs.join(broadcast(cent), "m")
+      .select(col("vec_id"), col("m"), col("sv"), col("cl"),
+        pqD2(col("sv"), col("cv")).as("dd"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dd"), col("cl").as("cl"),
+        col("sv").as("sv"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cl").as("cl"),
+        col("b.sv").as("sv"))
 
   /** Per-sub-space codebooks: label-seeded fixed-point centroids
     * refined by `lloydRounds` L2 Lloyd iterations. (m, cl, cv). */
@@ -317,9 +364,13 @@ object Vectors {
     var cent = pqFxCentroids(subs.select(col("m"),
       pmod(col("vec_id"), lit(k.toLong)).as("k"), col("sv")))
     for (_ <- 1 to lloydRounds)
-      cent = pqFxCentroids(pqRanked(subs, cent).filter(col("rn") === 1)
+      cent = pqFxCentroids(pqArgmin(subs, cent)
         .select(col("m"), col("cl").as("k"), col("sv")))
-    cent
+    // M·K rows. Materialize once — same rationale as ivfCentroids:
+    // every caller references the codebooks from ≥2 places (encode +
+    // the per-query ADC table), so un-checkpointed the whole per-sub-
+    // space training chain re-executes per reference.
+    cent.localCheckpoint(true)
   }
 
   /** The reciprocal-rank fusion half shared by v_hybrid (corpus-scored
@@ -364,11 +415,15 @@ object Vectors {
     * dot-product table, per candidate M lookups; M-term sums
     * grid-rounded then decimal-summed for order-independence. */
   private def pqTopK(e: DataFrame, cent: DataFrame,
-      codes: DataFrame, cand: Option[DataFrame] = None,
+      codes0: DataFrame, cand: Option[DataFrame] = None,
       topR: Int = 5): DataFrame = {
+    // n·M rows of small ints. Materialize once: the codes feed BOTH the
+    // reconstructed-norm aggregate and the ADC join below, and for the
+    // batch-built callers the encode chain (pqArgmin over n·M·K scored
+    // rows) would otherwise re-execute per reference.
+    val codes = codes0.localCheckpoint(true)
     val cn2 = cent.select(col("m"), col("cl"),
-      aggregate(transform(col("cv"), x => x * x), lit(0.0),
-        (a, b) => a + b).as("cn2"))
+      vdot(col("cv"), col("cv")).as("cn2"))
     val vnrm = codes.join(broadcast(cn2),
         codes("m") === cn2("m") && codes("code") === cn2("cl"))
       .groupBy(codes("vec_id").as("vec_id"))
@@ -378,14 +433,10 @@ object Vectors {
       .select(col("vec_id").as("q"), col("m"), col("sv").as("qs"))
     val qnrm = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q"),
-        sqrt(aggregate(transform(col("embedding"),
-          x => x.cast("double") * x.cast("double")), lit(0.0),
-          (a, b) => a + b)).as("qnrm"))
+        sqrt(vdot(col("embedding"), col("embedding"))).as("qnrm"))
     val tab = qs.join(broadcast(cent), "m")
       .select(col("q"), col("m"), col("cl"),
-        aggregate(zip_with(col("qs"), col("cv"),
-          (x, y) => x.cast("double") * y), lit(0.0),
-          (a, b) => a + b).as("pdot"))
+        vdot(col("qs"), col("cv")).as("pdot"))
     // IVF-PQ mode: the candidate pairs restrict the CODES side BEFORE
     // the ADC lookup join — the gated side is |cand|·M rows (nprobe
     // cells' members per query), so the executed lookup volume is
@@ -438,19 +489,26 @@ object Vectors {
     */
   private def ivfpqResTopK(e: DataFrame, nprobe: Int): DataFrame = {
     val cent = ivfCentroids(e, lloydRounds = 1)
-    val ranked = ivfRanked(e, cent)
-    val stored = ranked.filter(col("rn") === 1)
+    // assignment via hash-agg argmax; the full ranking (window) is only
+    // needed for the every-50th probes below. Checkpointed: stored
+    // feeds residual training, the reconstructed-norm join AND the
+    // candidate gate — three references, one computation.
+    val stored = ivfArgmin(e, cent)
       .select(col("vec_id"), col("v"), col("cl").as("cluster"))
+      .localCheckpoint(true)
     // residuals (double arrays — cv is already double; the raw float
-    // casts once, so both engines compute identical doubles)
+    // casts once, so both engines compute identical doubles).
+    // Checkpointed: referenced by codebook training and encoding.
     val res = stored.join(broadcast(cent),
         col("cluster") === cent("cl"))
       .select(col("vec_id"), lit(0L).as("label"),
         zip_with(col("v"), col("cv"),
           (x, y) => x.cast("double") - y).as("embedding"))
+      .localCheckpoint(true)
     val rcent = pqCodebooksK(res, lloydRounds = 1, k = PqK, None)
-    val rcodes = pqRanked(pqSubs(res), rcent).filter(col("rn") === 1)
+    val rcodes = pqArgmin(pqSubs(res), rcent)
       .select(col("vec_id"), col("m"), col("cl").as("code"))
+      .localCheckpoint(true)
     // per-cell reconstruction codebooks: centroid sub-slices + residual
     // codewords — |cells|·M·K rows, the only state ADC needs
     val centSubs = cent.select(col("cl").as("cell"),
@@ -462,9 +520,9 @@ object Vectors {
     val ccv = centSubs.join(rcent, "m")
       .select(col("cell"), col("m"), rcent("cl").as("k"),
         zip_with(col("csv"), col("cv"), (a, b) => a + b).as("rv"))
+      .localCheckpoint(true) // |cells|·M·K rows, referenced twice
     val rn2 = ccv.select(col("cell"), col("m"), col("k"),
-      aggregate(transform(col("rv"), x => x * x), lit(0.0),
-        (a, b) => a + b).as("n2"))
+      vdot(col("rv"), col("rv")).as("n2"))
     val vnrm = rcodes.join(stored.select(col("vec_id"), col("cluster")),
         "vec_id")
       .join(broadcast(rn2),
@@ -473,16 +531,14 @@ object Vectors {
       .groupBy(rcodes("vec_id").as("vec_id"))
       .agg(sqrt(sum(roundf(col("n2"), 9).cast("decimal(38,9)"))
         .cast("double")).as("vnrm"))
-    val probes = ranked
+    val probes = ivfRanked(e, cent)
       .filter(col("rn") <= nprobe && col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q"), col("cl").as("qc"))
     val qs = pqSubs(e).filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q"), col("m"), col("sv").as("qs"))
     val qnrm = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q"),
-        sqrt(aggregate(transform(col("embedding"),
-          x => x.cast("double") * x.cast("double")), lit(0.0),
-          (a, b) => a + b)).as("qnrm"))
+        sqrt(vdot(col("embedding"), col("embedding"))).as("qnrm"))
     // per-(q, probed cell) lookup tables — q × nprobe × M·K rows;
     // columns renamed t* so the ADC join below (whose left side shares
     // probes' lineage) has unambiguous keys
@@ -491,9 +547,7 @@ object Vectors {
         qs("m") === ccv("m"))
       .select(col("q").as("tq"), col("qc").as("tqc"),
         ccv("m").as("tm"), col("k").as("tk"),
-        aggregate(zip_with(col("qs"), col("rv"),
-          (x, y) => x.cast("double") * y), lit(0.0),
-          (a, b) => a + b).as("pdot"))
+        vdot(col("qs"), col("rv")).as("pdot"))
     // candidate-gated ADC: probed-cell members join their codes FIRST
     // (the v_ivfpq plan discipline), then the per-query tables
     val cand = probes.join(stored.select(col("vec_id"),
@@ -525,7 +579,12 @@ object Vectors {
       nprobe: Int, lloydRounds: Int, quantized: Boolean = false)
       : DataFrame = {
     val e = t(s, d, "embeddings")
-    val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds))
+    val cent = ivfCentroids(e, lloydRounds)
+    // assignment via hash-agg argmax (ivfArgmin); the window ranking
+    // survives only for the every-50th probes, whose vec_id % 50
+    // filter pushes below the window (it references only the
+    // partitioning column), so the sort sees n/50 vectors.
+    val asg = ivfArgmin(e, cent)
     // quantized mode: the inverted file stores int8 vectors (the v_quant
     // transform) — 4× less memory bandwidth on the scan that dominates
     // IVF search at 100 TB. The symmetric scale CANCELS in cosine
@@ -533,9 +592,9 @@ object Vectors {
     // against the integer vector: only the quantization ROUNDING moves
     // any score. Probes stay float (queries are not storage).
     val stored =
-      if (!quantized) ranked.filter(col("rn") === 1)
+      if (!quantized) asg
         .select(col("vec_id"), col("v"), col("cl").as("cluster"))
-      else ranked.filter(col("rn") === 1)
+      else asg
         .withColumn("maxabs", array_max(transform(col("v"),
           x => abs(x.cast("double")))))
         .filter(col("maxabs") > 0)
@@ -544,18 +603,14 @@ object Vectors {
             (lit(127.0) / col("maxabs")) + lit(0.5)).cast("double"))
             .as("v"),
           col("cl").as("cluster"))
-    val probes = ranked.filter(col("rn") <= nprobe &&
+    val probes = ivfRanked(e, cent).filter(col("rn") <= nprobe &&
         col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q"), col("v").as("vq"),
         col("cl").as("qc"))
     val dotP = (a: Column, b: Column) =>
-      if (!quantized) fdot(a, b)
-      else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      if (!quantized) fdot(a, b) else vdot(a, b)
     val nrmQ = (b: Column) =>
-      if (!quantized) sqrt(fdot(b, b))
-      else sqrt(aggregate(transform(b, y => y * y), lit(0.0),
-        (acc, v) => acc + v))
+      if (!quantized) sqrt(fdot(b, b)) else sqrt(vdot(b, b))
     val wP = Window.partitionBy(col("q"))
       .orderBy(desc("cos"), asc("vec_id"))
     probes.join(stored,
@@ -797,7 +852,7 @@ object Vectors {
         col("vec_id").cast("string"))) % 4 === 0
       val sample = e.filter(train)
       val cent = kmeansCentroids(s, sample, "v_kmeans_sampled")
-      ivfRanked(e, cent).filter(col("rn") === 1)
+      ivfArgmin(e, cent)
         .select(col("vec_id"), col("cl").as("cluster"))
         .orderBy("vec_id")
     }),
@@ -858,8 +913,7 @@ object Vectors {
     "v_ann_filtered" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cent = ivfCentroids(e, lloydRounds = 1)
-      val stored = ivfRanked(e.filter(col("label") % 2 === 0), cent)
-        .filter(col("rn") === 1)
+      val stored = ivfArgmin(e.filter(col("label") % 2 === 0), cent)
         .select(col("vec_id"), col("v"), col("cl").as("cluster"))
       ivfTopKFrom(e, cent, stored, nprobe = 2)
     }),
@@ -948,7 +1002,7 @@ object Vectors {
     "v_pq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cent = pqCodebooks(e, lloydRounds = 1)
-      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+      val codes = pqArgmin(pqSubs(e), cent)
         .select(col("vec_id"), col("m"), col("cl").as("code"))
       pqTopK(e, cent, codes)
     }),
@@ -972,7 +1026,7 @@ object Vectors {
       val train = graft.ops.Text.portableHash(concat(lit("pqs:"),
         col("vec_id").cast("string"))) % 4 === 0
       val cent = pqCodebooksK(e, lloydRounds = 1, k = 256, Some(train))
-      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+      val codes = pqArgmin(pqSubs(e), cent)
         .select(col("vec_id"), col("m"), col("cl").as("code"))
       pqTopK(e, cent, codes)
     }),
@@ -993,12 +1047,12 @@ object Vectors {
     "v_ivfpq" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cent = pqCodebooks(e, lloydRounds = 1)
-      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+      val codes = pqArgmin(pqSubs(e), cent)
         .select(col("vec_id"), col("m"), col("cl").as("code"))
-      val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds = 1))
-      val stored = ranked.filter(col("rn") === 1)
+      val icent = ivfCentroids(e, lloydRounds = 1)
+      val stored = ivfArgmin(e, icent)
         .select(col("vec_id"), col("cl").as("qc"))
-      val probes = ranked
+      val probes = ivfRanked(e, icent)
         .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q"), col("cl").as("qc"))
       val cand = probes.join(stored, "qc").select("q", "vec_id")
@@ -1019,12 +1073,12 @@ object Vectors {
     "v_ivfpq_rerank" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cent = pqCodebooks(e, lloydRounds = 1)
-      val codes = pqRanked(pqSubs(e), cent).filter(col("rn") === 1)
+      val codes = pqArgmin(pqSubs(e), cent)
         .select(col("vec_id"), col("m"), col("cl").as("code"))
-      val ranked = ivfRanked(e, ivfCentroids(e, lloydRounds = 1))
-      val stored = ranked.filter(col("rn") === 1)
+      val icent = ivfCentroids(e, lloydRounds = 1)
+      val stored = ivfArgmin(e, icent)
         .select(col("vec_id"), col("cl").as("qc"))
-      val probes = ranked
+      val probes = ivfRanked(e, icent)
         .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q"), col("cl").as("qc"))
       val cand = probes.join(stored, "qc").select("q", "vec_id")
@@ -1085,7 +1139,7 @@ object Vectors {
       val cent = s.read.parquet(cbPath)
       val codesPath = new java.io.File(base, "codes").getPath
       val q = graft.streaming.Streams.appendMaintain(stream, codesPath)(
-        b => pqRanked(pqSubs(b), cent).filter(col("rn") === 1)
+        b => pqArgmin(pqSubs(b), cent)
           .select(col("vec_id"), col("m"), col("cl").as("code")))
       require(q.awaitTermination(600000),
         "PQ code maintenance stream must drain (AvailableNow)")
@@ -1134,7 +1188,7 @@ object Vectors {
         idxPath -> ((b: DataFrame) =>
           ivfAssignTo(b, coarse).select("vec_id", "cluster")),
         codesPath -> ((b: DataFrame) =>
-          pqRanked(pqSubs(b), cent).filter(col("rn") === 1)
+          pqArgmin(pqSubs(b), cent)
             .select(col("vec_id"), col("m"), col("cl").as("code")))))
       require(q.awaitTermination(600000),
         "IVF-PQ index maintenance stream must drain (AvailableNow)")
@@ -1292,9 +1346,7 @@ object Vectors {
     // goes hash-red.
     "v_mips" -> ((s, d) => {
       val e0 = t(s, d, "embeddings")
-      val n2 = aggregate(transform(col("embedding"),
-        x => x.cast("double") * x.cast("double")), lit(0.0),
-        (a, b) => a + b)
+      val n2 = vdot(col("embedding"), col("embedding"))
       val base = e0.select(col("vec_id"), col("label"),
         col("embedding"), n2.as("n2"))
       val m2 = base.agg(max("n2")).head.getDouble(0)
@@ -1302,12 +1354,11 @@ object Vectors {
         concat(transform(col("embedding"), x => x.cast("double")),
           array(sqrt(lit(m2) - col("n2")))).as("embedding"))
       val cent = ivfCentroids(aug, lloydRounds = 1)
-      val ranked = ivfRanked(aug, cent)
-      val stored = ranked.filter(col("rn") === 1)
+      val stored = ivfArgmin(aug, cent)
         .select(col("vec_id"), col("cl").as("cluster"))
         .join(e0.select(col("vec_id"), col("embedding").as("v")),
           "vec_id")
-      val probes = ranked
+      val probes = ivfRanked(aug, cent)
         .filter(col("rn") <= 2 && col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q"), col("cl").as("qc"))
         .join(e0.select(col("vec_id").as("q"),
@@ -1361,14 +1412,9 @@ object Vectors {
             lit(0.5)).cast("long")))
       val deq = transform(col("q"),
         qi => qi.cast("double") * (col("maxabs") / lit(127.0)))
-      val dotQV = aggregate(
-        zip_with(deq, col("embedding"), (a, b) => a * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val nrmQ = sqrt(aggregate(transform(deq, a => a * a),
-        lit(0.0), (acc, v) => acc + v))
-      val nrmV = sqrt(aggregate(transform(col("embedding"),
-        b => b.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
+      val dotQV = vdot(deq, col("embedding"))
+      val nrmQ = sqrt(vdot(deq, deq))
+      val nrmV = sqrt(vdot(col("embedding"), col("embedding")))
       // q is emitted as a comma-joined string, not a raw array: the
       // correctness driver's pandas compare cannot hash/sort array cells
       // (CORRECTNESS_r03 "unhashable type: numpy.ndarray"). Same

@@ -50,6 +50,20 @@ package object ops {
   def fdot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftshim.FloatVecDot.fdot(a, b)
 
+  /** Codegen'd dot product over float OR double arrays (double
+    * left-fold — see org.apache.spark.sql.graftshim.VecFold for the
+    * bit-compatibility contract). Replaces the CodegenFallback
+    * `aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), 0d, +)`
+    * in the IVF/PQ hot paths; with a = b it is the norm² fold. */
+  def vdot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.VecFold.vdot(a, b)
+
+  /** Codegen'd squared-L2 over float OR double arrays (double
+    * left-fold of (x−y)² — see VecFold). Replaces PQ's interpreted
+    * zip_with/aggregate distance. */
+  def vl2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.VecFold.vl2sq(a, b)
+
   private val rowCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
