@@ -851,8 +851,13 @@ object Dedup {
     // label in the maintained chain changes a cluster size and goes
     // hash-red.
     "d_softdedup_maintained" -> ((s, d) =>
+      // r19 opt: softWeights reads its labeling twice (cluster sizes +
+      // the per-doc attach) and Spark does not dedupe common subplans —
+      // checkpoint the |docs|-row labeling so the d_clusters_incr merge
+      // chain runs once, not once per reference (2472-line plan, 89
+      // Exchanges before)
       softWeights(s, d, queries("d_clusters_incr")(s, d)
-        .select("doc_id", "cluster_id"))),
+        .select("doc_id", "cluster_id").localCheckpoint())),
 
     // MIXTURE BUDGETING OVER THE DEDUP-WEIGHTED CORPUS — t_mixture's
     // per-source token budgeting composed with d_softdedup's

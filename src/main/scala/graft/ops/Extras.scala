@@ -164,7 +164,16 @@ object Extras {
     * 3.4 s one-shot at sf0.1); swap for reliable checkpoint on a real
     * cluster.
     */
-  private def coactivityEdges(ev: DataFrame): DataFrame = {
+  private def coactivityEdges(ev: DataFrame): DataFrame =
+    coactivityEdgesRaw(ev).localCheckpoint()
+
+  /** The un-checkpointed substrate plan, split out (r19) so
+    * PlanAuditSpec can keep pinning the banded+capped shape (hour
+    * equi-join, row_number cap pushed down as WindowGroupLimit) now
+    * that every consumer reads the substrate through the checkpoint —
+    * the final row plans scan an ExistingRDD and no longer re-plan the
+    * edge build. */
+  private[graft] def coactivityEdgesRaw(ev: DataFrame): DataFrame = {
     val act = capHourBand(ev
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .distinct())
@@ -175,7 +184,6 @@ object Extras {
     pairs.select(col("u"), col("v"), col("w"))
       .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
         col("w")))
-      .localCheckpoint()
   }
 
   /** w≥KcoreW symmetrized co-activity edge list over an events slice —
@@ -502,6 +510,15 @@ object Extras {
     */
   private[graft] def wprChain(edges: DataFrame, seed: DataFrame,
       iters: Int): DataFrame = {
+    // str/share re-derive from `edges` once per unrolled iteration —
+    // cheap single joins/aggs over the caller's checkpointed edge list,
+    // and their agg/join output stays hash-partitioned by u so the
+    // per-iteration contribution join plans NO fresh exchange.
+    // Checkpointing them here was measured SLOWER (best-of-3 at sf0.1:
+    // 5.90 s vs 5.05 s with edges-only truncation): localCheckpoint
+    // erases output partitioning (Scan ExistingRDD reads back
+    // UnknownPartitioning), so every iteration re-exchanged the |E|-row
+    // share table, and the two extra eager checkpoint jobs serialize.
     val str = edges.groupBy("u").agg(sum("w").as("s"))
     val share = edges.join(str, "u")
       .select(col("u"), col("v"),
@@ -1095,6 +1112,15 @@ object Extras {
         .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
       val edges = pairs.select(col("u"), col("v"))
         .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+        // r19 opt: edges is read by deg + one contribution join per
+        // unrolled iteration, and Spark does not dedupe common subplans
+        // — un-truncated, each reference re-ran the hour-band self-join
+        // (5051-line plan, 129 Exchanges at sf0.1). |E| rows. deg is
+        // NOT checkpointed: its agg output stays hash-partitioned by u
+        // for the per-iteration rank rebuild join, which a checkpoint's
+        // UnknownPartitioning read-back would re-exchange (measured on
+        // the wpr twin: truncating past the edge list is a net loss).
+        .localCheckpoint()
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       val nc = deg.agg(count(lit(1)).cast("double").as("nn"))
       var pr = deg.crossJoin(broadcast(nc))
@@ -1126,37 +1152,18 @@ object Extras {
     // all three iterations reuse the identical rational coefficient in
     // both engines.
     "g_wpagerank" -> ((s, d) => {
-      val act = capHourBand(t(s, d, "events")
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-        .distinct())
-      val pairs = act.as("a").join(act.as("b"), Seq("h"))
-        .filter(col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
-      val edges = pairs.select(col("u"), col("v"), col("w"))
-        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
-          col("w")))
+      // r19 opt: this body was wprChain unrolled inline over an
+      // UN-checkpointed edge list — every one of the ~10 references to
+      // pairs/edges/str/share re-ran the hour-band self-join (6812-line
+      // plan, 173 Exchanges, zero reuse at sf0.1). coactivityEdges is
+      // the IDENTICAL pair computation (same cap, same w≥3 threshold,
+      // same symmetrization), checkpointed once; wprChain/wprUniformSeed
+      // are the identical grid-rounded recurrence (g_wpagerank_incr has
+      // always used them), so the output is bit-for-bit unchanged.
+      val edges = coactivityEdges(t(s, d, "events"))
       val str = edges.groupBy("u").agg(sum("w").as("s"))
-      val share = edges.join(str, "u")
-        .select(col("u"), col("v"),
-          roundf(col("w").cast("double") / col("s").cast("double"), 9)
-            .as("sh"))
-      val nc = str.agg(count(lit(1)).cast("double").as("nn"))
-      var pr = str.crossJoin(broadcast(nc))
-        .select(col("u"), roundf(lit(1.0) / col("nn"), 9).as("pr"))
-      for (_ <- 1 to 3) {
-        val contrib = share
-          .join(pr, "u")
-          .select(col("v"), roundf(col("pr") * col("sh"), 9).as("c"))
-          .groupBy(col("v").as("u"))
-          .agg(sum(col("c").cast("decimal(38,9)")).cast("double").as("cs"))
-        pr = str.select(col("u")).join(contrib, Seq("u"), "left")
-          .crossJoin(broadcast(nc))
-          .select(col("u"),
-            roundf(lit(0.15) / col("nn") +
-              lit(0.85) * coalesce(col("cs"), lit(0.0)), 9).as("pr"))
-      }
-      pr.join(str, "u")
+      wprChain(edges, wprUniformSeed(edges), 3)
+        .join(str, "u")
         .select(col("u").as("user_id"), col("s").as("strength"),
           roundf(col("pr"), 6).as("pagerank"))
         .orderBy("user_id")
@@ -1570,11 +1577,17 @@ object Extras {
         .filter(col("a.user_id") < col("b.user_id"))
         .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
         .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+        // r19 opt: two union branches below both read pairs and Spark
+        // does not dedupe common subplans — un-truncated, the hour-band
+        // self-join ran once per branch (927-line plan, 25 Exchanges)
+        .localCheckpoint()
       val sym = pairs.select(col("u"), col("w"))
         .unionByName(pairs.select(col("v").as("u"), col("w")))
+      // |nodes| rows, read by both histogram branches
       val deg = sym.groupBy("u").agg(
         count(lit(1)).as("deg3"),
         sum(when(col("w") >= KcoreW, 1L).otherwise(0L)).as("deg12"))
+        .localCheckpoint()
       deg.groupBy(col("deg3").as("degree"))
         .agg(count(lit(1)).as("n_nodes"))
         .select(lit("w3").as("graph"), col("degree"), col("n_nodes"))
@@ -2023,7 +2036,13 @@ object Extras {
         .filter(col("u") < col("v2"))
         .groupBy(col("u"), col("v2").as("v"))
         .agg(count(lit(1)).as("cn"))
-        .join(pairs.select("u", "v"), Seq("u", "v"), "left_semi")
+        // r19 opt: semi-join against the checkpointed symmetric edge
+        // list restricted to its u<v half — the SAME pair set as
+        // `pairs` (edges is pairs symmetrized), but read from the
+        // checkpoint instead of re-running the hour-band self-join a
+        // second time (the plan's only non-reused band-join copy)
+        .join(edges.filter(col("u") < col("v")).select("u", "v"),
+          Seq("u", "v"), "left_semi")
       common
         .join(deg, "u")
         .join(deg.select(col("u").as("v"), col("deg").as("degv")), "v")

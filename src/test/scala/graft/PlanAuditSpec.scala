@@ -825,29 +825,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "Window") == 1, p)
   }
 
-  test("g_pagerank: edge generation banded on hour; iterations equi-join") {
-    val p = plan("g_pagerank")
-    // the co-activity self-join must be an equi-join on the hour band,
-    // and the three unrolled iterations must join edges to ranks on
-    // keys. The ONLY nested-loop joins allowed are the four 1-row nn
-    // scalar broadcasts (crossJoin(broadcast(1-row agg)) always plans
-    // BNLJ — the t_tfidf pattern): pr0 + one per iteration. A fifth
-    // would mean the banding or an iteration join went all-pairs.
-    assert(nodeCount(p, "CartesianProduct") == 0, p)
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
-    assert(p.contains("partial_"), "contribution sums must partial-agg")
-    // the per-hour band must be CAPPED: a row_number window over the
-    // hour band feeding a rank filter (Extras.capHourBand). Without it
-    // one viral hour at 100 TB is an unbounded quadratic. The rank
-    // filter must additionally push down as WindowGroupLimit (Spark's
+  test("coactivity substrate: hour-band equi-join, cap pushed as group limit") {
+    // r19: every pagerank/LPA-family consumer now reads the substrate
+    // through ONE localCheckpoint (the final row plans scan an
+    // ExistingRDD — g_wpagerank's one-shot plan dropped from 173
+    // Exchanges to 17), so the banded+capped shape is audited here on
+    // the un-checkpointed build plan instead of once per row. The
+    // per-hour band must be CAPPED: a row_number window over the hour
+    // band feeding a rank filter (Extras.capHourBand). Without it one
+    // viral hour at 100 TB is an unbounded quadratic. The rank filter
+    // must additionally push down as WindowGroupLimit (Spark's
     // rank-limit pushdown), so each map task discards beyond-K rows
-    // BEFORE the window sort — the cap costs no extra full sort. The
-    // subtree is replicated across the unrolled iterations, so counts
-    // are >= not ==.
+    // BEFORE the window sort.
+    val p = ops.Extras.coactivityEdgesRaw(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .queryExecution.explainString(FormattedMode)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("h#"), "self-join must be equi-keyed on the hour")
     assert(nodeCount(p, "Window") >= 1, p)
     assert(nodeCount(p, "WindowGroupLimit") >= 1,
       "rank filter must push down as a group limit")
     assert(p.contains("row_number"), "hour band must be top-K capped")
+    assert(p.contains("partial_"), "pair weights must map-side combine")
+  }
+
+  test("g_pagerank: iterations equi-join over the checkpointed substrate") {
+    // the edge build is behind a localCheckpoint (scanned, not
+    // re-planned — see the substrate audit above), so this audits the
+    // iterate tail: the three unrolled iterations must join edges to
+    // ranks on keys. The ONLY nested-loop joins allowed are the four
+    // 1-row nn scalar broadcasts (crossJoin(broadcast(1-row agg))
+    // always plans BNLJ — the t_tfidf pattern): pr0 + one per
+    // iteration. A fifth would mean an iteration join went all-pairs.
+    val p = plan("g_pagerank")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
+    assert(p.contains("partial_"), "contribution sums must partial-agg")
+    assert(p.contains("ExistingRDD"),
+      "edge build must be checkpoint-truncated, not re-planned")
   }
 
   test("g_wpagerank: weighted iterations equi-join; BNLJ pinned to scalars") {
@@ -855,9 +870,8 @@ class PlanAuditSpec extends SparkTestBase {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
     assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
     assert(p.contains("partial_"), p)
-    assert(nodeCount(p, "WindowGroupLimit") >= 1,
-      "rank filter must push down as a group limit")
-    assert(p.contains("row_number"), "hour band must be top-K capped")
+    assert(p.contains("ExistingRDD"),
+      "edge build must be checkpoint-truncated, not re-planned")
   }
 
   test("e_transitions: one event shuffle on user_id; share window on counts") {
